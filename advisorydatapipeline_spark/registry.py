@@ -1,0 +1,45 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2).
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable; ``ORACLES``
+maps the same keys to ANSI SQL that DuckDB runs over the same parquet
+tables (views: region nation customer supplier part orders lineitem
+events documents embeddings). Column names/aliases match exactly —
+the driver's compare hashes values after sorting columns by name.
+
+Queries whose semantics are not SQL-expressible (streaming, UDF-only
+surfaces) intentionally have no oracle entry -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from advisorydatapipeline_spark.plans.advisory_resolution import (
+    advisory_resolution,
+    advisory_resolution_oracle,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (decorator)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+query("flagship_advisory_resolution", advisory_resolution_oracle())(
+    advisory_resolution
+)
+
+# widen the registry: importing these modules registers their queries
+from advisorydatapipeline_spark import queries as _queries  # noqa: E402,F401

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Mirrors the role of the reference's ``dependencies.py:19-50`` (session
+construction + conf) without its hardcoded developer paths. Every conf
+default here is chosen for the dual target: correct on ``local[N]``,
+sane on a large cluster (AQE owns runtime re-planning; shuffle
+partition count is a starting hint that AQE coalesces/splits).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "advisorydatapipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-minded defaults.
+
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy switches replace any hand-tuning.
+    - Session timezone pinned to UTC so timestamp semantics match the
+      ANSI/DuckDB oracle exactly.
+    - Arrow on: vectorized pandas interchange for the Pandas-UDF path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type — read as epoch-nanos long (ordering
+        # is identical; convert with F.timestamp_micros(ns div 1000))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,135 @@
+"""Schema-enforced table IO.
+
+Re-expresses the reference's ``read_table`` / ``write_table``
+(pipeline_libs/spark/spark_utils.py:17-215) Spark-first:
+
+- Schema is mandatory and enforced by **cast-projection** (select +
+  cast per declared column), which doubles as column pruning
+  (reference :49-50, :114-116).
+- **Missing path => empty DataFrame with the declared schema** — this
+  "absent = empty relation" contract is load-bearing: it is how the
+  first run bootstraps prod state (reference :158-161,
+  state_machine/pipeline.py:37-47).
+- ``base_path`` support so Hive partition directories become columns
+  (reference :134-141).
+- Writes go through ``partitionBy`` proper instead of hand-built
+  ``key=value`` path strings; output sizing is left to AQE coalescing
+  instead of the reference's unconditional ``repartition(1)``
+  (spark_utils.py:52-53 — an anti-pattern at scale, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast-project ``df`` through ``schema``.
+
+    Missing columns become typed NULLs; extra columns are pruned;
+    mismatched types are cast. This is schema *enforcement by
+    projection*, the reference's house contract.
+    """
+    cols = []
+    present = set(df.columns)
+    for field in schema.fields:
+        if field.name in present:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(cols)
+
+
+def empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    # local + hadoop-fs aware existence probe; local fast-path avoids JVM hop
+    if "://" not in path or path.startswith("file:"):
+        return os.path.exists(path.removeprefix("file:"))
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str | None,
+    schema: T.StructType,
+    *,
+    paths: Sequence[str] | None = None,
+    fmt: str = "parquet",
+    base_path: str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """Read ``path`` (or ``paths``) as ``fmt``, conformed to ``schema``.
+
+    Any path that does not exist degrades to an empty relation with the
+    declared schema rather than an error.
+    """
+    if schema is None:
+        raise ValueError("schema is mandatory for read_table")
+    targets = list(paths) if paths is not None else ([path] if path else [])
+    targets = [p for p in targets if p and _path_exists(spark, p)]
+    if not targets:
+        return empty_df(spark, schema)
+
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    if fmt == "parquet":
+        df = reader.parquet(*targets)
+    elif fmt == "json":
+        df = reader.schema(schema).json(targets)
+    elif fmt == "csv":
+        df = reader.schema(schema).option("header", str(header).lower()).csv(targets)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    return conform(df, schema)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    schema: T.StructType | None = None,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    target_partitions: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` to ``path``, optionally conformed to ``schema``.
+
+    ``target_partitions`` is an explicit override only; by default AQE
+    sizes output files. Hive-style layout comes from ``partitionBy``.
+    """
+    out = conform(df, schema) if schema is not None else df
+    if target_partitions:
+        out = out.coalesce(target_partitions)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+
+def register_view(df: DataFrame, name: str, *, global_view: bool = False) -> None:
+    """Tables-as-views handoff (reference: createGlobalTempView sites,
+    SURVEY.md §1.1). Global temp views live in ``global_temp``."""
+    if global_view:
+        df.createOrReplaceGlobalTempView(name)
+    else:
+        df.createOrReplaceTempView(name)

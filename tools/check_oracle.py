@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet dir, then compares row count, column
+names, and an order-insensitive multiset of canonicalized rows.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def canon(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "b:" + str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return "t:" + v.isoformat()
+    return f"{type(v).__name__}:{v}"
+
+
+def row_multiset(rows):
+    return Counter("|".join(canon(v) for v in row) for row in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from advisorydatapipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures, no_oracle = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = [c.lower() for c in sdf.columns]
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            no_oracle.append(name)
+            print(f"  ~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        res = con.execute(oracles[name])
+        ocols = [d[0].lower() for d in res.description]
+        orows = res.fetchall()
+        # driver sorts columns by name before hashing
+        s_ix = sorted(range(len(scols)), key=lambda i: scols[i])
+        o_ix = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if not problems:
+            sm = row_multiset([tuple(r[i] for i in s_ix) for r in srows])
+            om = row_multiset([tuple(r[i] for i in o_ix) for r in orows])
+            if sm != om:
+                diff_s = list((sm - om).keys())[:3]
+                diff_o = list((om - sm).keys())[:3]
+                problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
+        status = "ok" if not problems else "FAIL"
+        print(f"  {'✓' if not problems else '✗'} {name}: {status} "
+              f"({len(srows)} rows, {time.time()-t0:.1f}s)")
+        for p in problems:
+            print(f"      {p}")
+        if problems:
+            failures.append(name)
+
+    print(f"\n{len(qs) - len(failures) - len(no_oracle)} ok, "
+          f"{len(no_oracle)} rows-only, {len(failures)} FAILED")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
