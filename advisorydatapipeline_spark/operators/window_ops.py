@@ -68,9 +68,11 @@ def max_by_per_key(
     are compared in struct order (lexicographic), descending-by-max.
     """
     packed = F.struct(
-        *[F.col(c) for c in order_cols], *[F.col(c) for c in payload_cols]
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        *[F.col(c).alias(f"_p{i}") for i, c in enumerate(payload_cols)],
     ).alias("_packed")
     agg = df.select(*keys, packed).groupBy(*keys).agg(F.max("_packed").alias("_w"))
     return agg.select(
-        *keys, *[F.col(f"_w.{c}").alias(c) for c in payload_cols]
+        *keys,
+        *[F.col(f"_w._p{i}").alias(c) for i, c in enumerate(payload_cols)],
     )

@@ -1,2 +1,11 @@
 """Operator-parity query modules. Importing this package registers
 every query into advisorydatapipeline_spark.registry."""
+
+from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
+    aggregates,
+    parity_joins,
+    parity_scalars,
+    parity_scans,
+    parity_sets,
+    parity_window,
+)

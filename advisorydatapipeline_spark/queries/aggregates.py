@@ -1,0 +1,157 @@
+"""Beyond-reference aggregation queries.
+
+The reference has no groupBy at all (SURVEY.md §2.4) — an analytics
+engine needs one. These cover grouped multi-aggregation (TPC-H-Q1
+shape), join+agg+top-N (Q3 shape), and sessionization (the batch
+analogue of the streaming session window).
+
+Oracle-safety: double sums go through DECIMAL (exact, order-
+independent); averages are DOUBLE(sum_dec)/count so both engines do
+one identical IEEE division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+SESSION_GAP_US = 3_600 * 1_000_000  # 1 hour in microseconds
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: grouped 7-aggregate scan. Partial aggregation
+    (map-side combine) means the shuffle carries |groups|×|mappers|
+    rows regardless of input scale."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "revenue_topn",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       c.c_mktsegment
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, c.c_mktsegment
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def revenue_topn(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> join -> grouped sum ->
+    global top-N. The customer dim is broadcast; lineitem and orders
+    shuffle once on the join key; top-N is a TakeOrdered, no full
+    sort."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "sessionization",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sess AS (
+  SELECT user_id, event_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def sessionization(spark, sf_dir):
+    """Sessionization: lag -> gap flag -> running sum -> grouped agg.
+    The batch analogue of a streaming session window (see
+    streaming/); one shuffle on user_id serves both windows and the
+    final aggregation. Times are truncated to microseconds on both
+    sides (DuckDB reads parquet TIMESTAMP_NS at us precision)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),  # integer division: exact
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )

@@ -1,0 +1,140 @@
+"""Join parity queries (SURVEY.md §2.3) + distinct (§2.4 A1/A2).
+
+Covers: J1 case-insensitive compound-key left join, J2 double left
+join (also in the flagship), J3/J4 left-anti, A1 distinct. Dimension
+sides are broadcast — at 100 TB the fact side never shuffles for
+these joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.registry import query
+from advisorydatapipeline_spark.queries.helpers import load, ns_literal
+
+PURCHASE_CUTOFF_ISO = "2024-01-28"
+PURCHASE_CUTOFF_NS = ns_literal(PURCHASE_CUTOFF_ISO)
+
+
+@query(
+    "ci_compound_key_left_join",
+    oracle="""
+WITH dim AS (
+  SELECT upper(p_brand) AS ov_brand, upper(p_type) AS ov_type,
+         'flagged' AS flag
+  FROM part WHERE p_size > 40
+  GROUP BY upper(p_brand), upper(p_type)
+)
+SELECT p.p_partkey, p.p_brand, p.p_type,
+       coalesce(d.flag, 'none') AS flag
+FROM part p
+LEFT JOIN dim d
+  ON lower(p.p_brand) = lower(d.ov_brand)
+ AND lower(p.p_type) = lower(d.ov_type)
+""",
+)
+def ci_compound_key_left_join(spark, sf_dir):
+    """J1: left join on lower()-normalized compound keys — the
+    reference's expression join (packages_to_enrich.py:34). The dim is
+    broadcast: an expression join can't use bucketing, but a broadcast
+    hash join sidesteps the shuffle entirely."""
+    part = load(spark, sf_dir, "part")
+    dim = (
+        part.filter(F.col("p_size") > 40)
+        .select(
+            F.upper("p_brand").alias("ov_brand"),
+            F.upper("p_type").alias("ov_type"),
+        )
+        .distinct()
+        .withColumn("flag", F.lit("flagged"))
+    )
+    joined = part.join(
+        F.broadcast(dim),
+        (F.lower(part.p_brand) == F.lower(dim.ov_brand))
+        & (F.lower(part.p_type) == F.lower(dim.ov_type)),
+        "left",
+    )
+    return joined.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        F.coalesce("flag", F.lit("none")).alias("flag"),
+    )
+
+
+@query(
+    "left_anti_cache_skip",
+    oracle=f"""
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.event_type = 'purchase' AND c.ts >= TIMESTAMP '{PURCHASE_CUTOFF_ISO}'
+    AND c.value > 150 AND c.user_id = e.user_id
+)
+""",
+)
+def left_anti_cache_skip(spark, sf_dir):
+    """J3: left-anti join — the reference's cache-skip
+    (enrichment/cache.py:91-95): keep only work whose key is absent
+    from the cached set."""
+    ev = load(spark, sf_dir, "events")
+    cached = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit(PURCHASE_CUTOFF_NS))
+            & (F.col("value") > 150)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return ev.join(F.broadcast(cached), "user_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_pairs(spark, sf_dir):
+    """A1/A2: SELECT DISTINCT on the worklist key pair
+    (packages_to_enrich.py:37-42). Partial aggregation dedups map-side
+    before the shuffle."""
+    return load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@query(
+    "double_left_join_merge",
+    oracle="""
+SELECT c.c_custkey AS cust_key,
+       n.n_name AS nation_name,
+       coalesce(o.order_count, 0) AS order_count
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_count
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+""",
+)
+def double_left_join_merge(spark, sf_dir):
+    """J2: chained double left join (map_new_info_with_udf.py:110-114
+    shape) with COALESCE backstop."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("order_count"))
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("n_name").alias("nation_name"),
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Scalar-function and state-machine parity queries (SURVEY.md §2.8,
+§2.10).
+
+``scalar_derivation`` mirrors the reference's normalization query
+shape (enrichment/queries/nvd_normalization.py:18-57): COALESCE
+precedence chains, CASE classification, CONCAT message building,
+lower(). The state-machine queries run the FSM natively (CASE) and
+via Python UDFs against the *same* SQL oracle — proving the two
+surfaces equivalent, which the reference only asserted via unit tests
+(its own history migrated between the two, SURVEY.md dead-code note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.state_machine import (
+    with_transition,
+    with_transition_udf,
+)
+from advisorydatapipeline_spark.operators.state_machine import (
+    apply_sql,
+    explanation_sql,
+    valid_sql,
+)
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+
+@query(
+    "scalar_derivation",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN 'fixed'
+            WHEN o_orderstatus = 'O' THEN 'pending_upstream'
+            ELSE 'unknown' END AS derived_state,
+       coalesce(nullif(o_orderpriority, ''), '5-LOW') AS effective_priority,
+       concat('Order ', CAST(o_orderkey AS VARCHAR), ' is ',
+              lower(o_orderstatus), ' at ',
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS customer_text
+FROM orders
+""",
+)
+def scalar_derivation(spark, sf_dir):
+    """§2.8: COALESCE / NULLIF / CASE / CONCAT / lower / cast chain.
+    The monetary value is formatted via DECIMAL(18,2) so Spark and the
+    oracle render identical digits."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "fixed")
+        .when(F.col("o_orderstatus") == "O", "pending_upstream")
+        .otherwise("unknown")
+        .alias("derived_state"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("")), F.lit("5-LOW")
+        ).alias("effective_priority"),
+        F.concat(
+            F.lit("Order "),
+            F.col("o_orderkey").cast("string"),
+            F.lit(" is "),
+            F.lower("o_orderstatus"),
+            F.lit(" at "),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        ).alias("customer_text"),
+    )
+
+
+# from/to state derivation exercising every normalization edge:
+# mixed case, stray whitespace, NULL, empty string, unrecognized state
+_FROM_SQL = (
+    "CASE WHEN o_orderstatus = 'O' THEN 'pending_upstream' "
+    "WHEN o_orderstatus = 'F' THEN 'Fixed' "  # case-normalization edge
+    "ELSE 'unknown' END"
+)
+_TO_SQL = (
+    "CASE WHEN o_orderpriority = '1-URGENT' THEN '  FIXED  ' "  # ws+case
+    "WHEN o_orderpriority = '2-HIGH' THEN 'not_applicable' "
+    "WHEN o_orderpriority = '3-MEDIUM' THEN NULL "
+    "WHEN o_orderpriority = '4-NOT SPECIFIED' THEN '' "
+    "ELSE 'bogus_state' END"
+)
+
+_STATE_MACHINE_ORACLE = f"""
+WITH derived AS (
+  SELECT o_orderkey,
+         {_FROM_SQL} AS from_state,
+         {_TO_SQL} AS to_state
+  FROM orders
+)
+SELECT o_orderkey, from_state, to_state,
+       {valid_sql('from_state', 'to_state')} AS transition_valid,
+       {apply_sql('from_state', 'to_state')} AS new_state,
+       {explanation_sql('from_state', 'to_state')} AS transition_reason
+FROM derived
+"""
+
+
+def _derived_states(spark, sf_dir):
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(_FROM_SQL).alias("from_state"),
+        F.expr(_TO_SQL).alias("to_state"),
+    )
+
+
+@query("state_machine_native", oracle=_STATE_MACHINE_ORACLE)
+def state_machine_native(spark, sf_dir):
+    """F1–F3 natively: CASE-only FSM — whole-stage codegen, no Python
+    workers."""
+    return with_transition(_derived_states(spark, sf_dir), "from_state", "to_state")
+
+
+@query("state_machine_udf", oracle=_STATE_MACHINE_ORACLE)
+def state_machine_udf(spark, sf_dir):
+    """F1–F3 via row-at-a-time Python UDFs (the reference's live
+    surface, state_machine/udf.py:77-81), checked against the same SQL
+    oracle as the native version — an executed equivalence proof."""
+    return with_transition_udf(
+        _derived_states(spark, sf_dir), "from_state", "to_state"
+    )

@@ -1,0 +1,123 @@
+"""Window / sort / top-k parity queries (SURVEY.md §2.5–2.6).
+
+Covers: W1 row_number top-1 dedup, its shuffle-light max_by twin
+(A4), top-k per group, O1 CASE-ranked ordering, O2 multi-column sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.registry import query
+from advisorydatapipeline_spark.operators.window_ops import (
+    max_by_per_key,
+    top_k_per_key,
+)
+from advisorydatapipeline_spark.queries.helpers import load
+
+
+@query(
+    "window_top1_per_key",
+    oracle="""
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def window_top1_per_key(spark, sf_dir):
+    """W1: the reference's priority-dedup window
+    (map_new_info_with_udf.py:41-50) as a reusable operator."""
+    ev = load(spark, sf_dir, "events")
+    return top_k_per_key(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id").desc()], k=1
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    """Top-K generalization of W1."""
+    o = load(spark, sf_dir, "orders")
+    return top_k_per_key(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").desc()],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "grouped_max_by",
+    oracle="""
+SELECT o_custkey AS cust_key, o_orderkey AS best_orderkey,
+       o_totalprice AS best_total
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def grouped_max_by(spark, sf_dir):
+    """A4: top-1 via groupBy(max(struct)) — partial aggregation sends
+    one row per key per mapper to the shuffle, strictly less IO than
+    the window at 100 TB. Equivalent semantics proven by sharing the
+    window oracle."""
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "cust_key")
+    out = max_by_per_key(
+        o, ["cust_key"], ["o_totalprice", "o_orderkey"], ["o_orderkey", "o_totalprice"]
+    )
+    return out.select(
+        "cust_key",
+        F.col("o_orderkey").alias("best_orderkey"),
+        F.col("o_totalprice").alias("best_total"),
+    )
+
+
+@query(
+    "case_ranked_order",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                 WHEN o_orderpriority = '2-HIGH' THEN 2
+                 WHEN o_orderpriority = '3-MEDIUM' THEN 3
+                 WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 4
+                 ELSE 5 END AS INT) AS sort_rank
+FROM orders
+ORDER BY sort_rank, o_orderkey
+""",
+)
+def case_ranked_order(spark, sf_dir):
+    """O1/O2: custom CASE-expression rank ordering
+    (map_new_info_with_udf.py:170-178)."""
+    o = load(spark, sf_dir, "orders")
+    rank = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+        .cast("int")
+    )
+    return (
+        o.select("o_orderkey", "o_orderpriority", rank.alias("sort_rank"))
+        .orderBy("sort_rank", "o_orderkey")
+    )
