@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond-reference (north-star): exact dedup, n-gram Jaccard near-dup,
+MinHash + LSH near-dup, and SimHash bucketing — the standard toolkit
+of a training-data pipeline, composed from built-in DataFrame ops
+(no Python UDFs anywhere; every hash is portable md5 so the DuckDB
+oracle can replay the exact computation).
+
+Scale design (100 TB corpora):
+- exact dedup: one hash-shuffle on the 16-byte key, map-side partial
+  aggregation; never shuffles document text.
+- n-gram Jaccard: the pair join is driven by the inverted
+  shingle->doc index; ``max_doc_freq`` drops ubiquitous shingles,
+  which is what bounds the quadratic blowup on hot shingles (the
+  standard df-cap trick). Only (doc_id, shingle-hash) pairs shuffle.
+- MinHash/LSH: signatures are k aggregates over the shingle index
+  (partial agg), candidates come from b band-equijoins — shuffle
+  volume is O(docs x b), independent of document length. Verification
+  re-uses the inverted index restricted to candidate pairs.
+- SimHash: bit-vote aggregation per doc (partial agg), bucket join on
+  the signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.functions.text import hash64, norm_text, tokens
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Group identical (normalized) texts: returns one row per
+    distinct content with the keeper (min id) and the duplicate count.
+    """
+    keyed = df.select(
+        F.col(id_col), F.md5(norm_text(text_col)).alias("content_key")
+    )
+    return keyed.groupBy("content_key").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per identical normalized text."""
+    keyed = df.withColumn("content_key", F.md5(norm_text(text_col)))
+    winners = keyed.groupBy("content_key").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["content_key", id_col], "left_semi").drop(
+        "content_key"
+    )
+
+
+# --- shingle index -----------------------------------------------------------
+
+
+def shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    *,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Inverted index: one row per (id, distinct n-gram shingle).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs — the df-cap that keeps hot shingles from driving a
+    quadratic candidate join at scale.
+    """
+    toks = tokens(text_col)
+    # guard: Spark's sequence(0, size-n) runs *descending* when
+    # size < n, so gate on length instead of relying on an empty range
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    idx = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+    if max_doc_freq is not None:
+        w_ok = (
+            idx.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        idx = idx.join(w_ok, "shingle", "left_semi")
+    return idx
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def jaccard_pairs(
+    index: DataFrame, id_col: str, min_jaccard: float
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold, driven
+    by the inverted index (only co-occurring pairs are ever formed)."""
+    sizes = index.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = index.select(F.col(id_col).alias("id_a"), "shingle")
+    b = index.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(
+    index: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """k-permutation MinHash as k portable hash aggregates: sig_i =
+    min(md5-hash64(i || shingle)). One partial-aggregated shuffle on
+    the doc id; no k-fold row blowup."""
+    aggs = [
+        F.min(hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return index.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig_df: DataFrame, id_col: str, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Banded LSH keys: band_key = md5 of the band's signature slice.
+    Returns (id, band_idx, band_key)."""
+    keys = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*keys)).alias("bk")
+    ).select(id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs sharing at least one band bucket."""
+    a = band_df.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    b = band_df.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle -> sign -> band -> candidate
+    -> verify with true Jaccard. Output: (id_a, id_b, jaccard)."""
+    rows = num_hashes // bands
+    index = shingle_index(df, id_col, text_col, n, max_doc_freq=max_doc_freq)
+    sigs = minhash_signatures(index, id_col, num_hashes)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, bands, rows), id_col)
+    verified = jaccard_pairs(index, id_col, min_jaccard)
+    return cands.join(verified, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over distinct tokens: bit b is the sign of the
+    +1/-1 vote sum of token-hash bit b. Returns (id, simhash)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", hash64(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Dedup by identical SimHash: one row per signature bucket with
+    keeper id and population."""
+    return (
+        simhash(df, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_docs"))
+    )

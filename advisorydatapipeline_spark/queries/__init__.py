@@ -3,9 +3,12 @@ every query into advisorydatapipeline_spark.registry."""
 
 from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     aggregates,
+    dedup_queries,
     parity_joins,
     parity_scalars,
     parity_scans,
     parity_sets,
     parity_window,
+    similarity_queries,
+    text_analysis,
 )

@@ -1,0 +1,186 @@
+"""Dedup operator queries with DuckDB oracles (north-star ops).
+
+The oracles replay the exact portable-md5 computation the Spark
+operators perform, so every stage (shingling, MinHash signatures, LSH
+banding, Jaccard verification, SimHash votes) is value-checked — not
+just row counts.
+"""
+
+from __future__ import annotations
+
+from advisorydatapipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_near_dupes,
+    shingle_index,
+    simhash_buckets,
+)
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+# --- portable DuckDB snippets -------------------------------------------------
+
+DUCK_TOKENS = (
+    "list_filter(string_split_regex(lower({x}), '[^a-z0-9]+'), t -> t <> '')"
+)
+DUCK_HASH64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+DUCK_NORM = "lower(trim(regexp_replace({x}, '\\s+', ' ', 'g')))"
+
+# shared shingle-index CTE (3-gram word shingles, distinct per doc)
+DUCK_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS ts FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+  FROM toks WHERE len(ts) >= 3
+)
+"""
+
+MIN_JACCARD = 0.4
+NUM_HASHES, BANDS, ROWS = 16, 4, 4
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({DUCK_NORM.format(x='text')}) AS content_key,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-content hash groupBy."""
+    return exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_JACCARD_ORACLE = f"""
+WITH {DUCK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= {MIN_JACCARD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs via the inverted shingle
+    index (no LSH approximation — this is the ground truth the LSH
+    variant is verified against)."""
+    idx = shingle_index(load(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    return jaccard_pairs(idx, "doc_id", MIN_JACCARD)
+
+
+_SIG_AGGS = ",\n       ".join(
+    "min(" + DUCK_HASH64.format(x=f"'{i}:' || shingle") + f") AS sig_{i}"
+    for i in range(NUM_HASHES)
+)
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    "md5(concat_ws(',', "
+    + ", ".join(f"sig_{b * ROWS + r}" for r in range(ROWS))
+    + ")) AS band_key FROM sigs"
+    for b in range(BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {DUCK_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+       {_SIG_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       v.shared / CAST(sa.n + sb.n - v.shared AS DOUBLE) AS jaccard
+FROM cands c
+JOIN verified v ON v.id_a = c.id_a AND v.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE v.shared / CAST(sa.n + sb.n - v.shared AS DOUBLE) >= {MIN_JACCARD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4x4 bands) candidate generation, verified by
+    true Jaccard — the scale path for near-dup detection (candidate
+    join is O(docs x bands), not O(pairs))."""
+    return minhash_near_dupes(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        min_jaccard=MIN_JACCARD,
+    )
+
+
+_SIMHASH_BITS = 16
+_VOTES = ",\n       ".join(
+    f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIG_SUM = " + ".join(
+    f"(CASE WHEN v_{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct({DUCK_TOKENS.format(x='text')})) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {DUCK_HASH64.format(x='tok')} AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+       {_VOTES}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash FROM votes
+)
+SELECT simhash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM sigs GROUP BY simhash
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark, sf_dir):
+    """SimHash(16-bit) signature bucketing: identical-signature docs
+    collapse to one bucket row."""
+    return simhash_buckets(
+        load(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
+    )

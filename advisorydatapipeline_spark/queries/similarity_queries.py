@@ -1,0 +1,136 @@
+"""Similarity-search queries with DuckDB oracles (north-star ops).
+
+Quantized-integer dot products (floor(x*1000)) make cosine exactly
+reproducible across engines: every partial sum is an integer-valued
+double below 2^53, so summation order cannot perturb the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+)
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+K = 5
+QUERY_MOD = 50  # queries = vectors with vec_id % 50 == 0
+N_CENTROIDS = 8
+NPROBE = 2
+
+_DUCK_Q = "list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"
+_DUCK_QD = f"CAST({_DUCK_Q} AS DOUBLE[])"
+
+
+_BRUTE_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, {_DUCK_QD} AS v FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, q.v)
+           / sqrt(list_dot_product(c.v, c.v) * list_dot_product(q.v, q.v))
+           AS cosine
+  FROM c, q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rn
+  FROM scored
+) WHERE rn <= {K}
+"""
+
+
+@query("ann_cosine_topk", oracle=_BRUTE_ORACLE)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k: the ANN baseline. Queries
+    broadcast, corpus scans once without shuffling."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, K)
+
+
+_IVF_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, {_DUCK_QD} AS v FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assign_scored AS (
+  SELECT c.vec_id, cent.centroid_id,
+         list_dot_product(c.v, c.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(c.v, cent.v) AS dist_sq
+  FROM c, cent
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist_sq ASC, centroid_id ASC
+    ) AS rn FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, {_DUCK_QD} AS v FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+probe_scored AS (
+  SELECT q.query_id, cent.centroid_id,
+         list_dot_product(q.v, q.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(q.v, cent.v) AS dist_sq
+  FROM q, cent
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY dist_sq ASC, centroid_id ASC
+    ) AS rn FROM probe_scored
+  ) WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, q.v)
+           / sqrt(list_dot_product(c.v, c.v) * list_dot_product(q.v, q.v))
+           AS cosine
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN c ON c.vec_id = a.vec_id
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rn FROM scored
+) WHERE rn <= {K}
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: assign corpus to nearest of 8
+    deterministic centroids, probe the 2 nearest clusters per query.
+    At scale the assignment is written partitionBy(centroid_id) so the
+    probe prunes partitions (see operators/similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, centroids, K, NPROBE)
