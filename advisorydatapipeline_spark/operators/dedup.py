@@ -65,27 +65,38 @@ def shingle_index(
     n: int = 3,
     *,
     max_doc_freq: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Inverted index: one row per (id, distinct n-gram shingle).
 
     ``max_doc_freq`` drops shingles appearing in more than that many
     docs — the df-cap that keeps hot shingles from driving a
     quadratic candidate join at scale.
+
+    The tokenize step materializes *before* a hash repartition on the
+    id: (a) a small corpus file arrives as one input split — the
+    repartition spreads the CPU-heavy shingling across every core;
+    (b) the shuffle is a projection barrier, so the token array is
+    computed once instead of being re-inlined into each element_at
+    access by Catalyst's project collapsing.
     """
-    toks = tokens(text_col)
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_ts"))
+    nparts = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    toked = toked.repartition(nparts, id_col)
+    ts = F.col("_ts")
     # guard: Spark's sequence(0, size-n) runs *descending* when
     # size < n, so gate on length instead of relying on an empty range
     sh = F.when(
-        F.size(toks) >= n,
+        F.size(ts) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
+            F.sequence(F.lit(0), F.size(ts) - n),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                " ", *[F.element_at(ts, (i + j + 1).cast("int")) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    idx = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    idx = toked.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )
     if max_doc_freq is not None:
         w_ok = (
@@ -130,20 +141,66 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    index: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set only — the
+    verification stage of LSH. Cost is O(|pairs| x shingles-per-doc),
+    not O(co-occurring pairs)."""
+    sizes = index.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = index.select(F.col(id_col).alias("id_a"), "shingle")
+    b = index.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
+
+
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation for the universal hash
+    family h_i(x) = (a_i * x + b_i) mod p. a odd, both < p."""
+    out = []
+    for i in range(num_hashes):
+        a = ((i + 1) * 2654435761) % MINHASH_P | 1
+        b = ((i + 1) * 40503 * 65537) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def minhash_signatures(
     index: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """k-permutation MinHash as k portable hash aggregates: sig_i =
-    min(md5-hash64(i || shingle)). One partial-aggregated shuffle on
-    the doc id; no k-fold row blowup."""
+    """k-permutation MinHash as k aggregates over ONE portable base
+    hash: sig_i = min((a_i * h + b_i) mod p), h = md5-hash64(shingle)
+    mod p. One md5 per shingle (not k), k cheap modular mixes, one
+    partial-aggregated shuffle on the doc id — no k-fold row blowup.
+    All intermediates stay below 2^62, so the arithmetic is exact on
+    any engine (the DuckDB oracle replays it verbatim)."""
+    hashed = index.withColumn("_h", hash64(F.col("shingle")) % MINHASH_P)
     aggs = [
-        F.min(hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
+        F.min((F.col("_h") * a + b) % MINHASH_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return index.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
@@ -190,18 +247,22 @@ def minhash_near_dupes(
     *,
     n: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     min_jaccard: float = 0.4,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle -> sign -> band -> candidate
-    -> verify with true Jaccard. Output: (id_a, id_b, jaccard)."""
+    -> verify with true Jaccard (candidates only). Output:
+    (id_a, id_b, jaccard). The index is persisted — it feeds the
+    signature aggregation AND the verification join."""
     rows = num_hashes // bands
-    index = shingle_index(df, id_col, text_col, n, max_doc_freq=max_doc_freq)
+    index = shingle_index(
+        df, id_col, text_col, n, max_doc_freq=max_doc_freq
+    ).persist()
     sigs = minhash_signatures(index, id_col, num_hashes)
     cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, bands, rows), id_col)
-    verified = jaccard_pairs(index, id_col, min_jaccard)
-    return cands.join(verified, ["id_a", "id_b"]).select(
+    verified = jaccard_for_pairs(index, cands, id_col)
+    return verified.filter(F.col("jaccard") >= min_jaccard).select(
         "id_a", "id_b", "jaccard"
     )
 
@@ -214,10 +275,13 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit b is the sign of the
     +1/-1 vote sum of token-hash bit b. Returns (id, simhash)."""
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-    ).withColumn("h", hash64(F.col("tok")))
+    toked = df.select(F.col(id_col), F.array_distinct(tokens(text_col)).alias("_ts"))
+    toked = toked.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    tok = toked.select(F.col(id_col), F.explode("_ts").alias("tok")).withColumn(
+        "h", hash64(F.col("tok"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)

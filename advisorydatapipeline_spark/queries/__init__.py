@@ -4,6 +4,7 @@ every query into advisorydatapipeline_spark.registry."""
 from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     aggregates,
     dedup_queries,
+    multimodal_queries,
     parity_joins,
     parity_scalars,
     parity_scans,

@@ -40,7 +40,10 @@ sh AS (
 """
 
 MIN_JACCARD = 0.4
-NUM_HASHES, BANDS, ROWS = 16, 4, 4
+# 8 bands x 2 rows: recall at the J=0.4 decision threshold is
+# 1-(1-J^2)^8 ~= 0.75 vs ~0.1 for 4x4 — and LSH false positives are
+# free here because every candidate is verified with true Jaccard.
+NUM_HASHES, BANDS, ROWS = 16, 8, 2
 
 
 @query(
@@ -82,13 +85,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs via the inverted shingle
     index (no LSH approximation — this is the ground truth the LSH
     variant is verified against)."""
-    idx = shingle_index(load(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    idx = shingle_index(
+        load(spark, sf_dir, "documents"), "doc_id", "text", 3
+    ).persist()  # feeds both the pair join and the per-doc sizes
     return jaccard_pairs(idx, "doc_id", MIN_JACCARD)
 
 
+from advisorydatapipeline_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
+    minhash_params,
+)
+
 _SIG_AGGS = ",\n       ".join(
-    "min(" + DUCK_HASH64.format(x=f"'{i}:' || shingle") + f") AS sig_{i}"
-    for i in range(NUM_HASHES)
+    f"min((({DUCK_HASH64.format(x='shingle')} % {MINHASH_P}) * {a} + {b}) "
+    f"% {MINHASH_P}) AS sig_{i}"
+    for i, (a, b) in enumerate(minhash_params(NUM_HASHES))
 )
 _BAND_SELECTS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band_idx, "
@@ -132,7 +143,7 @@ WHERE v.shared / CAST(sa.n + sb.n - v.shared AS DOUBLE) >= {MIN_JACCARD}
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(16) + LSH(4x4 bands) candidate generation, verified by
+    """MinHash(16) + LSH(8x2 bands) candidate generation, verified by
     true Jaccard — the scale path for near-dup detection (candidate
     join is O(docs x bands), not O(pairs))."""
     return minhash_near_dupes(

@@ -1,0 +1,133 @@
+"""Multimodal + TTL-cache queries with oracles.
+
+``media_metadata`` proves the mapInPandas (Arrow) plumbing against a
+SQL oracle: the Python-side md5/byte-length of the payload must equal
+SQL ``md5``/``octet_length`` of the source text. The decode stubs are
+exercised in pytest (no oracle — they are fakes by design).
+
+The TTL queries replay the reference's cache flow
+(enrichment/cache.py) with a deterministic injected clock.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.multimodal import (
+    attach_payload,
+    extract_metadata,
+)
+from advisorydatapipeline_spark.operators.ttl_cache import (
+    pending_work,
+    update_cache,
+)
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+TTL_CUTOFF = datetime(2024, 1, 30, tzinfo=timezone.utc)
+NOW = datetime(2024, 2, 1, tzinfo=timezone.utc)
+SOURCE = "events_source"
+
+
+@query(
+    "media_metadata",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_hash
+FROM documents
+""",
+)
+def media_metadata(spark, sf_dir):
+    """Binary-column metadata extraction through Arrow-batched
+    mapInPandas; hashlib.md5 in the Python workers must equal SQL md5
+    in DuckDB — an executed proof of the multimodal plumbing."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    return extract_metadata(media)
+
+
+@query(
+    "ttl_pending_work",
+    oracle=f"""
+WITH cache AS (
+  SELECT user_id, ts::TIMESTAMP AS last_accessed FROM events
+  WHERE event_type = 'purchase'
+),
+work AS (SELECT DISTINCT user_id FROM events)
+SELECT w.user_id FROM work w
+WHERE NOT EXISTS (
+  SELECT 1 FROM cache c
+  WHERE c.user_id = w.user_id
+    AND c.last_accessed >= TIMESTAMP '{TTL_CUTOFF:%Y-%m-%d %H:%M:%S}'
+)
+""",
+)
+def ttl_pending_work(spark, sf_dir):
+    """Reference cache-skip flow: work keys minus freshly-cached keys
+    (TTL filter -> distinct -> left-anti)."""
+    ev = load(spark, sf_dir, "events")
+    cache = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("last_accessed"),
+        F.lit(SOURCE).alias("source_name"),
+    )
+    work = ev.select("user_id").distinct()
+    return pending_work(work, cache, ["user_id"], SOURCE, TTL_CUTOFF)
+
+
+@query(
+    "ttl_cache_merge",
+    oracle=f"""
+WITH cache AS (
+  SELECT DISTINCT user_id, '{SOURCE}' AS source_name,
+         TIMESTAMP '2024-01-10' AS last_accessed
+  FROM events WHERE event_type = 'purchase'
+),
+done AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+),
+new_entries AS (
+  SELECT user_id, '{SOURCE}' AS source_name,
+         TIMESTAMP '{NOW:%Y-%m-%d %H:%M:%S}' AS last_accessed
+  FROM done
+)
+SELECT user_id, source_name,
+       epoch_us(last_accessed) AS last_accessed_us
+FROM (
+  SELECT * FROM new_entries
+  UNION ALL
+  SELECT c.* FROM cache c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM new_entries n
+    WHERE n.user_id = c.user_id AND n.source_name = c.source_name
+  )
+)
+""",
+)
+def ttl_cache_merge(spark, sf_dir):
+    """Reference cache-update flow: evict superseded entries for the
+    source, merge fresh ones at the injected clock's 'now'."""
+    ev = load(spark, sf_dir, "events")
+    cache = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("source_name", F.lit(SOURCE))
+        .withColumn(
+            "last_accessed",
+            F.lit(datetime(2024, 1, 10, tzinfo=timezone.utc)),
+        )
+    )
+    done = ev.filter(F.col("event_type") == "error").select("user_id")
+    merged = update_cache(cache, done, ["user_id"], SOURCE, NOW)
+    return merged.select(
+        "user_id",
+        "source_name",
+        F.unix_micros(F.col("last_accessed")).alias("last_accessed_us"),
+    )

@@ -1,0 +1,142 @@
+"""Structured Streaming surface (beyond-reference).
+
+The reference is batch-only (SURVEY.md §2.9): its closest analogues
+are the TTL cache and run-id micro-batching. This module gives the
+engine a real streaming path with the same semantics as the batch
+operators, so the advisory pipeline can run continuously:
+
+- event-time windowed aggregation with watermarked late-data handling
+- session windows (the streaming twin of queries/aggregates.py
+  sessionization)
+- ``foreachBatch`` upsert into the prod state table — the reference's
+  anti-join+union upsert applied per micro-batch, giving exactly-once
+  state maintenance over files
+
+Tests drive these with ``availableNow`` + memory sink and assert
+equality with the batch twins (tests/test_streaming.py).
+
+Scale notes: watermarks bound state; the upsert sink should become a
+MERGE INTO on a Delta/Iceberg table when those jars are present —
+the foreachBatch body is the single place to swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), True),  # epoch-ns (see session.py)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based event stream with a real event-time column."""
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    return stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event_type."""
+    win = (
+        F.window("event_time", window, slide)
+        if slide
+        else F.window("event_time", window)
+    )
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_event_counts(
+    events: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation — the streaming twin of the batch
+    sessionization query."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def start_streaming_upsert(
+    latest_state: DataFrame,
+    prod_path: str,
+    keys: list[str],
+    schema: T.StructType,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Continuously upsert per-key latest state into a prod parquet
+    table: each micro-batch runs the reference's anti-join+union merge
+    (operators/upsert.upsert_to_path) transactionally via foreachBatch.
+    """
+    from advisorydatapipeline_spark.operators.upsert import upsert_to_path
+    from advisorydatapipeline_spark.sources.io import read_table, write_table
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # within-batch dedup: last writer per key wins deterministically
+        from advisorydatapipeline_spark.operators.window_ops import (
+            max_by_per_key,
+        )
+
+        payload = [c for c in batch_df.columns if c not in keys]
+        latest = max_by_per_key(batch_df, keys, ["event_time"], payload)
+        upsert_to_path(
+            spark,
+            latest.select(*batch_df.columns),
+            prod_path,
+            keys,
+            schema,
+            read_table=read_table,
+            write_table=write_table,
+        )
+
+    writer = (
+        latest_state.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized via the `noop` sink (forces the
+whole plan, no driver collect, no result-size bias).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from advisorydatapipeline_spark.registry import QUERIES  # noqa: E402
+from advisorydatapipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_advisory_resolution",
+    "pricing_summary",
+    "revenue_topn",
+    "sessionization",
+    "window_top1_per_key",
+    "grouped_max_by",
+    "upsert_anti_union",
+    "state_machine_native",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_lang_id",
+    "media_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warm the session outside the timed region: JVM/codegen init,
+    # shuffle service, and Python-worker (Arrow) startup
+    warm_dir = "/root/testdata/sf0.001"
+    for warm_name in ("flagship_advisory_resolution", "media_metadata"):
+        QUERIES[warm_name](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    spark.catalog.clearCache()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # per-query isolation
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time, local[*] at sf=" + sf,
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

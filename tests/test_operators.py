@@ -1,0 +1,159 @@
+"""Operator unit tests: upsert, windows, TTL cache, dedup, similarity."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_near_dupes,
+    shingle_index,
+    simhash,
+)
+from advisorydatapipeline_spark.operators.similarity import cosine_topk
+from advisorydatapipeline_spark.operators.ttl_cache import (
+    pending_work,
+    update_cache,
+)
+from advisorydatapipeline_spark.operators.upsert import upsert, upsert_to_path
+from advisorydatapipeline_spark.operators.window_ops import (
+    max_by_per_key,
+    top_k_per_key,
+)
+
+
+def test_upsert_new_wins_old_survives(spark):
+    new = spark.createDataFrame([(1, "n1"), (2, "n2")], "k int, v string")
+    old = spark.createDataFrame([(2, "o2"), (3, "o3")], "k int, v string")
+    got = sorted((r.k, r.v) for r in upsert(new, old, ["k"]).collect())
+    assert got == [(1, "n1"), (2, "n2"), (3, "o3")]
+
+
+def test_upsert_to_path_same_path_safe(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from advisorydatapipeline_spark.sources.io import read_table, write_table
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    prod = str(tmp_path / "prod")
+    write_table(
+        spark.createDataFrame([(2, "o2"), (3, "o3")], schema), prod, schema=schema
+    )
+    new = spark.createDataFrame([(1, "n1"), (2, "n2")], schema)
+    upsert_to_path(
+        spark, new, prod, ["k"], schema,
+        read_table=read_table, write_table=write_table,
+    )
+    back = read_table(spark, prod, schema)
+    assert sorted((r.k, r.v) for r in back.collect()) == [
+        (1, "n1"), (2, "n2"), (3, "o3"),
+    ]
+
+
+def test_topk_and_maxby_agree(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    via_window = top_k_per_key(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").desc()],
+        k=1,
+    ).select("o_custkey", "o_orderkey")
+    via_maxby = max_by_per_key(
+        orders, ["o_custkey"], ["o_totalprice", "o_orderkey"], ["o_orderkey"]
+    )
+    assert {tuple(r) for r in via_window.collect()} == {
+        tuple(r) for r in via_maxby.collect()
+    }
+
+
+def test_ttl_cache_flow(spark):
+    utc = timezone.utc
+    cache = spark.createDataFrame(
+        [
+            ("k1", "s", datetime(2024, 1, 20, tzinfo=utc)),  # fresh
+            ("k2", "s", datetime(2024, 1, 1, tzinfo=utc)),  # stale
+            ("k4", "other", datetime(2024, 1, 20, tzinfo=utc)),  # other source
+        ],
+        "key string, source_name string, last_accessed timestamp",
+    )
+    work = spark.createDataFrame([("k1",), ("k2",), ("k3",)], "key string")
+    cutoff = datetime(2024, 1, 15, tzinfo=utc)
+    pending = pending_work(work, cache, ["key"], "s", cutoff)
+    assert sorted(r.key for r in pending.collect()) == ["k2", "k3"]
+
+    now = datetime(2024, 2, 1, tzinfo=utc)
+    merged = update_cache(cache, pending, ["key"], "s", now)
+    rows = {(r.key, r.source_name): r.last_accessed for r in merged.collect()}
+    assert rows[("k2", "s")].replace(tzinfo=utc) == now
+    assert rows[("k3", "s")].replace(tzinfo=utc) == now
+    assert ("k1", "s") in rows and ("k4", "other") in rows
+    assert len(rows) == 4
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    groups = exact_dedup_groups(df, "doc_id", "text")
+    assert {(r.keep_id, r.n_docs) for r in groups.collect()} == {(1, 2), (3, 1)}
+
+
+def test_minhash_lsh_finds_planted_near_dupe(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated text about spark query engines at scale now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_near_dupes(df, "doc_id", "text", min_jaccard=0.3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "doc_id long, text string"
+    )
+    idx = shingle_index(df, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(idx, "doc_id", 0.0).collect()
+    assert len(pairs) == 1
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx} -> 2 shared of 4 distinct
+    assert abs(pairs[0].jaccard - 0.5) < 1e-12
+
+
+def test_simhash_stability_and_locality(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 <= sigs[1] < 2**16
+
+
+def test_cosine_topk_sanity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert out[0].cosine > 0.99 and out[-1].cosine < -0.99

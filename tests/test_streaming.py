@@ -1,0 +1,111 @@
+"""Streaming tests: availableNow micro-batch runs must agree with the
+batch twins."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from advisorydatapipeline_spark.streaming.pipeline import (
+    read_event_stream,
+    session_event_counts,
+    start_streaming_upsert,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    # FileStreamSource requires a *directory*; stage the single-file
+    # events table into one
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        windowed_event_counts(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    want = {
+        (r.win.start, r.event_type): (r.n, r["total_value"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_session_counts_stream_runs(spark, sf_dir, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        session_event_counts(stream, gap="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sess_counts")
+    # session totals must cover every event exactly once
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_streaming_upsert_converges_to_latest_state(spark, sf_dir, tmp_path, events_dir):
+    prod = str(tmp_path / "prod_state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("event_time", T.TimestampType(), True),
+        ]
+    )
+    stream = read_event_stream(spark, events_dir).select(
+        "user_id", "event_type", "event_time"
+    )
+    q = start_streaming_upsert(stream, prod, ["user_id"], schema, ckpt)
+    q.awaitTermination(120)
+
+    from advisorydatapipeline_spark.operators.window_ops import top_k_per_key
+    from advisorydatapipeline_spark.sources.io import read_table
+
+    got = {
+        (r.user_id, r.event_type)
+        for r in read_table(spark, prod, schema).collect()
+    }
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    want = {
+        (r.user_id, r.event_type)
+        for r in top_k_per_key(
+            batch, ["user_id"], [F.col("event_time").desc()], k=1
+        ).select("user_id", "event_type").collect()
+    }
+    assert got == want
+    shutil.rmtree(ckpt, ignore_errors=True)
