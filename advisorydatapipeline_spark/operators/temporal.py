@@ -1,0 +1,126 @@
+"""Temporal join operators: as-of join and binned range join.
+
+Beyond-reference (the reference has no temporal joins — SURVEY.md
+§2.3 "absent" row). These are the two workhorses of event/market-data
+analytics, implemented Spark-first:
+
+- ``asof_join``: most-recent-match join. NOT a nested-loop or
+  inequality join: both sides are tagged, unioned, and resolved with
+  one ``last(..., ignorenulls)`` window pass — a single shuffle on
+  (keys), cost O((|L|+|R|) log) per partition, no pair blowup. This
+  is the standard scalable as-of plan (same shape Flink/kdb use).
+- ``range_join_binned``: right rows within a time window before each
+  left row. Naive inequality join plans as BroadcastNestedLoopJoin
+  (quadratic); instead both sides are bucketed to ``width`` bins,
+  the right side replicated to (bin, bin+1), equi-joined on
+  (keys, bin), then exact-filtered. Shuffle volume is 2|R| + |L|,
+  and the equi-join stays a hash join at any scale.
+
+Determinism contract (oracle-checkable): ties on the right timestamp
+are resolved by ``tiebreak`` (max wins) *before* the join, matching
+what the DuckDB ``ASOF JOIN`` oracle sees after the same dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.window_ops import top_k_per_key
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    *,
+    tiebreak: str,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of left join: for every left row, attach the
+    payload of the right row with the greatest ``right_ts`` <=
+    ``left_ts`` within the same key group (NULLs when none exists).
+
+    Output: all left columns + ``<payload><suffix>`` columns +
+    ``<right_ts><suffix>`` (the matched timestamp).
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+
+    # ties on (keys, right_ts): keep the max-tiebreak row so the
+    # match is a function of the data, not the partition order
+    r1 = top_k_per_key(
+        right.filter(F.col(right_ts).isNotNull()),
+        [*keys, right_ts],
+        [F.col(tiebreak).desc()],
+        k=1,
+    )
+
+    mcols = [f"{c}{suffix}" for c in payload_cols] + [f"{right_ts}{suffix}"]
+    l_tagged = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(m)
+          for c, m in zip([*payload_cols, right_ts], mcols)],
+    )
+    r_tagged = r1.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        *keys,
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(m) for c, m in zip(payload_cols, mcols)],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    ).withColumn("_ts_order", F.col(f"{right_ts}{suffix}"))
+    l_tagged = l_tagged.withColumn("_ts_order", F.col(left_ts))
+
+    unioned = l_tagged.select(
+        *left.columns, "_side", "_ts_order", *mcols
+    ).unionByName(r_tagged.select(*left.columns, "_side", "_ts_order", *mcols))
+
+    # right rows sort before left rows at equal ts => ts_r <= ts_l
+    # inclusive, exactly DuckDB's ASOF `ON l.ts >= r.ts`
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts_order", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left.columns,
+        "_side",
+        *[F.last(m, ignorenulls=True).over(w).alias(m) for m in mcols],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    width: int,
+) -> DataFrame:
+    """All (left, right) pairs per key with ``right_ts`` in
+    ``[left_ts - width, left_ts]`` (units = the ts columns' own units;
+    the testdata uses epoch-ns longs).
+
+    Returns left columns + right columns (caller aliases beforehand to
+    avoid collisions) — the exact pair set of the naive inequality
+    join, at hash-join cost.
+    """
+    keys = list(keys)
+    # integer DIV, not `/`: epoch-ns values (~1.7e18) are far beyond
+    # double's 2^53 integer range, so float division would misbin
+    lb = left.withColumn("_bin", F.expr(f"{left_ts} DIV {width}"))
+    rbin = F.expr(f"{right_ts} DIV {width}")
+    rb = right.withColumn(
+        "_bin", F.explode(F.array(rbin, rbin + F.lit(1)))
+    )
+    joined = lb.join(rb, [*keys, "_bin"]).drop("_bin")
+    delta = F.col(left_ts) - F.col(right_ts)
+    return joined.filter((delta >= 0) & (delta <= width))

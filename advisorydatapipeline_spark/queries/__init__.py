@@ -5,11 +5,14 @@ from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     aggregates,
     dedup_queries,
     multimodal_queries,
+    parity_formats,
     parity_joins,
     parity_scalars,
     parity_scans,
     parity_sets,
     parity_window,
+    temporal_queries,
     similarity_queries,
+    streaming_queries,
     text_analysis,
 )

@@ -1,0 +1,73 @@
+"""CSV / JSON source-format parity (SURVEY.md §2.1 S3/S4).
+
+The reference's `read_table` supports parquet, JSON, and CSV arms
+(pipeline_libs/spark/spark_utils.py:142-157). The testdata ships as
+parquet, so these queries prove the format arms by round-tripping a
+table through the format under test — write CSV/JSON to scratch, read
+it back with the declared schema — and hash-matching a plain SELECT
+oracle over the original parquet. Any quoting/escaping/type-inference
+defect in either direction breaks the hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import types as T
+
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+from advisorydatapipeline_spark.sources.io import read_table
+
+_scratch: dict[str, str] = {}
+
+
+def _dir(tag: str) -> str:
+    if tag not in _scratch:
+        _scratch[tag] = tempfile.mkdtemp(prefix=f"adp_fmt_{tag}_")
+    return _scratch[tag]
+
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType(), True),
+        T.StructField("n_name", T.StringType(), True),
+        T.StructField("n_regionkey", T.IntegerType(), True),
+    ]
+)
+
+SUPPLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType(), True),
+        T.StructField("s_name", T.StringType(), True),
+        T.StructField("s_nationkey", T.IntegerType(), True),
+        T.StructField("s_acctbal", T.DoubleType(), True),
+    ]
+)
+
+
+@query(
+    "csv_scan_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_scan_roundtrip(spark, sf_dir):
+    """S4: schema'd CSV scan (header on, explicit schema — no
+    inference job at scale) proven by parquet -> CSV -> read-back."""
+    path = _dir("csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    return read_table(spark, path, NATION_SCHEMA, fmt="csv", header=True)
+
+
+@query(
+    "json_scan_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def json_scan_roundtrip(spark, sf_dir):
+    """S3: schema'd JSON-lines scan proven by parquet -> JSON ->
+    read-back. Doubles survive because Spark prints round-trippable
+    repr (shortest-repr) and parses exactly."""
+    path = _dir("json")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").json(path)
+    return read_table(spark, path, SUPPLIER_SCHEMA, fmt="json")

@@ -1,0 +1,146 @@
+"""Structured Streaming queries, oracle-checked against batch SQL.
+
+The reference is batch-only (SURVEY.md §2.9); this is the streaming
+surface of the new engine run under the same correctness gate as every
+batch operator: each query executes a real Structured Streaming job
+(file source -> availableNow trigger -> memory sink) and returns the
+final result table, which must hash-match a plain batch DuckDB oracle.
+That works because availableNow drains the full input, so the
+streaming aggregation's final state IS the batch answer — the whole
+point of the unified model.
+
+Streaming-only mechanics (micro-batch scheduling, watermark state
+eviction, foreachBatch upsert transactionality) are exercised in
+tests/test_streaming.py; here we pin the *semantics*.
+"""
+
+from __future__ import annotations
+
+import itertools
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.registry import query
+from advisorydatapipeline_spark.streaming.pipeline import (
+    read_event_stream,
+    session_event_counts,
+)
+
+SESSION_GAP_US = 3_600 * 1_000_000  # 1 hour, mirrors session_window gap
+
+_staged: dict[str, str] = {}
+_uniq = itertools.count()
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """FileStreamSource needs a directory; stage the single-file
+    events table into a scratch dir once per sf_dir."""
+    if sf_dir not in _staged:
+        d = tempfile.mkdtemp(prefix="adp_events_stream_")
+        shutil.copy(f"{sf_dir}/events.parquet", Path(d) / "part-0.parquet")
+        _staged[sf_dir] = d
+    return _staged[sf_dir]
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain an aggregated stream with availableNow into a memory sink
+    and return the final (complete-mode) result table."""
+    name = f"adp_stream_result_{next(_uniq)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@query(
+    "streaming_hourly_counts",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def streaming_hourly_counts(spark, sf_dir):
+    """Tumbling 1-hour event-time window counts per event_type,
+    computed by an actual streaming job. min/max are order-independent
+    (exact on both engines), unlike a double sum."""
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    ev = stream.filter(F.col("ts").isNotNull())
+    agg = (
+        ev.withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+    return _run_to_memory(agg, spark)
+
+
+@query(
+    "streaming_session_windows",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL
+),
+gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + {SESSION_GAP_US} AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def streaming_session_windows(spark, sf_dir):
+    """Streaming session_window (1 h gap) — merged-session semantics
+    checked against an independent lag/cumsum batch derivation: a new
+    session starts when the gap to the previous event is >= 1 h
+    (session windows are half-open [first, last+gap))."""
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    sess = session_event_counts(
+        stream.filter(F.col("ts").isNotNull()), gap="1 hour"
+    ).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+    return _run_to_memory(sess, spark)

@@ -1,0 +1,110 @@
+"""Temporal-join queries: as-of join and range join over `events`.
+
+Beyond-reference capability (SURVEY.md §2.3 lists temporal joins as
+absent). The DuckDB oracles use DuckDB's *native* ``ASOF JOIN`` and a
+plain inequality join respectively — i.e. the Spark operators'
+shuffle-friendly plans are checked against an independent reference
+implementation of the same semantics, not a transliteration.
+
+`events.ts` is epoch-ns LongType on the Spark side (session.py
+nanosAsLong) and TIMESTAMP_NS in DuckDB; outputs go through epoch-us
+integers so both engines hash the same values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+RANGE_WIDTH_NS = 30 * 60 * 1_000_000_000  # 30 minutes
+
+
+@query(
+    "asof_join_last_view",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+),
+v1 AS (SELECT user_id, ts, event_id, value FROM v WHERE rn = 1)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       v1.event_id AS view_event_id,
+       epoch_us(v1.ts) AS view_ts_us,
+       v1.value AS view_value
+FROM p ASOF LEFT JOIN v1
+  ON p.user_id = v1.user_id AND p.ts >= v1.ts
+""",
+)
+def asof_join_last_view(spark, sf_dir):
+    """For every purchase, the user's most recent view at-or-before it
+    (union + last-ignorenulls window plan: ONE shuffle on user_id,
+    no inequality join)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), "value"
+    )
+    out = asof_join(
+        p, v, ["user_id"], "ts", "ts",
+        ["view_event_id", "value"], tiebreak="view_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("purchase_ts_us"),
+        F.col("view_event_id_r").alias("view_event_id"),
+        F.expr("ts_r DIV 1000").alias("view_ts_us"),
+        F.col("value_r").alias("view_value"),
+    )
+
+
+@query(
+    "range_join_views_before_purchase",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+""",
+)
+def range_join_views_before_purchase(spark, sf_dir):
+    """All views within the 30 min before each purchase, same user —
+    binned range join (equi-join on (user, time-bucket) with the right
+    side replicated x2, then exact filter): hash-join cost instead of
+    the nested-loop plan a naive inequality join produces."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    out = range_join_binned(p, v, ["user_id"], "p_ts", "v_ts", RANGE_WIDTH_NS)
+    return out.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        # truncate each ts to us *before* differencing — matches the
+        # oracle's epoch_us(p.ts) - epoch_us(v.ts) when sub-us digits
+        # straddle a boundary
+        F.expr("p_ts DIV 1000 - v_ts DIV 1000").alias("gap_us"),
+    )

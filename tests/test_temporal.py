@@ -1,0 +1,70 @@
+"""Unit tests for the temporal join operators (asof + binned range)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "k"), (2, 205, "k"), (3, 50, "k"), (4, 100, "z")],
+        "lid long, ts long, key string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, "k", 1.0),   # exact tie with lid=1 -> inclusive match
+            (11, 200, "k", 2.0),
+            (12, 205, "k", 3.0),   # wins for lid=2 (most recent <=)
+            (13, 205, "k", 4.0),   # same ts, higher rid -> tiebreak winner
+            (14, 999, "z", 5.0),   # after every left z row -> no match
+        ],
+        "rid long, rts long, key string, rv double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, ["key"], "ts", "rts", ["rid", "rv"], tiebreak="rid"
+    )
+    got = {r.lid: (r.rid_r, r.rv_r, r.rts_r) for r in out.collect()}
+    assert got[1] == (10, 1.0, 100)      # equal ts matches (inclusive)
+    assert got[2] == (13, 4.0, 205)      # tie on rts -> max tiebreak wins
+    assert got[3] == (None, None, None)  # nothing at-or-before
+    assert got[4] == (None, None, None)  # key isolation + future right row
+    assert out.count() == left.count()   # left join: every left row kept
+
+
+def test_range_join_binned_matches_naive(spark):
+    left, right = _frames(spark)
+    l2 = left.select(F.col("lid"), F.col("ts").alias("lts"), "key")
+    r2 = right.select(F.col("rid"), F.col("rts"), F.col("key").alias("rkey"))
+    width = 100
+    binned = range_join_binned(
+        l2, r2.withColumnRenamed("rkey", "key"), ["key"], "lts", "rts", width
+    )
+    got = {(r.lid, r.rid) for r in binned.collect()}
+    naive = (
+        l2.join(r2.withColumnRenamed("rkey", "key"), "key")
+        .filter((F.col("lts") - F.col("rts")).between(0, width))
+    )
+    want = {(r.lid, r.rid) for r in naive.collect()}
+    assert got == want
+    assert (1, 10) in got and (2, 11) in got and (2, 12) in got
+
+
+def test_range_join_binned_boundary_inclusive(spark):
+    left = spark.createDataFrame([(1, 1000, "k")], "lid long, lts long, key string")
+    right = spark.createDataFrame(
+        [(20, 900, "k"), (21, 899, "k"), (22, 1000, "k"), (23, 1001, "k")],
+        "rid long, rts long, key string",
+    )
+    out = range_join_binned(left, right, ["key"], "lts", "rts", 100)
+    got = {r.rid for r in out.collect()}
+    assert got == {20, 22}  # [lts-width, lts] inclusive both ends
