@@ -28,8 +28,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from advisorydatapipeline_spark.operators.window_ops import top_k_per_key
-
 
 def asof_join(
     left: DataFrame,
@@ -52,41 +50,36 @@ def asof_join(
     keys = list(keys)
     payload_cols = list(payload_cols)
 
-    # ties on (keys, right_ts): keep the max-tiebreak row so the
-    # match is a function of the data, not the partition order
-    r1 = top_k_per_key(
-        right.filter(F.col(right_ts).isNotNull()),
-        [*keys, right_ts],
-        [F.col(tiebreak).desc()],
-        k=1,
-    )
-
     mcols = [f"{c}{suffix}" for c in payload_cols] + [f"{right_ts}{suffix}"]
     l_tagged = left.select(
         "*",
         F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(m)
           for c, m in zip([*payload_cols, right_ts], mcols)],
     )
-    r_tagged = r1.select(
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in keys],
         *keys,
         F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
         *[F.col(c).alias(m) for c, m in zip(payload_cols, mcols)],
         F.col(right_ts).alias(f"{right_ts}{suffix}"),
     ).withColumn("_ts_order", F.col(f"{right_ts}{suffix}"))
     l_tagged = l_tagged.withColumn("_ts_order", F.col(left_ts))
 
-    unioned = l_tagged.select(
-        *left.columns, "_side", "_ts_order", *mcols
-    ).unionByName(r_tagged.select(*left.columns, "_side", "_ts_order", *mcols))
+    cols = [*left.columns, "_side", "_tb", "_ts_order", *mcols]
+    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
-    # right rows sort before left rows at equal ts => ts_r <= ts_l
-    # inclusive, exactly DuckDB's ASOF `ON l.ts >= r.ts`
+    # sort (ts, side, tiebreak): right rows (_side=0) sort before left
+    # rows at equal ts => ts_r <= ts_l inclusive, exactly DuckDB ASOF's
+    # `ON l.ts >= r.ts`; among right rows tied on ts, ascending
+    # tiebreak makes last() pick the max-tiebreak row — tie resolution
+    # costs zero extra shuffles (it rides the one window sort)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts_order", "_side")
+        .orderBy("_ts_order", "_side", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the 100 TB scale contract.
+
+Correctness is gated by the DuckDB oracles; these tests gate the
+*plan*. Each assertion pins a property that keeps the operator viable
+at 1000-executor scale — filters reaching the parquet scan, column
+pruning, broadcast joins for small dims, partial (map-side)
+aggregation, and — critically — that the temporal joins stay hash
+joins instead of degrading to BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.registry import QUERIES
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan(df) -> str:
+    # includes AQE's final plan after .explain-style formatting
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = QUERIES["scan_filter_pushdown"](spark, sf_dir)
+    p = full_plan(df)
+    assert "PushedFilters: [" in p
+    assert "l_quantity" in p.split("PushedFilters:")[1].split("]")[0]
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_comment" not in p and "l_tax" not in p
+
+
+def test_cast_projection_prunes_columns(spark, sf_dir):
+    df = QUERIES["cast_projection"](spark, sf_dir)
+    p = full_plan(df)
+    schema_part = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in schema_part and "o_custkey" not in schema_part
+
+
+def test_revenue_topn_broadcasts_dim_and_takeordered(spark, sf_dir):
+    df = QUERIES["revenue_topn"](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p  # customer dim broadcast
+    assert "TakeOrderedAndProject" in p  # top-N without a global sort
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    p = plan(df)
+    # map-side combine: partial_ aggregate functions before the shuffle
+    assert "partial_sum" in p
+
+
+def test_temporal_joins_never_nested_loop(spark, sf_dir):
+    for name in ("asof_join_last_view", "range_join_views_before_purchase"):
+        p = plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union + window plan: exactly one Exchange on the join keys
+    # feeding the window sort (plus AQE reads); a second shuffle would
+    # mean the operator re-partitions needlessly
+    df = QUERIES["asof_join_last_view"](spark, sf_dir)
+    p = plan(df)
+    n_exchange = p.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 shuffle, got {n_exchange}:\n{p}"
+
+
+def test_left_anti_stays_hash_join(spark, sf_dir):
+    p = plan(QUERIES["left_anti_cache_skip"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_exact_partial_agg_no_text_shuffle(spark, sf_dir):
+    df = QUERIES["dedup_exact"](spark, sf_dir)
+    p = plan(df)
+    assert "partial_min" in p or "partial_count" in p
+    # the shuffle carries the 16-byte key, never the document text
+    exchange_section = p[p.index("Exchange"):] if "Exchange" in p else ""
+    assert "text#" not in exchange_section.split("\n")[0]
