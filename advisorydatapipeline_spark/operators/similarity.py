@@ -188,3 +188,50 @@ def ivf_probe_lists(
         scored, [query_id_col],
         [F.col("dist_sq").asc(), F.col(centroid_id_col).asc()], k=nprobe,
     ).select(query_id_col, centroid_id_col)
+
+
+def embedding_near_dupes(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    min_cosine: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via cluster-then-pair:
+    vectors are bucketed to their nearest centroid (ivf_assign) and
+    pairs are formed ONLY within a bucket, then exact-cosine filtered.
+
+    The pair join is an equi-join on centroid_id — hash-join cost with
+    ~n/k rows per bucket instead of the O(n^2) global cross join; the
+    deliberate (and deterministic) approximation is that cross-bucket
+    pairs are missed, which the oracle reproduces by replaying the
+    same assignment. Returns (id_a, id_b, cosine).
+    """
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    ).select(
+        F.col(id_col), F.col(centroid_id_col),
+        quantize(vec_col).alias("vq"),
+        norm_sq_q(quantize(vec_col)).alias("vn"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(centroid_id_col),
+        F.col("vq").alias("aq"), F.col("vn").alias("an"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(centroid_id_col),
+        F.col("vq").alias("bq"), F.col("vn").alias("bn"),
+    )
+    return (
+        a.join(b, centroid_id_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            cosine_q(dot_q(F.col("aq"), F.col("bq")), F.col("an"), F.col("bn")),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -134,3 +134,57 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return ivf_topk(emb, queries, centroids, K, NPROBE)
+
+
+MIN_COSINE = 0.35
+
+_NEAR_DUP_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, {_DUCK_QD} AS v FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assign_scored AS (
+  SELECT c.vec_id, cent.centroid_id,
+         list_dot_product(c.v, c.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(c.v, cent.v) AS dist_sq
+  FROM c, cent
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist_sq ASC, centroid_id ASC
+    ) AS rn FROM assign_scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(ca.v, cb.v)
+           / sqrt(list_dot_product(ca.v, ca.v) * list_dot_product(cb.v, cb.v))
+           AS cosine
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN c ca ON ca.vec_id = a.vec_id
+  JOIN c cb ON cb.vec_id = b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {MIN_COSINE}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_NEAR_DUP_ORACLE)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, cluster-then-pair scale path:
+    nearest-centroid bucketing turns the O(n^2) cross join into an
+    equi-join on centroid_id; exact quantized cosine filters the
+    bucket-local pairs."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        embedding_near_dupes,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return embedding_near_dupes(emb, centroids, MIN_COSINE)

@@ -157,3 +157,26 @@ def test_cosine_topk_sanity(spark):
     out = cosine_topk(emb, queries, k=3).collect()
     assert [r.neighbor_id for r in out] == [1, 2, 3]
     assert out[0].cosine > 0.99 and out[-1].cosine < -0.99
+
+
+def test_embedding_near_dupes_planted_pair(spark):
+    from advisorydatapipeline_spark.operators.similarity import (
+        embedding_near_dupes,
+    )
+
+    base = [1.0, 0.0, 2.0, 0.5]
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid 1
+        (10, base),
+        (11, [x * 1.001 for x in base]),  # near-identical -> cos ~ 1
+        (12, [0.0, 5.0, -1.0, 0.0]),      # other bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter("vec_id < 2").selectExpr(
+        "vec_id AS centroid_id", "embedding"
+    )
+    got = {(r.id_a, r.id_b) for r in
+           embedding_near_dupes(df, cents, 0.99).collect()}
+    assert (10, 11) in got
+    assert all(12 not in p for p in got)
