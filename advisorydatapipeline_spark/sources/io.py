@@ -133,3 +133,21 @@ def register_view(df: DataFrame, name: str, *, global_view: bool = False) -> Non
         df.createOrReplaceGlobalTempView(name)
     else:
         df.createOrReplaceTempView(name)
+
+
+def observed(df: DataFrame, name: str, *metrics):
+    """Attach lazy metrics to a plan (SURVEY.md §4's fix for the
+    reference's >=15 eager logging ``count()`` calls, each of which
+    triggers a full extra job). The metrics ride the NEXT action on
+    ``df`` — e.g. the parquet write that was happening anyway — at
+    zero additional passes.
+
+    Returns ``(df, observation)``; read ``observation.get`` after an
+    action has run. Default metric: row count.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    if not metrics:
+        metrics = (F.count(F.lit(1)).alias("n_rows"),)
+    return df.observe(obs, *metrics), obs

@@ -91,3 +91,12 @@ def test_write_respects_target_partitions(spark, tmp_path):
 
     files = glob.glob(f"{path}/part-*.parquet")
     assert len(files) == 2
+
+
+def test_observed_counts_ride_the_write(spark, tmp_path):
+    from advisorydatapipeline_spark.sources.io import observed
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS g")
+    df2, obs = observed(df, "write_metrics")
+    df2.write.mode("overwrite").parquet(str(tmp_path / "obs_out"))
+    assert obs.get["n_rows"] == 100
