@@ -1,0 +1,103 @@
+"""Multi-granularity time rollup (hypertable-style continuous
+aggregate shape) — beyond-reference; the reference has no grouping
+sets/rollup/cube at all (SURVEY.md §2.4).
+
+Day/hour buckets come from integer DIV on the epoch-ns column —
+exact, portable, and pushdown-friendly (no timezone/calendar calls in
+the hot path; the data is UTC and epoch-aligned).
+
+Scale notes: ROLLUP(d, h) expands each input row to its grouping-set
+combinations *after* partial aggregation at the finest grain in
+Spark's Expand-then-aggregate plan; the shuffle carries only
+|days x hours| x 3 rows. This is the plan a 100 TB hypertable rollup
+wants — one pass, no self-unions of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+US_PER_DAY = 86_400_000_000
+US_PER_HOUR = 3_600_000_000
+
+
+@query(
+    "time_rollup",
+    oracle=f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // {US_PER_DAY}) * {US_PER_DAY} AS day_us,
+         (epoch_us(ts) // {US_PER_HOUR}) % 24 AS hour_of_day,
+         value
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT day_us, hour_of_day,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(GROUPING(day_us, hour_of_day) AS BIGINT) AS gid
+FROM e
+GROUP BY ROLLUP(day_us, hour_of_day)
+""",
+)
+def time_rollup(spark, sf_dir):
+    """Hour -> day -> grand-total rollup of event counts in one pass
+    (Expand + partial agg). min/max are order-independent and exact on
+    both engines (a double sum is not)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = ev.select(
+        (F.expr(f"ts DIV {US_PER_DAY * 1000}") * US_PER_DAY).alias("day_us"),
+        F.expr(f"(ts DIV {US_PER_HOUR * 1000}) % 24").alias("hour_of_day"),
+        "value",
+    )
+    return (
+        e.rollup("day_us", "hour_of_day")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation on the 3-value (maximally skewed)
+    l_returnflag key — identical results to the plain GROUP BY oracle;
+    the salt only changes the physical distribution (operators/skew)."""
+    from advisorydatapipeline_spark.operators.skew import salted_aggregate
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("1", "count"),
+            "sum_qty_dec": ("CAST(l_quantity AS DECIMAL(18,2))", "sum"),
+            "min_ship": ("l_shipdate", "min"),
+            "max_ship": ("l_shipdate", "max"),
+        },
+        salt_buckets=16,
+        salt_on="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "min_ship",
+        "max_ship",
+    )

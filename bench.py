@@ -40,6 +40,12 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "media_metadata",
+    "asof_join_last_view",
+    "range_join_views_before_purchase",
+    "dedup_embedding_cosine",
+    "time_rollup",
+    "skew_salted_agg",
+    "streaming_hourly_counts",
 ]
 
 
