@@ -11,6 +11,7 @@ from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     parity_scans,
     parity_sets,
     parity_window,
+    quality_queries,
     rollup_queries,
     temporal_queries,
     similarity_queries,

@@ -12,6 +12,7 @@ defect in either direction breaks the hash.
 from __future__ import annotations
 
 import tempfile
+from pathlib import Path
 
 from pyspark.sql import types as T
 
@@ -71,3 +72,54 @@ def json_scan_roundtrip(spark, sf_dir):
     path = _dir("json")
     load(spark, sf_dir, "supplier").write.mode("overwrite").json(path)
     return read_table(spark, path, SUPPLIER_SCHEMA, fmt="json")
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # epoch-ns (session.py)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        # from the partition directory name, like the reference's
+        # enrichment_source=<name> (state_machine/pipeline.py:20-33)
+        T.StructField("event_type", T.StringType(), True),
+    ]
+)
+
+
+@query(
+    "multipath_partitioned_scan",
+    oracle="""
+SELECT event_id, user_id, value, event_type
+FROM events
+WHERE event_type IN ('click', 'purchase')
+""",
+)
+def multipath_partitioned_scan(spark, sf_dir):
+    """S2: multi-path scan under one basePath with Hive-style
+    partition dirs — the reference's staged layout
+    (staging/.../enrichment/normalized/enrichment_source=<src>) where
+    a column's value lives only in the directory name. Selecting two
+    of five partition paths IS the partition pruning."""
+    from advisorydatapipeline_spark.queries.helpers import load as _load
+
+    # scratch keyed per sf_dir: a session may run several scale
+    # factors (bench warms at sf0.001 then times sf0.1)
+    tag = "multipath_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    marker = Path(base) / "_staged"
+    if not marker.exists():
+        _load(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(f"{base}/events")
+        marker.write_text("ok")
+    return read_table(
+        spark,
+        None,
+        EVENTS_SCHEMA,
+        paths=[
+            f"{base}/events/event_type=click",
+            f"{base}/events/event_type=purchase",
+        ],
+        base_path=f"{base}/events",
+    ).select("event_id", "user_id", "value", "event_type")

@@ -77,3 +77,42 @@ def union_by_name(spark, sf_dir):
         F.lit("old").alias("bucket"), F.col("user_id"), F.col("event_id")
     )
     return recent.unionByName(old)
+
+
+@query(
+    "intersect_except_keys",
+    oracle="""
+WITH buyers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+clickers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+),
+errorers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+SELECT user_id, 'click_and_buy' AS cohort
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+UNION ALL
+SELECT user_id, 'buy_no_error' AS cohort
+FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errorers)
+""",
+)
+def intersect_except_keys(spark, sf_dir):
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY.md §2.7)
+    as cohort algebra over event actors. Both plan as aggregated
+    semi/anti joins — one shuffle each on the key."""
+    ev = load(spark, sf_dir, "events")
+
+    def actors(etype):
+        return ev.filter(F.col("event_type") == etype).select("user_id").distinct()
+
+    click_and_buy = (
+        actors("click").intersect(actors("purchase"))
+        .select("user_id", F.lit("click_and_buy").alias("cohort"))
+    )
+    buy_no_error = (
+        actors("purchase").exceptAll(actors("error"))
+        .select("user_id", F.lit("buy_no_error").alias("cohort"))
+    )
+    return click_and_buy.unionByName(buy_no_error)
