@@ -144,3 +144,41 @@ def streaming_session_windows(spark, sf_dir):
         "n_events",
     )
     return _run_to_memory(sess, spark)
+
+
+@query(
+    "streaming_stateful_counts",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_counts(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) maintaining
+    per-user running (count, max) in explicit state. The update-mode
+    sink holds one row per key per batch; count is monotone, so
+    max(n_events) per key is the converged state — equal to the batch
+    GROUP BY for any batch split."""
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        running_user_counts,
+    )
+
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    name = f"adp_stateful_{next(_uniq)}"
+    q = (
+        running_user_counts(stream.select("user_id", "value", "event_time"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.sql(
+        f"SELECT user_id, max(n_events) AS n_events, "
+        f"max(max_value) AS max_value FROM {name} GROUP BY user_id"
+    )

@@ -140,3 +140,43 @@ def start_streaming_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+RUNNING_COUNTS_OUT = "user_id long, n_events long, max_value double"
+RUNNING_COUNTS_STATE = "n long, mx double"
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, max value) maintained in explicit
+    state across micro-batches (Arrow-batched, executor-side).
+
+    The built-in windowed aggregates cover time-bucketed state; this
+    is the escape hatch for state machines the SQL surface can't
+    express (per-key accumulators, custom eviction, session logic) —
+    SURVEY.md north-star's `applyInPandasWithState` item. Count and
+    max are order-independent, so the converged result equals the
+    batch groupBy regardless of how the input splits into batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            vmax = pdf["value"].max()
+            if pd.notna(vmax):
+                mx = float(vmax) if mx is None else max(mx, float(vmax))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_COUNTS_OUT,
+        RUNNING_COUNTS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -109,3 +109,51 @@ def test_streaming_upsert_converges_to_latest_state(spark, sf_dir, tmp_path, eve
     }
     assert got == want
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_running_counts_across_batches(spark, sf_dir, tmp_path):
+    import shutil as _sh
+
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        running_user_counts,
+    )
+
+    # two files -> two micro-batches -> state must carry across
+    d = tmp_path / "two_batches"
+    d.mkdir()
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = src.filter(F.col("event_id") % 2 == 0)
+    b = src.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.parquet(str(d / "a"))
+    b.coalesce(1).write.parquet(str(d / "b"))
+    for i, sub in enumerate(["a", "b"]):
+        for f in (d / sub).glob("*.parquet"):
+            _sh.move(str(f), d / f"part-{i}.parquet")
+        _sh.rmtree(d / sub)
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        running_user_counts(stream.select("user_id", "value", "event_time"))
+        .writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update-mode sink accumulates one row per key per batch; the
+    # running count is monotone so max() is the converged value
+    got = {
+        r.user_id: (r.n, r.mx)
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) n, max(max_value) mx "
+            "FROM running_counts GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in src.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
