@@ -235,3 +235,66 @@ def embedding_near_dupes(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dupes_pandas(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    min_cosine: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Vectorized twin of :func:`embedding_near_dupes`: same
+    cluster-then-pair plan, but each centroid bucket's pairwise scores
+    are one numpy int64 matmul inside ``applyInPandas`` instead of
+    per-pair zip_with/aggregate expressions (interpreted HOFs).
+    Quantized integer dots are exact in int64 and the cosine is the
+    same single double division, so results are bit-identical to the
+    expression version and to the DuckDB oracle.
+
+    Scale: grouping by centroid_id bounds each Arrow batch to one
+    bucket; within a bucket the score matrix is O(b^2) but vectorized
+    — the same trade an IVF index makes. Skewed buckets would split
+    via a sub-salt on the bucket id before the groupBy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    ).select(
+        F.col(id_col), F.col(centroid_id_col),
+        quantize(vec_col).alias("vq"),
+    )
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def score_bucket(pdf: pd.DataFrame):
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        pdf = pdf.sort_values("vec_id" if id_col == "vec_id" else id_col)
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+        dots = m @ m.T
+        # sqrt(na*nb) — NOT sqrt(na)*sqrt(nb) — to stay bit-identical
+        # with the cosine_q expression and the DuckDB oracle (the two
+        # forms differ in the last ulp); na*nb <= (64*1e6)^2 < 2^53 so
+        # the double product is exact
+        nsq = np.diag(dots)
+        cos = dots / np.sqrt(np.outer(nsq, nsq).astype(np.float64))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= min_cosine
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cosine": cos[iu, ju][keep],
+            }
+        )
+
+    return assigned.groupBy(centroid_id_col).applyInPandas(
+        score_bucket, out_schema
+    )

@@ -180,3 +180,22 @@ def test_embedding_near_dupes_planted_pair(spark):
            embedding_near_dupes(df, cents, 0.99).collect()}
     assert (10, 11) in got
     assert all(12 not in p for p in got)
+
+
+def test_embedding_near_dupes_pandas_matches_expression(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        embedding_near_dupes,
+        embedding_near_dupes_pandas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    a = {(r.id_a, r.id_b, r.cosine)
+         for r in embedding_near_dupes(emb, cents, 0.35).collect()}
+    b = {(r.id_a, r.id_b, r.cosine)
+         for r in embedding_near_dupes_pandas(emb, cents, 0.35).collect()}
+    assert a == b  # bit-identical, including the cosine doubles
