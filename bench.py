@@ -46,6 +46,9 @@ HEADLINE = [
     "time_rollup",
     "skew_salted_agg",
     "streaming_hourly_counts",
+    "json_extract_props",
+    "window_analytics",
+    "pivot_event_matrix",
 ]
 
 
