@@ -123,3 +123,40 @@ def multipath_partitioned_scan(spark, sf_dir):
         ],
         base_path=f"{base}/events",
     ).select("event_id", "user_id", "value", "event_type")
+
+
+NOT_APPLICABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("cve_id", T.StringType(), True),
+        T.StructField("package", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("fixed_version", T.StringType(), True),
+        T.StructField("internal_status", T.StringType(), True),
+    ]
+)
+
+
+@query(
+    "jdbc_absent_empty_relation",
+    oracle="""
+SELECT CAST(NULL AS VARCHAR) AS cve_id, CAST(NULL AS VARCHAR) AS package,
+       CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS fixed_version,
+       CAST(NULL AS VARCHAR) AS internal_status
+WHERE false
+""",
+)
+def jdbc_absent_empty_relation(spark, sf_dir):
+    """S5/S6 executed under the gate: the JDBC arm's
+    absent-source = empty-relation-with-declared-schema contract —
+    load-bearing in the reference (it is how first runs bootstrap,
+    spark_utils.py:266-271); the live-connection path needs a real
+    database (tested shape in sources/jdbc.py, partitioned-scan
+    options documented there)."""
+    from advisorydatapipeline_spark.sources.jdbc import read_jdbc_table
+
+    return read_jdbc_table(
+        spark,
+        "jdbc:postgresql://nohost:5432/nodb",
+        "not_applicable_cves",
+        NOT_APPLICABLE_SCHEMA,
+    )
