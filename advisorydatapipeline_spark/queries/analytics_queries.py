@@ -128,3 +128,95 @@ def grouped_percentiles(spark, sf_dir):
         F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
         F.percentile("l_extendedprice", F.lit(0.99)).alias("p99_price"),
     )
+
+
+@query(
+    "distinct_agg_counts",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_agg_counts(spark, sf_dir):
+    """Grouped COUNT(DISTINCT) (absent in the reference, §2.4) —
+    plans as a two-phase expand/aggregate; at 100 TB swap to
+    approx_count_distinct when a ~2% error is acceptable (HLL++ avoids
+    the per-group distinct state entirely)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "datetime_derivations",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(month(o_orderdate) AS INT) AS mth,
+       CAST(dayofweek(o_orderdate) AS INT) % 7 AS dow,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""",
+)
+def datetime_derivations(spark, sf_dir):
+    """Calendar scalar functions (absent in-engine in the reference,
+    §2.8 — it compares ISO strings lexically). dayofweek is normalized
+    to 0..6-Sunday-0 on both engines (Spark is 1-based Sunday-1,
+    DuckDB 0-based Sunday-0)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mth"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+WITH c AS (
+  SELECT p_partkey, lower(p_name) AS nm,
+         split_part(lower(p_name), ' ', 1) AS blk
+  FROM part
+),
+pairs AS (
+  SELECT a.blk, CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+  FROM c a JOIN c b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.nm, b.nm) <= 2
+)
+SELECT blk, dist, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY blk, dist
+""",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Blocked fuzzy matching: equi-join on the first-word block, then
+    exact Levenshtein <= 2 inside the block — the classic entity-
+    resolution plan (blocking bounds the quadratic step; the expensive
+    distance runs only on block-local pairs). Aggregated to per-block
+    pair counts so the result is compact."""
+    c = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("nm"),
+        F.split(F.lower("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = c.select(F.col("p_partkey").alias("id_a"),
+                 F.col("nm").alias("nm_a"), "blk")
+    b = c.select(F.col("p_partkey").alias("id_b"),
+                 F.col("nm").alias("nm_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+        .filter(F.col("dist") <= 2)
+        .groupBy("blk", "dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
