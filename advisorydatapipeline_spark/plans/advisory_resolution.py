@@ -121,9 +121,12 @@ def _derive_sql(prefix: str = "") -> dict[str, str]:
 
 def advisory_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-first implementation (DataFrame API + shared CASE text)."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # local import: queries/__init__ imports this module via registry
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    events = load(spark, sf_dir, "events")
 
     master = customer.select(
         F.col("c_custkey").alias("cust_key"),

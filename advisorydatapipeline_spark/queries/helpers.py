@@ -24,7 +24,21 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 
 
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Make reads correct under ANY caller-provided SparkSession.
+
+    The external driver builds its own bare session, so confs set in
+    :mod:`advisorydatapipeline_spark.session` do not apply there.
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark rejects unless ``nanosAsLong`` is on (it then reads epoch-ns
+    LongType — the representation every query here assumes). The conf
+    is runtime-settable and idempotent, so setting it per-read is free.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_read_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -81,6 +81,9 @@ def read_table(
     if not targets:
         return empty_df(spark, schema)
 
+    # Session-proof: caller-provided sessions (the external driver's)
+    # don't carry session.py's confs; TIMESTAMP(NANOS) parquet needs this.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if base_path:
         reader = reader.option("basePath", base_path)

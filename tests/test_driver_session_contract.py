@@ -1,0 +1,48 @@
+"""Pin the external-driver session contract.
+
+The driver harness builds its OWN SparkSession (none of session.py's
+confs apply), so every registry query must be correct on a session
+that starts without ``spark.sql.legacy.parquet.nanosAsLong``. Round 1
+shipped exactly that coupling bug (19/50 oracle rows red); this test
+unsets the conf and asserts the read path re-establishes it, so the
+regression fails locally before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from advisorydatapipeline_spark.registry import QUERIES
+
+# one events-reader per module family that was red in round 1
+PROBE_QUERIES = [
+    "flagship_advisory_resolution",
+    "ttl_cutoff_filter",
+    "asof_join_last_view",
+    "window_top1_per_key",
+]
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@pytest.fixture()
+def bare_conf_session(spark):
+    """The shared session with the nanos conf stripped — equivalent to a
+    caller-provided session that never ran session.get_spark."""
+    spark.conf.unset(NANOS_CONF)
+    yield spark
+    spark.conf.set(NANOS_CONF, "true")
+
+
+@pytest.mark.parametrize("name", PROBE_QUERIES)
+def test_query_survives_bare_session(bare_conf_session, sf_dir, name):
+    bare_conf_session.conf.unset(NANOS_CONF)
+    df = QUERIES[name](bare_conf_session, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_survives_bare_session(bare_conf_session):
+    import __spark_entry__ as e
+
+    bare_conf_session.conf.unset(NANOS_CONF)
+    assert e.entry(bare_conf_session).count() > 0

@@ -5,7 +5,11 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same parquet dir, then compares row count, column
 names, and an order-insensitive multiset of canonicalized rows.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--bare] [sf_dir] [query_name ...]
+
+``--bare`` builds a plain ``SparkSession.builder.getOrCreate()`` (no
+session.py confs), mirroring the external driver's harness so
+session-conf coupling fails here first.
 """
 
 from __future__ import annotations
@@ -46,13 +50,26 @@ def row_multiset(rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
-    from advisorydatapipeline_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-bare")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+    else:
+        from advisorydatapipeline_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
