@@ -306,3 +306,127 @@ def simhash_buckets(
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# --- 64-bit SimHash with banded Hamming near-dup -----------------------------
+
+
+def simhash64_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """64-bit SimHash kept as ``bands`` separate band values (default
+    4 x 16 bits) instead of one assembled BIGINT — bit 63 would
+    overflow a signed long, and the bands are exactly what both the
+    candidate join and the XOR-popcount verification consume.
+
+    Bit sources: the portable md5 hash is 60 bits, so bits 0-31 come
+    from ``hash64(tok)`` and bits 32-63 from ``hash64(tok || '#2')``
+    (an independent second draw — same trick the DuckDB oracle
+    replays). One shuffle: the per-doc vote aggregation (partial-agg
+    friendly sums)."""
+    n_bits = bands * band_bits
+    toked = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("_ts")
+    )
+    toked = toked.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    tok = (
+        toked.select(F.col(id_col), F.explode("_ts").alias("tok"))
+        .withColumn("h1", hash64(F.col("tok")))
+        .withColumn("h2", hash64(F.concat(F.col("tok"), F.lit("#2"))))
+    )
+
+    def bit(b: int):
+        src = F.col("h1") if b < 32 else F.col("h2")
+        return F.shiftright(src, b % 32).bitwiseAND(1)
+
+    votes = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v_{b}")
+        for b in range(n_bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    band_cols = []
+    for bd in range(bands):
+        val = None
+        for r in range(band_bits):
+            one = F.when(
+                F.col(f"v_{bd * band_bits + r}") >= 0, F.lit(2**r)
+            ).otherwise(F.lit(0))
+            val = one if val is None else val + one
+        band_cols.append(val.cast("long").alias(f"band_{bd}"))
+    return agg.select(F.col(id_col), *band_cols)
+
+
+def simhash64_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash with banded candidate
+    generation + Hamming verification.
+
+    By pigeonhole, any pair within ``bands - 1`` Hamming distance
+    shares at least one exact band, so with the default 4 bands the
+    candidate equi-join has *exact* recall for distance <= 3 — no
+    all-pairs comparison anywhere. Candidate volume is O(docs x
+    bands); verification is XOR + popcount on the already-joined band
+    values. Output: (id_a, id_b, hamming)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only to hamming {bands - 1}; "
+            f"raise bands for max_hamming={max_hamming}"
+        )
+    sig = simhash64_bands(
+        df, id_col, text_col, bands=bands, band_bits=band_bits
+    ).persist()  # feeds the band explode AND both verification joins
+    entries = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band_idx"),
+                        F.col(f"band_{bd}").alias("band_val"),
+                    )
+                    for bd in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band_idx", "bk.band_val")
+    a = entries.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+    b = entries.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"band_{bd}").alias(f"a_{bd}") for bd in range(bands)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"band_{bd}").alias(f"b_{bd}") for bd in range(bands)],
+    )
+    ham = None
+    for bd in range(bands):
+        h = F.bit_count(F.col(f"a_{bd}").bitwiseXOR(F.col(f"b_{bd}")))
+        ham = h if ham is None else ham + h
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

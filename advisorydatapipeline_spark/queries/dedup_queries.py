@@ -13,6 +13,7 @@ from advisorydatapipeline_spark.operators.dedup import (
     jaccard_pairs,
     minhash_near_dupes,
     shingle_index,
+    simhash64_near_dupes,
     simhash_buckets,
 )
 from advisorydatapipeline_spark.queries.helpers import load
@@ -61,13 +62,26 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# df-cap: drop shingles appearing in more than this many docs. This is
+# what bounds the inverted-index self-join — without it one hot shingle
+# drives O(df^2) candidate pairs at corpus scale. Near-dup signal lives
+# in rare shingles, so the cap costs ~nothing in recall.
+MAX_DOC_FREQ = 100
+
 _JACCARD_ORACLE = f"""
 WITH {DUCK_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {MAX_DOC_FREQ}
+),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  WHERE sh.shingle NOT IN (SELECT shingle FROM hot)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(count(*) AS BIGINT) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT p.id_a, p.id_b, p.shared,
@@ -83,10 +97,15 @@ WHERE p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= {MIN_JACCARD}
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs via the inverted shingle
-    index (no LSH approximation — this is the ground truth the LSH
-    variant is verified against)."""
+    index, df-capped so hot shingles can't drive a quadratic self-join
+    (no LSH approximation — this is the ground truth the LSH variant
+    is verified against)."""
     idx = shingle_index(
-        load(spark, sf_dir, "documents"), "doc_id", "text", 3
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        3,
+        max_doc_freq=MAX_DOC_FREQ,
     ).persist()  # feeds both the pair join and the per-doc sizes
     return jaccard_pairs(idx, "doc_id", MIN_JACCARD)
 
@@ -194,4 +213,83 @@ def dedup_simhash(spark, sf_dir):
     collapse to one bucket row."""
     return simhash_buckets(
         load(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
+    )
+
+
+# --- 64-bit SimHash, banded Hamming ------------------------------------------
+
+_SH64_BANDS, _SH64_BAND_BITS, _SH64_MAX_HAM = 4, 16, 3
+
+_SH64_VOTES = ",\n       ".join(
+    f"sum(CASE WHEN (({'h1' if b < 32 else 'h2'} >> {b % 32}) & 1) = 1 "
+    f"THEN 1 ELSE -1 END) AS v_{b}"
+    for b in range(_SH64_BANDS * _SH64_BAND_BITS)
+)
+_SH64_BAND_EXPRS = ",\n       ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN v_{bd * _SH64_BAND_BITS + r} >= 0 THEN {2**r} ELSE 0 END)"
+        for r in range(_SH64_BAND_BITS)
+    )
+    + f" AS BIGINT) AS band_{bd}"
+    for bd in range(_SH64_BANDS)
+)
+_SH64_ENTRIES = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {bd} AS band_idx, band_{bd} AS band_val FROM bands"
+    for bd in range(_SH64_BANDS)
+)
+_SH64_HAM = " + ".join(
+    f"bit_count(xor(sa.band_{bd}, sb.band_{bd}))" for bd in range(_SH64_BANDS)
+)
+
+_SIMHASH64_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct({DUCK_TOKENS.format(x='text')})) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {DUCK_HASH64.format(x='tok')} AS h1,
+         {DUCK_HASH64.format(x="tok || '#2'")} AS h2
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+       {_SH64_VOTES}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+       {_SH64_BAND_EXPRS}
+  FROM votes
+),
+entries AS (
+{_SH64_ENTRIES}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM entries a JOIN entries b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST({_SH64_HAM} AS INT) AS hamming
+FROM cands c
+JOIN bands sa ON sa.doc_id = c.id_a
+JOIN bands sb ON sb.doc_id = c.id_b
+WHERE {_SH64_HAM} <= {_SH64_MAX_HAM}
+"""
+
+
+@query("dedup_simhash64", oracle=_SIMHASH64_ORACLE)
+def dedup_simhash64(spark, sf_dir):
+    """64-bit SimHash near-dup pairs: 4x16-bit banded candidate
+    generation (exact recall to Hamming 3 by pigeonhole) + XOR-popcount
+    verification. The scale path the 16-bit bucket variant isn't."""
+    return simhash64_near_dupes(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bands=_SH64_BANDS,
+        band_bits=_SH64_BAND_BITS,
+        max_hamming=_SH64_MAX_HAM,
     )

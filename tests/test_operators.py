@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.operators.dedup import (
@@ -13,6 +15,7 @@ from advisorydatapipeline_spark.operators.dedup import (
     minhash_near_dupes,
     shingle_index,
     simhash,
+    simhash64_near_dupes,
 )
 from advisorydatapipeline_spark.operators.similarity import cosine_topk
 from advisorydatapipeline_spark.operators.ttl_cache import (
@@ -141,6 +144,29 @@ def test_simhash_stability_and_locality(spark):
     sigs = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
     assert sigs[1] == sigs[2]
     assert 0 <= sigs[1] < 2**16
+
+
+def test_simhash64_near_dupes_pigeonhole(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base + " extra"
+    far = "completely unrelated text about spark query engines at scale now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, base), (4, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash64_near_dupes(df, "doc_id", "text").collect()
+    }
+    # identical docs: hamming 0 must survive the banding (pigeonhole)
+    assert pairs.get((1, 3)) == 0
+    # every reported pair respects the max-hamming filter
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash64_rejects_unreachable_hamming(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash64_near_dupes(df, "doc_id", "text", bands=4, max_hamming=4)
 
 
 def test_cosine_topk_sanity(spark):
