@@ -14,6 +14,7 @@ from __future__ import annotations
 import tempfile
 from pathlib import Path
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from advisorydatapipeline_spark.queries.helpers import load
@@ -160,3 +161,87 @@ def jdbc_absent_empty_relation(spark, sf_dir):
         "not_applicable_cves",
         NOT_APPLICABLE_SCHEMA,
     )
+
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@query(
+    "jdbc_live_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def jdbc_live_scan(spark, sf_dir):
+    """S5/S6 happy path over a REAL database: seed embedded Derby (on
+    Spark's classpath) through ``df.write.jdbc`` and read it back via
+    ``read_jdbc_table`` with cast-projection and a *partitioned* scan
+    (partitionColumn/bounds/numPartitions — the scale knob the
+    reference's serial read lacks, spark_utils.py:94-126). Proves the
+    full JDBC round trip, not just the absent-table contract."""
+    from advisorydatapipeline_spark.sources.jdbc import read_jdbc_table
+
+    tag = "derby_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    url = f"jdbc:derby:{base}/db;create=true"
+    props = {"driver": DERBY_DRIVER}
+    marker = Path(base) / "_seeded"
+    if not marker.exists():
+        load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.jdbc(url, "nation_jdbc", mode="overwrite", properties=props)
+        marker.write_text("ok")
+    return read_jdbc_table(
+        spark,
+        url,
+        "nation_jdbc",
+        NATION_SCHEMA,
+        driver=DERBY_DRIVER,
+        partition_options={
+            "partitionColumn": "n_nationkey",
+            "lowerBound": "0",
+            "upperBound": "25",
+            "numPartitions": "4",
+        },
+        strict=True,
+    )
+
+
+@query(
+    "http_json_flatten",
+    oracle="""
+SELECT s_name AS package_name,
+       'CVE-2024-' || CAST(s_suppkey AS VARCHAR) AS cve_id,
+       '1.' || CAST(s_nationkey AS VARCHAR) AS fixed_version
+FROM supplier
+""",
+)
+def http_json_flatten(spark, sf_dir):
+    """S7/P7 under the oracle gate: build one advisory JSON payload
+    ``{package: {cve_id: {fixed_version}}}`` from the supplier table
+    (with planted non-CVE keys the flatten must drop), then run the
+    engine-side ``from_json`` + double-``explode`` + ``CVE-`` prefix
+    filter (reference fetch.py:16-43). The single-document collect
+    mirrors the reference's one HTTP response; the flatten itself is
+    a distributed plan."""
+    from advisorydatapipeline_spark.sources.http_json import (
+        advisories_from_json,
+    )
+
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_name"),
+        F.col("s_suppkey").cast("string").alias("sk"),
+        F.col("s_nationkey").cast("string").alias("nk"),
+    )
+    inner = F.create_map(
+        F.concat(F.lit("CVE-2024-"), F.col("sk")),
+        F.struct(F.concat(F.lit("1."), F.col("nk")).alias("fixed_version")),
+        # non-CVE key: the prefix filter must drop it
+        F.concat(F.lit("GHSA-"), F.col("sk")),
+        F.struct(F.lit("9.9").alias("fixed_version")),
+    )
+    entries = sup.select(
+        F.struct(F.col("s_name").alias("key"), inner.alias("value")).alias("e")
+    )
+    payload = entries.agg(
+        F.to_json(F.map_from_entries(F.collect_list("e")))
+    ).first()[0]
+    return advisories_from_json(spark, [payload])
