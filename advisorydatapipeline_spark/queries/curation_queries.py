@@ -1,0 +1,157 @@
+"""Corpus-curation queries with DuckDB oracles (north-star ops).
+
+Chunking, deterministic stratified sampling, PII scrubbing, and corpus
+n-gram statistics over the ``documents`` table — each oracle replays
+the exact computation (same md5-derived hashes, same regex, same
+substring arithmetic), so values are checked, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.curation import (
+    EMAIL_RE,
+    chunk_text,
+    sample_by_hash,
+    scrub_pii,
+)
+from advisorydatapipeline_spark.operators.dedup import shingle_index
+from advisorydatapipeline_spark.queries.dedup_queries import (
+    DUCK_HASH64,
+    DUCK_SHINGLES,
+)
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+CHUNK_CHARS, CHUNK_STRIDE = 256, 200
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+SELECT doc_id,
+       CAST(st / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       substr(text, st + 1, {CHUNK_CHARS}) AS chunk_text,
+       CAST(length(substr(text, st + 1, {CHUNK_CHARS})) AS INT) AS chunk_len
+FROM documents,
+     unnest(generate_series(0, length(text) - 1, {CHUNK_STRIDE})) AS t(st)
+WHERE length(text) > 0
+""",
+)
+def doc_chunks(spark, sf_dir):
+    """Fixed-width character chunking with overlap (256/200): the prep
+    step before context-window packing. One exploded row per chunk,
+    zero shuffles."""
+    return chunk_text(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_chars=CHUNK_CHARS,
+        stride=CHUNK_STRIDE,
+    )
+
+
+# per-language keep rates (percent): downweight the overrepresented
+# language, keep the tail — the standard data-mixing move
+_RATES = {"en": 50, "de": 100, "es": 100, "fr": 100}
+_DEFAULT_RATE = 80
+_SALT = "sample#1"
+
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {r}" for lg, r in sorted(_RATES.items()))
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {DUCK_HASH64.format(x=f"'{_SALT}' || CAST(doc_id AS VARCHAR)")} % 100
+      < {_RATE_SQL}
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-language downsampling via md5 hash buckets —
+    reproducible across runs/partitionings (rand() is not), filter-only
+    so it pushes into the scan."""
+    rate = F.lit(_DEFAULT_RATE)
+    for lg, r in sorted(_RATES.items()):
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_by_hash(docs, "doc_id", rate, salt=_SALT)
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com re: ' || text AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed,
+       CAST(length(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_emails
+FROM planted
+""",
+)
+def pii_scrub(spark, sf_dir):
+    """Email redaction + audit count over text with planted addresses
+    (the corpus itself has none — planting proves the scrub fires).
+    Regex kept to the Java-regex/RE2 shared subset so the oracle
+    replays it exactly."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com re: "),
+            F.col("text"),
+        ).alias("t"),
+    )
+    cols = scrub_pii("t")
+    return docs.select(
+        "doc_id",
+        cols["scrubbed"].alias("scrubbed"),
+        cols["n_emails"].alias("n_emails"),
+    )
+
+
+TOP_NGRAMS = 20
+
+
+@query(
+    "corpus_ngram_stats",
+    oracle=f"""
+WITH {DUCK_SHINGLES},
+df AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM sh GROUP BY shingle
+),
+ranked AS (
+  SELECT shingle, doc_freq,
+         row_number() OVER (ORDER BY doc_freq DESC, shingle) AS rk
+  FROM df
+)
+SELECT shingle, doc_freq FROM ranked WHERE rk <= {TOP_NGRAMS}
+""",
+)
+def corpus_ngram_stats(spark, sf_dir):
+    """Top-{20} 3-gram shingles by document frequency — the corpus
+    statistic behind df-caps and contamination checks. Partial-agg
+    count then a single-column top-k (deterministic tiebreak on the
+    shingle)."""
+    idx = shingle_index(load(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    freq = idx.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("doc_freq")
+    )
+    return (
+        freq.orderBy(F.col("doc_freq").desc(), F.col("shingle"))
+        .limit(TOP_NGRAMS)
+        .select("shingle", "doc_freq")
+    )

@@ -147,6 +147,33 @@ def streaming_session_windows(spark, sf_dir):
 
 
 @query(
+    "streaming_dedup_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_pairs(spark, sf_dir):
+    """Streaming deduplication: ``dropDuplicates`` over the event
+    stream emits each (user_id, event_type) pair exactly once (append
+    mode) — the streaming face of corpus dedup. Final output equals
+    batch DISTINCT for any batch split. Unbounded key state is fine
+    for a finite drain; an infinite stream would bound it with
+    ``dropDuplicatesWithinWatermark`` at the cost of exactness outside
+    the watermark horizon."""
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    dedup = stream.select("user_id", "event_type").dropDuplicates()
+    name = f"adp_dedup_{next(_uniq)}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@query(
     "streaming_stateful_counts",
     oracle="""
 SELECT user_id,

@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash64",
+    "jdbc_live_scan",
+    "http_json_flatten",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_quality",
@@ -46,6 +49,11 @@ HEADLINE = [
     "time_rollup",
     "skew_salted_agg",
     "streaming_hourly_counts",
+    "streaming_dedup_pairs",
+    "doc_chunks",
+    "sample_stratified",
+    "pii_scrub",
+    "corpus_ngram_stats",
     "json_extract_props",
     "window_analytics",
     "pivot_event_matrix",

@@ -1,0 +1,73 @@
+"""Curation operator unit tests: chunking, hash sampling, PII scrub."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.curation import (
+    chunk_text,
+    hash_bucket,
+    sample_by_hash,
+    scrub_pii,
+)
+
+
+def test_chunk_text_boundaries(spark):
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "")],
+                               "doc_id long, text string")
+    chunks = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_len)
+        for r in chunk_text(
+            df, "doc_id", "text", chunk_chars=5, stride=3
+        ).collect()
+    }
+    # starts 0,3,6,9 over a 10-char doc; empty doc yields no chunks
+    assert chunks == {
+        (1, 0): ("abcde", 5),
+        (1, 1): ("defgh", 5),
+        (1, 2): ("ghij", 4),
+        (1, 3): ("j", 1),
+    }
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_text(df, "doc_id", "text", stride=0)
+
+
+def test_sample_by_hash_deterministic_and_nested(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    s50a = {r.k for r in sample_by_hash(df, "k", F.lit(50)).collect()}
+    s50b = {r.k for r in sample_by_hash(df, "k", F.lit(50)).collect()}
+    s20 = {r.k for r in sample_by_hash(df, "k", F.lit(20)).collect()}
+    assert s50a == s50b  # reproducible, unlike rand()
+    assert s20 <= s50a  # lower rate is a subset (same hash, same salt)
+    assert 380 < len(s50a) < 620  # roughly uniform
+    # different salt draws an independent sample
+    other = {r.k for r in sample_by_hash(df, "k", F.lit(50), salt="x").collect()}
+    assert other != s50a
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(500).select(hash_bucket(F.col("id"), "s").alias("b"))
+    got = df.agg(F.min("b"), F.max("b")).first()
+    assert got[0] >= 0 and got[1] < 100
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org and d@e.io now"), (2, "no pii here")],
+        "doc_id long, t string",
+    )
+    cols = scrub_pii("t")
+    rows = {
+        r.doc_id: (r.s, r.n)
+        for r in df.select(
+            "doc_id", cols["scrubbed"].alias("s"), cols["n_emails"].alias("n")
+        ).collect()
+    }
+    assert rows[1] == ("mail <EMAIL> and <EMAIL> now", 2)
+    assert rows[2] == ("no pii here", 0)
