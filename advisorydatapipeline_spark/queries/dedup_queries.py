@@ -8,6 +8,8 @@ just row counts.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from advisorydatapipeline_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
@@ -68,8 +70,8 @@ def dedup_exact(spark, sf_dir):
 # in rare shingles, so the cap costs ~nothing in recall.
 MAX_DOC_FREQ = 100
 
-_JACCARD_ORACLE = f"""
-WITH {DUCK_SHINGLES},
+# CTE body shared by the pair query and the clustering query's oracle
+_JACCARD_CTES = f"""{DUCK_SHINGLES},
 hot AS (
   SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {MAX_DOC_FREQ}
 ),
@@ -83,15 +85,64 @@ pairs AS (
          CAST(count(*) AS BIGINT) AS shared
   FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT p.id_a, p.id_b, p.shared,
-       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-       p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
-FROM pairs p
-JOIN sizes sa ON sa.doc_id = p.id_a
-JOIN sizes sb ON sb.doc_id = p.id_b
-WHERE p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= {MIN_JACCARD}
+),
+jp AS (
+  SELECT p.id_a, p.id_b, p.shared,
+         CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= {MIN_JACCARD}
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, shared, n_a, n_b, jaccard FROM jp
 """
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION ALL
+  SELECT id_b, id_a FROM jp
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (min-reachable-id labeling). Pairs say "these two are
+    dups"; the component is the dedup unit — keep ``min(doc_id)`` per
+    cluster, drop the rest. Pregel-style min-label propagation with
+    pointer jumping (operators/graph.py); the oracle replays it as a
+    recursive reachability CTE."""
+    from advisorydatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    idx = shingle_index(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        3,
+        max_doc_freq=MAX_DOC_FREQ,
+    ).persist()
+    pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)

@@ -1,0 +1,37 @@
+"""Connected-components operator tests."""
+
+from __future__ import annotations
+
+from advisorydatapipeline_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(df, "id_a", "id_b").collect()
+    return {r.node: r.component for r in rows}
+
+
+def test_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4-5, triangle 10-11-12 (+chord), isolated pair 20-21
+    got = _cc(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+    )
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_reversed_and_duplicate_edges(spark):
+    got = _cc(spark, [(7, 3), (3, 7), (7, 3), (9, 7)])
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_long_chain_converges(spark):
+    n = 40  # deeper than any plausible near-dup cluster
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0} and len(got) == n + 1
