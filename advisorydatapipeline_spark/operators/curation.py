@@ -79,6 +79,70 @@ def sample_by_hash(
     return df.filter(hash_bucket(F.col(key_col), salt) < rate_pct)
 
 
+def contamination(
+    index: DataFrame, eval_docs: DataFrame, id_col: str
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any shingle
+    with an eval/benchmark doc.
+
+    ``index`` is a (id, shingle) inverted index (df-capped upstream so
+    ubiquitous shingles don't false-flag everything); ``eval_docs`` is
+    the single-column list of benchmark doc ids. The eval side is tiny
+    next to a 100 TB corpus, so its shingles are BROADCAST — the
+    corpus index never shuffles; the only wide op is the per-doc
+    aggregation of hits. Returns (id, n_eval_docs, n_shingles) for
+    contaminated docs only."""
+    ev = (
+        index.join(eval_docs, id_col, "left_semi")
+        .select(F.col(id_col).alias("_eval_id"), "shingle")
+    )
+    corpus = index.join(eval_docs, id_col, "left_anti")
+    hits = corpus.join(F.broadcast(ev), "shingle")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("_eval_id").cast("long").alias("n_eval_docs"),
+        F.countDistinct("shingle").cast("long").alias("n_shingles"),
+    )
+
+
+def bigram_repetition(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition stats per doc: total bigram count, the
+    top bigram's share, and the share of bigram occurrences that are
+    repeats of an earlier one. High values = boilerplate/spam.
+
+    Counts (not distinct sets) matter here, so this explodes raw
+    bigrams and double-aggregates: (doc, bigram) counts, then per-doc
+    max/sum — both partial-agg friendly; text never shuffles."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_ts"))
+    ts = F.col("_ts")
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ts, (i + 1).cast("int")),
+                F.element_at(ts, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        toked.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_bigram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        (F.max("c") / F.sum("c")).alias("top_bigram_frac"),
+        (
+            (F.sum("c") - F.count("*")) / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    )
+
+
 def scrub_pii(col: Column | str) -> dict[str, Column]:
     """Redact emails and count the redactions. Returns the scrubbed
     text column and the match count (for curation audit metrics)."""

@@ -51,6 +51,16 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+
+    def _label_sum(lbl: DataFrame) -> object:
+        # exact decimal sum: labels only ever decrease, so the sum is
+        # a strictly-decreasing convergence witness — one narrow agg
+        # instead of a shuffle-join diff per iteration
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = und.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -72,13 +82,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.join(new_labels.withColumnRenamed("label", "_new"), "node")
-            .filter(F.col("label") != F.col("_new"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     und.unpersist()
     return labels.select("node", F.col("label").alias("component"))

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.operators.curation import (
     EMAIL_RE,
+    bigram_repetition,
     chunk_text,
+    contamination,
     sample_by_hash,
     scrub_pii,
 )
@@ -20,6 +22,8 @@ from advisorydatapipeline_spark.operators.dedup import shingle_index
 from advisorydatapipeline_spark.queries.dedup_queries import (
     DUCK_HASH64,
     DUCK_SHINGLES,
+    DUCK_TOKENS,
+    MAX_DOC_FREQ,
 )
 from advisorydatapipeline_spark.queries.helpers import load
 from advisorydatapipeline_spark.registry import query
@@ -119,6 +123,75 @@ def pii_scrub(spark, sf_dir):
         "doc_id",
         cols["scrubbed"].alias("scrubbed"),
         cols["n_emails"].alias("n_emails"),
+    )
+
+
+# benchmark set: a deterministic slice standing in for an eval suite
+_EVAL_MOD = 97
+
+
+@query(
+    "decontaminate_overlap",
+    oracle=f"""
+WITH {DUCK_SHINGLES},
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {MAX_DOC_FREQ}
+),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  WHERE sh.shingle NOT IN (SELECT shingle FROM hot)
+),
+ev AS (
+  SELECT doc_id AS eval_id, shingle FROM shc WHERE doc_id % {_EVAL_MOD} = 0
+),
+corp AS (
+  SELECT doc_id, shingle FROM shc WHERE doc_id % {_EVAL_MOD} <> 0
+)
+SELECT c.doc_id,
+       CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs,
+       CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shingles
+FROM corp c JOIN ev e ON c.shingle = e.shingle
+GROUP BY c.doc_id
+""",
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any (df-capped)
+    3-gram shingle with the eval slice, with hit counts. The eval
+    shingle set is broadcast — at 100 TB the corpus index never
+    shuffles for this check."""
+    docs = load(spark, sf_dir, "documents")
+    idx = shingle_index(
+        docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+    )
+    eval_docs = docs.filter(F.col("doc_id") % _EVAL_MOD == 0).select("doc_id")
+    return contamination(idx, eval_docs, "doc_id")
+
+
+@query(
+    "repetition_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1])) AS bg
+  FROM toks WHERE len(ts) >= 2
+),
+pb AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
+       (sum(c) - count(*)) / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac
+FROM pb GROUP BY doc_id
+""",
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filter inputs: per-doc top-bigram share
+    and duplicate-bigram share (boilerplate/spam signals). Raw-count
+    bigram double-aggregation, both stages partial-agg friendly."""
+    return bigram_repetition(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
     )
 
 

@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash64",
+    "dedup_clusters",
+    "decontaminate_overlap",
+    "repetition_stats",
     "jdbc_live_scan",
     "http_json_flatten",
     "ann_cosine_topk",
