@@ -121,3 +121,44 @@ def case_ranked_order(spark, sf_dir):
         o.select("o_orderkey", "o_orderpriority", rank.alias("sort_rank"))
         .orderBy("sort_rank", "o_orderkey")
     )
+
+
+@query(
+    "window_running_metrics",
+    oracle="""
+SELECT user_id, event_id,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_value,
+       CAST(row_number() OVER w AS INT) AS seq
+FROM events
+WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_running_metrics(spark, sf_dir):
+    """Analytic-window suite: lag/lead neighbors, an exact running
+    total (per-value DECIMAL cast — a raw double running sum is
+    ulp-unstable across engines), and a sequence number, all over one
+    (user, time) window — so Spark plans a single sort-within-
+    partition pass, no extra shuffles per function. Tiebreak on
+    event_id keeps every frame deterministic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(run)
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).cast("int").alias("seq"),
+    )

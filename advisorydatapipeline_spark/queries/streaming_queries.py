@@ -174,6 +174,81 @@ def streaming_dedup_pairs(spark, sf_dir):
 
 
 @query(
+    "streaming_range_join",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT p.user_id, p.purchase_id, v.view_id, p.purchase_us, v.view_us
+FROM p JOIN v
+  ON p.user_id = v.user_id
+ AND v.view_us BETWEEN p.purchase_us - 3600000000 AND p.purchase_us
+""",
+)
+def streaming_range_join(spark, sf_dir):
+    """Stream-stream inner join: purchases matched to same-user views
+    in the preceding hour, both sides watermarked so the join state is
+    evicted as event time advances (without the time-range condition
+    + watermarks, stream-stream join state grows without bound).
+    Inner-join matches emit in the micro-batch they occur, so an
+    availableNow drain equals the batch range join — the batch twin is
+    ``range_join_views_before_purchase``."""
+    d = _events_stream_dir(sf_dir)
+    views = (
+        read_event_stream(spark, d)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", "2 hours")
+    )
+    purchases = (
+        read_event_stream(spark, d)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (
+            F.col("view_time").between(
+                F.col("purchase_time") - F.expr("INTERVAL 1 HOUR"),
+                F.col("purchase_time"),
+            )
+        ),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.unix_micros("purchase_time").alias("purchase_us"),
+        F.unix_micros("view_time").alias("view_us"),
+    )
+    name = f"adp_ssj_{next(_uniq)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@query(
     "streaming_stateful_counts",
     oracle="""
 SELECT user_id,

@@ -53,6 +53,7 @@ HEADLINE = [
     "skew_salted_agg",
     "streaming_hourly_counts",
     "streaming_dedup_pairs",
+    "window_running_metrics",
     "doc_chunks",
     "sample_stratified",
     "pii_scrub",
