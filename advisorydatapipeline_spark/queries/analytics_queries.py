@@ -220,3 +220,24 @@ def fuzzy_name_pairs(spark, sf_dir):
         .groupBy("blk", "dist")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query("sketch_aggregates")  # rows-only: sketch estimates are
+# estimator-specific (Spark HLL++ / approx_percentile vs DuckDB's own
+# sketches differ by design); the exact twins `distinct_agg_counts`
+# and `grouped_percentiles` are the hash-gated versions.
+def sketch_aggregates(spark, sf_dir):
+    """Sketch aggregates — the 100 TB path for cardinality and
+    quantiles: HLL++ approximate distinct (constant memory per group,
+    2% rsd) and approx_percentile (mergeable quantile sketch) next to
+    the exact distinct count for error inspection. At scale the exact
+    count-distinct shuffles every distinct key; the sketch shuffles a
+    fixed few KB per group."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("value_quantiles"),
+    )
