@@ -79,6 +79,43 @@ def sample_by_hash(
     return df.filter(hash_bucket(F.col(key_col), salt) < rate_pct)
 
 
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    *,
+    ctx_tokens: int = 512,
+) -> DataFrame:
+    """Greedy concat-and-chop context-window packing: documents are
+    concatenated per group in ``order_col`` order and chopped into
+    ``ctx_tokens``-sized training sequences; each doc is assigned the
+    sequence where it STARTS, plus its token offset inside it.
+
+    One running-sum window per group (a single shuffle on the group
+    key); all integer math, no data movement of text. At 100 TB the
+    group key is the shard key (here: lang), so packing parallelizes
+    across shards and each shard's window sorts locally."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("_start")
+    out = df.select(
+        F.col(group_col), F.col(order_col), F.col(tokens_col), start
+    )
+    return out.select(
+        group_col,
+        order_col,
+        tokens_col,
+        (F.col("_start") / ctx_tokens).cast("long").alias("seq_id"),
+        (F.col("_start") % ctx_tokens).cast("long").alias("seq_offset"),
+    )
+
+
 def contamination(
     index: DataFrame, eval_docs: DataFrame, id_col: str
 ) -> DataFrame:

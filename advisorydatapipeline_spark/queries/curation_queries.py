@@ -15,6 +15,7 @@ from advisorydatapipeline_spark.operators.curation import (
     bigram_repetition,
     chunk_text,
     contamination,
+    pack_sequences,
     sample_by_hash,
     scrub_pii,
 )
@@ -192,6 +193,46 @@ def repetition_stats(spark, sf_dir):
     bigram double-aggregation, both stages partial-agg friendly."""
     return bigram_repetition(
         load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+CTX_TOKENS = 512
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({DUCK_TOKENS.format(x='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS st
+  FROM t
+)
+SELECT lang, doc_id, n_tokens,
+       st // {CTX_TOKENS} AS seq_id,
+       st % {CTX_TOKENS} AS seq_offset
+FROM s
+""",
+)
+def sequence_packing(spark, sf_dir):
+    """Context-window packing prep: concat-and-chop assignment of each
+    doc to its {512}-token training sequence (per-lang shards, doc_id
+    order). Pure integer window math — the exact thing a tokenize-and-
+    pack job computes before writing training shards."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "lang", "doc_id", "n_tokens", ctx_tokens=CTX_TOKENS
     )
 
 

@@ -190,3 +190,31 @@ def dedup_embedding_cosine(spark, sf_dir):
     # numpy-matmul bucket scorer: ~2.7x the interpreted-HOF expression
     # version at sf0.1, bit-identical results (operators/similarity)
     return embedding_near_dupes_pandas(emb, centroids, MIN_COSINE)
+
+
+@query(
+    "embedding_centroids",
+    oracle=f"""
+WITH c AS (
+  SELECT label, {_DUCK_QD} AS v FROM embeddings
+)
+SELECT label, CAST(t.i - 1 AS INT) AS pos,
+       sum(v[t.i]) / count(*) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM c, unnest(generate_series(1, len(v))) AS t(i)
+GROUP BY label, pos
+""",
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid (the class prototype / IVF seed
+    update step), long format (label, dimension, value). Quantized-
+    integer sums keep the mean bit-identical across engines and
+    summation orders; posexplode + one partial-agg shuffle of
+    (label, pos) pairs — vectors themselves never shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform("embedding", lambda x: F.floor(x * 1000).cast("double"))
+    per_dim = emb.select("label", F.posexplode(q).alias("pos", "v"))
+    return per_dim.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        (F.sum("v") / F.count("*")).alias("centroid"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )

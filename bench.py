@@ -58,6 +58,8 @@ HEADLINE = [
     "sample_stratified",
     "pii_scrub",
     "corpus_ngram_stats",
+    "sequence_packing",
+    "embedding_centroids",
     "json_extract_props",
     "window_analytics",
     "pivot_event_matrix",
