@@ -155,3 +155,65 @@ def sessionization(spark, sf_dir):
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
     )
+
+
+@query(
+    "local_supplier_revenue",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: six-table star join with the local-supplier
+    condition (customer and supplier in the same nation). The deep-
+    join stress test for join ordering: region->nation->supplier
+    collapse into one broadcast dim; the only shuffles are
+    lineitem><orders on the order key and the customer join on the
+    customer key — the date filter pushes into the orders scan."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    # dim collapse: supplier + nation + region -> one broadcast side
+    sdim = s.join(
+        F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sdim), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )

@@ -173,6 +173,54 @@ def streaming_dedup_pairs(spark, sf_dir):
     return spark.table(name)
 
 
+US_30MIN = 1_800_000_000
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle=f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // {US_30MIN}) * {US_30MIN} AS w0, event_type, value
+  FROM events WHERE ts IS NOT NULL
+),
+x AS (
+  SELECT unnest([w0, w0 - {US_30MIN}]) AS window_start_us, event_type, value
+  FROM e
+)
+SELECT window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM x GROUP BY 1, 2
+""",
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Sliding event-time windows (1 h window / 30 min slide): each
+    event lands in exactly two overlapping windows. Same watermarked
+    streaming machinery as the tumbling twin; the oracle replays the
+    two-window expansion with integer epoch math."""
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    agg = (
+        stream.withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+    return _run_to_memory(agg, spark)
+
+
 @query(
     "streaming_range_join",
     oracle="""
