@@ -344,3 +344,78 @@ def dedup_simhash64(spark, sf_dir):
         band_bits=_SH64_BAND_BITS,
         max_hamming=_SH64_MAX_HAM,
     )
+
+
+# --- incremental dedup: new batch vs existing corpus --------------------------
+
+_NEW_MOD, _NEW_REM = 10, 7
+
+_INCREMENTAL_ORACLE = f"""
+WITH {DUCK_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+       {_SIG_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ WHERE a.doc_id % {_NEW_MOD} <> {_NEW_REM}
+   AND b.doc_id % {_NEW_MOD} = {_NEW_REM}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % {_NEW_MOD} <> {_NEW_REM}
+    AND b.doc_id % {_NEW_MOD} = {_NEW_REM}
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       v.shared / CAST(sa.n + sb.n - v.shared AS DOUBLE) AS jaccard
+FROM cands c
+JOIN verified v ON v.id_a = c.id_a AND v.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE v.shared / CAST(sa.n + sb.n - v.shared AS DOUBLE) >= {MIN_JACCARD}
+"""
+
+
+@query("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental(spark, sf_dir):
+    """The production dedup shape: an INCOMING batch is checked
+    against the EXISTING corpus only (no old-vs-old or new-vs-new
+    pairs — those were settled in earlier runs). The new batch's LSH
+    bands are broadcast — a daily increment is tiny next to a 100 TB
+    corpus, so the corpus-side band index and shingle index never
+    reshuffle. In production the corpus signatures/bands are a
+    persisted table; here both sides derive from one pass."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        jaccard_for_pairs,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = shingle_index(docs, "doc_id", "text", 3).persist()
+    bands = lsh_bands(
+        minhash_signatures(idx, "doc_id", NUM_HASHES), "doc_id", BANDS, ROWS
+    )
+    is_new = F.col("doc_id") % _NEW_MOD == _NEW_REM
+    old_b = bands.filter(~is_new)
+    new_b = bands.filter(is_new).select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_key"
+    )
+    cands = (
+        old_b.join(F.broadcast(new_b), ["band_idx", "band_key"])
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    verified = jaccard_for_pairs(idx, cands, "doc_id")
+    return verified.filter(F.col("jaccard") >= MIN_JACCARD).select(
+        "id_a", "id_b", "jaccard"
+    )

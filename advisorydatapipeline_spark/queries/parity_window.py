@@ -162,3 +162,29 @@ def window_running_metrics(spark, sf_dir):
         .alias("running_value"),
         F.row_number().over(w).cast("int").alias("seq"),
     )
+
+
+@query(
+    "ntile_length_quartiles",
+    oracle="""
+SELECT lang, doc_id, n_chars,
+       CAST(ntile(4) OVER (
+         PARTITION BY lang ORDER BY n_chars, doc_id
+       ) AS INT) AS quartile
+FROM documents
+""",
+)
+def ntile_length_quartiles(spark, sf_dir):
+    """NTILE bucketing: per-language length quartiles — the split key
+    for curriculum/stratified sampling by document size. One window
+    shuffle on the shard key; deterministic tiebreak on doc_id."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
