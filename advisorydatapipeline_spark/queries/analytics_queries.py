@@ -8,6 +8,8 @@ analytics engine, each oracle-checked.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -240,4 +242,40 @@ def sketch_aggregates(spark, sf_dir):
         F.expr(
             "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
         ).alias("value_quantiles"),
+    )
+
+
+@query(
+    "udaf_quantized_sum",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS qvalue_sum,
+       CAST(count(value) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def udaf_quantized_sum(spark, sf_dir):
+    """Custom UDAF surface: a pandas grouped-agg UDF (Arrow-batched,
+    one call per group partition — the vectorized way to express an
+    aggregate Spark lacks). Integer quantization (floor(x*100), exact
+    in IEEE doubles both engines) makes the Python-side sum
+    bit-identical to the SQL oracle — proving the UDAF path is
+    value-correct, not just runnable. The built-in-expression twin of
+    this aggregation is `pricing_summary`'s decimal-sum pattern."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def qsum(v: pd.Series) -> int:
+        import numpy as np
+
+        return int(np.floor(v.dropna() * 100).astype("int64").sum())
+
+    @pandas_udf("long")
+    def nnotnull(v: pd.Series) -> int:
+        return int(v.notna().sum())
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        qsum("value").alias("qvalue_sum"), nnotnull("value").alias("n")
     )

@@ -269,3 +269,44 @@ def corpus_ngram_stats(spark, sf_dir):
         .limit(TOP_NGRAMS)
         .select("shingle", "doc_freq")
     )
+
+
+from advisorydatapipeline_spark.registry import ORACLES  # noqa: E402
+
+_udtf_count = 0
+
+
+@query("doc_chunks_udtf", oracle=ORACLES["doc_chunks"])
+def doc_chunks_udtf(spark, sf_dir):
+    """UDTF surface: the chunker as a Python user-defined TABLE
+    function (one eval per row, yields one row per chunk), lateral-
+    joined in SQL — same oracle as the native `doc_chunks`, proving
+    the UDTF path value-correct. The exploded-sequence native twin is
+    the hot path (JVM-side, codegen); this exists to cover Spark's
+    UDTF API the way `state_machine_udf` covers scalar UDFs."""
+    from pyspark.sql.functions import udtf
+
+    cc, st = CHUNK_CHARS, CHUNK_STRIDE
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_idx int, chunk_text string, chunk_len int"
+        )
+    )
+    class ChunkDocs:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            if not text:
+                return
+            for i, start in enumerate(range(0, len(text), st)):
+                piece = text[start : start + cc]
+                yield doc_id, i, piece, len(piece)
+
+    global _udtf_count
+    _udtf_count += 1
+    fname = f"adp_chunk_docs_{_udtf_count}"
+    vname = f"adp_docs_v_{_udtf_count}"
+    spark.udtf.register(fname, ChunkDocs)
+    load(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(vname)
+    return spark.sql(
+        f"SELECT c.* FROM {vname} v, LATERAL {fname}(v.doc_id, v.text) c"
+    )

@@ -173,6 +173,42 @@ def streaming_dedup_pairs(spark, sf_dir):
     return spark.table(name)
 
 
+@query(
+    "streaming_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static join: the event stream is enriched against the
+    static customer dimension per micro-batch (the dim is re-read /
+    broadcast each batch — the standard pattern for slowly-changing
+    lookups in a streaming pipeline), then aggregated per segment.
+    Exact decimal sums keep the drained result hash-equal to the
+    batch oracle."""
+    from advisorydatapipeline_spark.queries.helpers import load as _load
+
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return _run_to_memory(agg, spark)
+
+
 US_30MIN = 1_800_000_000
 
 
