@@ -245,3 +245,51 @@ def http_json_flatten(spark, sf_dir):
         F.to_json(F.map_from_entries(F.collect_list("e")))
     ).first()[0]
     return advisories_from_json(spark, [payload])
+
+
+@query(
+    "advisory_datasource_scan",
+    oracle="""
+SELECT s_name AS package_name,
+       'CVE-2024-' || CAST(s_suppkey AS VARCHAR) AS cve_id,
+       '1.' || CAST(s_nationkey AS VARCHAR) AS fixed_version
+FROM supplier
+""",
+)
+def advisory_datasource_scan(spark, sf_dir):
+    """S7 as a REAL pluggable source: the advisory feed read through a
+    custom Python DataSource (Spark 4 API) — declared schema,
+    hash-bucketed partitioned reads (4 executor-side parse tasks, not
+    a driver flatten), source-side CVE- prefix filter (planted
+    GHSA- keys must be dropped at the source). Same supplier-derived
+    payload and oracle as `http_json_flatten`, so the two S7 paths
+    are checked value-identical."""
+    import json as _json
+
+    from advisorydatapipeline_spark.sources.advisory_source import register
+
+    tag = "advjson_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    path = Path(base) / "advisories.json"
+    if not path.exists():
+        rows = (
+            load(spark, sf_dir, "supplier")
+            .select("s_name", "s_suppkey", "s_nationkey")
+            .collect()
+        )
+        payload = {
+            r.s_name: {
+                f"CVE-2024-{r.s_suppkey}": {"fixed_version": f"1.{r.s_nationkey}"},
+                # non-CVE key: the source-side prefix filter must drop it
+                f"GHSA-{r.s_suppkey}": {"fixed_version": "9.9"},
+            }
+            for r in rows
+        }
+        path.write_text(_json.dumps(payload))
+    register(spark)
+    return (
+        spark.read.format("advisory")
+        .option("path", str(path))
+        .option("numPartitions", "4")
+        .load()
+    )

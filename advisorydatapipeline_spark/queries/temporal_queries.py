@@ -108,3 +108,81 @@ def range_join_views_before_purchase(spark, sf_dir):
         # straddle a boundary
         F.expr("p_ts DIV 1000 - v_ts DIV 1000").alias("gap_us"),
     )
+
+
+from advisorydatapipeline_spark.registry import ORACLES  # noqa: E402
+
+
+@query("asof_join_cogrouped", oracle=ORACLES["asof_join_last_view"])
+def asof_join_cogrouped(spark, sf_dir):
+    """Cogroup API surface: the as-of join as
+    ``groupBy(user).cogroup(...).applyInPandas`` with
+    ``pd.merge_asof`` per user — same oracle as the native
+    union+window twin (`asof_join_last_view`), proving the cogrouped
+    path value-identical. The native twin is the hot path; this
+    covers the escape hatch for per-key logic Spark expressions
+    can't say.
+
+    Precision notes: null-ts purchases are split out Spark-side
+    (pandas would coerce the int64 ns column to float64, whose ulp at
+    1.7e18 is 256 ns); inside pandas, only µs-scale integers (< 2^53,
+    float-exact) ride through the NaN-able merged columns."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = (
+        ev.filter(
+            (F.col("event_type") == "view") & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("view_event_id"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    p_ok = p.filter(F.col("ts").isNotNull())
+    p_null = p.filter(F.col("ts").isNull())
+
+    schema = (
+        "event_id long, user_id long, purchase_ts_us long, "
+        "view_event_id long, view_ts_us long, view_value double"
+    )
+
+    def merge(pdf_p: pd.DataFrame, pdf_v: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            "event_id", "user_id", "purchase_ts_us",
+            "view_event_id", "view_ts_us", "view_value",
+        ]
+        if len(pdf_p) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        vv = pdf_v.sort_values(["ts", "view_event_id"]).drop_duplicates(
+            subset="ts", keep="last"
+        )
+        vv = vv.assign(view_ts_us=vv["ts"] // 1000)[
+            ["ts", "view_event_id", "view_ts_us", "view_value"]
+        ]
+        pp = pdf_p.sort_values("ts")
+        m = pd.merge_asof(pp, vv, on="ts", direction="backward")
+        m = m.assign(purchase_ts_us=m["ts"] // 1000)
+        m["view_event_id"] = m["view_event_id"].astype("Int64")
+        m["view_ts_us"] = m["view_ts_us"].astype("Int64")
+        return m[cols]
+
+    matched = (
+        p_ok.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )
+    unmatched = p_null.select(
+        "event_id",
+        "user_id",
+        F.lit(None).cast("long").alias("purchase_ts_us"),
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("long").alias("view_ts_us"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    return matched.unionByName(unmatched)

@@ -1,0 +1,73 @@
+"""Custom Python DataSource (Spark 4 API): the advisory feed as a
+first-class ``spark.read.format("advisory")`` source.
+
+The reference's HTTP-JSON advisory feed
+(`ingest/fetch/echo_advisory/fetch.py:16-43`) is a driver-side fetch
++ Python flatten. `sources/http_json.py` re-expresses the flatten as
+a DataFrame plan; THIS module goes one step further and makes the
+feed a real pluggable source: schema declaration, partitioned
+parallel reads (packages hash-bucketed across ``numPartitions``), and
+the ``CVE-`` prefix filter applied at the source. Executors each
+parse only their package bucket — on a real deployment the payload
+sits in object storage and each partition range-reads it; the
+partition/read split is exactly the shape that needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+ADVISORY_SCHEMA = "package_name string, cve_id string, fixed_version string"
+
+
+def _bucket(pkg: str, n: int) -> int:
+    # process-stable hash (builtin hash() is salted per interpreter)
+    return int(hashlib.md5(pkg.encode()).hexdigest()[:8], 16) % n
+
+
+class AdvisoryDataSource(DataSource):
+    """``format("advisory")`` — options: path (JSON file of
+    ``{package: {cve_id: {fixed_version}}}``), numPartitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "advisory"
+
+    def schema(self) -> str:
+        return ADVISORY_SCHEMA
+
+    def reader(self, schema):  # noqa: ANN001
+        return AdvisoryReader(self.options)
+
+
+class AdvisoryReader(DataSourceReader):
+    def __init__(self, options):  # noqa: ANN001
+        self.path = options["path"]
+        self.n = int(options.get("numPartitions", "4"))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n)]
+
+    def read(self, partition):  # noqa: ANN001
+        with open(self.path) as f:
+            payload = json.load(f)
+        want = partition.value
+        for pkg, cves in payload.items():
+            if _bucket(pkg, self.n) != want:
+                continue
+            for cve_id, info in cves.items():
+                if not cve_id.startswith("CVE-"):
+                    continue
+                yield (pkg, cve_id, (info or {}).get("fixed_version"))
+
+
+def register(spark) -> None:  # noqa: ANN001
+    """Idempotent registration of the advisory source."""
+    spark.dataSource.register(AdvisoryDataSource)
