@@ -51,8 +51,31 @@ class AdvisoryReader(DataSourceReader):
     def __init__(self, options):  # noqa: ANN001
         self.path = options["path"]
         self.n = int(options.get("numPartitions", "4"))
+        self.pkg_eq: str | None = None
+        self.cve_prefix: str | None = None
+
+    def pushFilters(self, filters):  # noqa: ANN001
+        """Source-side pushdown: package equality prunes whole package
+        buckets before parse; cve prefix narrows inside a package.
+        Everything else is returned for Spark to evaluate."""
+        from pyspark.sql.datasource import EqualTo, StringStartsWith
+
+        remaining = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("package_name",):
+                self.pkg_eq = f.value
+            elif isinstance(f, StringStartsWith) and f.attribute == (
+                "cve_id",
+            ):
+                self.cve_prefix = f.value
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
+        if self.pkg_eq is not None:
+            # equality on the bucket key -> a single-partition read
+            return [InputPartition(_bucket(self.pkg_eq, self.n))]
         return [InputPartition(i) for i in range(self.n)]
 
     def read(self, partition):  # noqa: ANN001
@@ -62,12 +85,23 @@ class AdvisoryReader(DataSourceReader):
         for pkg, cves in payload.items():
             if _bucket(pkg, self.n) != want:
                 continue
+            if self.pkg_eq is not None and pkg != self.pkg_eq:
+                continue
             for cve_id, info in cves.items():
                 if not cve_id.startswith("CVE-"):
+                    continue
+                if self.cve_prefix is not None and not cve_id.startswith(
+                    self.cve_prefix
+                ):
                     continue
                 yield (pkg, cve_id, (info or {}).get("fixed_version"))
 
 
 def register(spark) -> None:  # noqa: ANN001
-    """Idempotent registration of the advisory source."""
+    """Idempotent registration of the advisory source. Also enables
+    Python-source filter pushdown — without the conf, Spark refuses to
+    read ANY source whose reader implements pushFilters (and the conf
+    must hold under a caller-provided bare session, like nanosAsLong
+    in queries/helpers.py)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(AdvisoryDataSource)

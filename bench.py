@@ -26,6 +26,7 @@ HEADLINE = [
     "flagship_advisory_resolution",
     "pricing_summary",
     "revenue_topn",
+    "local_supplier_revenue",
     "sessionization",
     "window_top1_per_key",
     "grouped_max_by",
@@ -34,13 +35,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_incremental",
     "dedup_simhash64",
     "dedup_clusters",
     "decontaminate_overlap",
     "repetition_stats",
     "jdbc_live_scan",
-    "http_json_flatten",
+    "advisory_datasource_scan",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_quality",

@@ -76,3 +76,33 @@ def test_registry_ingestion_stages_and_registers(spark, tmp_path, sf_dir):
         tmp_path / "staging" / "run_id=20240101_000000" / "sources" / "region"
     )
     assert staged.exists()
+
+
+def test_advisory_datasource_pushdown(spark, tmp_path):
+    import json
+
+    from advisorydatapipeline_spark.sources.advisory_source import register
+
+    payload = {
+        f"pkg{i}": {
+            f"CVE-2024-{i}": {"fixed_version": f"1.{i}"},
+            f"GHSA-{i}": {"fixed_version": "9.9"},
+        }
+        for i in range(20)
+    }
+    p = tmp_path / "adv.json"
+    p.write_text(json.dumps(payload))
+    register(spark)
+    df = (
+        spark.read.format("advisory")
+        .option("path", str(p))
+        .option("numPartitions", "4")
+        .load()
+    )
+    # full scan: GHSA keys dropped at the source
+    assert df.count() == 20
+    assert df.rdd.getNumPartitions() == 4
+    # package equality pushes into partition planning: 1 bucket read
+    one = df.filter(df.package_name == "pkg7")
+    assert [r.cve_id for r in one.collect()] == ["CVE-2024-7"]
+    assert one.rdd.getNumPartitions() == 1
