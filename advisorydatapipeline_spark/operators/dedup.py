@@ -334,27 +334,54 @@ def simhash64_bands(
     toked = toked.repartition(
         df.sparkSession.sparkContext.defaultParallelism, id_col
     )
+    # lane-packing guard: 4 x 16-bit counters share one BIGINT, so a
+    # doc may not have >= 2^16 distinct tokens (lanes would carry).
+    # Real corpora chunk long docs far below this; fail loudly if not.
+    toked = toked.withColumn(
+        "_ts",
+        F.when(
+            F.size("_ts") < 65536, F.col("_ts")
+        ).otherwise(
+            F.raise_error(
+                F.lit("simhash64: >=65536 distinct tokens in one doc")
+            )
+        ),
+    )
     tok = (
         toked.select(F.col(id_col), F.explode("_ts").alias("tok"))
         .withColumn("h1", hash64(F.col("tok")))
         .withColumn("h2", hash64(F.concat(F.col("tok"), F.lit("#2"))))
     )
-    # Vote sums as SQL-string expressions: sum the raw extracted bit
-    # (vote_b = 2*sum_b - n, so "vote >= 0" is "2*sum_b >= n") instead
-    # of a per-bit +-1 CASE — half the generated aggregate code — and
-    # one F.expr per column instead of a deep py4j Column tree (the
-    # tree version spent ~2.7s of DRIVER time just building the plan).
-    bit_sums = [
+    # Vote sums, 4 bit-counters PACKED per aggregate column (bits
+    # 4g..4g+3 at 16-bit lanes): 17 agg columns instead of 65 — the
+    # 65-column version spent ~7s in first-run Janino codegen compile.
+    # Lane sums are exact (no carry below 2^16 tokens), and everything
+    # is built from SQL strings: a deep py4j Column tree costs seconds
+    # of driver time at this width. vote_b >= 0 becomes
+    # 2*lane_count_b >= n (sum of +-1 votes == 2*ones - n).
+    def bit(b: int) -> str:
+        return f"(shiftright({'h1' if b < 32 else 'h2'}, {b % 32}) & 1)"
+
+    packed = [
         F.expr(
-            f"sum(shiftright({'h1' if b < 32 else 'h2'}, {b % 32}) & 1)"
-        ).alias(f"s_{b}")
-        for b in range(n_bits)
+            "sum("
+            + " + ".join(
+                f"({bit(4 * g + j)} << {16 * j})" for j in range(4)
+            )
+            + ")"
+        ).alias(f"p_{g}")
+        for g in range(n_bits // 4)
     ]
-    agg = tok.groupBy(id_col).agg(*bit_sums, F.count("*").alias("n"))
+    agg = tok.groupBy(id_col).agg(*packed, F.count("*").alias("n"))
+
+    def lane(b: int) -> str:
+        return f"((p_{b // 4} >> {16 * (b % 4)}) & 65535)"
+
     band_exprs = [
         "CAST("
         + " + ".join(
-            f"(CASE WHEN 2 * s_{bd * band_bits + r} >= n THEN {2**r} ELSE 0 END)"
+            f"(CASE WHEN 2 * {lane(bd * band_bits + r)} >= n "
+            f"THEN {2**r} ELSE 0 END)"
             for r in range(band_bits)
         )
         + f" AS BIGINT) AS band_{bd}"
