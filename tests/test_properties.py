@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): operator invariants that a
+fixed example can miss. Each example batches all generated rows into
+ONE Spark job to keep round trips cheap."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.curation import (
+    chunk_text,
+    pack_sequences,
+    sample_by_hash,
+)
+from advisorydatapipeline_spark.operators.graph import connected_components
+
+_slow = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(alphabet="ab x", min_size=0, max_size=40), min_size=1, max_size=20
+)
+
+
+@_slow
+@given(texts=texts, cc=st.integers(1, 12), stride=st.integers(1, 12))
+def test_chunk_text_invariants(spark, texts, cc, stride):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_text(
+        df, "doc_id", "text", chunk_chars=cc, stride=stride
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        n_expected = 0 if not t else (len(t) + stride - 1) // stride
+        assert len(got) == n_expected
+        for r in got:
+            start = r.chunk_idx * stride
+            assert r.chunk_text == t[start : start + cc]
+            assert r.chunk_len == len(r.chunk_text)
+
+
+@_slow
+@given(
+    toks=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 40)),
+        min_size=1,
+        max_size=30,
+    ),
+    ctx=st.integers(1, 50),
+)
+def test_pack_sequences_invariants(spark, toks, ctx):
+    rows = [(i, lang, n) for i, (lang, n) in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = pack_sequences(df, "lang", "doc_id", "n", ctx_tokens=ctx).collect()
+    assert len(out) == len(rows)
+    by_lang: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        cum = 0
+        for r in rs:
+            assert 0 <= r.seq_offset < ctx
+            assert r.seq_id == cum // ctx
+            assert r.seq_offset == cum % ctx
+            cum += r.n
+
+
+@_slow
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_vs_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # brute-force union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    assert got == expected
+
+
+def test_sample_by_hash_deterministic_and_monotone(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    all_rows = sample_by_hash(df, "k", F.lit(100)).count()
+    none_rows = sample_by_hash(df, "k", F.lit(0)).count()
+    half_a = {r.k for r in sample_by_hash(df, "k", F.lit(50)).collect()}
+    half_b = {r.k for r in sample_by_hash(df, "k", F.lit(50)).collect()}
+    bigger = {r.k for r in sample_by_hash(df, "k", F.lit(80)).collect()}
+    assert all_rows == 500 and none_rows == 0
+    assert half_a == half_b  # deterministic
+    assert half_a <= bigger  # rate increase only adds rows
