@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # custom Python DataSources (sources/advisory_source.py)
+        # implement pushFilters; reads fail without this conf
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read as epoch-nanos long (ordering
         # is identical; convert with F.timestamp_micros(ns div 1000))

@@ -46,3 +46,19 @@ def test_entry_survives_bare_session(bare_conf_session):
 
     bare_conf_session.conf.unset(NANOS_CONF)
     assert e.entry(bare_conf_session).count() > 0
+
+
+PYFILTER_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
+def test_advisory_source_survives_bare_session(spark, sf_dir):
+    """The custom DataSource implements pushFilters, which Spark
+    refuses to read unless the python filterPushdown conf is on; the
+    source's register() must re-establish it (same contract as
+    nanosAsLong in helpers.load)."""
+    spark.conf.unset(PYFILTER_CONF)
+    try:
+        df = QUERIES["advisory_datasource_scan"](spark, sf_dir)
+        assert df.count() > 0
+    finally:
+        spark.conf.set(PYFILTER_CONF, "true")

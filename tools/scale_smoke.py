@@ -1,0 +1,141 @@
+"""Scale-behavior smoke: measure how the dedup/curation operators'
+wall time grows as the corpus multiplies.
+
+The sf tables cap out at sf0.1 (5k docs), so this synthesizes larger
+corpora by replicating sf0.1 `documents` R times with perturbed tails
+(replicas become NEAR-dups of each other — the worst realistic load
+for near-dup mining: every document belongs to an R-sized clone
+cluster). It then times the core operators at R in {1, 2, 4} and
+prints time ratios next to the input ratios. Sub-linear or ~linear
+ratios = the plan scales; super-linear = a blowup the df-cap/banding
+should have prevented.
+
+Usage: python tools/scale_smoke.py [sf_dir] (writes SCALE.md)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from advisorydatapipeline_spark.session import get_spark  # noqa: E402
+from advisorydatapipeline_spark.operators.dedup import (  # noqa: E402
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_near_dupes,
+    shingle_index,
+    simhash64_near_dupes,
+)
+from advisorydatapipeline_spark.operators.graph import (  # noqa: E402
+    connected_components,
+)
+
+REPLICAS = [1, 2, 4]
+MAX_DOC_FREQ = 100
+MIN_JACCARD = 0.4
+
+
+def corpus(spark, sf_dir: str, r: int, base: str) -> str:
+    """Replicate documents r times with perturbed tails; parquet out."""
+    path = f"{base}/docs_x{r}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_r"),
+        "doc_id",
+        "text",
+        "lang",
+    ).select(
+        (F.col("doc_id") + F.col("_r") * 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail"), F.col("_r").cast("string")).alias(
+            "text"
+        ),
+        "lang",
+    )
+    big.write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 2)
+
+
+def run(spark, path: str) -> dict[str, float]:
+    docs = spark.read.parquet(path)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    out["exact_dedup"] = timed(
+        lambda: noop(exact_dedup_groups(docs, "doc_id", "text"))
+    )
+    out["minhash_lsh"] = timed(
+        lambda: noop(
+            minhash_near_dupes(
+                docs, "doc_id", "text", max_doc_freq=MAX_DOC_FREQ
+            )
+        )
+    )
+    out["simhash64"] = timed(
+        lambda: noop(simhash64_near_dupes(docs, "doc_id", "text"))
+    )
+
+    def clusters():
+        idx = shingle_index(
+            docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+        ).persist()
+        pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
+        noop(connected_components(pairs, "id_a", "id_b"))
+        idx.unpersist()
+
+    out["jaccard_cc"] = timed(clusters)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-smoke")
+    base = tempfile.mkdtemp(prefix="adp_scale_")
+    results: dict[int, dict[str, float]] = {}
+    counts: dict[int, int] = {}
+    for r in REPLICAS:
+        path = corpus(spark, sf_dir, r, base)
+        counts[r] = spark.read.parquet(path).count()
+        # warm-up once at the smallest size so codegen/JIT one-time
+        # costs don't masquerade as scaling
+        if r == REPLICAS[0]:
+            run(spark, path)
+        results[r] = run(spark, path)
+        print(f"x{r} ({counts[r]} docs): {results[r]}", flush=True)
+
+    ops = list(results[REPLICAS[0]].keys())
+    lines = [
+        "# SCALE — operator scaling smoke\n",
+        f"Replicated sf0.1 documents (perturbed tails => R-sized "
+        f"near-dup clone clusters, the worst realistic near-dup load). "
+        f"Base corpus {counts[REPLICAS[0]]} docs; JIT warmed before "
+        "measurement.\n",
+        "| op | " + " | ".join(f"x{r} ({counts[r]} docs)" for r in REPLICAS)
+        + " | t(x4)/t(x1) vs 4.0 input ratio |",
+        "|---|" + "---|" * (len(REPLICAS) + 1),
+    ]
+    for op in ops:
+        ts = [results[r][op] for r in REPLICAS]
+        ratio = round(ts[-1] / ts[0], 2) if ts[0] else float("nan")
+        lines.append(
+            f"| {op} | " + " | ".join(f"{t}s" for t in ts) + f" | {ratio} |"
+        )
+    with open("SCALE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("SCALE.md written")
+
+
+if __name__ == "__main__":
+    main()
