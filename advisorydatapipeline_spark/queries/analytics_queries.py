@@ -279,3 +279,88 @@ def udaf_quantized_sum(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         qsum("value").alias("qvalue_sum"), nnotnull("value").alias("n")
     )
+
+
+@query(
+    "zscore_anomalies",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         CAST(count(value) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s.s1 / s.n)
+         / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((e.value - s.s1 / s.n)
+          / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 3
+""",
+)
+def zscore_anomalies(spark, sf_dir):
+    """Per-group z-score outlier flags — the monitoring query over a
+    metric stream. Moments come from EXACT decimal sums (sum, sum of
+    squares), so mean/stddev are bit-identical across engines and
+    partitionings; the per-row z and the |z|>3 cut are then plain IEEE
+    arithmetic. One partial-agg shuffle for the 5-row stats dim,
+    broadcast back onto the fact scan."""
+    ev = load(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.count("value").alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(
+        F.col("s2") / F.col("n") - mean * mean
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
+       ) AS valid_to_us,
+       CAST(lead(epoch_us(ts)) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
+       ) IS NULL AS BOOLEAN) AS is_current,
+       value
+FROM events
+WHERE ts IS NOT NULL
+""",
+)
+def scd2_intervals(spark, sf_dir):
+    """SCD2 interval construction: each change record's validity
+    window [valid_from, valid_to) comes from lead() over the change
+    stream per key — the standard dimension-history build, one window
+    shuffle, no self-join. Open intervals (lead IS NULL) are the
+    current rows."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    nxt = F.lead(F.expr("ts DIV 1000")).over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )
