@@ -131,3 +131,40 @@ def ttl_cache_merge(spark, sf_dir):
         "source_name",
         F.unix_micros(F.col("last_accessed")).alias("last_accessed_us"),
     )
+
+
+@query(
+    "arrow_doc_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def arrow_doc_stats(spark, sf_dir):
+    """mapInArrow surface: per-batch Arrow-native compute (no pandas
+    materialization at all — `pyarrow.compute` kernels on the
+    RecordBatch). The zero-copy lane for binary/tensor payloads where
+    even the pandas bridge is overhead. Value-gated: char and byte
+    lengths must match the engine exactly (multibyte text would split
+    them)."""
+    import pyarrow as pa
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+                    pc.cast(pc.binary_length(b.column("text")), pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_bytes"],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats, "doc_id long, n_chars long, n_bytes long"
+    )

@@ -101,3 +101,38 @@ def skew_salted_agg(spark, sf_dir):
         "min_ship",
         "max_ship",
     )
+
+
+@query(
+    "grouping_sets_returns",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+""",
+)
+def grouping_sets_returns(spark, sf_dir):
+    """Explicit GROUPING SETS through the DataFrame API (Spark 4
+    ``groupingSets``): an arbitrary set list — (flag, status),
+    (status), grand total — that ROLLUP/CUBE can't express. Same
+    one-pass Expand + partial-agg plan as `time_rollup`; grouping_id
+    disambiguates the NULL rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
