@@ -168,3 +168,54 @@ def arrow_doc_stats(spark, sf_dir):
     return docs.mapInArrow(
         stats, "doc_id long, n_chars long, n_bytes long"
     )
+
+
+FPS, SAMPLE_EVERY = 24, 48  # 24 fps, sample every 2 seconds
+
+
+@query(
+    "media_frame_sampling",
+    oracle=f"""
+WITH v AS (
+  SELECT doc_id AS media_id,
+         CAST((10 + doc_id % 50) * {FPS} AS BIGINT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, n_frames,
+       CAST(f AS BIGINT) AS frame_idx,
+       (f * 1000) // {FPS} AS frame_ts_ms
+FROM v, unnest(generate_series(0, n_frames - 1, {SAMPLE_EVERY})) AS t(f)
+""",
+)
+def media_frame_sampling(spark, sf_dir):
+    """Frame-sampling PLAN for the video rows: which frame indices to
+    decode (every 2 s at 24 fps) and their timestamps — the part of
+    video processing that is pure relational math (sequence +
+    explode, no shuffle, no codec). The decode of each sampled frame
+    is the documented stub in operators/multimodal.py; duration here
+    is synthesized deterministically from the id (the parquet has no
+    real container metadata)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    )
+    v = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ((10 + F.col("doc_id") % 50) * FPS).cast("long").alias("n_frames"),
+    )
+    return (
+        v.select(
+            "media_id",
+            "n_frames",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(SAMPLE_EVERY)
+                )
+            ).alias("_f"),
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            F.col("_f").cast("long").alias("frame_idx"),
+        )
+        .withColumn("frame_ts_ms", F.expr(f"(frame_idx * 1000) DIV {FPS}"))
+    )
