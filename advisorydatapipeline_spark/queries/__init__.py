@@ -14,6 +14,7 @@ from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     parity_sets,
     parity_window,
     quality_queries,
+    ranking_queries,
     rollup_queries,
     temporal_queries,
     similarity_queries,
