@@ -13,6 +13,7 @@ from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     parity_scans,
     parity_sets,
     parity_window,
+    pipeline_queries,
     quality_queries,
     ranking_queries,
     rollup_queries,
