@@ -64,6 +64,10 @@ HEADLINE = [
     "json_extract_props",
     "window_analytics",
     "pivot_event_matrix",
+    "tfidf_top_terms",
+    "curation_pipeline",
+    "small_qty_brand_revenue",
+    "priority_semi_join",
 ]
 
 
