@@ -17,6 +17,7 @@ from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     quality_queries,
     ranking_queries,
     rollup_queries,
+    sequence_queries,
     temporal_queries,
     tpch_shapes,
     similarity_queries,

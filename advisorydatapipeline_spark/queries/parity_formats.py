@@ -293,3 +293,31 @@ def advisory_datasource_scan(spark, sf_dir):
         .option("numPartitions", "4")
         .load()
     )
+
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), True),
+        T.StructField("c_name", T.StringType(), True),
+        T.StructField("c_nationkey", T.IntegerType(), True),
+        T.StructField("c_acctbal", T.DoubleType(), True),
+        T.StructField("c_mktsegment", T.StringType(), True),
+    ]
+)
+
+
+@query(
+    "orc_scan_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM customer",
+)
+def orc_scan_roundtrip(spark, sf_dir):
+    """ORC format arm (columnar twin to the parquet path — same
+    predicate-pushdown/column-pruning machinery in Spark's reader)
+    proven by parquet -> ORC -> read-back against the parquet oracle.
+    Avro is the one mainstream format not proven live here: its jar is
+    an external Spark module not present in this container (read_table
+    gains it for free via the generic format passthrough)."""
+    path = _dir("orc")
+    load(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
+    return read_table(spark, path, CUSTOMER_SCHEMA, fmt="orc")

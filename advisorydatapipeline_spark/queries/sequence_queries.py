@@ -1,0 +1,179 @@
+"""Ordered-sequence, higher-order-function, and rank-distribution
+queries with DuckDB oracles.
+
+- ``ewma_user_values``: a per-key *sequential recurrence* — the class
+  of computation SQL aggregates can't express (each output depends on
+  the previous). Spark side: applyInPandas per user, rows sorted by
+  (ts, event_id); oracle side: DuckDB ``list_reduce`` over the same
+  ordered window list. The recurrence runs in pure non-negative
+  integer arithmetic (``(7*acc + 3*x) DIV 10`` on cents), so both
+  engines produce bit-identical values. (Python ``//`` floors while
+  DuckDB ``//`` truncates — they only agree on non-negatives, which
+  quantized cents of a positive-valued column guarantee.)
+- ``embedding_norms``: array higher-order functions (transform +
+  aggregate fold) — the JVM-side way to compute per-vector stats
+  without exploding 64 rows per embedding or leaving codegen.
+- ``rank_distribution`` / ``conditional_aggregates``: percent_rank /
+  cume_dist (rational counts — one exact double division per row) and
+  ANSI ``FILTER`` clause aggregation, same SQL text on both engines.
+
+100 TB notes: EWMA shuffles once on the user key and streams each
+group through Arrow; HOF norms are narrow per-row work inside the
+scan; rank windows shuffle on their partition key only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+EWMA_OUT = (
+    "user_id long, event_id long, ts_us long, cents long, ewma long"
+)
+
+
+@query(
+    "ewma_user_values",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(ts) AS ts_us,
+       CAST(floor(value * 100) AS BIGINT) AS cents,
+       list_reduce(
+         list(CAST(floor(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING),
+         (acc, x) -> (7 * acc + 3 * x) // 10
+       ) AS ewma
+FROM events
+WHERE ts IS NOT NULL
+""",
+)
+def ewma_user_values(spark, sf_dir):
+    """Per-user running EWMA (alpha=0.3, integer cents) over events in
+    (ts, event_id) order — a sequential per-key recurrence via
+    applyInPandas. The group is sorted inside the UDF: Spark does NOT
+    guarantee intra-group row order into applyInPandas, so relying on
+    upstream sort order would be a latent scale bug."""
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        acc = 0
+        out = []
+        for i, c in enumerate(pdf["cents"]):
+            acc = int(c) if i == 0 else (7 * acc + 3 * int(c)) // 10
+            out.append(acc)
+        pdf["ewma"] = pd.Series(out, dtype="int64")
+        return pdf[["user_id", "event_id", "ts_us", "cents", "ewma"]]
+
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    prepared = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandas(ewma, EWMA_OUT)
+
+
+QUANT = 10_000
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+SELECT vec_id, label,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(list_sum(list_transform(embedding,
+              x -> CAST(round(x * {QUANT}) AS BIGINT)
+                   * CAST(round(x * {QUANT}) AS BIGINT))) AS BIGINT)
+         AS qnorm2,
+       CAST(list_max(list_transform(embedding,
+              x -> CAST(round(x * {QUANT}) AS BIGINT))) AS BIGINT) AS qmax
+FROM embeddings
+""",
+)
+def embedding_norms(spark, sf_dir):
+    """Per-vector stats via array HOFs (transform + aggregate fold +
+    array_max) — no explode, no Python, stays in codegen. Components
+    quantize to 1e-4 grid (round-half-away-from-zero matches in both
+    engines) so the squared norm is exact BIGINT."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x * QUANT).cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("qnorm2"),
+        F.array_max(q).alias("qmax"),
+    )
+
+
+@query(
+    "rank_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def rank_distribution(spark, sf_dir):
+    """percent_rank / cume_dist within order-priority groups. Both are
+    rational counts finished by ONE double division per row — exact
+    and engine-portable (unlike float running sums). Unique tiebreak
+    (o_orderkey) makes ranks deterministic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "conditional_aggregates",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+       CAST(count(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT)
+         AS n_high_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            FILTER (WHERE value > 50) AS DOUBLE) AS high_total
+FROM events
+GROUP BY event_type
+""",
+)
+def conditional_aggregates(spark, sf_dir):
+    """ANSI FILTER-clause aggregation (conditional counts/sums without
+    CASE scaffolding) — identical SQL text runs on Spark and DuckDB;
+    distinct-count under a filter exercises the expand-based distinct
+    aggregation path."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high"),
+        F.expr(
+            "CAST(count(DISTINCT user_id) FILTER (WHERE value > 50) "
+            "AS BIGINT) AS n_high_users"
+        ),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) "
+            "FILTER (WHERE value > 50) AS DOUBLE) AS high_total"
+        ),
+    )

@@ -93,8 +93,12 @@ def read_table(
         df = reader.schema(schema).json(targets)
     elif fmt == "csv":
         df = reader.schema(schema).option("header", str(header).lower()).csv(targets)
+    elif fmt == "orc":
+        df = reader.orc(*targets)
     else:
-        raise ValueError(f"unsupported format: {fmt}")
+        # generic DataSourceV2 passthrough (e.g. "avro" when its
+        # external module jar is deployed)
+        df = reader.schema(schema).format(fmt).load(targets)
     return conform(df, schema)
 
 
@@ -125,8 +129,10 @@ def write_table(
         writer.json(path)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
-        raise ValueError(f"unsupported format: {fmt}")
+        writer.format(fmt).save(path)
 
 
 def register_view(df: DataFrame, name: str, *, global_view: bool = False) -> None:
