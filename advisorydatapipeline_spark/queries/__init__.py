@@ -22,5 +22,6 @@ from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     tpch_shapes,
     similarity_queries,
     streaming_queries,
+    structured_queries,
     text_analysis,
 )

@@ -1,0 +1,132 @@
+"""MapType, RANGE-frame window, and CUBE coverage with oracles.
+
+- ``props_map_stats``: JSON -> typed ``map<string,long>`` -> explode —
+  the MapType path (from_json/explode_outer stay JVM-side; the
+  reference parses JSON in driver Python, fetch.py:16-43).
+- ``range_frame_rolling_sum``: a RANGE window frame over event-time
+  nanoseconds — value-based frames are a different physical window
+  operator than ROWS frames (peer groups by ordering value), and the
+  60-minute rolling metric is the canonical time-series feature.
+  Sums run on quantized integer cents: exact, order-independent.
+- ``cube_event_matrix``: CUBE totals with grouping_id (Spark) /
+  GROUPING (DuckDB) — bit order verified to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+
+@query(
+    "props_map_stats",
+    oracle="""
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key,
+         CAST(json_extract(props, '$.' || unnest(json_keys(props)))
+              AS BIGINT) AS val
+  FROM events WHERE props IS NOT NULL
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(val) AS BIGINT) AS min_val,
+       CAST(max(val) AS BIGINT) AS max_val,
+       CAST(sum(val) AS BIGINT) AS sum_val
+FROM kv GROUP BY key
+""",
+)
+def props_map_stats(spark, sf_dir):
+    """Typed-map JSON flatten: from_json to map<string,long>, explode
+    to (key, val) rows, aggregate per key. All JVM-side — the scan
+    stage does the parse, nothing reaches Python."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json(
+        "props", T.MapType(T.StringType(), T.LongType())
+    ).alias("m")
+    kv = ev.select(F.explode(m).alias("key", "val"))
+    return kv.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("val").cast("long").alias("min_val"),
+        F.max("val").cast("long").alias("max_val"),
+        F.sum("val").cast("long").alias("sum_val"),
+    )
+
+
+NS_HOUR = 3_600_000_000_000
+
+
+@query(
+    "range_frame_rolling_sum",
+    oracle=f"""
+SELECT user_id, event_id,
+       epoch_us(ts) AS ts_us,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_ns(ts)
+         RANGE BETWEEN {NS_HOUR} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_cents,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_ns(ts)
+         RANGE BETWEEN {NS_HOUR} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_in_window
+FROM events
+WHERE ts IS NOT NULL
+""",
+)
+def range_frame_rolling_sum(spark, sf_dir):
+    """60-minute rolling (sum, count) per user via a RANGE frame over
+    epoch-ns — the value-based frame operator (peers = equal ordering
+    value), distinct from ROWS frames. Integer cents keep the running
+    sum exact under any evaluation order. One shuffle on the user
+    key; the frame is evaluated with a sliding aggregator, not
+    per-row rescans."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-NS_HOUR, 0)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.sum(cents).over(w).cast("long").alias("rolling_cents"),
+        F.count("*").over(w).cast("long").alias("n_in_window"),
+    )
+
+
+@query(
+    "cube_event_matrix",
+    oracle="""
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) * 2
+            + GROUPING(CAST(json_extract(props, '$.k') AS BIGINT) % 10)
+            AS BIGINT) AS gid
+FROM events
+WHERE props IS NOT NULL
+GROUP BY CUBE (event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 10)
+""",
+)
+def cube_event_matrix(spark, sf_dir):
+    """CUBE over (event_type, k_bucket): all four grouping-set levels
+    in one pass (Expand under the hood — one shuffle), grouping_id
+    disambiguates real NULLs from subtotal rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k_bucket = (
+        F.get_json_object("props", "$.k").cast("long") % 10
+    ).alias("k_bucket")
+    return (
+        ev.select("event_type", k_bucket)
+        .cube("event_type", "k_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )

@@ -34,6 +34,10 @@ from advisorydatapipeline_spark.operators.dedup import (  # noqa: E402
 from advisorydatapipeline_spark.operators.graph import (  # noqa: E402
     connected_components,
 )
+from advisorydatapipeline_spark.operators.ranking import (  # noqa: E402
+    span_dup_profile,
+    tfidf_topk,
+)
 
 REPLICAS = [1, 2, 4]
 MAX_DOC_FREQ = 100
@@ -96,6 +100,12 @@ def run(spark, path: str) -> dict[str, float]:
         idx.unpersist()
 
     out["jaccard_cc"] = timed(clusters)
+    out["tfidf_topk"] = timed(
+        lambda: noop(tfidf_topk(docs, "doc_id", "text", k=5))
+    )
+    out["span_dup"] = timed(
+        lambda: noop(span_dup_profile(docs, "doc_id", "text", n=3, hot_df=4))
+    )
     return out
 
 
