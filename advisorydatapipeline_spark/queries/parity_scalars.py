@@ -12,6 +12,7 @@ surfaces equivalent, which the reference only asserted via unit tests
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.operators.state_machine import (
@@ -118,4 +119,70 @@ def state_machine_udf(spark, sf_dir):
     oracle as the native version — an executed equivalence proof."""
     return with_transition_udf(
         _derived_states(spark, sf_dir), "from_state", "to_state"
+    )
+
+
+@query(
+    "scalar_pandas_udf_quantize",
+    oracle="""
+SELECT event_id,
+       CAST(floor(value * 100) AS BIGINT) AS cents,
+       CAST(floor(value * 100) AS BIGINT) % 97 AS shard
+FROM events
+""",
+)
+def scalar_pandas_udf_quantize(spark, sf_dir):
+    """The remaining UDF flavor: a scalar (series->series) pandas UDF
+    — Arrow-batched, vectorized numpy inside, ~10-100x the throughput
+    of row-at-a-time Python UDFs (the state_machine_udf twin). Output
+    is integer-quantized so the oracle value-checks the Arrow round
+    trip exactly; the built-in-expression equivalent is what the hot
+    path would use (see udaf_quantized_sum's docstring rule)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents(v: pd.Series) -> pd.Series:
+        return pd.Series(np.floor(v.to_numpy() * 100).astype("int64"))
+
+    ev = load(spark, sf_dir, "events")
+    q = ev.select("event_id", cents("value").alias("cents"))
+    return q.select(
+        "event_id", "cents", (F.col("cents") % 97).alias("shard")
+    )
+
+
+@query(
+    "string_functions_suite",
+    oracle="""
+SELECT c_custkey,
+       translate(c_name, '#0', '-O') AS translated,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '*') AS padded,
+       reverse(c_name) AS reversed,
+       split_part(c_name, '#', 2) AS id_part,
+       CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+       left(c_name, 8) AS prefix8,
+       right(c_name, 4) AS suffix4,
+       repeat(right(c_name, 1), 3) AS tail3
+FROM customer
+""",
+)
+def string_functions_suite(spark, sf_dir):
+    """Scalar string-function breadth beyond the reference's
+    lower/concat set: translate, lpad, reverse, split_part, instr
+    (DuckDB strpos — same 1-based/0-absent contract), left/right,
+    repeat. All codegen'd JVM expressions; value-hashed cross-engine
+    so each function's edge semantics (padding overflows, missing
+    separators) are pinned, not assumed."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "#0", "-O").alias("translated"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "*").alias("padded"),
+        F.reverse("c_name").alias("reversed"),
+        F.expr("split_part(c_name, '#', 2)").alias("id_part"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.expr("left(c_name, 8)").alias("prefix8"),
+        F.expr("right(c_name, 4)").alias("suffix4"),
+        F.repeat(F.expr("right(c_name, 1)"), 3).alias("tail3"),
     )
