@@ -166,6 +166,24 @@ def jdbc_absent_empty_relation(spark, sf_dir):
 DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
 
+def _derby_nation_url(spark, sf_dir) -> str:
+    """Seed (once per sf_dir) and return the embedded-Derby URL
+    holding the nation table as ``nation_jdbc``."""
+    tag = "derby_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    url = f"jdbc:derby:{base}/db;create=true"
+    marker = Path(base) / "_seeded"
+    if not marker.exists():
+        load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.jdbc(
+            url, "nation_jdbc", mode="overwrite",
+            properties={"driver": DERBY_DRIVER},
+        )
+        marker.write_text("ok")
+    return url
+
+
 @query(
     "jdbc_live_scan",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -179,16 +197,7 @@ def jdbc_live_scan(spark, sf_dir):
     full JDBC round trip, not just the absent-table contract."""
     from advisorydatapipeline_spark.sources.jdbc import read_jdbc_table
 
-    tag = "derby_" + sf_dir.strip("/").replace("/", "_")
-    base = _dir(tag)
-    url = f"jdbc:derby:{base}/db;create=true"
-    props = {"driver": DERBY_DRIVER}
-    marker = Path(base) / "_seeded"
-    if not marker.exists():
-        load(spark, sf_dir, "nation").select(
-            "n_nationkey", "n_name", "n_regionkey"
-        ).write.jdbc(url, "nation_jdbc", mode="overwrite", properties=props)
-        marker.write_text("ok")
+    url = _derby_nation_url(spark, sf_dir)
     return read_jdbc_table(
         spark,
         url,
@@ -321,3 +330,57 @@ def orc_scan_roundtrip(spark, sf_dir):
     path = _dir("orc")
     load(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
     return read_table(spark, path, CUSTOMER_SCHEMA, fmt="orc")
+
+
+@query(
+    "federated_union_scan",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM (
+  SELECT n_regionkey, n_nationkey, 'parquet' AS src FROM nation
+  UNION ALL SELECT n_regionkey, n_nationkey, 'csv' FROM nation
+  UNION ALL SELECT n_regionkey, n_nationkey, 'jdbc' FROM nation
+) u
+GROUP BY n_regionkey
+""",
+)
+def federated_union_scan(spark, sf_dir):
+    """Federated read: the SAME logical table from three physical
+    sources — parquet, schema'd CSV, and a live embedded-Derby JDBC
+    scan — unioned by name in one plan and aggregated. This is the
+    reference's multi-source ingest union (parquet + JDBC + HTTP
+    feeds into one frame) exercised end-to-end; per-source casts are
+    conformed by the source layer, so the union never hits a type
+    mismatch at runtime."""
+    from advisorydatapipeline_spark.sources.jdbc import read_jdbc_table
+
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    pq = load(spark, sf_dir, "nation").select(*cols)
+
+    csv_path = _dir("fed_csv_" + sf_dir.strip("/").replace("/", "_"))
+    if not (Path(csv_path) / "_SUCCESS").exists():
+        pq.write.mode("overwrite").option("header", True).csv(csv_path)
+    csv = read_table(spark, csv_path, NATION_SCHEMA, fmt="csv", header=True)
+
+    jdbc = read_jdbc_table(
+        spark,
+        _derby_nation_url(spark, sf_dir),
+        "nation_jdbc",
+        NATION_SCHEMA,
+        driver=DERBY_DRIVER,
+        strict=True,
+    )
+
+    u = (
+        pq.withColumn("src", F.lit("parquet"))
+        .unionByName(csv.select(*cols).withColumn("src", F.lit("csv")))
+        .unionByName(jdbc.select(*cols).withColumn("src", F.lit("jdbc")))
+    )
+    return u.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("src").cast("long").alias("n_sources"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )
