@@ -4,6 +4,7 @@ every query into advisorydatapipeline_spark.registry."""
 from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     aggregates,
     analytics_queries,
+    behavior_queries,
     curation_queries,
     dedup_queries,
     multimodal_queries,
