@@ -45,10 +45,11 @@ GROUP BY p.p_brand
 )
 def small_qty_brand_revenue(spark, sf_dir):
     """TPC-H Q17 shape: per-part average quantity computed once, then
-    rejoined to lineitem to pick below-average rows. Both the
-    aggregate and the rejoin hash on ``l_partkey`` — AQE reuses the
-    exchange instead of shuffling twice; the part dim is broadcast.
-    The global scalar never touches the driver."""
+    rejoined to lineitem to pick below-average rows. Both rejoin
+    sides hash-partition on ``l_partkey`` (one shuffle each, then a
+    co-partitioned merge join — never a nested loop; pinned by
+    tests/test_explain_plans.py); the part dim is broadcast. No
+    scalar ever touches the driver."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     avg_q = li.groupBy("l_partkey").agg(

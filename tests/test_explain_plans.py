@@ -87,3 +87,57 @@ def test_dedup_exact_partial_agg_no_text_shuffle(spark, sf_dir):
     # the shuffle carries the 16-byte key, never the document text
     exchange_section = p[p.index("Exchange"):] if "Exchange" in p else ""
     assert "text#" not in exchange_section.split("\n")[0]
+
+
+def test_q17_rejoin_is_copartitioned_hash_join(spark, sf_dir):
+    """The Q17 shape aggregates lineitem on l_partkey then rejoins the
+    result to lineitem on the same key. At scale (broadcast disabled)
+    this must stay a co-partitioned sort-merge/hash join — one shuffle
+    per side on the shared key, never a nested loop."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale AQE broadcasts the tiny aggregate side;
+        # disabling broadcast exposes the at-scale join strategy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["small_qty_brand_revenue"](spark, sf_dir)
+        df.collect()  # finalize AQE
+        p = full_plan(df)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        # both rejoin sides partition on the same key
+        assert p.count("hashpartitioning(l_partkey") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    df = QUERIES["priority_semi_join"](spark, sf_dir)
+    df.collect()
+    p = full_plan(df)
+    assert "LeftSemi" in p
+    # the probe-side filter must reach the lineitem scan
+    pushed = [
+        seg.split("]")[0]
+        for seg in p.split("PushedFilters: [")[1:]
+    ]
+    assert any("l_returnflag" in s for s in pushed)
+
+
+def test_range_frame_is_single_window_shuffle(spark, sf_dir):
+    df = QUERIES["range_frame_rolling_sum"](spark, sf_dir)
+    p = plan(df)
+    # one Window operator evaluating a RANGE frame; no extra exchanges
+    # beyond the user_id hash partitioning
+    assert p.count("Window") >= 1
+    assert "specifiedwindowframe(RangeFrame" in p or "RANGE" in p
+
+
+def test_tfidf_scalar_is_broadcast_not_collect(spark, sf_dir):
+    """The corpus-size scalar must arrive via a broadcast join — the
+    plan proves no driver-side collect feeds a literal."""
+    df = QUERIES["tfidf_top_terms"](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
