@@ -7,6 +7,7 @@ from advisorydatapipeline_spark.queries import (  # noqa: F401,E402
     behavior_queries,
     curation_queries,
     dedup_queries,
+    graph_queries,
     multimodal_queries,
     parity_formats,
     parity_joins,

@@ -35,3 +35,37 @@ def test_long_chain_converges(spark):
     n = 40  # deeper than any plausible near-dup cluster
     got = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_pagerank_quantized_matches_python_replay(spark):
+    """Integer PageRank on a path graph a-b-c: replay the exact
+    fixed-point recurrence in Python and compare values."""
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        pagerank_quantized,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3)]
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank_quantized(edges, "src", "dst", iters=3).collect()
+    }
+
+    und = {(1, 2), (2, 1), (2, 3), (3, 2)}
+    deg = {1: 1, 2: 2, 3: 1}
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    rank = {n: PR_SCALE for n in deg}
+    for _ in range(3):
+        nxt = {n: base for n in deg}
+        for a, b in und:
+            nxt[b] += (PR_DAMP_NUM * rank[a]) // (PR_DAMP_DEN * deg[a])
+        rank = nxt
+    assert got == rank
+    # symmetry: the two leaves are structurally identical
+    assert got[1] == got[3]
