@@ -384,3 +384,43 @@ def federated_union_scan(spark, sf_dir):
         F.countDistinct("src").cast("long").alias("n_sources"),
         F.sum("n_nationkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+""",
+)
+def compact_small_files(spark, sf_dir):
+    """Small-files compaction — the operational chore every 100 TB
+    lake needs: stage the events table as 64 tiny files (the
+    pathological layout incremental jobs produce), rewrite it
+    range-partitioned into 4 right-sized files, read the compacted
+    copy back. The oracle hash-check proves compaction is lossless;
+    the range repartition gives per-file clustering on user_id so
+    downstream per-user scans skip files. ``maxRecordsPerFile`` is
+    the knob that bounds file size when a single range is hot."""
+    tag = "compact_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    small = f"{base}/small"
+    compacted = f"{base}/compacted"
+    marker = Path(base) / "_done"
+    cols = ["event_id", "user_id", "event_type", "value"]
+    if not marker.exists():
+        ev = load(spark, sf_dir, "events").select(*cols)
+        ev.repartition(64).write.mode("overwrite").parquet(small)
+        (
+            spark.read.parquet(small)
+            .repartitionByRange(4, "user_id", "event_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 50_000)
+            .parquet(compacted)
+        )
+        marker.write_text("ok")
+    out = spark.read.parquet(compacted)
+    n_small = len([p for p in Path(small).glob("part-*")])
+    n_big = len([p for p in Path(compacted).glob("part-*")])
+    assert n_big < n_small, (n_big, n_small)
+    return out.select(*cols)

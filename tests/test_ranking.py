@@ -65,3 +65,31 @@ def test_span_dup_profile_flags_boilerplate(spark):
     assert out[99].n_hot == 0 and out[99].hot_frac == 0.0
     # 5-token doc => 3 distinct 3-gram shingles
     assert out[0].n_shingles == 3
+
+
+def test_tfidf_handles_empty_and_tokenless_docs(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="real words here"),
+            Row(doc_id=2, text="!!! ... ###"),  # tokenless
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = tfidf_topk(df, "doc_id", "text", k=3).collect()
+    # tokenless/empty docs simply produce no rows — never nulls/crash
+    assert {r.doc_id for r in out} == {1}
+
+
+def test_span_dup_profile_short_docs_drop_out(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two"),  # < n tokens: no shingles
+            Row(doc_id=2, text="one two three four"),
+        ]
+    )
+    out = span_dup_profile(df, "doc_id", "text", n=3, hot_df=2).collect()
+    assert {r.doc_id for r in out} == {2}
