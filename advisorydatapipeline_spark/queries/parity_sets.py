@@ -116,3 +116,82 @@ def intersect_except_keys(spark, sf_dir):
         .select("user_id", F.lit("buy_no_error").alias("cohort"))
     )
     return click_and_buy.unionByName(buy_no_error)
+
+
+@query(
+    "not_in_antijoin",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+GROUP BY 1
+""",
+)
+def not_in_antijoin(spark, sf_dir):
+    """NOT IN as a null-aware anti join — the subtle set operator
+    (one NULL in the subquery empties the result under ANSI
+    semantics); distinct from the plain left_anti in
+    left_anti_cache_skip. Expressed as shared SQL text so Spark
+    plans its NullAwareAntiJoin/anti path and DuckDB applies the
+    same ANSI rules."""
+    ev = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    ev.createOrReplaceTempView("_orders_ni")
+    cust.createOrReplaceTempView("_customer_ni")
+    return spark.sql("""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM _orders_ni
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM _customer_ni WHERE c_mktsegment = 'MACHINERY'
+)
+GROUP BY o_orderpriority
+""")
+
+
+@query(
+    "intersect_except_all",
+    oracle="""
+WITH h1 AS (
+  SELECT user_id, event_type FROM events
+  WHERE epoch_us(ts) % 2 = 0
+),
+h2 AS (
+  SELECT user_id, event_type FROM events
+  WHERE epoch_us(ts) % 2 = 1
+),
+i AS (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2),
+x AS (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)
+SELECT 'intersect_all' AS op, user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM i GROUP BY 2, 3
+UNION ALL
+SELECT 'except_all' AS op, user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY 2, 3
+""",
+)
+def intersect_except_all(spark, sf_dir):
+    """Multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving —
+    different physical operators from the distinct-ifying variants in
+    intersect_except_keys), over an even/odd event-time split of the
+    same table."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("us")
+    )
+    h1 = ev.filter(F.col("us") % 2 == 0).select("user_id", "event_type")
+    h2 = ev.filter(F.col("us") % 2 == 1).select("user_id", "event_type")
+    i = (
+        h1.intersectAll(h2)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "event_type", "n")
+    )
+    x = (
+        h1.exceptAll(h2)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("except_all").alias("op"), "user_id", "event_type", "n")
+    )
+    return i.unionAll(x)

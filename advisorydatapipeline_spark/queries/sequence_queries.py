@@ -177,3 +177,54 @@ def conditional_aggregates(spark, sf_dir):
             "FILTER (WHERE value > 50) AS DOUBLE) AS high_total"
         ),
     )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE abs(e.value - m.med) > 3 * d.mad)
+            AS BIGINT) AS n_outliers
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier counts per event type — the
+    robust twin of zscore_anomalies (medians ignore the outliers that
+    corrupt a mean/stddev fence). Two exact-percentile passes, each a
+    per-group aggregate joined back broadcast-small; the 3*MAD fence
+    comparison is per-row double arithmetic (exact both engines)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "CAST(count(*) FILTER (WHERE adev > 3 * mad) AS BIGINT)"
+            ).alias("n_outliers"),
+        )
+    )
