@@ -180,3 +180,74 @@ def length_histogram(spark, sf_dir):
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+# target language mix (percent) for the training blend and the share
+# of the corpus token budget to spend
+MIX_WEIGHTS = {"en": 40, "de": 25, "es": 20, "fr": 15}
+BUDGET_NUM, BUDGET_DEN = 1, 2  # spend half the corpus tokens
+
+_WEIGHT_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {w}" for lg, w in sorted(MIX_WEIGHTS.items()))
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "training_mix_plan",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang,
+         CAST(sum(len({DUCK_TOKENS.format(x='text')})) AS BIGINT)
+           AS avail_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total FROM toks)
+SELECT t.lang, t.avail_tokens,
+       ((x.total * {BUDGET_NUM} // {BUDGET_DEN}) * ({_WEIGHT_SQL}) // 100)
+         AS target_tokens,
+       least(t.avail_tokens,
+             (x.total * {BUDGET_NUM} // {BUDGET_DEN}) * ({_WEIGHT_SQL}) // 100)
+         AS expected_tokens,
+       least(CAST(100 AS BIGINT),
+             ((x.total * {BUDGET_NUM} // {BUDGET_DEN}) * ({_WEIGHT_SQL}) // 100)
+               * 100 // t.avail_tokens) AS rate_pct
+FROM toks t, tot x
+""",
+)
+def training_mix_plan(spark, sf_dir):
+    """Data-mix planner: given per-language available tokens, target
+    mix weights, and a token budget (half the corpus), derive per-
+    language sampling targets and integer keep-rates — the planning
+    step before `sample_stratified` executes the mix. All BIGINT
+    arithmetic; the corpus total arrives as a broadcast 1-row
+    aggregate. Undersupplied languages cap at rate 100 (expected =
+    available), oversupplied ones get a proportional down-rate."""
+    from advisorydatapipeline_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("avail_tokens")
+    )
+    tot = toks.agg(F.sum("avail_tokens").cast("long").alias("total"))
+    weight = F.lit(0)
+    for lg, wt in sorted(MIX_WEIGHTS.items()):
+        weight = F.when(F.col("lang") == lg, F.lit(wt)).otherwise(weight)
+    j = toks.crossJoin(F.broadcast(tot)).withColumn(
+        "target_tokens",
+        F.expr(
+            f"((total * {BUDGET_NUM}) DIV {BUDGET_DEN}) "
+            f"* ({_WEIGHT_SQL}) DIV 100"
+        ),
+    )
+    return j.select(
+        "lang",
+        "avail_tokens",
+        "target_tokens",
+        F.least("avail_tokens", "target_tokens").alias("expected_tokens"),
+        F.least(
+            F.lit(100).cast("long"),
+            F.expr("(target_tokens * 100) DIV avail_tokens"),
+        ).alias("rate_pct"),
+    )

@@ -136,3 +136,41 @@ def grouping_sets_returns(spark, sf_dir):
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price,
+         CAST(count(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, val
+FROM wide UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_rows))
+""",
+)
+def unpivot_metrics(spark, sf_dir):
+    """Unpivot/melt (wide metrics -> long (metric, value) rows) — the
+    inverse of pivot_event_matrix, via the Spark 3.4+ DataFrame
+    ``unpivot`` API against DuckDB's UNPIVOT. Melt is a narrow
+    row-local expansion: zero extra shuffles after the aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "n_rows"],
+        "metric",
+        "val",
+    )
