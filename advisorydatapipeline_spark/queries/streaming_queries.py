@@ -368,3 +368,60 @@ def streaming_stateful_counts(spark, sf_dir):
         f"SELECT user_id, max(n_events) AS n_events, "
         f"max(max_value) AS max_value FROM {name} GROUP BY user_id"
     )
+
+
+@query(
+    "streaming_upsert_merge",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+         value AS last_value
+  FROM events WHERE ts IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+)
+SELECT user_id, last_us, last_event_id, last_value FROM e
+""",
+)
+def streaming_upsert_merge(spark, sf_dir):
+    """foreachBatch upsert under the oracle gate: stream the events
+    table, maintain per-user latest state in a parquet prod table via
+    the anti-join+union merge (the reference's upsert applied per
+    micro-batch), then read the merged table back. Within-batch
+    dedup is max-by (event_time, event_id) — deterministic; the
+    oracle replays it as a QUALIFY row_number. This is the file-sink
+    stand-in for MERGE INTO on a lakehouse table."""
+    from pyspark.sql import types as T
+
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        read_event_stream,
+        start_streaming_upsert,
+    )
+
+    d = _events_stream_dir(sf_dir)
+    run = next(_uniq)
+    base = tempfile.mkdtemp(prefix=f"adp_upsert_{run}_")
+    prod = f"{base}/prod"
+    ckpt = f"{base}/ckpt"
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_time", T.TimestampType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    stream = (
+        read_event_stream(spark, d)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_time", "event_id", "value")
+    )
+    q = start_streaming_upsert(stream, prod, ["user_id"], schema, ckpt)
+    q.awaitTermination(300)
+    q.stop()
+    return spark.read.parquet(prod).select(
+        "user_id",
+        F.unix_micros("event_time").alias("last_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
