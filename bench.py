@@ -68,6 +68,10 @@ HEADLINE = [
     "curation_pipeline",
     "small_qty_brand_revenue",
     "priority_semi_join",
+    "pagerank_suppliers",
+    "ewma_user_values",
+    "retention_cohorts",
+    "federated_union_scan",
 ]
 
 
