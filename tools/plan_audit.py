@@ -56,6 +56,21 @@ AUDIT = [
     "supplier_value_share",
     "priority_semi_join",
     "disjunctive_filter_revenue",
+    "pagerank_suppliers",
+    "ewma_user_values",
+    "retention_cohorts",
+    "funnel_analysis",
+    "min_gap_events",
+    "mad_outliers",
+    "not_in_antijoin",
+    "intersect_except_all",
+    "range_frame_rolling_sum",
+    "props_map_stats",
+    "cube_event_matrix",
+    "unpivot_metrics",
+    "training_mix_plan",
+    "federated_union_scan",
+    "compact_small_files",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -67,6 +82,13 @@ NESTED_LOOP_OK = {
     "ann_ivf_topk",
     "tfidf_top_terms",
     "supplier_value_share",
+    # 1-row broadcast global-scalar cross joins (stage-count scalars /
+    # corpus totals) — single-row build side, not a data-scale loop
+    "funnel_analysis",
+    "training_mix_plan",
+    # Spark's NOT IN = null-aware anti join is planned as a broadcast
+    # nested loop with a single-column build side by design
+    "not_in_antijoin",
 }
 
 JOIN_PAT = re.compile(
