@@ -130,3 +130,51 @@ def cube_event_matrix(spark, sf_dir):
             F.grouping_id().cast("long").alias("gid"),
         )
     )
+
+
+_REC_SQL = """
+WITH RECURSIVE chain (node, anc, depth) AS (
+  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM {table}
+  UNION ALL
+  SELECT c.node, c.anc - 5, c.depth + 1 FROM chain c WHERE c.anc >= 5
+)
+SELECT node, anc, depth FROM chain
+"""
+
+
+@query("recursive_cte_chain", oracle=_REC_SQL.format(table="nation"))
+def recursive_cte_chain(spark, sf_dir):
+    """WITH RECURSIVE (new in Spark 4): transitive ancestor closure
+    over a synthetic parent chain on the nation table (parent = key-5)
+    — the *same SQL text* runs on Spark and DuckDB. Spark executes
+    recursion as an iterative union-loop, the declarative twin of the
+    hand-built loops in operators/graph.py (which remain the scale
+    path: recursion depth there is driver-controlled with
+    localCheckpoint lineage truncation)."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_nation_rec")
+    return spark.sql(_REC_SQL.format(table="_nation_rec"))
+
+
+@query(
+    "variant_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod
+FROM events WHERE props IS NOT NULL
+""",
+)
+def variant_extract(spark, sf_dir):
+    """VARIANT semi-structured type (new in Spark 4): parse_json into
+    the binary variant encoding, typed variant_get extraction — the
+    open-lakehouse replacement for string-typed JSON columns (parse
+    once, extract many, no per-access re-parse like get_json_object).
+    The twin string-path query is json_extract_props."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return ev.select(
+        "event_id", k.alias("k"), (k % 7).alias("k_mod")
+    )
