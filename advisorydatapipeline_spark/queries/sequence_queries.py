@@ -234,3 +234,99 @@ def mad_outliers(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "vector_pair_dot",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(x * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_sum([p[1] * p[2] FOR p IN list_zip(a.qv, b.qv)])
+            AS BIGINT) AS qdot
+FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+""",
+)
+def vector_pair_dot(spark, sf_dir):
+    """zip_with + fold: quantized dot product between consecutive
+    embeddings (deterministic pairing via vec_id+1 self-join). The
+    elementwise multiply never leaves the array — no explode, no
+    shuffle beyond the join."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(F.col("embedding"), lambda x: F.round(x * QUANT).cast("long"))
+    qe = emb.select("vec_id", q.alias("qv"))
+    a = qe.alias("a")
+    b = qe.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        dot.alias("qdot"),
+    )
+
+
+@query(
+    "hof_predicates",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       list_has_any(ts, ['the', 'a']) AS has_stop,
+       len(list_filter(ts, t -> regexp_matches(t, '^[a-z]+$'))) = len(ts)
+         AS all_alpha,
+       CAST(len(list_filter(ts, t -> length(t) > 5)) AS INT) AS n_long
+FROM toks
+""",
+)
+def hof_predicates(spark, sf_dir):
+    """exists / forall / filter-count higher-order predicates over the
+    token array — quantifier logic without exploding rows."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    ts = tokens("text")
+    stop = F.array(F.lit("the"), F.lit("a"))
+    return d.select(
+        "doc_id",
+        F.exists(ts, lambda t: F.array_contains(stop, t)).alias("has_stop"),
+        F.forall(ts, lambda t: t.rlike("^[a-z]+$")).alias("all_alpha"),
+        F.size(F.filter(ts, lambda t: F.length(t) > 5))
+        .cast("int")
+        .alias("n_long"),
+    )
+
+
+@query(
+    "bitwise_aggregates",
+    oracle="""
+SELECT event_type,
+       CAST(bit_and(event_id) AS BIGINT) AS id_and,
+       CAST(bit_or(event_id) AS BIGINT) AS id_or,
+       CAST(bit_xor(event_id) AS BIGINT) AS id_xor
+FROM events
+GROUP BY event_type
+""",
+)
+def bitwise_aggregates(spark, sf_dir):
+    """bit_and / bit_or / bit_xor aggregates — order-independent by
+    construction (bitwise ops are associative+commutative), so they
+    are exactly reproducible under any partitioning; the xor doubles
+    as a cheap membership checksum for reconciliation jobs."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").cast("long").alias("id_and"),
+        F.bit_or("event_id").cast("long").alias("id_or"),
+        F.bit_xor("event_id").cast("long").alias("id_xor"),
+    )
