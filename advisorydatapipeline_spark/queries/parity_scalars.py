@@ -186,3 +186,40 @@ def string_functions_suite(spark, sf_dir):
         F.expr("right(c_name, 4)").alias("suffix4"),
         F.repeat(F.expr("right(c_name, 1)"), 3).alias("tail3"),
     )
+
+
+@query(
+    "safe_arithmetic",
+    oracle="""
+WITH planted AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0
+              THEN 'x' || CAST(event_id AS VARCHAR)
+              ELSE CAST(event_id AS VARCHAR) END AS raw_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE props IS NOT NULL
+)
+SELECT event_id,
+       try_cast(raw_id AS BIGINT) AS parsed_id,
+       CASE WHEN (k % 5) = 0 THEN NULL
+            ELSE CAST(k AS DOUBLE) / (k % 5) END AS ratio
+FROM planted
+""",
+)
+def safe_arithmetic(spark, sf_dir):
+    """ANSI-safe scalar arithmetic: try_cast over a column with
+    planted unparseable values (NULL, never a job-killing exception —
+    one bad row must not fail a 100 TB job under ANSI mode) and
+    try_divide across planted zero denominators. The oracle replays
+    the same null semantics with portable SQL."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    raw = F.when(
+        F.col("event_id") % 10 == 0,
+        F.concat(F.lit("x"), F.col("event_id").cast("string")),
+    ).otherwise(F.col("event_id").cast("string"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        raw.try_cast("bigint").alias("parsed_id"),
+        F.try_divide(k.cast("double"), k % 5).alias("ratio"),
+    )
