@@ -14,12 +14,18 @@ import pytest
 
 from advisorydatapipeline_spark.registry import QUERIES
 
-# one events-reader per module family that was red in round 1
+# one events-reader per module family that was red in round 1, plus
+# one probe per later-added surface (Spark 4 features, streaming
+# upsert, iterative graph, pandas recurrence)
 PROBE_QUERIES = [
     "flagship_advisory_resolution",
     "ttl_cutoff_filter",
     "asof_join_last_view",
     "window_top1_per_key",
+    "recursive_cte_chain",
+    "variant_extract",
+    "ewma_user_values",
+    "pagerank_suppliers",
 ]
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
