@@ -424,3 +424,76 @@ def compact_small_files(spark, sf_dir):
     n_big = len([p for p in Path(compacted).glob("part-*")])
     assert n_big < n_small, (n_big, n_small)
     return out.select(*cols)
+
+
+ERASE_EVERY = 13  # erase users where user_id % 13 == 0
+
+
+@query(
+    "user_erasure_rewrite",
+    oracle=f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE user_id % {ERASE_EVERY} <> 0
+""",
+)
+def user_erasure_rewrite(spark, sf_dir):
+    """Right-to-be-forgotten over immutable parquet: rewrite the
+    events table dropping all rows of the erased-user set (broadcast
+    anti join — the deletion list is always tiny next to the table),
+    then read the rewritten copy back. The oracle proves the rewrite
+    removed exactly the targeted rows and nothing else. On a
+    lakehouse table this becomes DELETE WHERE + vacuum; on raw
+    parquet the rewrite IS the delete."""
+    tag = "erase_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    out_path = f"{base}/events_clean"
+    marker = Path(base) / "_done"
+    cols = ["event_id", "user_id", "event_type", "value"]
+    if not marker.exists():
+        ev = load(spark, sf_dir, "events").select(*cols)
+        erased = (
+            ev.select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % ERASE_EVERY == 0)
+        )
+        kept = ev.join(F.broadcast(erased), "user_id", "left_anti")
+        kept.write.mode("overwrite").parquet(out_path)
+        marker.write_text("ok")
+    return spark.read.parquet(out_path).select(*cols)
+
+
+@query(
+    "schema_evolution_scan",
+    oracle="""
+SELECT n_nationkey, n_name,
+       CAST(NULL AS VARCHAR) AS audit_tag
+FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, 'batch2' AS audit_tag
+FROM nation
+""",
+)
+def schema_evolution_scan(spark, sf_dir):
+    """Schema evolution on read: batch 1 written without the
+    ``audit_tag`` column, batch 2 with it; ``mergeSchema=true``
+    reconciles the footers and older rows surface the new column as
+    NULL — the append-only evolution contract every long-lived lake
+    table relies on (mergeSchema is a one-off footer merge; pin the
+    unified schema in the table definition for steady-state scans)."""
+    tag = "evolve_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    path = f"{base}/nation_evolving"
+    marker = Path(base) / "_done"
+    if not marker.exists():
+        n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        n.write.mode("overwrite").parquet(f"{path}/batch=1")
+        n.withColumn("audit_tag", F.lit("batch2")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch=2")
+        marker.write_text("ok")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/batch=1", f"{path}/batch=2")
+        .select("n_nationkey", "n_name", "audit_tag")
+    )
