@@ -251,3 +251,44 @@ def training_mix_plan(spark, sf_dir):
             F.expr("(target_tokens * 100) DIV avail_tokens"),
         ).alias("rate_pct"),
     )
+
+
+CAP_PER_GROUP = 8
+_CAP_SALT = "cap#1"
+
+
+@query(
+    "sample_capped_per_group",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY {DUCK_HASH64.format(x=f"'{_CAP_SALT}' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS INT) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, rn
+FROM ranked WHERE rn <= {CAP_PER_GROUP}
+""",
+)
+def sample_capped_per_group(spark, sf_dir):
+    """Exact per-stratum caps (at most 8 docs per (lang, source)),
+    chosen by deterministic hash order — the other half of sampling:
+    `sample_stratified` keeps a *rate* per stratum, this keeps a
+    *count* (what you need for eval-set construction and per-source
+    quotas). One window shuffle on the stratum key; the hash order
+    makes the kept set stable across runs and engines, unlike any
+    rand()-based reservoir."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = hash64(
+        F.concat(F.lit(_CAP_SALT), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= CAP_PER_GROUP)
+    )

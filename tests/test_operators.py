@@ -225,3 +225,30 @@ def test_embedding_near_dupes_pandas_matches_expression(spark, sf_dir):
     b = {(r.id_a, r.id_b, r.cosine)
          for r in embedding_near_dupes_pandas(emb, cents, 0.35).collect()}
     assert a == b  # bit-identical, including the cosine doubles
+
+
+def test_ivf_recall_against_brute_ground_truth(spark, sf_dir):
+    """The IVF path is the designated 100 TB ANN strategy; prove its
+    quality, not just that it runs: recall@k against the exact brute
+    cosine ground truth must clear a floor (8 centroids / probe 2 on
+    the sf0.001 corpus). If a refactor silently breaks centroid
+    assignment or probing, recall collapses and this fails."""
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    brute = QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    ivf = QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(truth)  # every query answered
+    hits = sum(len(truth[q] & got[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    recall = hits / total
+    # synthetic near-uniform embeddings are IVF's worst case (no real
+    # cluster structure): measured ~0.44 at nprobe 2/8 here, vs ~1.0
+    # on clustered data. The floor detects collapse (broken
+    # assignment/probing => recall ~= k/corpus ~= 0.1), not quality.
+    assert recall >= 0.35, f"IVF recall@k collapsed: {recall:.2f}"
