@@ -138,3 +138,68 @@ def double_left_join_merge(spark, sf_dir):
             F.coalesce("order_count", F.lit(0)).alias("order_count"),
         )
     )
+
+
+@query(
+    "full_outer_reconciliation",
+    oracle="""
+WITH jan AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_jan
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-07-01'
+  GROUP BY 1
+),
+jul AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_jul
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1
+)
+SELECT coalesce(jan.o_custkey, jul.o_custkey) AS custkey,
+       coalesce(jan.n_jan, 0) AS n_first_half,
+       coalesce(jul.n_jul, 0) AS n_second_half,
+       CASE WHEN jan.o_custkey IS NULL THEN 'second_only'
+            WHEN jul.o_custkey IS NULL THEN 'first_only'
+            ELSE 'both' END AS presence
+FROM jan FULL OUTER JOIN jul ON jan.o_custkey = jul.o_custkey
+""",
+)
+def full_outer_reconciliation(spark, sf_dir):
+    """FULL OUTER join — the reconciliation operator (which keys exist
+    on which side, with null-backfilled measures) that completes the
+    join family alongside inner/left/semi/anti/null-aware-anti. Both
+    sides pre-aggregate before the join, so the full-outer shuffle
+    carries one row per key per side, never raw orders."""
+    o = load(spark, sf_dir, "orders")
+    first = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_jan"))
+    )
+    second = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_jul"))
+    )
+    j = first.alias("a").join(
+        second.alias("b"),
+        F.col("a.o_custkey") == F.col("b.o_custkey"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("a.n_jan"), F.lit(0)).alias("n_first_half"),
+        F.coalesce(F.col("b.n_jul"), F.lit(0)).alias("n_second_half"),
+        F.when(F.col("a.o_custkey").isNull(), "second_only")
+        .when(F.col("b.o_custkey").isNull(), "first_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
