@@ -188,3 +188,68 @@ def ntile_length_quartiles(spark, sf_dir):
         "n_chars",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@query(
+    "limit_offset_page",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50 OFFSET 100
+""",
+)
+def limit_offset_page(spark, sf_dir):
+    """Keyset-less pagination (ORDER BY ... LIMIT/OFFSET, Spark 3.4+):
+    page 3 of the price-ranked orders with a unique tiebreak so the
+    page content is deterministic. (At scale, OFFSET still sorts and
+    skips — real APIs should keyset-paginate on (price, orderkey);
+    this entry pins the operator itself.)"""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS priciest_key,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_value_functions(spark, sf_dir):
+    """first_value / last_value / nth_value — the value-extraction
+    window family. last/nth use an explicit unbounded frame: the
+    default frame ends at CURRENT ROW, the classic silent-wrong-answer
+    trap this oracle entry pins down in both engines."""
+    from pyspark.sql.window import Window
+
+    order = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    w = Window.partitionBy("o_orderpriority").orderBy(*order)
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias(
+            "second_cheapest_key"
+        ),
+    )
