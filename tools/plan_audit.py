@@ -71,6 +71,13 @@ AUDIT = [
     "training_mix_plan",
     "federated_union_scan",
     "compact_small_files",
+    "full_outer_reconciliation",
+    "window_value_functions",
+    "user_erasure_rewrite",
+    "recursive_cte_chain",
+    "vector_pair_dot",
+    "sample_capped_per_group",
+    "schema_evolution_scan",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
