@@ -364,3 +364,61 @@ def scd2_intervals(spark, sf_dir):
         nxt.isNull().alias("is_current"),
         "value",
     )
+
+
+@query(
+    "group_normalized_features",
+    oracle="""
+WITH stats AS (
+  SELECT l_returnflag,
+         MIN(l_quantity) AS q_min,
+         MAX(l_quantity) AS q_max,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+       (l.l_quantity - s.q_min) / (s.q_max - s.q_min) AS qty_minmax,
+       (l.l_quantity - s.s1 / s.n)
+         / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS qty_z
+FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+""",
+)
+def group_normalized_features(spark, sf_dir):
+    """Per-group feature scaling (min-max + z-score) — the standard
+    feature-engineering pass before model training. Group moments come
+    from ONE partial-aggregated shuffle producing a 3-row stats dim
+    that broadcasts back onto the fact scan; a window over the raw
+    groups would instead sort 100 TB inside 3 giant partitions.
+    Moments use exact decimal sums (repo-wide rule) so mean/stddev —
+    and therefore every normalized value — are bit-identical across
+    engines and partitionings."""
+    li = load(spark, sf_dir, "lineitem")
+    d = F.col("l_quantity").cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("l_quantity") - mean) / F.sqrt(
+        F.col("s2") / F.col("n") - mean * mean
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_quantity",
+            (
+                (F.col("l_quantity") - F.col("q_min"))
+                / (F.col("q_max") - F.col("q_min"))
+            ).alias("qty_minmax"),
+            z.alias("qty_z"),
+        )
+    )

@@ -87,11 +87,11 @@ QUANT = 10_000
 SELECT vec_id, label,
        CAST(len(embedding) AS INT) AS dim,
        CAST(list_sum(list_transform(embedding,
-              x -> CAST(round(x * {QUANT}) AS BIGINT)
-                   * CAST(round(x * {QUANT}) AS BIGINT))) AS BIGINT)
+              x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))) AS BIGINT)
          AS qnorm2,
        CAST(list_max(list_transform(embedding,
-              x -> CAST(round(x * {QUANT}) AS BIGINT))) AS BIGINT) AS qmax
+              x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))) AS BIGINT) AS qmax
 FROM embeddings
 """,
 )
@@ -242,7 +242,7 @@ def mad_outliers(spark, sf_dir):
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
-           x -> CAST(round(x * {QUANT}) AS BIGINT)) AS qv
+           x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -21,7 +21,10 @@ QUERY_MOD = 50  # queries = vectors with vec_id % 50 == 0
 N_CENTROIDS = 8
 NPROBE = 2
 
-_DUCK_Q = "list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"
+_DUCK_Q = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
 _DUCK_QD = f"CAST({_DUCK_Q} AS DOUBLE[])"
 
 
@@ -217,4 +220,116 @@ def embedding_centroids(spark, sf_dir):
     return per_dim.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
         (F.sum("v") / F.count("*")).alias("centroid"),
         F.count("*").cast("long").alias("n_vecs"),
+    )
+
+
+_TRIPLET_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, label, {_DUCK_QD} AS v FROM embeddings
+),
+a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, {_DUCK_QD} AS v
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT a.anchor_id,
+         c.vec_id AS neighbor_id,
+         CAST(c.label = a.anchor_label AS BOOLEAN) AS same_label,
+         list_dot_product(c.v, a.v)
+           / sqrt(list_dot_product(c.v, c.v) * list_dot_product(a.v, a.v))
+           AS cosine
+  FROM c, a
+  WHERE c.vec_id <> a.anchor_id
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY anchor_id, same_label
+      ORDER BY cosine DESC, neighbor_id ASC
+    ) AS rn FROM scored
+  ) WHERE rn = 1
+)
+SELECT anchor_id,
+       MAX(CASE WHEN same_label THEN neighbor_id END) AS positive_id,
+       MAX(CASE WHEN NOT same_label THEN neighbor_id END) AS negative_id,
+       MAX(CASE WHEN same_label THEN cosine END) AS pos_cosine,
+       MAX(CASE WHEN NOT same_label THEN cosine END) AS neg_cosine
+FROM best
+GROUP BY anchor_id
+HAVING MAX(CASE WHEN same_label THEN neighbor_id END) IS NOT NULL
+   AND MAX(CASE WHEN NOT same_label THEN neighbor_id END) IS NOT NULL
+"""
+
+
+@query("contrastive_triplets", oracle=_TRIPLET_ORACLE)
+def contrastive_triplets(spark, sf_dir):
+    """Hard-triplet mining for contrastive / metric-learning training
+    data: per anchor, the positive is the nearest SAME-label vector
+    and the negative is the nearest DIFFERENT-label vector (the "hard
+    negative" — highest-cosine impostor). One corpus scan scored
+    against broadcast anchors, a single window shuffle keyed by
+    (anchor, same_label) picks both winners, and a tiny per-anchor
+    aggregate pivots them onto one row. Exact quantized-integer
+    cosine (see module docstring) keeps ranks engine-identical. At
+    100 TB the same plan runs per IVF probe list instead of the full
+    corpus (candidate generation via ivf_probe_lists), but exact
+    mining stays the correctness oracle."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        quantize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        "label",
+        quantize("embedding").alias("cq"),
+        norm_sq_q(quantize("embedding")).alias("cn"),
+    )
+    anchors = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        quantize("embedding").alias("aq"),
+        norm_sq_q(quantize("embedding")).alias("an"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("label") == F.col("anchor_label")).alias("same_label"),
+            cosine_q(
+                dot_q(F.col("cq"), F.col("aq")), F.col("cn"), F.col("an")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same_label").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos = F.when(F.col("same_label"), F.col("neighbor_id"))
+    neg = F.when(~F.col("same_label"), F.col("neighbor_id"))
+    return (
+        best.groupBy("anchor_id")
+        .agg(
+            F.max(pos).alias("positive_id"),
+            F.max(neg).alias("negative_id"),
+            F.max(F.when(F.col("same_label"), F.col("cosine"))).alias(
+                "pos_cosine"
+            ),
+            F.max(F.when(~F.col("same_label"), F.col("cosine"))).alias(
+                "neg_cosine"
+            ),
+        )
+        .filter(
+            F.col("positive_id").isNotNull()
+            & F.col("negative_id").isNotNull()
+        )
     )

@@ -179,3 +179,162 @@ def disjunctive_filter_revenue(spark, sf_dir):
         F.count("*").cast("long").alias("n_rows"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "sole_fault_supplier",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END) AS n_fault_supp
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_suppkey AS suppkey,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l
+JOIN per_order o ON l.l_orderkey = o.l_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.n_supp >= 2
+  AND o.n_fault_supp = 1
+GROUP BY 1
+""",
+)
+def sole_fault_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    classic EXISTS-other-supplier AND NOT-EXISTS-other-faulting-
+    supplier pair, rewritten as ONE per-order aggregate that is
+    rejoined to the fact — `n_supp >= 2` encodes the EXISTS and
+    `n_fault_supp = 1` (with the row itself faulting) encodes the NOT
+    EXISTS. Two correlated self-joins collapse into a single
+    `l_orderkey` shuffle shared by the aggregate and the rejoin; at
+    100 TB that's one exchange instead of three full lineitem scans.
+    Return-flag 'R' stands in for the receipt-after-commit fault
+    (this dataset carries no commit/receipt dates)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fault_supp"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_fault_supp") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+IDLE_DAYS = 180
+
+
+@query(
+    "idle_customer_balance",
+    oracle=f"""
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS BIGINT) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+),
+recent AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= (
+    SELECT max(o_orderdate) - INTERVAL {IDLE_DAYS} DAY FROM orders
+  )
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_bal
+FROM customer c, thr t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey
+  )
+GROUP BY 1
+""",
+)
+def idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no
+    recent orders (none in the trailing {IDLE_DAYS} days of the
+    dataset — every customer has SOME order, so strict never-ordered
+    is vacuous here). Two global scalars — the balance mean and the
+    recency cutoff — are exact 1-row aggregates broadcast in, never
+    collected; the NOT EXISTS is a LEFT ANTI join on `c_custkey`.
+    Market segment stands in for Q22's phone country code. At scale:
+    the anti join shuffles the customer key once, and the orders side
+    is filtered by the cutoff and projected to the single join column
+    before the exchange."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal).cast("double") / F.count("*")).alias("avg_bal"))
+    )
+    cutoff = o.agg(
+        F.expr(f"max(o_orderdate) - INTERVAL {IDLE_DAYS} DAYS").alias(
+            "cutoff"
+        )
+    )
+    recent = (
+        o.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("cutoff"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY 1
+""",
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the order-count histogram must keep
+    customers with ZERO qualifying orders, so the filter lives in the
+    JOIN CONDITION of a left outer join (a WHERE would silently drop
+    them) and `count(o_orderkey)` counts only matched rows. Two
+    cascaded aggregations: the first shuffles on the customer key the
+    join already partitioned by (no extra exchange), the second
+    reduces to a tiny histogram keyed by count. At scale the orders
+    side is pre-filtered and projected to one column before its
+    exchange."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (o.o_custkey == c.c_custkey)
+        & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )

@@ -141,3 +141,82 @@ def test_tfidf_scalar_is_broadcast_not_collect(spark, sf_dir):
     df = QUERIES["tfidf_top_terms"](spark, sf_dir)
     p = plan(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_q21_shape_single_orderkey_exchange_family(spark, sf_dir):
+    """Q21's two correlated self-joins are rewritten as one per-order
+    aggregate + rejoin; with broadcast off it must stay a
+    co-partitioned hash/merge join on l_orderkey, never a loop."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["sole_fault_supplier"](spark, sf_dir)
+        df.collect()
+        p = full_plan(df)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert p.count("hashpartitioning(l_orderkey") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_q22_shape_anti_join_and_broadcast_scalars(spark, sf_dir):
+    df = QUERIES["idle_customer_balance"](spark, sf_dir)
+    df.collect()
+    p = full_plan(df)
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p or "BuildRight" in p
+    assert "CartesianProduct" not in p
+    # the two global scalars arrive as broadcast 1-row sides
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_contrastive_triplets_semantics(spark, sf_dir):
+    rows = QUERIES["contrastive_triplets"](spark, sf_dir).collect()
+    assert rows, "expected at least one mined triplet"
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in rows:
+        assert r.positive_id != r.anchor_id
+        assert r.negative_id != r.anchor_id
+        assert labels[r.positive_id] == labels[r.anchor_id]
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        assert -1.0 <= r.neg_cosine <= 1.0 and -1.0 <= r.pos_cosine <= 1.0
+
+
+def test_group_normalization_bounds_and_broadcast(spark, sf_dir):
+    df = QUERIES["group_normalized_features"](spark, sf_dir)
+    p = plan(df)
+    # stats dim broadcasts back onto the fact scan; map-side combine
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+    agg = df.groupBy("l_returnflag").agg(
+        F.min("qty_minmax").alias("lo"),
+        F.max("qty_minmax").alias("hi"),
+        F.max(F.abs(F.col("qty_z"))).alias("zmax"),
+    )
+    for r in agg.collect():
+        assert r.lo == 0.0 and r.hi == 1.0
+        assert r.zmax < 10
+
+
+def test_q13_shape_keeps_zero_order_customers(spark, sf_dir):
+    df = QUERIES["customer_order_distribution"](spark, sf_dir)
+    p = plan(df)
+    assert "LeftOuter" in p or "BroadcastHashJoin" in p
+    total = df.agg(F.sum("custdist").alias("s")).collect()[0].s
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    n_cust = load(spark, sf_dir, "customer").count()
+    # every customer lands in exactly one histogram bucket —
+    # zero-order customers included (the Q13 trap)
+    assert total == n_cust

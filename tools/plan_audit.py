@@ -78,6 +78,11 @@ AUDIT = [
     "vector_pair_dot",
     "sample_capped_per_group",
     "schema_evolution_scan",
+    "sole_fault_supplier",
+    "idle_customer_balance",
+    "customer_order_distribution",
+    "contrastive_triplets",
+    "group_normalized_features",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -96,6 +101,11 @@ NESTED_LOOP_OK = {
     # Spark's NOT IN = null-aware anti join is planned as a broadcast
     # nested loop with a single-column build side by design
     "not_in_antijoin",
+    # 1-row broadcast scalars (balance mean + recency cutoff)
+    "idle_customer_balance",
+    # broadcast anchor set scored against the corpus scan — the same
+    # exact-scoring plan as ann_cosine_topk
+    "contrastive_triplets",
 }
 
 JOIN_PAT = re.compile(
