@@ -72,6 +72,10 @@ HEADLINE = [
     "ewma_user_values",
     "retention_cohorts",
     "federated_union_scan",
+    "sole_fault_supplier",
+    "customer_order_distribution",
+    "contrastive_triplets",
+    "group_normalized_features",
 ]
 
 
