@@ -127,21 +127,21 @@ def pagerank_quantized(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
     )
     deg = und.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    # loop-invariant hoist: (edge, source-degree) never changes, so
+    # join it ONCE and persist — each iteration then needs a single
+    # join (adj x ranks) + one partial-agg shuffle, instead of
+    # re-aggregating degrees and joining twice per round
+    adj = und.join(deg, "a").persist()
     base = (1 * PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     ranks = deg.select("a", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(iters):
-        contrib = (
-            und.join(ranks, "a")
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("node"),
-                F.expr(
-                    f"({PR_DAMP_NUM} * rank) DIV ({PR_DAMP_DEN} * deg)"
-                ).alias("c"),
-            )
+        contrib = adj.join(ranks, "a").select(
+            F.col("b").alias("node"),
+            F.expr(
+                f"({PR_DAMP_NUM} * rank) DIV ({PR_DAMP_DEN} * deg)"
+            ).alias("c"),
         )
         ranks = (
             contrib.groupBy("node")
@@ -152,5 +152,5 @@ def pagerank_quantized(
             )
             .localCheckpoint()
         )
-    und.unpersist()
+    adj.unpersist()
     return ranks.select(F.col("a").alias("node"), "rank")
