@@ -79,9 +79,17 @@ class AdvisoryReader(DataSourceReader):
         return [InputPartition(i) for i in range(self.n)]
 
     def read(self, partition):  # noqa: ANN001
+        # yields ONE pyarrow.RecordBatch per partition instead of
+        # per-row tuples: Arrow-vectorized transfer to the JVM skips
+        # the row pickler entirely (same fast path as mapInArrow)
+        import pyarrow as pa
+
         with open(self.path) as f:
             payload = json.load(f)
         want = partition.value
+        pkgs: list[str] = []
+        cve_ids: list[str] = []
+        fixed: list[str | None] = []
         for pkg, cves in payload.items():
             if _bucket(pkg, self.n) != want:
                 continue
@@ -94,7 +102,18 @@ class AdvisoryReader(DataSourceReader):
                     self.cve_prefix
                 ):
                     continue
-                yield (pkg, cve_id, (info or {}).get("fixed_version"))
+                pkgs.append(pkg)
+                cve_ids.append(cve_id)
+                fixed.append((info or {}).get("fixed_version"))
+        if pkgs:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pkgs, pa.string()),
+                    pa.array(cve_ids, pa.string()),
+                    pa.array(fixed, pa.string()),
+                ],
+                names=["package_name", "cve_id", "fixed_version"],
+            )
 
 
 def register(spark) -> None:  # noqa: ANN001
