@@ -419,3 +419,67 @@ def dedup_incremental(spark, sf_dir):
     return verified.filter(F.col("jaccard") >= MIN_JACCARD).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION ALL
+  SELECT id_b, id_a FROM jp
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+drops AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(count(*) FILTER (WHERE dr.doc_id IS NULL) AS BIGINT)
+         AS n_after,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS chars_after
+FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
+@query("canonical_corpus", oracle=_CANONICAL_ORACLE)
+def canonical_corpus(spark, sf_dir):
+    """The fuzzy-dedup capstone: near-dup pairs -> connected
+    components -> drop every cluster member except the canonical
+    ``min(doc_id)`` -> per-source before/after corpus accounting.
+    This is the rewrite a training pipeline actually ships — the
+    pair/cluster queries are its observability. The drop set is tiny
+    (cluster members only), so it broadcasts back onto the corpus
+    scan; the full documents table never shuffles."""
+    from advisorydatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = shingle_index(
+        docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+    ).persist()
+    pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
+    cc = connected_components(pairs, "id_a", "id_b")
+    drops = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("drop_id")
+    )
+    keep = F.col("drop_id").isNull()
+    return (
+        docs.join(
+            F.broadcast(drops), docs.doc_id == F.col("drop_id"), "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_before"),
+            F.count(F.when(keep, 1)).cast("long").alias("n_after"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_after"),
+        )
+    )

@@ -174,6 +174,40 @@ def streaming_dedup_pairs(spark, sf_dir):
 
 
 @query(
+    "streaming_dedup_watermarked",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events WHERE ts IS NOT NULL
+""",
+)
+def streaming_dedup_watermarked(spark, sf_dir):
+    """``dropDuplicatesWithinWatermark``: the bounded-state streaming
+    dedup for infinite streams — key state is evicted once the
+    watermark passes the key's last-seen event time, so memory is
+    O(keys-per-horizon) instead of O(all keys ever). With a horizon
+    wider than this finite drain's event-time span it emits exactly
+    one row per key, so the oracle is plain DISTINCT; on a real
+    infinite stream the horizon bounds both state and exactness."""
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    dedup = (
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("event_time", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"adp_dedup_wm_{next(_uniq)}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@query(
     "streaming_static_enrich",
     oracle="""
 SELECT c.c_mktsegment,
