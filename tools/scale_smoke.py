@@ -38,6 +38,10 @@ from advisorydatapipeline_spark.operators.ranking import (  # noqa: E402
     span_dup_profile,
     tfidf_topk,
 )
+from advisorydatapipeline_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_topk,
+)
 
 REPLICAS = [1, 2, 4]
 MAX_DOC_FREQ = 100
@@ -109,6 +113,47 @@ def run(spark, path: str) -> dict[str, float]:
     return out
 
 
+def emb_corpus(spark, sf_dir: str, r: int, base: str) -> str:
+    """Replicate embeddings r times (offset ids, labels kept)."""
+    path = f"{base}/emb_x{r}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    big = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_r"),
+        "vec_id",
+        "embedding",
+        "label",
+    ).select(
+        (F.col("vec_id") + F.col("_r") * 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    big.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_similarity(spark, path: str) -> dict[str, float]:
+    """ANN brute vs IVF under corpus growth, FIXED query set: brute
+    cost grows with corpus x queries, IVF only with the probed
+    fraction — the contrast is the whole point of the IVF path."""
+    emb = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+    out["ann_brute"] = timed(lambda: noop(cosine_topk(emb, queries, 5)))
+    out["ann_ivf"] = timed(
+        lambda: noop(ivf_topk(emb, queries, centroids, 5, 2))
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-smoke")
@@ -117,12 +162,15 @@ def main() -> None:
     counts: dict[int, int] = {}
     for r in REPLICAS:
         path = corpus(spark, sf_dir, r, base)
+        epath = emb_corpus(spark, sf_dir, r, base)
         counts[r] = spark.read.parquet(path).count()
         # warm-up once at the smallest size so codegen/JIT one-time
         # costs don't masquerade as scaling
         if r == REPLICAS[0]:
             run(spark, path)
+            run_similarity(spark, epath)
         results[r] = run(spark, path)
+        results[r].update(run_similarity(spark, epath))
         print(f"x{r} ({counts[r]} docs): {results[r]}", flush=True)
 
     ops = list(results[REPLICAS[0]].keys())
