@@ -178,3 +178,80 @@ def variant_extract(spark, sf_dir):
     return ev.select(
         "event_id", k.alias("k"), (k % 7).alias("k_mod")
     )
+
+
+MIN_QTY_PARAM = 30
+FLAG_PARAM = "R"
+
+
+@query(
+    "parameterized_sql_filter",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_quantity >= {MIN_QTY_PARAM} AND l_returnflag = '{FLAG_PARAM}'
+GROUP BY 1, 2
+""",
+)
+def parameterized_sql_filter(spark, sf_dir):
+    """Named-parameter SQL (Spark 4 `spark.sql(..., args=...)`):
+    placeholders bind as typed literals in the parser — no string
+    interpolation, no injection surface, and Catalyst still constant-
+    folds and pushes the bound predicates into the parquet scan
+    exactly like hand-written literals."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_param")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price
+        FROM _li_param
+        WHERE l_quantity >= :min_qty AND l_returnflag = :flag
+        GROUP BY 1, 2
+        """,
+        args={"min_qty": MIN_QTY_PARAM, "flag": FLAG_PARAM},
+    )
+
+
+@query(
+    "sql_udf_revenue",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY 1
+""",
+)
+def sql_udf_revenue(spark, sf_dir):
+    """Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    the function body is inlined into the plan at resolution time, so
+    unlike Python UDFs it stays inside whole-stage codegen and costs
+    nothing — the right way to share scalar business logic (here the
+    repo-wide exact-decimal revenue rule) across queries."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION line_revenue(
+            price DOUBLE, discount DOUBLE)
+        RETURNS DECIMAL(38,4)
+        RETURN CAST(price AS DECIMAL(18,2))
+               * (1 - CAST(discount AS DECIMAL(18,2)))
+        """
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(line_revenue(l_extendedprice, l_discount))
+                    AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM _li_sqludf
+        GROUP BY 1
+        """
+    )

@@ -26,6 +26,11 @@ PROBE_QUERIES = [
     "variant_extract",
     "ewma_user_values",
     "pagerank_suppliers",
+    "streaming_dedup_watermarked",
+    "canonical_corpus",
+    "parameterized_sql_filter",
+    "sql_udf_revenue",
+    "contrastive_triplets",
 ]
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"

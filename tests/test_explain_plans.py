@@ -220,3 +220,20 @@ def test_q13_shape_keeps_zero_order_customers(spark, sf_dir):
     # every customer lands in exactly one histogram bucket —
     # zero-order customers included (the Q13 trap)
     assert total == n_cust
+
+
+def test_parameterized_sql_binds_and_pushes_down(spark, sf_dir):
+    df = QUERIES["parameterized_sql_filter"](spark, sf_dir)
+    p = full_plan(df)
+    pushed = "".join(
+        seg.split("]")[0] for seg in p.split("PushedFilters: [")[1:]
+    )
+    # bound :min_qty / :flag params reach the parquet scan as literals
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+
+
+def test_sql_udf_inlines_no_python_worker(spark, sf_dir):
+    df = QUERIES["sql_udf_revenue"](spark, sf_dir)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_sum" in p  # map-side combine over the inlined expr

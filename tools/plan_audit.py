@@ -83,6 +83,9 @@ AUDIT = [
     "customer_order_distribution",
     "contrastive_triplets",
     "group_normalized_features",
+    "canonical_corpus",
+    "parameterized_sql_filter",
+    "sql_udf_revenue",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
