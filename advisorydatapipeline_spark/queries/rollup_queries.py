@@ -174,3 +174,46 @@ def unpivot_metrics(spark, sf_dir):
         "metric",
         "val",
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+WITH dim AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS type_sum,
+         CAST(count(*) AS BIGINT) AS type_n
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value, d.type_sum, d.type_n
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE e.value > 90
+""",
+)
+def skew_salted_join(spark, sf_dir):
+    """Skew-safe equi-join: the fact's join key has ~5 distinct
+    values (every key is hot), the worst shuffle-join case — one
+    reducer per key would own 1/5 of the table. ``salted_join``
+    splits each hot key across 16 salt buckets and replicates the dim
+    row per bucket; the result is row-identical to the plain join
+    (this oracle IS the plain join). At test scale the replicated dim
+    still broadcasts; at 100 TB with a too-big-to-broadcast dim the
+    same operator keeps per-reducer load bounded at 1/16th of a hot
+    key (see tests/test_skew.py for the plan-level assertions)."""
+    from advisorydatapipeline_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = F.col("value").cast("decimal(18,2)")
+    dim = ev.groupBy("event_type").agg(
+        F.sum(d).cast("double").alias("type_sum"),
+        F.count("*").alias("type_n"),
+    )
+    return salted_join(
+        ev.filter(F.col("value") > 90),
+        dim,
+        ["event_type"],
+        salt_buckets=16,
+        salt_on="event_id",
+    ).select("event_id", "event_type", "value", "type_sum", "type_n")

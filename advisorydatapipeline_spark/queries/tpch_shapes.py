@@ -338,3 +338,57 @@ def customer_order_distribution(spark, sf_dir):
     return per_cust.groupBy("c_count").agg(
         F.count("*").cast("long").alias("custdist")
     )
+
+
+LARGE_QTY = 150
+
+
+@query(
+    "large_order_customers",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {LARGE_QTY}
+)
+SELECT c.c_name, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_qty
+FROM orders o
+JOIN big b ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3
+""",
+)
+def large_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    threshold, rejoined to fetch customer detail. The aggregate-
+    filtered key set joins LEFT SEMI onto orders (the driver never
+    sees it), and the lineitem rejoin reuses the same `l_orderkey`
+    hash partitioning as the HAVING aggregate — at scale that is one
+    lineitem shuffle feeding both the threshold and the final sum.
+    Customer is broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > LARGE_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+        .agg(F.sum(qty).cast("double").alias("sum_qty"))
+    )
