@@ -497,3 +497,72 @@ def schema_evolution_scan(spark, sf_dir):
         .parquet(f"{path}/batch=1", f"{path}/batch=2")
         .select("n_nationkey", "n_name", "audit_tag")
     )
+
+
+@query(
+    "advisory_stream_scan",
+    oracle="""
+SELECT s_name AS package_name,
+       'CVE-2024-' || CAST(s_suppkey AS VARCHAR) AS cve_id,
+       '1.' || CAST(s_nationkey AS VARCHAR) AS fixed_version
+FROM supplier
+""",
+)
+def advisory_stream_scan(spark, sf_dir):
+    """The advisory feed as a STREAMING custom source (Spark 4
+    ``SimpleDataSourceStreamReader``): `spark.readStream.format
+    ("advisory")` with a version-cursor offset — batch 0 drains the
+    feed snapshot, recovery replays via readBetweenOffsets. Drained
+    with availableNow into a memory sink; the final table must equal
+    the batch DataSource read (same oracle), proving the batch and
+    stream faces of the source agree."""
+    import itertools as _it
+    import json as _json
+
+    from advisorydatapipeline_spark.sources.advisory_source import register
+
+    tag = "advjson_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    path = Path(base) / "advisories.json"
+    if not path.exists():
+        rows = (
+            load(spark, sf_dir, "supplier")
+            .select("s_name", "s_suppkey", "s_nationkey")
+            .collect()
+        )
+        payload = {
+            r.s_name: {
+                f"CVE-2024-{r.s_suppkey}": {
+                    "fixed_version": f"1.{r.s_nationkey}"
+                },
+                f"GHSA-{r.s_suppkey}": {"fixed_version": "9.9"},
+            }
+            for r in rows
+        }
+        path.write_text(_json.dumps(payload))
+    register(spark)
+    stream = (
+        spark.readStream.format("advisory")
+        .option("path", str(path))
+        .load()
+        # the simple stream reader has no pushFilters hook; the
+        # CVE- guard is an ordinary streaming filter here
+        .filter(F.col("cve_id").startswith("CVE-"))
+    )
+    global _stream_uniq
+    try:
+        n = next(_stream_uniq)
+    except NameError:
+        _stream_uniq = _it.count()
+        n = next(_stream_uniq)
+    name = f"adp_adv_stream_{n}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)

@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 ADVISORY_SCHEMA = "package_name string, cve_id string, fixed_version string"
@@ -45,6 +46,9 @@ class AdvisoryDataSource(DataSource):
 
     def reader(self, schema):  # noqa: ANN001
         return AdvisoryReader(self.options)
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001
+        return AdvisorySimpleStreamReader(self.options)
 
 
 class AdvisoryReader(DataSourceReader):
@@ -124,3 +128,40 @@ def register(spark) -> None:  # noqa: ANN001
     in queries/helpers.py)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(AdvisoryDataSource)
+
+
+class AdvisorySimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the advisory feed (Spark 4
+    ``SimpleDataSourceStreamReader``): one logical cursor over the
+    feed file. Offset = {"version": n} — a real deployment would
+    carry the feed's publish cursor; here the file is a single
+    version, so the first ``read`` drains it and every later batch is
+    empty. ``readBetweenOffsets`` makes recovery replays exact."""
+
+    def __init__(self, options):  # noqa: ANN001
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def _rows(self) -> list:
+        # a LIST, not a generator: the simple-reader prefetcher
+        # pickles the returned batch driver-side for replay caching
+        with open(self.path) as f:
+            payload = json.load(f)
+        return [
+            (pkg, cve_id, (info or {}).get("fixed_version"))
+            for pkg, cves in payload.items()
+            for cve_id, info in cves.items()
+            if cve_id.startswith("CVE-")
+        ]
+
+    def read(self, start: dict):  # noqa: ANN001
+        if start.get("version", 0) >= 1:
+            return [], start
+        return self._rows(), {"version": 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: ANN001
+        if start.get("version", 0) >= 1:
+            return []
+        return self._rows()
