@@ -180,6 +180,14 @@ def main() -> None:
         f"near-dup clone clusters, the worst realistic near-dup load). "
         f"Base corpus {counts[REPLICAS[0]]} docs; JIT warmed before "
         "measurement.\n",
+        "Reading the ratios: input grows R-fold but the near-dup PAIR "
+        "count grows ~R^2-fold by construction (every replica matches "
+        "R-1 others), so a pair-emitting op (minhash_lsh, simhash64, "
+        "jaccard_cc) tracking well below the R^2 output curve is "
+        "candidate-bounded, not blowing up. ann_brute grows with "
+        "corpus x fixed queries (linear here, the labeled ground-truth "
+        "ceiling) while ann_ivf probes a fixed cluster fraction — the "
+        "gap between those two rows is the IVF scale story.\n",
         "| op | " + " | ".join(f"x{r} ({counts[r]} docs)" for r in REPLICAS)
         + " | t(x4)/t(x1) vs 4.0 input ratio |",
         "|---|" + "---|" * (len(REPLICAS) + 1),
