@@ -217,3 +217,89 @@ def local_supplier_revenue(spark, sf_dir):
             F.count("*").cast("long").alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "price_qty_regression",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n
+         AS intercept
+FROM m
+""",
+)
+def price_qty_regression(spark, sf_dir):
+    """Correlation + least-squares fit per group, from EXACT decimal
+    moments (n, Sx, Sy, Sxx, Syy, Sxy) — the repo's reproducibility
+    rule applied to second-order statistics. Built-in corr()/
+    regr_slope() accumulate in floats and are association-order-
+    dependent (different answers per partitioning, unverifiable
+    across engines); one partial-agg shuffle of six exact sums gives
+    bit-stable statistics at any cluster size."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr"),
+        slope.alias("slope"),
+        ((sy - sx * slope) / n).alias("intercept"),
+    )
+
+
+@query(
+    "sorted_event_type_sets",
+    oracle="""
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY 1
+""",
+)
+def sorted_event_type_sets(spark, sf_dir):
+    """Deterministic array aggregation: ``collect_set`` is unordered
+    (and collect_list is partition-order-dependent), so the array is
+    sorted before it leaves the aggregate — the only way an
+    array-valued result can be value-compared across engines or
+    reruns. One partial-agg shuffle; the set is bounded by the
+    event-type vocabulary, not the row count."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
