@@ -255,3 +255,51 @@ def sql_udf_revenue(spark, sf_dir):
         GROUP BY 1
         """
     )
+
+
+@query(
+    "sql_dml_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def sql_dml_roundtrip(spark, sf_dir):
+    """Catalog DML round trip: CTAS seeds a parquet table with the
+    finished orders, INSERT INTO appends the rest, and the read-back
+    aggregate must equal the one-shot aggregate over the source —
+    proving the write path loses nothing across the two DML batches.
+    Fresh external LOCATION per run keeps the query idempotent under
+    any session."""
+    import tempfile as _tf
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ord_dml")
+    loc = _tf.mkdtemp(prefix="adp_dml_")
+    spark.sql("DROP TABLE IF EXISTS adp_dml_orders")
+    spark.sql(
+        f"""
+        CREATE TABLE adp_dml_orders USING PARQUET LOCATION '{loc}'
+        AS SELECT * FROM _ord_dml WHERE o_orderstatus = 'F'
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO adp_dml_orders
+        SELECT * FROM _ord_dml
+        WHERE o_orderstatus IS DISTINCT FROM 'F'
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price
+        FROM adp_dml_orders
+        GROUP BY 1
+        """
+    )
