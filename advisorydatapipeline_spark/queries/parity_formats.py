@@ -566,3 +566,97 @@ def advisory_stream_scan(spark, sf_dir):
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+@query(
+    "xml_scan_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+""",
+)
+def xml_scan_roundtrip(spark, sf_dir):
+    """XML format arm (built into Spark 4 — no spark-xml jar): the
+    nation dim staged as an XML document and read back with rowTag
+    record discovery + explicit casts to the declared schema. XML is
+    a row-splittable source like JSON-lines only per-file; the scale
+    pattern is many files (one per upstream export), which is exactly
+    how the staging writes it."""
+    from xml.sax.saxutils import escape as _esc
+
+    tag = "xml_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    path = Path(base) / "nation.xml"
+    if not path.exists():
+        rows = (
+            load(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect()
+        )
+        body = "".join(
+            f"<nation><n_nationkey>{r.n_nationkey}</n_nationkey>"
+            f"<n_name>{_esc(r.n_name)}</n_name>"
+            f"<n_regionkey>{r.n_regionkey}</n_regionkey></nation>"
+            for r in rows
+        )
+        path.write_text(f"<nations>{body}</nations>")
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(str(path))
+        .select(
+            F.col("n_nationkey").cast("int"),
+            F.col("n_name").cast("string"),
+            F.col("n_regionkey").cast("int"),
+        )
+    )
+
+
+N_BINARY_DOCS = 50
+
+
+@query(
+    "binary_file_scan",
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < {N_BINARY_DOCS}
+""",
+)
+def binary_file_scan(spark, sf_dir):
+    """`binaryFile` source — the ingestion face of the multimodal
+    story: opaque blobs become (path, length, content) rows, identity
+    parsed from the file name, integrity from md5(content). Spark's
+    md5 over the utf-8 bytes equals DuckDB's md5 over the source
+    string, so the round trip is value-checked end to end. At scale
+    this reads object-store blobs directly; the decode stage downstream
+    is operators/multimodal.py."""
+    tag = "bin_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    marker = Path(base) / ".staged"
+    if not marker.exists():
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < N_BINARY_DOCS)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            (Path(base) / f"doc_{r.doc_id}.bin").write_bytes(
+                r.text.encode("utf-8")
+            )
+        marker.write_text("ok")
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )
