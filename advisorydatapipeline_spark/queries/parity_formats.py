@@ -660,3 +660,61 @@ def binary_file_scan(spark, sf_dir):
             F.md5(F.col("content")).alias("content_md5"),
         )
     )
+
+
+@query(
+    "log_parse_text",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL
+GROUP BY 1
+""",
+)
+def log_parse_text(spark, sf_dir):
+    """Schema-on-read over raw text: events staged as pipe-delimited
+    log lines, read with the `text` source and parsed by regexp
+    column expressions — the classic log-ingestion shape (no schema
+    at the source, structure imposed in the plan, malformed lines
+    droppable by predicate instead of crashing the scan). Float
+    repr round-trips exactly, and the quantized-cents sum keeps the
+    aggregate engine-exact."""
+    tag = "log_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    path = Path(base) / "events.log"
+    if not path.exists():
+        rows = (
+            load(spark, sf_dir, "events")
+            .filter(
+                F.col("event_type").isNotNull()
+                & F.col("value").isNotNull()
+            )
+            .select("event_id", "event_type", "value")
+            .collect()
+        )
+        path.write_text(
+            "".join(
+                f"{r.event_id}|{r.event_type}|{r.value!r}\n" for r in rows
+            )
+        )
+    lines = spark.read.text(str(path))
+    parsed = lines.select(
+        F.regexp_extract("value", r"^(\d+)\|", 1)
+        .cast("long")
+        .alias("event_id"),
+        F.regexp_extract("value", r"^\d+\|([^|]*)\|", 1).alias(
+            "event_type"
+        ),
+        F.regexp_extract("value", r"\|([^|]*)$", 1)
+        .cast("double")
+        .alias("val"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("val") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )

@@ -217,3 +217,59 @@ def skew_salted_join(spark, sf_dir):
         salt_buckets=16,
         salt_on="event_id",
     ).select("event_id", "event_type", "value", "type_sum", "type_n")
+
+
+US_PER_DAY_SPINE = 86_400_000_000
+
+
+@query(
+    "calendar_spine_fill",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(ts) // {US_PER_DAY_SPINE} AS d, value
+  FROM events WHERE ts IS NOT NULL
+),
+daily AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+  FROM e GROUP BY 1
+),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM b)
+SELECT s.d AS day_idx,
+       COALESCE(daily.n, 0) AS n_events,
+       COALESCE(daily.sv, 0.0) AS sum_value
+FROM spine s LEFT JOIN daily ON daily.d = s.d
+""",
+)
+def calendar_spine_fill(spark, sf_dir):
+    """Time-series gap filling: a generated day spine (sequence over
+    the observed [min, max] day range — a 1-row broadcast aggregate,
+    never a driver collect) left-joined to the daily rollup so silent
+    days appear as explicit zeros. Integer day indices from epoch-us
+    division keep the bucketing exact; the spine explode is narrow
+    (one row per day, not per event)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.expr(f"(ts DIV 1000) DIV {US_PER_DAY_SPINE}")
+    daily = ev.groupBy(day.alias("d")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sv"),
+    )
+    bounds = ev.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.col("d").alias("day_idx"),
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+            F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
