@@ -203,3 +203,40 @@ def full_outer_reconciliation(spark, sf_dir):
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+WITH l AS (
+  SELECT event_id, NULLIF(event_type, 'view') AS k FROM events
+),
+d AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS grp_n FROM l GROUP BY k
+)
+SELECT l.event_id, l.k, d.grp_n
+FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+""",
+)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the contract
+    regular equi-joins break. NULLIF plants a null-keyed population
+    so the semantic is actually exercised. Spark plans `<=>` as an
+    ordinary hash join (nulls hash like any value under null-safe
+    comparison), so the scale profile is identical to a plain
+    equi-join — no nested-loop penalty for null handling."""
+    ev = load(spark, sf_dir, "events")
+    lhs = ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("view")).alias("k"),
+    ).alias("l")
+    dim = (
+        lhs.groupBy("k")
+        .agg(F.count("*").cast("long").alias("grp_n"))
+        .withColumnRenamed("k", "dk")
+        .alias("d")
+    )
+    return lhs.join(
+        dim, F.col("l.k").eqNullSafe(F.col("d.dk"))
+    ).select("event_id", F.col("l.k").alias("k"), "grp_n")
