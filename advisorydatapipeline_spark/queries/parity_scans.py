@@ -102,3 +102,45 @@ def null_predicates(spark, sf_dir):
         & (F.col("c_name") != "")
         & (F.col("c_acctbal") >= 0)
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "observed_scan_metrics",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS n_values,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+""",
+)
+def observed_scan_metrics(spark, sf_dir):
+    """A3 as a first-class result: `observe()` collects named metrics
+    DURING the scan that materializes the data — the lazy replacement
+    for the reference's eager `count()` logging (nvd pipeline),
+    which costs a second full scan per metric. One pass computes all
+    three metrics; the 1-row result frame is built from the
+    observation, so the plan is scan-once by construction."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("scan_metrics")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    observed_df = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_values"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    observed_df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_values"]),
+                int(m["sum_cents"]),
+            )
+        ],
+        "n_rows long, n_values long, sum_cents long",
+    )

@@ -86,6 +86,14 @@ AUDIT = [
     "canonical_corpus",
     "parameterized_sql_filter",
     "sql_udf_revenue",
+    "skew_salted_join",
+    "large_order_customers",
+    "price_qty_regression",
+    "sorted_event_type_sets",
+    "calendar_spine_fill",
+    "null_safe_join",
+    "binary_file_scan",
+    "log_parse_text",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
