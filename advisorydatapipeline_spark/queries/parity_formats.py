@@ -11,6 +11,7 @@ defect in either direction breaks the hash.
 
 from __future__ import annotations
 
+import itertools
 import tempfile
 from pathlib import Path
 
@@ -22,6 +23,7 @@ from advisorydatapipeline_spark.registry import query
 from advisorydatapipeline_spark.sources.io import read_table
 
 _scratch: dict[str, str] = {}
+_stream_uniq = itertools.count()
 
 
 def _dir(tag: str) -> str:
@@ -516,7 +518,6 @@ def advisory_stream_scan(spark, sf_dir):
     with availableNow into a memory sink; the final table must equal
     the batch DataSource read (same oracle), proving the batch and
     stream faces of the source agree."""
-    import itertools as _it
     import json as _json
 
     from advisorydatapipeline_spark.sources.advisory_source import register
@@ -549,13 +550,7 @@ def advisory_stream_scan(spark, sf_dir):
         # CVE- guard is an ordinary streaming filter here
         .filter(F.col("cve_id").startswith("CVE-"))
     )
-    global _stream_uniq
-    try:
-        n = next(_stream_uniq)
-    except NameError:
-        _stream_uniq = _it.count()
-        n = next(_stream_uniq)
-    name = f"adp_adv_stream_{n}"
+    name = f"adp_adv_stream_{next(_stream_uniq)}"
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -695,6 +690,10 @@ def log_parse_text(spark, sf_dir):
             .select("event_id", "event_type", "value")
             .collect()
         )
+        for r in rows:
+            # the pipe format has no escaping; a delimiter inside a
+            # field would silently mis-parse vs the oracle — refuse
+            assert "|" not in r.event_type and "\n" not in r.event_type
         path.write_text(
             "".join(
                 f"{r.event_id}|{r.event_type}|{r.value!r}\n" for r in rows

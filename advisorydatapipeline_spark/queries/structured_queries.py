@@ -275,11 +275,17 @@ def sql_dml_roundtrip(spark, sf_dir):
     proving the write path loses nothing across the two DML batches.
     Fresh external LOCATION per run keeps the query idempotent under
     any session."""
+    import shutil as _sh
     import tempfile as _tf
 
     load(spark, sf_dir, "orders").createOrReplaceTempView("_ord_dml")
-    loc = _tf.mkdtemp(prefix="adp_dml_")
+    # stable location per sf, wiped before recreate: a fresh mkdtemp
+    # per call would leak one full orders copy per invocation (DROP
+    # on an external table leaves its files behind)
+    tag = sf_dir.strip("/").replace("/", "_")
+    loc = f"{_tf.gettempdir()}/adp_dml_{tag}"
     spark.sql("DROP TABLE IF EXISTS adp_dml_orders")
+    _sh.rmtree(loc, ignore_errors=True)
     spark.sql(
         f"""
         CREATE TABLE adp_dml_orders USING PARQUET LOCATION '{loc}'

@@ -168,7 +168,14 @@ def test_q22_shape_anti_join_and_broadcast_scalars(spark, sf_dir):
     df.collect()
     p = full_plan(df)
     assert "LeftAnti" in p
-    assert "BroadcastNestedLoopJoin" not in p or "BuildRight" in p
+    # any BNLJ must build its 1-row scalar side (BuildRight). Tree
+    # lines carry the build side; detail-section headers don't — so
+    # the check is "no BNLJ line declares BuildLeft" (a plan-wide
+    # "BuildRight in p" would be satisfied by the anti join's own
+    # build side and prove nothing)
+    for ln in p.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildLeft" not in ln, ln
     assert "CartesianProduct" not in p
     # the two global scalars arrive as broadcast 1-row sides
     assert p.count("BroadcastExchange") >= 2

@@ -136,9 +136,12 @@ def run_similarity(spark, path: str) -> dict[str, float]:
     cost grows with corpus x queries, IVF only with the probed
     fraction — the contrast is the whole point of the IVF path."""
     emb = spark.read.parquet(path)
-    queries = emb.filter(F.col("vec_id") % 500 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # FIXED query set: base-replica ids only (replica offsets are
+    # multiples of 1M, which % 500 would re-select — the query count
+    # must not grow with the corpus or brute-force cost reads as R^2)
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1_000_000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
