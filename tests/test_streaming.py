@@ -197,3 +197,72 @@ def test_tws_plan_construction(spark, sf_dir):
         pytest.skip("protobuf absent: TWS execution not runnable here")
     # with protobuf present this would drain and match the batch
     # GROUP BY; see running_value_totals_tws docstring.
+
+
+def test_checkpoint_recovery_resumes_offsets(spark, sf_dir, tmp_path):
+    """Kill a checkpointed stream mid-input, restart it, and the
+    final aggregate must equal the batch answer — file-source offsets
+    recover exactly from the checkpoint (no replayed or skipped
+    files). This is the property a production restart relies on."""
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        SF.col("ts").isNotNull()
+    )
+    # split the input into 3 files so maxFilesPerTrigger=1 gives
+    # 3 deterministic micro-batches
+    parts = ev.withColumn("_b", SF.col("event_id") % 3)
+    for b in range(3):
+        parts.filter(SF.col("_b") == b).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{b}"))
+    paths = sorted(str(p) for p in src.glob("b*/part-*.parquet"))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    shutil.copy(paths[0], feed / "f0.parquet")
+
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        read_event_stream as res,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    counts = (
+        res(spark, str(feed), max_files_per_trigger=1)
+        .groupBy("event_type")
+        .agg(SF.count("*").alias("n"))
+    )
+
+    def start(name):
+        return (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start("ckpt_run1")
+    q.awaitTermination(300)
+    q.stop()  # "crash" after batch 1
+
+    # more input lands while the query is down
+    shutil.copy(paths[1], feed / "f1.parquet")
+    shutil.copy(paths[2], feed / "f2.parquet")
+
+    q2 = start("ckpt_run2")
+    q2.awaitTermination(300)
+    q2.stop()
+
+    got = {
+        r.event_type: r.n for r in spark.table("ckpt_run2").collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(SF.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
