@@ -87,7 +87,13 @@ def main() -> None:
     # warm the session outside the timed region: JVM/codegen init,
     # shuffle service, and Python-worker (Arrow) startup
     warm_dir = "/root/testdata/sf0.001"
-    for warm_name in ("flagship_advisory_resolution", "media_metadata"):
+    # flagship/media warm the JVM + Arrow paths; the advisory read
+    # warms Python DataSource worker spinup (one-time per process)
+    for warm_name in (
+        "flagship_advisory_resolution",
+        "media_metadata",
+        "advisory_datasource_scan",
+    ):
         QUERIES[warm_name](spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
