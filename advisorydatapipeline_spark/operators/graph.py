@@ -45,6 +45,8 @@ def connected_components(
         .distinct()
         .persist()
     )
+    from pyspark.sql import Observation
+
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -52,16 +54,13 @@ def connected_components(
         .localCheckpoint()
     )
 
-    def _label_sum(lbl: DataFrame) -> object:
-        # exact decimal sum: labels only ever decrease, so the sum is
-        # a strictly-decreasing convergence witness — one narrow agg
-        # instead of a shuffle-join diff per iteration
-        return lbl.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).first()[0]
-
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
+    # exact decimal sum: labels only ever decrease, so the sum is a
+    # strictly-decreasing convergence witness — and it rides the
+    # checkpoint materialization via observe(), costing ZERO extra
+    # jobs (a separate agg would re-scan the labels every round)
+    witness = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(witness).first()[0]
+    for i in range(max_iter):
         nbr = und.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
@@ -72,7 +71,8 @@ def connected_components(
         hop = merged.select(
             F.col("node").alias("label"), F.col("label").alias("_l2")
         )
-        new_labels = (
+        obs = Observation(f"cc_witness_{i}")
+        labels = (
             merged.join(hop, "label", "left")
             .select(
                 "node",
@@ -80,10 +80,10 @@ def connected_components(
                     "label"
                 ),
             )
+            .observe(obs, witness)
             .localCheckpoint()
         )
-        labels = new_labels
-        new_sum = _label_sum(labels)
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
