@@ -310,3 +310,113 @@ def doc_chunks_udtf(spark, sf_dir):
     return spark.sql(
         f"SELECT c.* FROM {vname} v, LATERAL {fname}(v.doc_id, v.text) c"
     )
+
+
+PMI_SCALE = 1_000_000
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 50
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS ts FROM documents
+),
+bg AS (
+  SELECT ts[i] AS t1, ts[i+1] AS t2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2
+),
+uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS cu FROM (
+    SELECT unnest(ts) AS t FROM toks
+  ) GROUP BY 1
+),
+pair AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS cp
+  FROM bg GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_PAIR}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(ts) AS t FROM toks
+)),
+scored AS (
+  SELECT p.t1, p.t2, p.cp,
+         (p.cp * t.n * {PMI_SCALE}) // (u1.cu * u2.cu) AS pmi_q
+  FROM pair p
+  JOIN uni u1 ON u1.t = p.t1
+  JOIN uni u2 ON u2.t = p.t2
+  CROSS JOIN tot t
+)
+SELECT t1, t2, cp, pmi_q FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY pmi_q DESC, t1 ASC, t2 ASC
+  ) AS rn FROM scored
+) WHERE rn <= {PMI_TOP_K}
+""",
+)
+def pmi_collocations(spark, sf_dir):
+    """Collocation mining: top-K adjacent token pairs by pointwise
+    mutual information. PMI's log is monotone, so the ranking uses
+    the EXACT integer ratio (c_xy * N * scale) DIV (c_x * c_y)
+    instead of log floats — cross-engine-identical ranks (same trick
+    as the integer-scaled idf in tfidf_top_terms). Bigrams are linear
+    in corpus size (adjacent pairs only, never within-doc all-pairs);
+    unigram counts join the pair aggregate on the token key
+    (AQE broadcasts them at test scale; at corpus scale the
+    vocabulary-sized table stays a hash join); the min-pair
+    floor kills the hapax tail before the join. Top-K via a single
+    TakeOrdered, no global sort."""
+    from advisorydatapipeline_spark.functions.text import tokens as _tok
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(_tok("text").alias("ts")).persist()
+    ts = F.col("ts")
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 2),
+            lambda i: F.struct(
+                F.element_at(ts, (i + 1).cast("int")).alias("t1"),
+                F.element_at(ts, (i + 2).cast("int")).alias("t2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    pair = (
+        toked.select(F.explode(bigrams).alias("b"))
+        .select("b.t1", "b.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("cp"))
+        .filter(F.col("cp") >= PMI_MIN_PAIR)
+    )
+    uni = (
+        toked.select(F.explode(ts).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("cu"))
+    )
+    tot = toked.select(F.explode(ts).alias("t")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # no broadcast hint on the unigram side: it is vocabulary-sized
+    # (too big to ship at corpus scale) — AQE picks broadcast at test
+    # scale and a shuffled hash join on the token key at 100 TB
+    scored = (
+        pair.join(uni.withColumnRenamed("t", "t1"), "t1")
+        .withColumnRenamed("cu", "cu1")
+        .join(uni.withColumnRenamed("t", "t2"), "t2")
+        .withColumnRenamed("cu", "cu2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "cp",
+            F.expr(
+                f"(cp * n * {PMI_SCALE}) DIV (cu1 * cu2)"
+            ).alias("pmi_q"),
+        )
+    )
+    out = scored.orderBy(
+        F.col("pmi_q").desc(), F.col("t1").asc(), F.col("t2").asc()
+    ).limit(PMI_TOP_K)
+    toked.unpersist()
+    return out.select("t1", "t2", "cp", "pmi_q")

@@ -76,3 +76,76 @@ def pagerank_suppliers(spark, sf_dir):
         .distinct()
     )
     return pagerank_quantized(edges, "src", "dst", iters=PR_ITERS)
+
+
+@query(
+    "supplier_triangles",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT
+         LEAST(a.l_suppkey, b.l_suppkey) AS u,
+         GREATEST(a.l_suppkey, b.l_suppkey) AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+roles AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM roles GROUP BY 1
+""",
+)
+def supplier_triangles(spark, sf_dir):
+    """Per-node triangle counts over the supplier co-order graph —
+    the standard clustering-coefficient input. Edges are oriented
+    u < v so each triangle materializes exactly once as (a<b<c); the
+    count is three equi-joins on edge endpoints, never an all-pairs
+    step. Co-order pair generation is bounded by per-order supplier
+    counts (single-digit), so the edge build is linear in lineitem.
+    At larger scale the orientation would be by degree rather than id
+    (degree orientation bounds the join fan-out on power-law graphs);
+    id orientation keeps the oracle trivially portable here."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    roles = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return roles.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
