@@ -303,3 +303,56 @@ def sorted_event_type_sets(spark, sf_dir):
         F.array_sort(F.collect_set("event_type")).alias("types"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+@query(
+    "session_window_api",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sess AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + {SESSION_GAP_US} AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def session_window_api(spark, sf_dir):
+    """`F.session_window` — the declarative twin of the manual
+    lag/flag/running-sum sessionization: Spark merges events whose
+    gap is STRICTLY under the timeout (a gap exactly equal to the
+    timeout starts a new session — note the `>=` in the oracle's
+    island flag, vs `>` in the manual twin) and reports the window as
+    [first_event, last_event + gap). One shuffle on the grouping
+    keys; the same operator runs unchanged over a watermarked stream
+    (streaming_session_windows)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = ev.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    gap_s = SESSION_GAP_US // 1_000_000
+    return (
+        ev.groupBy(
+            F.session_window("event_time", f"{gap_s} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

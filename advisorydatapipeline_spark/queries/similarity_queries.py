@@ -333,3 +333,74 @@ def contrastive_triplets(spark, sf_dir):
             & F.col("negative_id").isNotNull()
         )
     )
+
+
+_LLOYD_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_QD} AS v, embedding FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, {_DUCK_QD} AS v FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assign_scored AS (
+  SELECT c.vec_id, cent.centroid_id,
+         list_dot_product(c.v, c.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(c.v, cent.v) AS dist_sq
+  FROM c, cent
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist_sq ASC, centroid_id ASC
+    ) AS rn FROM assign_scored
+  ) WHERE rn = 1
+),
+qv AS (
+  SELECT a.centroid_id,
+         list_transform(c.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM assigned a JOIN c ON c.vec_id = a.vec_id
+)
+SELECT centroid_id, CAST(u.i - 1 AS INT) AS pos,
+       CAST(sum(q[u.i]) AS BIGINT) AS qsum,
+       CAST(count(*) AS BIGINT) AS n_members,
+       sum(q[u.i]) / count(*) AS centroid_q
+FROM qv, unnest(generate_series(1, len(q))) AS u(i)
+GROUP BY 1, 2
+"""
+
+
+@query("kmeans_lloyd_step", oracle=_LLOYD_ORACLE)
+def kmeans_lloyd_step(spark, sf_dir):
+    """One Lloyd iteration of k-means as a pure DataFrame plan:
+    broadcast-centroid nearest assignment (exact quantized L2,
+    deterministic tiebreak — the same assignment the IVF index uses)
+    followed by the per-(centroid, dimension) mean in long format.
+    Quantized integer sums make the updated centroids bit-identical
+    across engines and partitionings, so the iterative training loop
+    is replayable — the driver never touches vector data, and each
+    iteration is one narrow posexplode + one partial-agg shuffle of
+    (centroid, pos) pairs."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(emb, centroids)
+    q = F.transform(
+        "embedding", lambda x: F.floor(x * 1000).cast("long")
+    )
+    per_dim = assigned.select(
+        "centroid_id", F.posexplode(q).alias("pos", "qv")
+    )
+    return per_dim.groupBy(
+        "centroid_id", F.col("pos").cast("int").alias("pos")
+    ).agg(
+        F.sum("qv").cast("long").alias("qsum"),
+        F.count("*").cast("long").alias("n_members"),
+        (F.sum("qv") / F.count("*")).alias("centroid_q"),
+    )

@@ -94,6 +94,10 @@ AUDIT = [
     "null_safe_join",
     "binary_file_scan",
     "log_parse_text",
+    "pmi_collocations",
+    "supplier_triangles",
+    "kmeans_lloyd_step",
+    "session_window_api",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -117,6 +121,10 @@ NESTED_LOOP_OK = {
     # broadcast anchor set scored against the corpus scan — the same
     # exact-scoring plan as ann_cosine_topk
     "contrastive_triplets",
+    # broadcast-centroid assignment cross join (the IVF assign plan)
+    "kmeans_lloyd_step",
+    # 1-row broadcast corpus-total scalar
+    "pmi_collocations",
 }
 
 JOIN_PAT = re.compile(
