@@ -717,3 +717,52 @@ def log_parse_text(spark, sf_dir):
         .cast("long")
         .alias("sum_cents"),
     )
+
+
+DPP_CATS = {"view": "engagement", "click": "engagement"}
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle="""
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events e
+WHERE e.event_type IN ('view', 'click')
+GROUP BY 1
+""",
+)
+def dpp_partitioned_join(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by event_type, the dim carries a category filter, and
+    Spark prunes fact PARTITIONS at runtime from the broadcast dim's
+    build side — the mechanism that lets a 100 TB star join read only
+    the directories the dim selects instead of the whole fact.
+    tests/test_explain_plans.py pins `dynamicpruning` in the scan;
+    this entry value-checks the pruned result."""
+    tag = "dpp_" + sf_dir.strip("/").replace("/", "_")
+    base = _dir(tag)
+    fact_dir = Path(base) / "events_by_type"
+    if not fact_dir.exists():
+        load(spark, sf_dir, "events").write.partitionBy(
+            "event_type"
+        ).mode("overwrite").parquet(str(fact_dir))
+    fact = spark.read.parquet(str(fact_dir))
+    dim = spark.createDataFrame(
+        [(t, c) for t, c in DPP_CATS.items()],
+        "d_type string, category string",
+    ).filter(F.col("category") == "engagement")
+    return (
+        fact.join(
+            F.broadcast(dim), fact.event_type == dim.d_type
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )

@@ -244,3 +244,13 @@ def test_sql_udf_inlines_no_python_worker(spark, sf_dir):
     p = plan(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_sum" in p  # map-side combine over the inlined expr
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The partitioned fact scan must carry a dynamic-pruning
+    expression seeded by the broadcast dim — reading only the
+    partitions the dim's filter selects."""
+    df = QUERIES["dpp_partitioned_join"](spark, sf_dir)
+    df.collect()
+    p = full_plan(df)
+    assert "dynamicpruning" in p.lower(), p[:2000]
