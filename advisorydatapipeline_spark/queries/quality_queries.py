@@ -75,3 +75,102 @@ def referential_orphans(spark, sf_dir):
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
     return referential_violations(li, parents, ["l_orderkey"])
+
+
+K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(count(*) AS BIGINT) AS grp_n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE grp_n < {K_ANON}) AS BIGINT)
+         AS n_small_groups,
+       CAST(COALESCE(SUM(grp_n) FILTER (WHERE grp_n < {K_ANON}), 0)
+            AS BIGINT) AS n_rows_at_risk,
+       CAST(min(grp_n) AS BIGINT) AS min_group_size
+FROM g
+""",
+)
+def k_anonymity_audit(spark, sf_dir):
+    """Privacy-release audit: group sizes over the quasi-identifier
+    tuple (segment, nation) — any group under k is re-identifiable
+    and must be suppressed or generalized before release. The audit
+    is one partial-agg shuffle on the quasi-identifiers plus a scalar
+    reduce; rows never leave the executors. Complements pii_scrub
+    (column-level redaction) and user_erasure_rewrite (row-level
+    deletion) with the release-level guarantee."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").cast("long").alias("grp_n")
+    )
+    small = F.col("grp_n") < K_ANON
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.count(F.when(small, 1)).cast("long").alias("n_small_groups"),
+        F.coalesce(F.sum(F.when(small, F.col("grp_n"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+    )
+
+
+SKEW_TOP_N = 5
+
+
+@query(
+    "key_skew_profile",
+    oracle=f"""
+WITH k AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_c
+  FROM k
+)
+SELECT k.o_custkey AS key, k.c AS n_rows_for_key,
+       CAST(t.n_rows AS BIGINT) AS total_rows,
+       CAST(t.n_keys AS BIGINT) AS distinct_keys,
+       k.c * {10 ** 6} // t.n_rows AS share_ppm
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, o_custkey ASC) AS rn
+  FROM k
+) k, tot t
+WHERE k.rn <= {SKEW_TOP_N}
+""",
+)
+def key_skew_profile(spark, sf_dir):
+    """Shuffle-planning diagnostic: the heaviest join/agg keys with
+    their integer parts-per-million share of the table — the number
+    that decides whether a key needs salting or AQE skew handling
+    before a 100 TB join. Per-key counts are one partial-agg shuffle;
+    the top-N is a TakeOrdered (no global sort); totals ride a 1-row
+    broadcast."""
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("long").alias("n_rows_for_key")
+    )
+    tot = k.agg(
+        F.sum("n_rows_for_key").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("distinct_keys"),
+    )
+    top = k.orderBy(
+        F.col("n_rows_for_key").desc(), F.col("key").asc()
+    ).limit(SKEW_TOP_N)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_rows_for_key",
+        "total_rows",
+        "distinct_keys",
+        F.expr(f"(n_rows_for_key * {10 ** 6}) DIV total_rows").alias(
+            "share_ppm"
+        ),
+    )
