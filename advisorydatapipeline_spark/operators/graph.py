@@ -43,6 +43,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # pre-partition on the per-iteration join key: the cached
+        # partitioning is reused every round, so only the (small)
+        # label side shuffles per iteration
+        .repartition("b")
         .persist()
     )
     from pyspark.sql import Observation
@@ -133,7 +137,7 @@ def pagerank_quantized(
     # join it ONCE and persist — each iteration then needs a single
     # join (adj x ranks) + one partial-agg shuffle, instead of
     # re-aggregating degrees and joining twice per round
-    adj = und.join(deg, "a").persist()
+    adj = und.join(deg, "a").repartition("a").persist()
     base = (1 * PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     ranks = deg.select("a", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(iters):
