@@ -141,6 +141,23 @@ def contamination(
     )
 
 
+def adjacent_pairs(ts, combine, empty_type: str = "array<string>"):
+    """Array of adjacent token pairs: combine(ts[i], ts[i+1]) for
+    each window, empty array below 2 tokens. The 1-based element_at
+    indexing and the short-doc guard live HERE, once — callers only
+    choose the pair representation (joined string, struct, ...)."""
+    return F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 2),
+            lambda i: combine(
+                F.element_at(ts, (i + 1).cast("int")),
+                F.element_at(ts, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast(empty_type))
+
+
 def bigram_repetition(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -154,18 +171,9 @@ def bigram_repetition(
     from advisorydatapipeline_spark.functions.text import tokens
 
     toked = df.select(F.col(id_col), tokens(text_col).alias("_ts"))
-    ts = F.col("_ts")
-    bigrams = F.when(
-        F.size(ts) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ts) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ts, (i + 1).cast("int")),
-                F.element_at(ts, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = adjacent_pairs(
+        F.col("_ts"), lambda a, b: F.concat_ws(" ", a, b)
+    )
     per_bigram = (
         toked.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")

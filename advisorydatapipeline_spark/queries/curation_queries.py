@@ -342,7 +342,8 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
 )),
 scored AS (
   SELECT p.t1, p.t2, p.cp,
-         (p.cp * t.n * {PMI_SCALE}) // (u1.cu * u2.cu) AS pmi_q
+         CAST((CAST(p.cp AS HUGEINT) * t.n * {PMI_SCALE})
+              // (CAST(u1.cu AS HUGEINT) * u2.cu) AS BIGINT) AS pmi_q
   FROM pair p
   JOIN uni u1 ON u1.t = p.t1
   JOIN uni u2 ON u2.t = p.t2
@@ -371,17 +372,16 @@ def pmi_collocations(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     toked = docs.select(_tok("text").alias("ts")).persist()
+    from advisorydatapipeline_spark.operators.curation import (
+        adjacent_pairs,
+    )
+
     ts = F.col("ts")
-    bigrams = F.when(
-        F.size(ts) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ts) - 2),
-            lambda i: F.struct(
-                F.element_at(ts, (i + 1).cast("int")).alias("t1"),
-                F.element_at(ts, (i + 2).cast("int")).alias("t2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    bigrams = adjacent_pairs(
+        ts,
+        lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+        empty_type="array<struct<t1:string,t2:string>>",
+    )
     pair = (
         toked.select(F.explode(bigrams).alias("b"))
         .select("b.t1", "b.t2")
@@ -410,13 +410,19 @@ def pmi_collocations(spark, sf_dir):
             "t1",
             "t2",
             "cp",
+            # DECIMAL(38,0) intermediates: cp*N*scale overflows
+            # int64 at real corpus sizes (N ~ 1e12 tokens); DIV on
+            # decimals is exact integral division, same as the
+            # oracle's HUGEINT //
             F.expr(
-                f"(cp * n * {PMI_SCALE}) DIV (cu1 * cu2)"
+                f"CAST((CAST(cp AS DECIMAL(38,0)) * n * {PMI_SCALE})"
+                f" DIV (CAST(cu1 AS DECIMAL(38,0)) * cu2) AS BIGINT)"
             ).alias("pmi_q"),
         )
     )
-    out = scored.orderBy(
+    # NOTE: no unpersist here — the returned plan executes after this
+    # function returns; an unpersist at build time would evict the
+    # cache before the three token branches ever read it
+    return scored.orderBy(
         F.col("pmi_q").desc(), F.col("t1").asc(), F.col("t2").asc()
-    ).limit(PMI_TOP_K)
-    toked.unpersist()
-    return out.select("t1", "t2", "cp", "pmi_q")
+    ).limit(PMI_TOP_K).select("t1", "t2", "cp", "pmi_q")

@@ -155,8 +155,13 @@ def key_skew_profile(spark, sf_dir):
     the top-N is a TakeOrdered (no global sort); totals ride a 1-row
     broadcast."""
     o = load(spark, sf_dir, "orders")
-    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
-        F.count("*").cast("long").alias("n_rows_for_key")
+    # persisted: both the 1-row total and the top-N branch read this
+    # aggregate — without the cache the orders scan + groupBy shuffle
+    # would run twice in one action
+    k = (
+        o.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").cast("long").alias("n_rows_for_key"))
+        .persist()
     )
     tot = k.agg(
         F.sum("n_rows_for_key").cast("long").alias("total_rows"),

@@ -384,6 +384,7 @@ def kmeans_lloyd_step(spark, sf_dir):
     (centroid, pos) pairs."""
     from advisorydatapipeline_spark.operators.similarity import (
         ivf_assign,
+        quantize,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -391,9 +392,9 @@ def kmeans_lloyd_step(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     assigned = ivf_assign(emb, centroids)
-    q = F.transform(
-        "embedding", lambda x: F.floor(x * 1000).cast("long")
-    )
+    # the SAME quantization the assignment used — a drifted inline
+    # copy would silently diverge from ivf_assign and the oracle
+    q = quantize("embedding")
     per_dim = assigned.select(
         "centroid_id", F.posexplode(q).alias("pos", "qv")
     )
