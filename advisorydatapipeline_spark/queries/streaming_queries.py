@@ -174,6 +174,59 @@ def streaming_dedup_pairs(spark, sf_dir):
 
 
 @query(
+    "streaming_append_windows",
+    oracle="""
+WITH wm AS (
+  SELECT max(epoch_us(ts)) - CAST(7200 AS BIGINT) * 1000000 AS wm_us
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT epoch_us(date_trunc('hour', e.ts)) AS window_start_us,
+       e.event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e, wm
+WHERE e.ts IS NOT NULL
+GROUP BY 1, 2, wm.wm_us
+HAVING min(epoch_us(date_trunc('hour', e.ts)))
+         + CAST(3600 AS BIGINT) * 1000000
+         <= wm.wm_us
+""",
+)
+def streaming_append_windows(spark, sf_dir):
+    """APPEND-mode windowed aggregation: unlike the complete-mode
+    twin (streaming_hourly_counts), append emits a window only once
+    its end falls at or before the final watermark (max event time
+    minus the 2h delay) — the windows still open when the stream
+    drains are intentionally ABSENT from the output. The oracle
+    encodes exactly that finalization rule, value-checking Spark's
+    late-data/emission semantics, not just the aggregation."""
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    ev = stream.filter(F.col("ts").isNotNull())
+    agg = (
+        ev.withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"adp_append_win_{next(_uniq)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+@query(
     "streaming_dedup_watermarked",
     oracle="""
 SELECT DISTINCT user_id, event_type FROM events WHERE ts IS NOT NULL
