@@ -31,6 +31,14 @@ PROBE_QUERIES = [
     "parameterized_sql_filter",
     "sql_udf_revenue",
     "contrastive_triplets",
+    "streaming_append_windows",
+    "dpp_partitioned_join",
+    "xml_scan_roundtrip",
+    "binary_file_scan",
+    "log_parse_text",
+    "session_window_api",
+    "sql_dml_roundtrip",
+    "kmeans_lloyd_step",
 ]
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
