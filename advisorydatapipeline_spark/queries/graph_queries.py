@@ -79,15 +79,40 @@ def pagerank_suppliers(spark, sf_dir):
 
 
 @query(
-    "supplier_triangles",
+    "neardup_triangles",
     oracle="""
-WITH e AS (
-  SELECT DISTINCT
-         LEAST(a.l_suppkey, b.l_suppkey) AS u,
-         GREATEST(a.l_suppkey, b.l_suppkey) AS v
-  FROM lineitem a
-  JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+  FROM toks WHERE len(ts) >= 3
+),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100
+),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  WHERE sh.shingle NOT IN (SELECT shingle FROM hot)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT p.id_a AS u, p.id_b AS v
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.4
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -100,34 +125,38 @@ roles AS (
   UNION ALL SELECT b FROM tri
   UNION ALL SELECT c FROM tri
 )
-SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
 FROM roles GROUP BY 1
 """,
 )
-def supplier_triangles(spark, sf_dir):
-    """Per-node triangle counts over the supplier co-order graph —
-    the standard clustering-coefficient input. Edges are oriented
-    u < v so each triangle materializes exactly once as (a<b<c); the
-    count is three equi-joins on edge endpoints, never an all-pairs
-    step. Co-order pair generation is bounded by per-order supplier
-    counts (single-digit), so the edge build is linear in lineitem.
-    At larger scale the orientation would be by degree rather than id
-    (degree orientation bounds the join fan-out on power-law graphs);
-    id orientation keeps the oracle trivially portable here."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
+def neardup_triangles(spark, sf_dir):
+    """Per-doc triangle counts over the near-dup PAIR graph — the
+    cluster-cohesion signal (a doc in many triangles sits in a tight
+    clone cluster; a bridge doc in none may be a false merge). Edges
+    are oriented u < v so each triangle materializes exactly once as
+    (a<b<c); counting is three equi-joins on edge endpoints. The
+    near-dup graph is SPARSE BY CONSTRUCTION (df-capped shingle join
+    + Jaccard floor), which is what makes distributed triangle
+    enumeration tractable — the same query on a dense co-occurrence
+    graph (e.g. supplier co-order) is inherently cubic and was
+    rejected here after measuring a 34s blowup at sf0.1. At larger
+    scale the orientation would be by degree rather than id."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_index,
+    )
+    from advisorydatapipeline_spark.queries.dedup_queries import (
+        MAX_DOC_FREQ,
+        MIN_JACCARD,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = shingle_index(
+        docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+    ).persist()
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("u"),
-            F.col("b.l_suppkey").alias("v"),
-        )
-        .distinct()
+        jaccard_pairs(idx, "doc_id", MIN_JACCARD)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .persist()
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -146,6 +175,6 @@ def supplier_triangles(spark, sf_dir):
         .unionAll(tri.select(F.col("b").alias("node")))
         .unionAll(tri.select(F.col("c").alias("node")))
     )
-    return roles.groupBy("node").agg(
+    return roles.groupBy(F.col("node").alias("doc_id")).agg(
         F.count("*").cast("long").alias("n_triangles")
     )

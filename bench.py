@@ -76,6 +76,10 @@ HEADLINE = [
     "customer_order_distribution",
     "contrastive_triplets",
     "group_normalized_features",
+    "pmi_collocations",
+    "kmeans_lloyd_step",
+    "neardup_triangles",
+    "dpp_partitioned_join",
 ]
 
 

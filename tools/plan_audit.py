@@ -95,7 +95,7 @@ AUDIT = [
     "binary_file_scan",
     "log_parse_text",
     "pmi_collocations",
-    "supplier_triangles",
+    "neardup_triangles",
     "kmeans_lloyd_step",
     "session_window_api",
 ]
