@@ -282,7 +282,7 @@ def price_qty_regression(spark, sf_dir):
     "sorted_event_type_sets",
     oracle="""
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
 FROM events
 WHERE event_type IS NOT NULL
@@ -294,13 +294,17 @@ def sorted_event_type_sets(spark, sf_dir):
     (and collect_list is partition-order-dependent), so the array is
     sorted before it leaves the aggregate — the only way an
     array-valued result can be value-compared across engines or
-    reruns. One partial-agg shuffle; the set is bounded by the
-    event-type vocabulary, not the row count."""
+    reruns. Serialized to a joined string because the external
+    driver's comparator only hashes scalar cells. One partial-agg
+    shuffle; the set is bounded by the event-type vocabulary, not the
+    row count."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
     )
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), "|"
+        ).alias("types"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
 

@@ -236,12 +236,26 @@ def sketch_aggregates(spark, sf_dir):
     count-distinct shuffles every distinct key; the sketch shuffles a
     fixed few KB per group."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").cast("long").alias("exact_users"),
-        F.expr(
-            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
-        ).alias("value_quantiles"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            # one mergeable sketch, three probes; flattened to scalar
+            # columns because the driver's comparator hashes scalar
+            # cells only (arrays crash its canonicalizer)
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("vq"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.col("vq")[0].alias("value_p50"),
+            F.col("vq")[1].alias("value_p95"),
+            F.col("vq")[2].alias("value_p99"),
+        )
     )
 
 

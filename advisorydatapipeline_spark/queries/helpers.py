@@ -10,10 +10,12 @@ Spark and DuckDB must agree *exactly*):
   deterministic and safe.
 - Inputs here have 2-decimal monetary columns, so DECIMAL(18,2)
   round-trips them exactly in both engines.
-- ``events.ts`` is epoch-ns LongType on the Spark side (see
-  session.py); DuckDB reads TIMESTAMP_NS — oracles use
-  ``epoch_ns(ts)`` for outputs and ns-literals for cutoffs so both
-  engines compare the same integers.
+- ``events.ts`` is epoch-ns LongType on the Spark side — ``load``
+  normalizes it to that regardless of the parquet physical type
+  (TIMESTAMP(NANOS) in round-1 data, timestamp[us] since round 2).
+  DuckDB reads the same parquet natively — oracles use
+  ``epoch_ns(ts)``/``epoch_us(ts)`` for outputs and ns-literals for
+  cutoffs so both engines compare the same integers.
 - Every ORDER BY / window ends in a unique tiebreaker column.
 """
 
@@ -22,6 +24,8 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def ensure_read_confs(spark: SparkSession) -> None:
@@ -29,17 +33,42 @@ def ensure_read_confs(spark: SparkSession) -> None:
 
     The external driver builds its own bare session, so confs set in
     :mod:`advisorydatapipeline_spark.session` do not apply there.
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark rejects unless ``nanosAsLong`` is on (it then reads epoch-ns
-    LongType — the representation every query here assumes). The conf
-    is runtime-settable and idempotent, so setting it per-read is free.
+    Historically ``events.parquet`` stored ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark rejects unless ``nanosAsLong`` is on
+    (it then reads epoch-ns LongType). The conf is runtime-settable and
+    idempotent, so setting it per-read is free; with micros-typed data
+    it is a no-op.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def _ns_long(col: F.Column, dtype: T.DataType) -> F.Column:
+    """Normalize a timestamp-ish column to epoch-ns LongType.
+
+    ``to_utc_timestamp(ntz, 'UTC')`` interprets NTZ wall time as UTC —
+    session-timezone-independent, and bit-identical to DuckDB's
+    ``epoch_ns(ts)`` over the same parquet (verified at sf0.001).
+    """
+    if isinstance(dtype, T.LongType):
+        return col  # already epoch-ns (legacy nanos data + nanosAsLong)
+    if isinstance(dtype, T.TimestampNTZType):
+        col = F.to_utc_timestamp(col, "UTC")
+    return (F.unix_micros(col) * F.lit(1000)).cast("long")
+
+
+#: tables whose ``ts`` column every query in this package treats as
+#: epoch-ns LongType (the engine's canonical event-time encoding)
+_NS_NORMALIZED = {"events": ("ts",)}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_read_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for cname in _NS_NORMALIZED.get(name, ()):
+        field = next((f for f in df.schema.fields if f.name == cname), None)
+        if field is not None and not isinstance(field.dataType, T.LongType):
+            df = df.withColumn(cname, _ns_long(F.col(cname), field.dataType))
+    return df
 
 
 def ns_literal(iso: str) -> int:

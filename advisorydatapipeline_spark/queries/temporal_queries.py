@@ -6,9 +6,10 @@ plain inequality join respectively — i.e. the Spark operators'
 shuffle-friendly plans are checked against an independent reference
 implementation of the same semantics, not a transliteration.
 
-`events.ts` is epoch-ns LongType on the Spark side (session.py
-nanosAsLong) and TIMESTAMP_NS in DuckDB; outputs go through epoch-us
-integers so both engines hash the same values.
+`events.ts` is epoch-ns LongType on the Spark side (normalized by
+helpers.load whatever the parquet physical type) and a native
+timestamp in DuckDB; outputs go through epoch-us integers so both
+engines hash the same values.
 """
 
 from __future__ import annotations

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 EVENT_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), True),  # epoch-ns (see session.py)
+        T.StructField("ts", T.TimestampNTZType(), True),  # parquet us
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -41,13 +41,22 @@ EVENT_STREAM_SCHEMA = T.StructType(
 def read_event_stream(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-based event stream with a real event-time column."""
+    """File-based event stream with a real event-time column.
+
+    Downstream contract: ``ts`` is epoch-ns LongType (the engine's
+    canonical event-time encoding, same as the batch ``load``) and
+    ``event_time`` is a TIMESTAMP usable for watermarks/windows.
+    ``to_utc_timestamp`` pins the NTZ wall time to UTC so the epoch
+    math is session-timezone-independent.
+    """
     reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(path)
     return stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+        "event_time", F.to_utc_timestamp(F.col("ts"), "UTC")
+    ).withColumn(
+        "ts", (F.unix_micros(F.col("event_time")) * F.lit(1000)).cast("long")
     )
 
 

@@ -42,8 +42,10 @@ def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
 
+    from advisorydatapipeline_spark.queries.helpers import load
+
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load(spark, sf_dir, "events")
         .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
         .groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
@@ -98,7 +100,9 @@ def test_streaming_upsert_converges_to_latest_state(spark, sf_dir, tmp_path, eve
         (r.user_id, r.event_type)
         for r in read_table(spark, prod, schema).collect()
     }
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    batch = load(spark, sf_dir, "events").withColumn(
         "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
     want = {

@@ -84,10 +84,29 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = [c.lower() for c in sdf.columns]
+        # the external driver's comparator (pandas sort_values + hash)
+        # crashes on non-scalar cells — flag them as failures here
+        from pyspark.sql import types as T
+
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
             no_oracle.append(name)
-            print(f"  ~ {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            flag = (
+                f" [driver-incompatible complex cols: {complex_cols}]"
+                if complex_cols
+                else ""
+            )
+            print(
+                f"  ~ {name}: rows-only ({len(srows)} rows, "
+                f"{time.time()-t0:.1f}s){flag}"
+            )
+            if complex_cols:
+                failures.append(name)
             continue
         res = con.execute(oracles[name])
         ocols = [d[0].lower() for d in res.description]
@@ -96,6 +115,10 @@ def main() -> int:
         s_ix = sorted(range(len(scols)), key=lambda i: scols[i])
         o_ix = sorted(range(len(ocols)), key=lambda i: ocols[i])
         problems = []
+        if complex_cols:
+            problems.append(
+                f"driver-incompatible complex-typed columns: {complex_cols}"
+            )
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
         if len(srows) != len(orows):
