@@ -295,6 +295,126 @@ def udaf_quantized_sum(spark, sf_dir):
     )
 
 
+US_DAY_SKETCH = 86_400 * 1_000_000
+
+
+@query(
+    "hll_shard_union",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
+)
+def hll_shard_union(spark, sf_dir):
+    """Mergeable-sketch distinct counting, the 100 TB pattern: build
+    one Datasketches HLL per (day, event_type) SHARD — in production
+    these are precomputed once per ingested partition and persisted a
+    few KB each — then answer the cross-period question by UNIONING
+    sketches (`hll_union_agg`), never re-shuffling raw keys. The gate
+    hashes the exact count plus an `est_ok` tolerance claim: if the
+    sketch-union estimate ever strays >5% from the exact distinct
+    count, the row stops matching the oracle. lgConfigK=14 -> ~0.8%
+    rsd, far inside the asserted 5%."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.select(
+        "event_type",
+        F.expr(f"(ts DIV 1000) DIV {US_DAY_SKETCH}").alias("day"),
+        "user_id",
+    ).groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_ok"),
+    )
+
+
+@query(
+    "theta_set_overlap",
+    oracle="""
+WITH c AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL),
+     p AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+SELECT CAST((SELECT count(*) FROM c JOIN p USING (user_id)) AS BIGINT)
+         AS exact_both,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS exact_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS exact_purchase,
+       TRUE AS est_ok
+""",
+)
+def theta_set_overlap(spark, sf_dir):
+    """Sketch SET ALGEBRA (what HLL cannot do): Theta sketches
+    support intersection, so "distinct users who both clicked AND
+    purchased" is answered from two per-segment sketches instead of a
+    join over raw keys. At 100 TB each segment's sketch is built in
+    its own shard pass and the intersection costs KBs. Same gated
+    tolerance contract as `hll_shard_union` (theta intersections have
+    looser error than unions; 10% asserted here over an ~exact regime
+    — at these cardinalities lgNomEntries=12 keeps the sketch in
+    exact mode, so the estimate is exact and the margin is slack)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.theta_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    pair = (
+        sk.groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("sk"))
+    )
+    est = pair.select(
+        F.theta_sketch_estimate(
+            F.theta_intersection("click", "purchase")
+        ).alias("est_both"),
+        F.theta_sketch_estimate("click").alias("est_click"),
+        F.theta_sketch_estimate("purchase").alias("est_purchase"),
+    )
+    exact = ev.groupBy().agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).cast("long").alias("exact_click"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).cast("long").alias("exact_purchase"),
+    )
+    both = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("_n"))
+        .filter(F.col("_n") == 2)
+        .groupBy()
+        .agg(F.count("*").cast("long").alias("exact_both"))
+    )
+    tol = 0.10
+    return exact.crossJoin(both).crossJoin(est).select(
+        "exact_both",
+        "exact_click",
+        "exact_purchase",
+        (
+            (F.abs(F.col("est_both") - F.col("exact_both"))
+             <= tol * F.greatest(F.col("exact_both"), F.lit(1)))
+            & (F.abs(F.col("est_click") - F.col("exact_click"))
+               <= tol * F.col("exact_click"))
+            & (F.abs(F.col("est_purchase") - F.col("exact_purchase"))
+               <= tol * F.col("exact_purchase"))
+        ).alias("est_ok"),
+    )
+
+
 @query(
     "zscore_anomalies",
     oracle="""

@@ -60,6 +60,11 @@ def _ns_long(col: F.Column, dtype: T.DataType) -> F.Column:
 #: epoch-ns LongType (the engine's canonical event-time encoding)
 _NS_NORMALIZED = {"events": ("ts",)}
 
+#: date-ish columns every query treats as timestamps; if the parquet
+#: physical type reverts to TIMESTAMP(NANOS) (read as ns-long under
+#: nanosAsLong, as the round-1 data was), convert them back
+_TS_NORMALIZED = {"lineitem": ("l_shipdate",), "orders": ("o_orderdate",)}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_read_confs(spark)
@@ -68,6 +73,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = next((f for f in df.schema.fields if f.name == cname), None)
         if field is not None and not isinstance(field.dataType, T.LongType):
             df = df.withColumn(cname, _ns_long(F.col(cname), field.dataType))
+    for cname in _TS_NORMALIZED.get(name, ()):
+        field = next((f for f in df.schema.fields if f.name == cname), None)
+        if field is not None and isinstance(field.dataType, T.LongType):
+            # ns-long -> NTZ wall time as UTC; pin the session tz so
+            # the LTZ->NTZ cast is deterministic under any caller
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(
+                cname,
+                F.timestamp_micros(
+                    (F.col(cname) / F.lit(1000)).cast("long")
+                ).cast("timestamp_ntz"),
+            )
     return df
 
 

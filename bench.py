@@ -103,13 +103,21 @@ def main() -> None:
         ).save()
     spark.catalog.clearCache()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()  # per-query isolation
+        # per-query isolation: unpersist caches AND release dropped
+        # localCheckpoint/persisted RDDs (driver gc -> ContextCleaner)
+        # + JVM old-gen, so one query's garbage isn't billed to the
+        # next query's timing
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(
