@@ -99,13 +99,19 @@ def shingle_index(
         F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )
     if max_doc_freq is not None:
-        w_ok = (
+        # keep-list semi-join would shuffle the FULL index on the
+        # shingle; instead anti-join the (by construction tiny) HOT
+        # list broadcast — the count agg's shuffle moves partially
+        # aggregated (shingle, n) pairs only, and the index itself
+        # never moves. At corpus scale the hot list is the handful of
+        # boilerplate shingles the cap exists to kill.
+        hot = (
             idx.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
+            .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
         )
-        idx = idx.join(w_ok, "shingle", "left_semi")
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
     return idx
 
 
@@ -116,12 +122,20 @@ def jaccard_pairs(
     index: DataFrame, id_col: str, min_jaccard: float
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold, driven
-    by the inverted index (only co-occurring pairs are ever formed)."""
+    by the inverted index (only co-occurring pairs are ever formed).
+
+    The self-join — the hottest shuffle of the whole dedup family —
+    is keyed on the 60-bit md5 hash of the shingle, not the string:
+    fixed 8-byte shuffle keys instead of ~25-byte text cuts shuffle
+    bytes ~2-3x at corpus scale. The DuckDB oracles apply the same
+    hash, so results stay bit-identical even in the (~df^2/2^61)
+    collision case."""
     sizes = index.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = index.select(F.col(id_col).alias("id_a"), "shingle")
-    b = index.select(F.col(id_col).alias("id_b"), "shingle")
+    key = hash64(F.col("shingle")).alias("_sh")
+    a = index.select(F.col(id_col).alias("id_a"), key)
+    b = index.select(F.col(id_col).alias("id_b"), key)
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "_sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
@@ -146,13 +160,16 @@ def jaccard_for_pairs(
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set only — the
     verification stage of LSH. Cost is O(|pairs| x shingles-per-doc),
-    not O(co-occurring pairs)."""
+    not O(co-occurring pairs). Joined on the 60-bit shingle hash
+    (8-byte shuffle keys; oracles hash identically, see
+    ``jaccard_pairs``)."""
     sizes = index.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = index.select(F.col(id_col).alias("id_a"), "shingle")
-    b = index.select(F.col(id_col).alias("id_b"), "shingle")
+    key = hash64(F.col("shingle")).alias("_sh")
+    a = index.select(F.col(id_col).alias("id_a"), key)
+    b = index.select(F.col(id_col).alias("id_b"), key)
     shared = (
         pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "_sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )

@@ -80,10 +80,13 @@ shc AS (
   WHERE sh.shingle NOT IN (SELECT shingle FROM hot)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+shh AS (
+  SELECT doc_id, {DUCK_HASH64.format(x='shingle')} AS sh64 FROM shc
+),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(count(*) AS BIGINT) AS shared
-  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jp AS (
@@ -198,7 +201,9 @@ cands AS (
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 verified AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM (SELECT doc_id, {DUCK_HASH64.format(x='shingle')} AS sh64 FROM sh) a
+  JOIN (SELECT doc_id, {DUCK_HASH64.format(x='shingle')} AS sh64 FROM sh) b
+    ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT c.id_a, c.id_b,
@@ -370,7 +375,9 @@ cands AS (
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 verified AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  FROM (SELECT doc_id, {DUCK_HASH64.format(x='shingle')} AS sh64 FROM sh) a
+  JOIN (SELECT doc_id, {DUCK_HASH64.format(x='shingle')} AS sh64 FROM sh) b
+    ON a.sh64 = b.sh64
   WHERE a.doc_id % {_NEW_MOD} <> {_NEW_REM}
     AND b.doc_id % {_NEW_MOD} = {_NEW_REM}
   GROUP BY 1, 2

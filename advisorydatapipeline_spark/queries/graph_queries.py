@@ -101,10 +101,15 @@ shc AS (
   WHERE sh.shingle NOT IN (SELECT shingle FROM hot)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+shh AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS sh64
+  FROM shc
+),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(count(*) AS BIGINT) AS shared
-  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 e AS (
