@@ -88,6 +88,55 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ts_ge_ns: int | None = None,
+    ts_lt_ns: int | None = None,
+) -> DataFrame:
+    """``load('events')`` with the time cutoff applied to the PHYSICAL
+    ``ts`` column before ns-normalization.
+
+    A predicate on the normalized (derived) ns-long column cannot be
+    pushed into the parquet scan; applied here against the column's
+    native type it shows up in ``PushedFilters`` and prunes row groups
+    — at 100 TB this is the difference between scanning a day and
+    scanning a decade. Semantically identical to filtering the
+    normalized column: the ns->native conversion below is exact
+    (cutoffs are whole microseconds; data has at most us precision).
+    """
+    ensure_read_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    field = next(f for f in df.schema.fields if f.name == "ts")
+
+    def _native(ns: int):
+        if isinstance(field.dataType, T.LongType):
+            return F.lit(ns)
+        if isinstance(field.dataType, T.TimestampNTZType):
+            # string -> NTZ cast parses wall time, no timezone applies;
+            # integer math end-to-end (float seconds would lose us
+            # precision at epoch-2024 magnitudes)
+            sec, us = divmod(ns // 1000, 1_000_000)
+            iso = (
+                datetime.fromtimestamp(sec, tz=timezone.utc).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                )
+                + f".{us:06d}"
+            )
+            return F.lit(iso).cast(field.dataType)
+        # TIMESTAMP (LTZ): an exact epoch-instant literal
+        return F.timestamp_micros(F.lit(ns // 1000))
+
+    if ts_ge_ns is not None:
+        df = df.filter(F.col("ts") >= _native(ts_ge_ns))
+    if ts_lt_ns is not None:
+        df = df.filter(F.col("ts") < _native(ts_lt_ns))
+    if not isinstance(field.dataType, T.LongType):
+        df = df.withColumn("ts", _ns_long(F.col("ts"), field.dataType))
+    return df
+
+
 def ns_literal(iso: str) -> int:
     """Epoch-nanos for an ISO date/time string (UTC)."""
     dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)

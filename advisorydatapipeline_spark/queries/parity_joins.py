@@ -79,13 +79,14 @@ def left_anti_cache_skip(spark, sf_dir):
     """J3: left-anti join — the reference's cache-skip
     (enrichment/cache.py:91-95): keep only work whose key is absent
     from the cached set."""
+    from advisorydatapipeline_spark.queries.helpers import load_events
+
     ev = load(spark, sf_dir, "events")
+    # the cached-set side re-scans with the cutoff pushed to the
+    # physical column (row-group pruning on the small side's scan)
     cached = (
-        ev.filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") >= F.lit(PURCHASE_CUTOFF_NS))
-            & (F.col("value") > 150)
-        )
+        load_events(spark, sf_dir, ts_ge_ns=PURCHASE_CUTOFF_NS)
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
         .select("user_id")
         .distinct()
     )

@@ -78,11 +78,15 @@ WHERE ts >= TIMESTAMP '{TTL_CUTOFF_ISO}' AND event_type = 'click'
 def ttl_cutoff_filter(spark, sf_dir):
     """P4/P5: conjunctive filter with a timestamp cutoff — the
     reference's TTL predicate shape (enrichment/cache.py:68-75), with
-    the cutoff injected as a literal (deterministic clock)."""
-    ev = load(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("ts") >= F.lit(TTL_CUTOFF_NS)) & (F.col("event_type") == "click")
-    ).select("event_id", "user_id", "value")
+    the cutoff injected as a literal (deterministic clock). The
+    cutoff goes through ``load_events`` so it lands on the physical
+    column and reaches ``PushedFilters`` (row-group pruning)."""
+    from advisorydatapipeline_spark.queries.helpers import load_events
+
+    ev = load_events(spark, sf_dir, ts_ge_ns=TTL_CUTOFF_NS)
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
 
 
 @query(
