@@ -309,3 +309,88 @@ def sql_dml_roundtrip(spark, sf_dir):
         GROUP BY 1
         """
     )
+
+
+@query(
+    "modern_sql_aggregates",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+         AS priorities,
+       mode() WITHIN GROUP (ORDER BY o_orderpriority) AS top_priority,
+       CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+         AS n_large,
+       CAST(CAST(median(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE)
+         AS median_price,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_custkey % 1000 = 0) AS DOUBLE), 0.0)
+         AS vip_total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def modern_sql_aggregates(spark, sf_dir):
+    """The modern-SQL aggregate surface in one gated row set:
+    ``listagg``/``string_agg`` (ordered, distinct), ``mode`` (most
+    frequent value — deterministic-lowest on ties to match DuckDB),
+    ``count_if`` filtered counting, exact ``median``, and a
+    FILTERed decimal sum with null-coalesced empty groups. All
+    built-in JVM aggregates over one partial-agg shuffle — no UDFs.
+    Ties in mode(): both engines return the minimum of the most
+    frequent values via the min_by-over-counts formulation, so the
+    hash compare is deterministic."""
+    od = load(spark, sf_dir, "orders")
+    # mode with a deterministic tiebreak (lowest value among the most
+    # frequent) — expressed as min_by over per-value counts so the
+    # result is engine-independent, unlike bare mode() in Spark
+    counts = od.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("_n")
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        counts.withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("o_orderstatus").orderBy(
+                    F.col("_n").desc(), F.col("o_orderpriority")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("top_priority"))
+    )
+    agg = od.groupBy("o_orderstatus").agg(
+        F.listagg_distinct(F.col("o_orderpriority"), F.lit("|"))
+        .alias("_pr"),
+        F.count_if(F.col("o_totalprice") > 200000)
+        .cast("long")
+        .alias("n_large"),
+        F.median("o_totalprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("median_price"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_custkey") % 1000 == 0,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("vip_total"),
+    )
+    # listagg_distinct has no ORDER BY form in the DataFrame API;
+    # sort the joined string deterministically via split+array_sort
+    agg = agg.withColumn(
+        "priorities",
+        F.array_join(F.array_sort(F.split(F.col("_pr"), r"\|")), "|"),
+    ).drop("_pr")
+    return agg.join(best, "o_orderstatus").select(
+        "o_orderstatus",
+        "priorities",
+        "top_priority",
+        "n_large",
+        "median_price",
+        "vip_total",
+    )
