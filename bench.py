@@ -80,6 +80,9 @@ HEADLINE = [
     "kmeans_lloyd_step",
     "neardup_triangles",
     "dpp_partitioned_join",
+    "hll_shard_union",
+    "theta_set_overlap",
+    "modern_sql_aggregates",
 ]
 
 
