@@ -210,15 +210,38 @@ def fuzzy_name_pairs(spark, sf_dir):
         F.lower("p_name").alias("nm"),
         F.split(F.lower("p_name"), " ").getItem(0).alias("blk"),
     )
-    a = c.select(F.col("p_partkey").alias("id_a"),
-                 F.col("nm").alias("nm_a"), "blk")
-    b = c.select(F.col("p_partkey").alias("id_b"),
-                 F.col("nm").alias("nm_b"), "blk")
+    # second blocking key: levenshtein(a,b) <= 2 implies
+    # |len(a)-len(b)| <= 2, so replicating one side across its 5
+    # admissible lengths and joining on (blk, length) is EXACTLY the
+    # same result set as the plain block join + filter — but join
+    # groups shrink from |block|^2 to per-length cells (the oracle
+    # keeps the plain formulation; semantics, not plans, must match).
+    # two more exact-preserving cuts: (a) an identical common prefix
+    # never changes edit distance, and every in-block pair shares
+    # "<blk> " — compare only the remainders (~2x fewer cell ops);
+    # (b) the thresholded levenshtein(x, y, 2) banded form is
+    # O(len * k) instead of O(len^2) and returns -1 past the bound.
+    c = c.withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    a = c.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("rest").alias("rest_a"),
+        "blk",
+        F.length("nm").alias("lkey"),
+    )
+    lb = F.length("nm")
+    b = c.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("rest").alias("rest_b"),
+        "blk",
+        F.explode(
+            F.array(lb - 2, lb - 1, lb, lb + 1, lb + 2)
+        ).alias("lkey"),
+    )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "lkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
-        .filter(F.col("dist") <= 2)
+        .withColumn("dist", F.levenshtein("rest_a", "rest_b", 2))
+        .filter(F.col("dist") >= 0)
         .groupBy("blk", "dist")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
@@ -367,50 +390,62 @@ def theta_set_overlap(spark, sf_dir):
     looser error than unions; 10% asserted here over an ~exact regime
     — at these cardinalities lgNomEntries=12 keeps the sketch in
     exact mode, so the estimate is exact and the margin is slack)."""
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
-        "event_type"
-    ).agg(F.theta_sketch_agg("user_id", F.lit(12)).alias("sk"))
-    pair = (
-        sk.groupBy()
-        .pivot("event_type", ["click", "purchase"])
-        .agg(F.first("sk"))
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
     )
-    est = pair.select(
-        F.theta_sketch_estimate(
-            F.theta_intersection("click", "purchase")
-        ).alias("est_both"),
-        F.theta_sketch_estimate("click").alias("est_click"),
-        F.theta_sketch_estimate("purchase").alias("est_purchase"),
+    # two-level aggregation, ZERO joins: per-user segment flags (one
+    # shuffle on user_id), then one global reduce computing exact
+    # counts AND both theta sketches from the same per-user frame —
+    # sketch insertion is idempotent, so the distinct-user sketch over
+    # per-user rows equals the sketch over the raw stream.
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("has_c"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_p"),
     )
-    exact = ev.groupBy().agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).cast("long").alias("exact_click"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).cast("long").alias("exact_purchase"),
-    )
-    both = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("user_id")
-        .agg(F.countDistinct("event_type").alias("_n"))
-        .filter(F.col("_n") == 2)
-        .groupBy()
-        .agg(F.count("*").cast("long").alias("exact_both"))
+    c_user = F.when(F.col("has_c") == 1, F.col("user_id"))
+    p_user = F.when(F.col("has_p") == 1, F.col("user_id"))
+    row = per_user.agg(
+        F.count(
+            F.when((F.col("has_c") == 1) & (F.col("has_p") == 1), 1)
+        ).cast("long").alias("exact_both"),
+        F.count(c_user).cast("long").alias("exact_click"),
+        F.count(p_user).cast("long").alias("exact_purchase"),
+        F.theta_sketch_agg(c_user, F.lit(12)).alias("sk_c"),
+        F.theta_sketch_agg(p_user, F.lit(12)).alias("sk_p"),
     )
     tol = 0.10
-    return exact.crossJoin(both).crossJoin(est).select(
+    return row.select(
         "exact_both",
         "exact_click",
         "exact_purchase",
         (
-            (F.abs(F.col("est_both") - F.col("exact_both"))
-             <= tol * F.greatest(F.col("exact_both"), F.lit(1)))
-            & (F.abs(F.col("est_click") - F.col("exact_click"))
-               <= tol * F.col("exact_click"))
-            & (F.abs(F.col("est_purchase") - F.col("exact_purchase"))
-               <= tol * F.col("exact_purchase"))
+            (
+                F.abs(
+                    F.theta_sketch_estimate(
+                        F.theta_intersection("sk_c", "sk_p")
+                    )
+                    - F.col("exact_both")
+                )
+                <= tol * F.greatest(F.col("exact_both"), F.lit(1))
+            )
+            & (
+                F.abs(
+                    F.theta_sketch_estimate("sk_c") - F.col("exact_click")
+                )
+                <= tol * F.col("exact_click")
+            )
+            & (
+                F.abs(
+                    F.theta_sketch_estimate("sk_p")
+                    - F.col("exact_purchase")
+                )
+                <= tol * F.col("exact_purchase")
+            )
         ).alias("est_ok"),
     )
 

@@ -88,6 +88,13 @@ AUDIT = [
     "sql_udf_revenue",
     "skew_salted_join",
     "large_order_customers",
+    "ttl_cutoff_filter",
+    "fuzzy_name_pairs",
+    "hll_shard_union",
+    "theta_set_overlap",
+    "modern_sql_aggregates",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "price_qty_regression",
     "sorted_event_type_sets",
     "calendar_spine_fill",
