@@ -392,3 +392,132 @@ def large_order_customers(spark, sf_dir):
         )
         .agg(F.sum(qty).cast("double").alias("sum_qty"))
     )
+
+
+@query(
+    "forecast_revenue_band",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue_band(spark, sf_dir):
+    """TPC-H Q6 shape: the pure-scan aggregate every columnar engine
+    is benchmarked on — all four predicates (date range, discount
+    band, quantity cap) must reach PushedFilters, the projection
+    prunes to three columns, and the sum is one partial-agg reduce
+    with no shuffle of row data. Decimal product keeps the money math
+    exact on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+@query(
+    "returned_item_ranking",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def returned_item_ranking(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue — fact-to-fact
+    join (orders x lineitem) hash-shuffled on the order key with the
+    returnflag filter pushed into the lineitem scan, dimension joins
+    (customer, nation) broadcast, then a grouped top-20. The revenue
+    sort has the custkey tiebreak both engines share."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    dec = lambda x: F.col(x).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+SELECT CAST(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+             THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END)
+       / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_pct,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+""",
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-share aggregate — promo revenue
+    over total revenue for one month. The part dimension broadcasts;
+    the month filter prunes the fact scan; both sums ride one
+    partial-agg reduce and the division happens once on the single
+    result row. Decimal sums keep the ratio bit-stable; the final
+    divide is one IEEE op, deterministic on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    dec = lambda x: F.col(x).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
+            )
+            / F.sum(rev)
+        )
+        .cast("double")
+        .alias("promo_pct"),
+        F.count("*").cast("long").alias("n"),
+    )
