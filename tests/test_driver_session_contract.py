@@ -39,6 +39,12 @@ PROBE_QUERIES = [
     "session_window_api",
     "sql_dml_roundtrip",
     "kmeans_lloyd_step",
+    "hll_shard_union",
+    "theta_set_overlap",
+    "modern_sql_aggregates",
+    "forecast_revenue_band",
+    "returned_item_ranking",
+    "promo_revenue_share",
 ]
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
