@@ -273,3 +273,75 @@ def calendar_spine_fill(spark, sf_dir):
             F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle=f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // {US_PER_DAY}) AS day, event_type,
+         value, user_id
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS qvalue_sum,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days
+FROM e
+GROUP BY event_type
+""",
+)
+def incremental_rollup_merge(spark, sf_dir):
+    """Incremental aggregate maintenance — the other half of the
+    100 TB precompute-and-merge pattern next to `hll_shard_union`:
+    per-DAY partial aggregates are materialized once (in production, a
+    parquet table appended per ingested partition; here a scratch
+    write per sf_dir), and the cross-period query MERGES the partials
+    (sum of counts, sum of quantized sums, min of mins, max of maxes)
+    instead of rescanning raw events. Every aggregate here is
+    decomposable, which is exactly what makes it incrementally
+    maintainable; the oracle computes the same answer directly from
+    the raw table, proving merge == direct. Value sums are quantized
+    to integer cents so partial-then-merge is bit-identical to
+    one-shot."""
+    import tempfile
+    from pathlib import Path
+
+    tag = "incr_rollup_" + sf_dir.strip("/").replace("/", "_")
+    base = Path(tempfile.gettempdir()) / f"adp_{tag}"
+    daily_path = str(base / "daily")
+    marker = base / "_staged"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+        daily = (
+            ev.select(
+                F.expr(f"ts DIV {US_PER_DAY * 1000}").alias("day"),
+                "event_type",
+                "value",
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100).cast("long")
+                ).alias("qvalue_sum"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        # one file per day partition — the layout an append-per-day
+        # production table would have
+        daily.write.mode("overwrite").partitionBy("day").parquet(daily_path)
+        marker.write_text("ok")
+    partials = spark.read.parquet(daily_path)
+    return partials.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("qvalue_sum").cast("long").alias("qvalue_sum"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
