@@ -79,10 +79,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ns-long -> NTZ wall time as UTC; pin the session tz so
             # the LTZ->NTZ cast is deterministic under any caller
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # integer DIV: ns-longs exceed 2^53, so a float divide
+            # would round before truncation
             df = df.withColumn(
                 cname,
                 F.timestamp_micros(
-                    (F.col(cname) / F.lit(1000)).cast("long")
+                    F.expr(f"`{cname}` DIV 1000")
                 ).cast("timestamp_ntz"),
             )
     return df
