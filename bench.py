@@ -83,6 +83,8 @@ HEADLINE = [
     "hll_shard_union",
     "theta_set_overlap",
     "modern_sql_aggregates",
+    "incremental_rollup_merge",
+    "regional_market_share",
 ]
 
 
