@@ -142,3 +142,84 @@ def text_fingerprint(spark, sf_dir):
         fingerprint("text").alias("fp"),
         fingerprint64("text").alias("fp64"),
     )
+
+
+WINNOW_K = 3  # k-gram width (word shingles)
+WINNOW_W = 4  # winnowing window (consecutive k-grams)
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_T} AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= {WINNOW_K} THEN
+           list_transform(generate_series(1, len(ts) - {WINNOW_K - 1}),
+             i -> (('0x' || substr(md5(
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                   ), 1, 15))::BIGINT))
+         ELSE [] END AS hs
+  FROM toks
+),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {WINNOW_W} THEN
+           list_sort(list_distinct(
+             list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+               i -> list_min(hs[i:i+{WINNOW_W - 1}]))))
+         ELSE list_sort(list_distinct(hs)) END AS fps
+  FROM grams
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fp,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM fp
+""",
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (the MOSS fingerprint scheme): hash every {k}-gram,
+    slide a window of {w} consecutive hashes, keep each window's
+    minimum — guaranteeing any match of length >= w+k-1 tokens shares
+    a fingerprint while storing only ~2/(w+1) of the hashes. The
+    selected-set digest is position-independent, so reordered
+    boilerplate still collides. Pure higher-order expressions
+    (transform / slice / array_min) on both engines — no UDFs, no
+    explode: the k-gram array never leaves its row until the final
+    distinct-set digest. The 60-bit md5 hash is the repo's portable
+    hash64, so Spark and DuckDB select identical minima."""
+    from advisorydatapipeline_spark.functions.text import tokens as _tok
+
+    k, w = WINNOW_K, WINNOW_W
+    d = load(spark, sf_dir, "documents")
+    ts = _tok("text")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("ts"), (i + j + 1).cast("int")) for j in range(k)]
+    )
+    hs = F.when(
+        F.size("ts") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - k),
+            lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = d.select("doc_id", ts.alias("ts")).select(
+        "doc_id", hs.alias("hs")
+    )
+    mins = F.when(
+        F.size("hs") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+            lambda i: F.array_min(F.slice("hs", i, w)),
+        ),
+    ).otherwise(F.col("hs"))
+    fps = F.array_sort(F.array_distinct(mins))
+    return staged.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.md5(F.array_join(fps, ",")).alias("fp_digest"),
+    )
