@@ -223,3 +223,86 @@ def winnowing_fingerprints(spark, sf_dir):
         F.size(fps).cast("long").alias("n_fp"),
         F.md5(F.array_join(fps, ",")).alias("fp_digest"),
     )
+
+
+WINNOW_MIN_SHARED = 5
+
+
+@query(
+    "winnow_neardup_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_T} AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= {WINNOW_K} THEN
+           list_transform(generate_series(1, len(ts) - {WINNOW_K - 1}),
+             i -> (('0x' || substr(md5(
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                   ), 1, 15))::BIGINT))
+         ELSE [] END AS hs
+  FROM toks
+),
+fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(hs) >= {WINNOW_W} THEN
+             list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+               i -> list_min(hs[i:i+{WINNOW_W - 1}]))
+           ELSE hs END)) AS f
+  FROM grams
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fp
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+""",
+)
+def winnow_neardup_pairs(spark, sf_dir):
+    """Near-dup pair mining over the WINNOWED fingerprint index — the
+    sixth dedup family, and the one with the smallest index: winnowing
+    keeps ~2/(w+1) of the k-gram hashes (~25 dot 8-byte longs per doc
+    here vs ~500 string shingles), so the inverted index this
+    self-join runs on is ~25x smaller than the shingle index feeding
+    `dedup_ngram_jaccard` — same join plan, a fraction of the shuffle.
+    Guaranteed: any shared run of >= w+k-1 tokens contributes a shared
+    fingerprint, so long verbatim overlaps can't be missed."""
+    from advisorydatapipeline_spark.functions.text import tokens as _tok
+
+    k, w = WINNOW_K, WINNOW_W
+    d = load(spark, sf_dir, "documents")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("ts"), (i + j + 1).cast("int")) for j in range(k)]
+    )
+    hs = F.when(
+        F.size("ts") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - k),
+            lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    mins = F.when(
+        F.size("hs") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+            lambda i: F.array_min(F.slice("hs", i, w)),
+        ),
+    ).otherwise(F.col("hs"))
+    idx = (
+        d.select("doc_id", _tok("text").alias("ts"))
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("f"))
+    )
+    a = idx.select(F.col("doc_id").alias("id_a"), "f")
+    b = idx.select(F.col("doc_id").alias("id_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= WINNOW_MIN_SHARED)
+    )

@@ -85,6 +85,7 @@ HEADLINE = [
     "modern_sql_aggregates",
     "incremental_rollup_merge",
     "regional_market_share",
+    "winnow_neardup_pairs",
 ]
 
 
