@@ -117,3 +117,48 @@ def range_join_binned(
     joined = lb.join(rb, [*keys, "_bin"]).drop("_bin")
     delta = F.col(left_ts) - F.col(right_ts)
     return joined.filter((delta >= 0) & (delta <= width))
+
+
+def interval_cover_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    pt_col: str,
+    start_col: str,
+    end_col: str,
+    width: int,
+) -> DataFrame:
+    """All (point, interval) pairs per key with
+    ``start <= pt < end`` for VARIABLE-width intervals — the
+    generalization of ``range_join_binned`` (fixed lookback) to
+    arbitrary spans: point-in-time SCD lookups, session membership,
+    IP-range geo tables.
+
+    Each interval is replicated across every ``width``-sized bin it
+    covers (``sequence(start DIV w, (end-1) DIV w)``); points land in
+    exactly one bin, so the equi-join on (keys, bin) meets each
+    qualifying interval exactly once — no post-join dedup — and the
+    plan stays a hash join at any scale. Pick ``width`` near the
+    typical interval length: replication factor is
+    ~avg_len/width + 1. Caller aliases columns to avoid collisions.
+    """
+    keys = list(keys)
+    # integer DIV: epoch-ns/us longs overflow double's exact range
+    ivb = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} DIV {width}"),
+                F.expr(f"({end_col} - 1) DIV {width}"),
+            )
+        ),
+    )
+    ptb = points.withColumn("_bin", F.expr(f"{pt_col} DIV {width}"))
+    return (
+        ptb.join(ivb, [*keys, "_bin"])
+        .filter(
+            (F.col(pt_col) >= F.col(start_col))
+            & (F.col(pt_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

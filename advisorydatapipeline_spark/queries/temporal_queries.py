@@ -187,3 +187,81 @@ def asof_join_cogrouped(spark, sf_dir):
         F.lit(None).cast("double").alias("view_value"),
     )
     return matched.unionByName(unmatched)
+
+
+SESSION_GAP_US = 3_600 * 1_000_000  # mirrors session_window_api
+
+
+@query(
+    "session_membership_join",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sess_rows AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+), sessions AS (
+  SELECT user_id,
+         min(ts_us) AS session_start_us,
+         max(ts_us) + {SESSION_GAP_US} AS session_end_us
+  FROM sess_rows GROUP BY user_id, sid
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       s.session_start_us, s.session_end_us
+FROM events e
+JOIN sessions s
+  ON s.user_id = e.user_id
+ AND epoch_us(e.ts) >= s.session_start_us
+ AND epoch_us(e.ts) <  s.session_end_us
+WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+""",
+)
+def session_membership_join(spark, sf_dir):
+    """Variable-width interval-cover join under the gate: every
+    purchase is joined to the session window containing it. Sessions
+    come from the declarative `F.session_window` aggregate (variable
+    span per session); the join is `interval_cover_join` — each
+    session replicated across the 1-hour bins it covers, purchases
+    equi-joined on (user, bin), exact-filtered — a hash join where
+    the naive plan is a BroadcastNestedLoopJoin inequality. The
+    oracle replays sessionization + inequality join in SQL."""
+    from advisorydatapipeline_spark.operators.temporal import (
+        interval_cover_join,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    with_time = ev.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    sessions = (
+        with_time.groupBy(
+            F.session_window("event_time", "1 hour").alias("win"), "user_id"
+        )
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "user_id",
+            F.unix_micros("win.start").alias("session_start_us"),
+            F.unix_micros("win.end").alias("session_end_us"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return interval_cover_join(
+        purchases,
+        sessions,
+        ["user_id"],
+        "ts_us",
+        "session_start_us",
+        "session_end_us",
+        SESSION_GAP_US,
+    ).select(
+        "event_id", "user_id", "ts_us", "session_start_us", "session_end_us"
+    )
