@@ -591,3 +591,37 @@ def group_normalized_features(spark, sf_dir):
             z.alias("qty_z"),
         )
     )
+
+
+@query(
+    "bitmap_exact_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
+)
+def bitmap_exact_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregates — the exact
+    complement to `hll_shard_union`'s approximate path, and the third
+    precompute-and-merge pattern (with the HLL union and the
+    incremental rollup): per-(group, 32k-bucket) bitmaps are built
+    once with `bitmap_construct_agg` (in production, persisted per
+    ingest partition), OR-merged with `bitmap_or_agg`, and popcounted
+    with `bitmap_count`. Merge is associative and lossless, so the
+    result is not an estimate — it hash-matches count(DISTINCT)
+    exactly. Two partial-agg shuffles carrying <=4 KB bitmaps per
+    (group, bucket), never raw keys."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_bucket = ev.select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    ).groupBy("event_type", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_users")
+    )

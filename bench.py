@@ -86,6 +86,8 @@ HEADLINE = [
     "incremental_rollup_merge",
     "regional_market_share",
     "winnow_neardup_pairs",
+    "bitmap_exact_distinct",
+    "session_membership_join",
 ]
 
 
