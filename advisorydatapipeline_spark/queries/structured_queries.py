@@ -320,8 +320,8 @@ SELECT o_orderstatus,
        mode() WITHIN GROUP (ORDER BY o_orderpriority) AS top_priority,
        CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
          AS n_large,
-       CAST(CAST(median(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE)
-         AS median_price,
+       CAST(floor(median(o_totalprice) * 100) AS BIGINT)
+         AS median_price_cents,
        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 FILTER (WHERE o_custkey % 1000 = 0) AS DOUBLE), 0.0)
          AS vip_total
@@ -366,10 +366,13 @@ def modern_sql_aggregates(spark, sf_dir):
         F.count_if(F.col("o_totalprice") > 200000)
         .cast("long")
         .alias("n_large"),
-        F.median("o_totalprice")
-        .cast("decimal(18,2)")
-        .cast("double")
-        .alias("median_price"),
+        # floor-quantized cents, NOT a decimal cast: a median landing
+        # on a .xx5 midpoint rounds HALF_UP in Spark's decimal cast
+        # but HALF_EVEN in DuckDB — floor of the identical IEEE
+        # double is deterministic on both engines
+        F.floor(F.median("o_totalprice") * 100)
+        .cast("long")
+        .alias("median_price_cents"),
         F.coalesce(
             F.sum(
                 F.when(
@@ -391,6 +394,6 @@ def modern_sql_aggregates(spark, sf_dir):
         "priorities",
         "top_priority",
         "n_large",
-        "median_price",
+        "median_price_cents",
         "vip_total",
     )
