@@ -45,6 +45,13 @@ PROBE_QUERIES = [
     "forecast_revenue_band",
     "returned_item_ranking",
     "promo_revenue_share",
+    "winnowing_fingerprints",
+    "winnow_neardup_pairs",
+    "session_membership_join",
+    "bitmap_exact_distinct",
+    "incremental_rollup_merge",
+    "nation_volume_shipping",
+    "regional_market_share",
 ]
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
