@@ -95,6 +95,15 @@ AUDIT = [
     "modern_sql_aggregates",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "winnowing_fingerprints",
+    "winnow_neardup_pairs",
+    "session_membership_join",
+    "bitmap_exact_distinct",
+    "incremental_rollup_merge",
+    "forecast_revenue_band",
+    "returned_item_ranking",
+    "nation_volume_shipping",
+    "regional_market_share",
     "price_qty_regression",
     "sorted_event_type_sets",
     "calendar_spine_fill",
