@@ -625,3 +625,42 @@ def bitmap_exact_distinct(spark, sf_dir):
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("long").alias("n_users")
     )
+
+
+@query(
+    "freq_sketch_merge",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+""",
+)
+def freq_sketch_merge(spark, sf_dir):
+    """Mergeable frequent-items sketches (Spark 4 approx_top_k
+    family), the fourth precompute-and-merge pattern: one sketch is
+    ACCUMULATED per day shard, sketches are COMBINED across shards,
+    and the heavy-hitter list is ESTIMATED from the merged state —
+    raw values never re-shuffle at query time. Gated exactly: the
+    event-type vocabulary is far below maxItemsTracked, and the
+    Misra-Gries-style summary is provably exact while the tracked-item
+    budget is not exceeded, so the estimated counts hash-match the
+    exact GROUP BY. The struct array is exploded to scalar columns
+    (the driver's comparator hashes scalar cells only)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    daily = ev.select(
+        "event_type",
+        F.expr(f"(ts DIV 1000) DIV {US_DAY_SKETCH}").alias("day"),
+    ).groupBy("day").agg(
+        F.expr("approx_top_k_accumulate(event_type, 100)").alias("sk")
+    )
+    merged = daily.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk), 10)").alias(
+            "top"
+        )
+    )
+    return merged.select(F.explode("top").alias("t")).select(
+        F.col("t.item").alias("event_type"),
+        F.col("t.count").cast("long").alias("n"),
+    )

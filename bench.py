@@ -88,6 +88,7 @@ HEADLINE = [
     "winnow_neardup_pairs",
     "bitmap_exact_distinct",
     "session_membership_join",
+    "freq_sketch_merge",
 ]
 
 
