@@ -68,3 +68,67 @@ def test_range_join_binned_boundary_inclusive(spark):
     out = range_join_binned(left, right, ["key"], "lts", "rts", 100)
     got = {r.rid for r in out.collect()}
     assert got == {20, 22}  # [lts-width, lts] inclusive both ends
+
+
+# --- interval_cover_join -----------------------------------------------------
+
+
+def test_interval_cover_join_boundaries_and_spans(spark):
+    from advisorydatapipeline_spark.operators.temporal import (
+        interval_cover_join,
+    )
+
+    # width 100; intervals deliberately: shorter than a bin, exactly a
+    # bin, spanning many bins, and duplicated key-space
+    intervals = spark.createDataFrame(
+        [
+            ("k", 1, 100, 200),   # one bin
+            ("k", 2, 150, 165),   # sub-bin span, straddles nothing
+            ("k", 3, 90, 410),    # spans bins 0..4
+            ("z", 4, 100, 200),   # other key, same range as iid=1
+        ],
+        "key string, iid long, s long, e long",
+    )
+    points = spark.createDataFrame(
+        [
+            ("k", 10, 100),   # == start of iid=1 -> included; in iid=3
+            ("k", 11, 200),   # == end of iid=1 -> EXCLUDED; in iid=3
+            ("k", 12, 160),   # in iid=1, iid=2, iid=3
+            ("k", 13, 409),   # last instant of iid=3
+            ("k", 14, 410),   # == end of iid=3 -> excluded entirely
+            ("z", 15, 150),   # key isolation: only iid=4
+        ],
+        "key string, pid long, p long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_cover_join(
+            points, intervals, ["key"], "p", "s", "e", 100
+        ).collect()
+    }
+    want = {
+        (10, 1), (10, 3),
+        (11, 3),
+        (12, 1), (12, 2), (12, 3),
+        (13, 3),
+        (15, 4),
+    }
+    assert got == want
+
+
+def test_interval_cover_join_no_duplicate_pairs(spark):
+    from advisorydatapipeline_spark.operators.temporal import (
+        interval_cover_join,
+    )
+
+    # an interval spanning many bins must still meet each point ONCE
+    intervals = spark.createDataFrame(
+        [("k", 1, 0, 1000)], "key string, iid long, s long, e long"
+    )
+    points = spark.createDataFrame(
+        [("k", 10, 500)], "key string, pid long, p long"
+    )
+    rows = interval_cover_join(
+        points, intervals, ["key"], "p", "s", "e", 10
+    ).collect()
+    assert len(rows) == 1
