@@ -44,6 +44,12 @@ AUDIT = [
     "skew_salted_agg",
     "time_rollup",
     "curation_pipeline",
+    "winnow_neardup_pairs",
+    "winnowing_fingerprints",
+    "bitmap_exact_distinct",
+    "freq_sketch_merge",
+    "session_membership_join",
+    "modern_sql_aggregates",
 ]
 
 
