@@ -21,6 +21,10 @@ from advisorydatapipeline_spark.queries.helpers import load
 from advisorydatapipeline_spark.registry import query
 
 US_PER_DAY = 86_400_000_000
+
+#: per-process scratch for the incremental-rollup staging (see
+#: incremental_rollup_merge — never a fixed /tmp path)
+_incr_scratch: dict[str, str] = {}
 US_PER_HOUR = 3_600_000_000
 
 
@@ -310,8 +314,13 @@ def incremental_rollup_merge(spark, sf_dir):
     import tempfile
     from pathlib import Path
 
+    # fresh per process (never a fixed /tmp path): a marker surviving
+    # across processes would serve STALE partials if the source data
+    # is ever regenerated between runs
     tag = "incr_rollup_" + sf_dir.strip("/").replace("/", "_")
-    base = Path(tempfile.gettempdir()) / f"adp_{tag}"
+    if tag not in _incr_scratch:
+        _incr_scratch[tag] = tempfile.mkdtemp(prefix=f"adp_{tag}_")
+    base = Path(_incr_scratch[tag])
     daily_path = str(base / "daily")
     marker = base / "_staged"
     if not marker.exists():
