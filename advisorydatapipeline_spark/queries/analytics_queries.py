@@ -247,38 +247,55 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
 
 
-@query("sketch_aggregates")  # rows-only: sketch estimates are
-# estimator-specific (Spark HLL++ / approx_percentile vs DuckDB's own
-# sketches differ by design); the exact twins `distinct_agg_counts`
-# and `grouped_percentiles` are the hash-gated versions.
+@query(
+    "sketch_aggregates",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def sketch_aggregates(spark, sf_dir):
     """Sketch aggregates — the 100 TB path for cardinality and
     quantiles: HLL++ approximate distinct (constant memory per group,
     2% rsd) and approx_percentile (mergeable quantile sketch) next to
-    the exact distinct count for error inspection. At scale the exact
-    count-distinct shuffles every distinct key; the sketch shuffles a
-    fixed few KB per group."""
+    the exact twins. Estimator internals are engine-specific, so raw
+    estimates cannot hash-match DuckDB; instead the gate hashes the
+    exact count plus a tolerance CLAIM (same contract as
+    `hll_shard_union`): distinct estimate within 5%, quantile
+    estimates within the [p25, p100] exact bracket around each target
+    quantile — if either estimator drifts, `est_ok` flips and the row
+    stops matching."""
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.countDistinct("user_id").cast("long").alias("exact_users"),
-            # one mergeable sketch, three probes; flattened to scalar
-            # columns because the driver's comparator hashes scalar
-            # cells only (arrays crash its canonicalizer)
-            F.expr(
-                "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
-            ).alias("vq"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            "exact_users",
-            F.col("vq")[0].alias("value_p50"),
-            F.col("vq")[1].alias("value_p95"),
-            F.col("vq")[2].alias("value_p99"),
-        )
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("vq"),
+        F.percentile("value", F.lit(0.25)).alias("_p25"),
+        F.percentile("value", F.lit(0.5)).alias("_p50"),
+        F.percentile("value", F.lit(0.95)).alias("_p95"),
+        F.max("value").alias("_pmax"),
+    )
+    dist_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    q_ok = (
+        (F.col("vq")[0] >= F.col("_p25"))
+        & (F.col("vq")[0] <= F.col("_p95"))
+        & (F.col("vq")[1] >= F.col("_p50"))
+        & (F.col("vq")[1] <= F.col("_pmax"))
+        & (F.col("vq")[2] >= F.col("_p50"))
+        & (F.col("vq")[2] <= F.col("_pmax"))
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (dist_ok & q_ok).alias("est_ok"),
     )
 
 
