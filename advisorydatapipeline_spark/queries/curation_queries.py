@@ -216,8 +216,8 @@ s AS (
   FROM t
 )
 SELECT lang, doc_id, n_tokens,
-       st // {CTX_TOKENS} AS seq_id,
-       st % {CTX_TOKENS} AS seq_offset
+       CAST(st // {CTX_TOKENS} AS BIGINT) AS seq_id,
+       CAST(st % {CTX_TOKENS} AS BIGINT) AS seq_offset
 FROM s
 """,
 )
