@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.queries.helpers import load
@@ -182,30 +182,13 @@ def datetime_derivations(spark, sf_dir):
     )
 
 
-@query(
-    "fuzzy_name_pairs",
-    oracle="""
-WITH c AS (
-  SELECT p_partkey, lower(p_name) AS nm,
-         split_part(lower(p_name), ' ', 1) AS blk
-  FROM part
-),
-pairs AS (
-  SELECT a.blk, CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
-  FROM c a JOIN c b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-  WHERE levenshtein(a.nm, b.nm) <= 2
-)
-SELECT blk, dist, CAST(count(*) AS BIGINT) AS n_pairs
-FROM pairs GROUP BY blk, dist
-""",
-)
-def fuzzy_name_pairs(spark, sf_dir):
-    """Blocked fuzzy matching: equi-join on the first-word block, then
-    exact Levenshtein <= 2 inside the block — the classic entity-
-    resolution plan (blocking bounds the quadratic step; the expensive
-    distance runs only on block-local pairs). Aggregated to per-block
-    pair counts so the result is compact."""
-    c = load(spark, sf_dir, "part").select(
+def blocked_fuzzy_pairs(parts: DataFrame) -> DataFrame:
+    """Blocked fuzzy matching over a (p_partkey, p_name) relation:
+    equi-join on the first-word block, then exact Levenshtein <= 2
+    inside the block — the classic entity-resolution plan (blocking
+    bounds the quadratic step; the expensive distance runs only on
+    block-local pairs). Aggregated to per-block pair counts."""
+    c = parts.select(
         "p_partkey",
         F.lower("p_name").alias("nm"),
         F.split(F.lower("p_name"), " ").getItem(0).alias("blk"),
@@ -217,11 +200,14 @@ def fuzzy_name_pairs(spark, sf_dir):
     # groups shrink from |block|^2 to per-length cells (the oracle
     # keeps the plain formulation; semantics, not plans, must match).
     # two more exact-preserving cuts: (a) an identical common prefix
-    # never changes edit distance, and every in-block pair shares
-    # "<blk> " — compare only the remainders (~2x fewer cell ops);
+    # never changes edit distance, and every in-block name starts
+    # with <blk> — strip exactly len(blk) chars and compare the
+    # remainders (the separating space stays IN the remainder: a
+    # single-token name's remainder is '', and dropping the space
+    # from the other side would undercount the distance by 1);
     # (b) the thresholded levenshtein(x, y, 2) banded form is
     # O(len * k) instead of O(len^2) and returns -1 past the bound.
-    c = c.withColumn("rest", F.expr("substring(nm, length(blk) + 2)"))
+    c = c.withColumn("rest", F.expr("substring(nm, length(blk) + 1)"))
     a = c.select(
         F.col("p_partkey").alias("id_a"),
         F.col("rest").alias("rest_a"),
@@ -245,6 +231,28 @@ def fuzzy_name_pairs(spark, sf_dir):
         .groupBy("blk", "dist")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+WITH c AS (
+  SELECT p_partkey, lower(p_name) AS nm,
+         split_part(lower(p_name), ' ', 1) AS blk
+  FROM part
+),
+pairs AS (
+  SELECT a.blk, CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+  FROM c a JOIN c b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.nm, b.nm) <= 2
+)
+SELECT blk, dist, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY blk, dist
+""",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """See :func:`blocked_fuzzy_pairs` (registered wrapper)."""
+    return blocked_fuzzy_pairs(load(spark, sf_dir, "part"))
 
 
 @query(
@@ -663,7 +671,10 @@ def freq_sketch_merge(spark, sf_dir):
     event-type vocabulary is far below maxItemsTracked, and the
     Misra-Gries-style summary is provably exact while the tracked-item
     budget is not exceeded, so the estimated counts hash-match the
-    exact GROUP BY. The struct array is exploded to scalar columns
+    exact GROUP BY. The estimate uses the SAME k as maxItemsTracked
+    (100) — a smaller k would silently truncate (and tie-break
+    nondeterministically at the boundary) the moment the vocabulary
+    grows past it. The struct array is exploded to scalar columns
     (the driver's comparator hashes scalar cells only)."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     daily = ev.select(
@@ -673,7 +684,7 @@ def freq_sketch_merge(spark, sf_dir):
         F.expr("approx_top_k_accumulate(event_type, 100)").alias("sk")
     )
     merged = daily.agg(
-        F.expr("approx_top_k_estimate(approx_top_k_combine(sk), 10)").alias(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk), 100)").alias(
             "top"
         )
     )

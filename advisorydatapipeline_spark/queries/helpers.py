@@ -38,8 +38,15 @@ def ensure_read_confs(spark: SparkSession) -> None:
     (it then reads epoch-ns LongType). The conf is runtime-settable and
     idempotent, so setting it per-read is free; with micros-typed data
     it is a no-op.
+
+    The session time zone is pinned to UTC at the same choke point:
+    any implicit NTZ<->LTZ cast downstream is then deterministic under
+    every caller session (a non-UTC driver tz would shift wall times
+    falling in a DST spring-forward gap and break epoch-ns parity
+    with DuckDB).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _ns_long(col: F.Column, dtype: T.DataType) -> F.Column:
@@ -76,9 +83,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for cname in _TS_NORMALIZED.get(name, ()):
         field = next((f for f in df.schema.fields if f.name == cname), None)
         if field is not None and isinstance(field.dataType, T.LongType):
-            # ns-long -> NTZ wall time as UTC; pin the session tz so
-            # the LTZ->NTZ cast is deterministic under any caller
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # ns-long -> NTZ wall time as UTC (session tz already
+            # pinned UTC by ensure_read_confs above)
             # integer DIV: ns-longs exceed 2^53, so a float divide
             # would round before truncation
             df = df.withColumn(

@@ -314,19 +314,38 @@ def sql_dml_roundtrip(spark, sf_dir):
 @query(
     "modern_sql_aggregates",
     oracle="""
-SELECT o_orderstatus,
-       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
-         AS priorities,
-       mode() WITHIN GROUP (ORDER BY o_orderpriority) AS top_priority,
-       CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
-         AS n_large,
-       CAST(floor(median(o_totalprice) * 100) AS BIGINT)
-         AS median_price_cents,
-       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                FILTER (WHERE o_custkey % 1000 = 0) AS DOUBLE), 0.0)
-         AS vip_total
-FROM orders
-GROUP BY o_orderstatus
+WITH agg AS (
+  SELECT o_orderstatus,
+         string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+           AS priorities,
+         CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+           AS n_large,
+         CAST(floor(median(o_totalprice) * 100) AS BIGINT)
+           AS median_price_cents,
+         COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_custkey % 1000 = 0) AS DOUBLE), 0.0)
+           AS vip_total
+  FROM orders
+  GROUP BY o_orderstatus
+),
+pc AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+-- mode with an EXPLICIT tiebreak (lowest value among the most
+-- frequent) instead of bare mode(), whose tie behavior DuckDB does
+-- not document — mirrors the Spark side's row_number formulation
+tp AS (
+  SELECT o_orderstatus, o_orderpriority AS top_priority
+  FROM (SELECT o_orderstatus, o_orderpriority,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rk
+        FROM pc)
+  WHERE rk = 1
+)
+SELECT a.o_orderstatus, a.priorities, t.top_priority, a.n_large,
+       a.median_price_cents, a.vip_total
+FROM agg a JOIN tp t USING (o_orderstatus)
 """,
 )
 def modern_sql_aggregates(spark, sf_dir):

@@ -47,8 +47,13 @@ def read_event_stream(
     canonical event-time encoding, same as the batch ``load``) and
     ``event_time`` is a TIMESTAMP usable for watermarks/windows.
     ``to_utc_timestamp`` pins the NTZ wall time to UTC so the epoch
-    math is session-timezone-independent.
+    math is session-timezone-independent, and ``ensure_read_confs``
+    additionally pins the session tz (DST-gap safety under any
+    caller-provided session — same contract as the batch ``load``).
     """
+    from advisorydatapipeline_spark.queries.helpers import ensure_read_confs
+
+    ensure_read_confs(spark)
     reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
