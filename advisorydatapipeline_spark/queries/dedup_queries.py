@@ -265,8 +265,16 @@ FROM sigs GROUP BY simhash
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
-    """SimHash(16-bit) signature bucketing: identical-signature docs
-    collapse to one bucket row."""
+    """GROUND-TRUTH / TEACHING VARIANT — not the scale path.
+
+    SimHash(16-bit) identical-signature bucketing. With only 2^16
+    possible signatures, bucket sizes grow linearly with the corpus:
+    at 100 TB a single signature collects millions of docs and the
+    bucket becomes the hot partition. It is kept (and oracle-gated)
+    as the exact, easily-verified baseline that the banded 64-bit
+    variant is checked against; production dedup at scale is
+    :func:`dedup_simhash64` (4x16-bit banded candidates, pigeonhole-
+    exact to Hamming 3, XOR-popcount verify)."""
     return simhash_buckets(
         load(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
     )
