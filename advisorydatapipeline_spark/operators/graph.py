@@ -22,8 +22,35 @@ count, never row data.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _cut_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """Truncate plan lineage between iterations.
+
+    ``localCheckpoint`` (default) materializes to executor block
+    storage — cheap, but NOT fault-tolerant: lose an executor and the
+    partitions it held are gone, failing the job. On a real cluster a
+    long-running iterative job should pay the write to reliable
+    storage instead: ``reliable=True`` uses ``checkpoint()`` against
+    the context's checkpoint dir (set from ``$SPARK_GRAFT_CHECKPOINT``
+    or a temp dir if the caller hasn't configured one).
+    """
+    if not reliable:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.environ.get(
+                "SPARK_GRAFT_CHECKPOINT",
+                tempfile.mkdtemp(prefix="adp_ckpt_"),
+            )
+        )
+    return df.checkpoint()
 
 
 def connected_components(
@@ -32,6 +59,7 @@ def connected_components(
     dst: str,
     *,
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Components of the undirected graph given by (src, dst) pairs.
 
@@ -51,11 +79,11 @@ def connected_components(
     )
     from pyspark.sql import Observation
 
-    labels = (
+    labels = _cut_lineage(
         und.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        reliable,
     )
 
     # exact decimal sum: labels only ever decrease, so the sum is a
@@ -76,7 +104,7 @@ def connected_components(
             F.col("node").alias("label"), F.col("label").alias("_l2")
         )
         obs = Observation(f"cc_witness_{i}")
-        labels = (
+        labels = _cut_lineage(
             merged.join(hop, "label", "left")
             .select(
                 "node",
@@ -84,8 +112,8 @@ def connected_components(
                     "label"
                 ),
             )
-            .observe(obs, witness)
-            .localCheckpoint()
+            .observe(obs, witness),
+            reliable,
         )
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
@@ -105,6 +133,7 @@ def pagerank_quantized(
     dst: str,
     *,
     iters: int = 3,
+    reliable: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected graph, computed in
     pure fixed-point BIGINT arithmetic.
@@ -147,14 +176,14 @@ def pagerank_quantized(
                 f"({PR_DAMP_NUM} * rank) DIV ({PR_DAMP_DEN} * deg)"
             ).alias("c"),
         )
-        ranks = (
+        ranks = _cut_lineage(
             contrib.groupBy("node")
             .agg(F.sum("c").cast("long").alias("in_sum"))
             .select(
                 F.col("node").alias("a"),
                 (F.lit(base).cast("long") + F.col("in_sum")).alias("rank"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
     adj.unpersist()
     return ranks.select(F.col("a").alias("node"), "rank")
