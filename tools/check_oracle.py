@@ -10,6 +10,10 @@ Usage: python tools/check_oracle.py [--bare] [sf_dir] [query_name ...]
 ``--bare`` builds a plain ``SparkSession.builder.getOrCreate()`` (no
 session.py confs), mirroring the external driver's harness so
 session-conf coupling fails here first.
+
+The comparison core (`connect_duck`, `compare_query`) is importable —
+``tests/test_full_registry_gate.py`` runs the whole registry through
+it so every commit sees what the driver will sample.
 """
 
 from __future__ import annotations
@@ -27,6 +31,15 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
 )
+
+
+def connect_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
 
 
 def canon(v):
@@ -47,6 +60,52 @@ def canon(v):
 
 def row_multiset(rows):
     return Counter("|".join(canon(v) for v in row) for row in rows)
+
+
+def compare_query(spark, con, name, fn, oracle, sf_dir):
+    """Run one registry entry both ways. Returns (problems, n_rows);
+    ``problems`` is a list of strings, empty == green. A rows-only
+    entry (oracle is None) is green unless it returns complex-typed
+    columns the driver's comparator would crash on."""
+    from pyspark.sql import types as T
+
+    sdf = fn(spark, sf_dir)
+    scols = [c.lower() for c in sdf.columns]
+    # the external driver's comparator (pandas sort_values + hash)
+    # crashes on non-scalar cells — flag them as failures here
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    srows = [tuple(r) for r in sdf.collect()]
+    problems = []
+    if complex_cols:
+        problems.append(
+            f"driver-incompatible complex-typed columns: {complex_cols}"
+        )
+    if oracle is None:
+        return problems, len(srows)
+    res = con.execute(oracle)
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    # driver sorts columns by name before hashing
+    s_ix = sorted(range(len(scols)), key=lambda i: scols[i])
+    o_ix = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount {len(srows)} != {len(orows)}")
+    if not problems:
+        sm = row_multiset([tuple(r[i] for i in s_ix) for r in srows])
+        om = row_multiset([tuple(r[i] for i in o_ix) for r in orows])
+        if sm != om:
+            diff_s = list((sm - om).keys())[:3]
+            diff_o = list((om - sm).keys())[:3]
+            problems.append(
+                f"values spark-only={diff_s} oracle-only={diff_o}"
+            )
+    return problems, len(srows)
 
 
 def main() -> int:
@@ -70,75 +129,36 @@ def main() -> int:
         from advisorydatapipeline_spark.session import get_spark
 
         spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    con = connect_duck(sf_dir)
 
     qs, oracles = e.queries(), e.oracle_sql()
+    n_checked = 0
     failures, no_oracle = [], []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        scols = [c.lower() for c in sdf.columns]
-        # the external driver's comparator (pandas sort_values + hash)
-        # crashes on non-scalar cells — flag them as failures here
-        from pyspark.sql import types as T
-
-        complex_cols = [
-            f.name
-            for f in sdf.schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-        ]
-        srows = [tuple(r) for r in sdf.collect()]
+        problems, n_rows = compare_query(
+            spark, con, name, fn, oracles.get(name), sf_dir
+        )
         if name not in oracles:
             no_oracle.append(name)
-            flag = (
-                f" [driver-incompatible complex cols: {complex_cols}]"
-                if complex_cols
-                else ""
-            )
+            flag = f" [{problems[0]}]" if problems else ""
             print(
-                f"  ~ {name}: rows-only ({len(srows)} rows, "
+                f"  ~ {name}: rows-only ({n_rows} rows, "
                 f"{time.time()-t0:.1f}s){flag}"
             )
-            if complex_cols:
-                failures.append(name)
-            continue
-        res = con.execute(oracles[name])
-        ocols = [d[0].lower() for d in res.description]
-        orows = res.fetchall()
-        # driver sorts columns by name before hashing
-        s_ix = sorted(range(len(scols)), key=lambda i: scols[i])
-        o_ix = sorted(range(len(ocols)), key=lambda i: ocols[i])
-        problems = []
-        if complex_cols:
-            problems.append(
-                f"driver-incompatible complex-typed columns: {complex_cols}"
-            )
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount {len(srows)} != {len(orows)}")
-        if not problems:
-            sm = row_multiset([tuple(r[i] for i in s_ix) for r in srows])
-            om = row_multiset([tuple(r[i] for i in o_ix) for r in orows])
-            if sm != om:
-                diff_s = list((sm - om).keys())[:3]
-                diff_o = list((om - sm).keys())[:3]
-                problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
-        status = "ok" if not problems else "FAIL"
-        print(f"  {'✓' if not problems else '✗'} {name}: {status} "
-              f"({len(srows)} rows, {time.time()-t0:.1f}s)")
-        for p in problems:
-            print(f"      {p}")
+        else:
+            status = "ok" if not problems else "FAIL"
+            print(f"  {'✓' if not problems else '✗'} {name}: {status} "
+                  f"({n_rows} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
         if problems:
             failures.append(name)
 
-    print(f"\n{len(qs) - len(failures) - len(no_oracle)} ok, "
+    print(f"\n{n_checked - len(failures) - len(no_oracle)} ok, "
           f"{len(no_oracle)} rows-only, {len(failures)} FAILED")
     return 1 if failures else 0
 
