@@ -1,0 +1,140 @@
+"""MERGE INTO parity query: the full ANSI clause matrix, value-gated.
+
+The reference's risk register aspires to Iceberg MERGE
+(/root/reference/README.md:64) but implements only an overwrite-style
+upsert (state_machine/pipeline.py:72-95; covered by
+``upsert_anti_union`` / ``ttl_cache_merge``). This entry exercises
+:func:`operators.merge.merge_into` — all four clause kinds with
+first-match-wins ordering — and gates the post-merge state against a
+DuckDB replay of the same semantics in set algebra (JOIN /
+NOT-IN-split branches), an intentionally independent formulation.
+
+Scenario (deterministic, integer-exact):
+  target  customers (bal in cents, BIGINT)
+  source  per-customer order stats, plus a shifted-key slice
+          (c_custkey + 1_000_000 for c_custkey % 97 == 0) so the
+          NOT MATCHED insert path has rows to fire on
+  WHEN MATCHED AND n_ord >= 20    -> UPDATE bal += spend DIV 100,
+                                     segment = 'VIP'
+  WHEN MATCHED AND bal < 0        -> DELETE   (only if clause 1 missed)
+  WHEN NOT MATCHED                -> INSERT ('acct-<k>', 'NEW',
+                                     spend DIV 1000)
+  WHEN NOT MATCHED BY SOURCE
+       AND bal < -50000           -> DELETE
+
+All arithmetic is non-negative-dividend integer DIV, exact in both
+engines; sums are cast to BIGINT before any reuse (HUGEINT guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.merge import MergeClause, merge_into
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+_MERGE_ORACLE = """
+WITH tgt AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+base AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(count(*) AS BIGINT) AS n_ord,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+src AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT c_custkey + 1000000, n_ord, spend_cents
+  FROM base WHERE c_custkey % 97 = 0
+),
+m_out AS (
+  SELECT t.c_custkey,
+         t.c_name,
+         CASE WHEN s.n_ord >= 20 THEN 'VIP' ELSE t.c_mktsegment END
+           AS c_mktsegment,
+         CASE WHEN s.n_ord >= 20
+              THEN t.bal_cents + s.spend_cents // 100
+              ELSE t.bal_cents END AS bal_cents
+  FROM tgt t JOIN src s ON t.c_custkey = s.c_custkey
+  WHERE s.n_ord >= 20 OR t.bal_cents >= 0
+),
+t_only AS (
+  SELECT c_custkey, c_name, c_mktsegment, bal_cents
+  FROM tgt
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+    AND bal_cents >= -50000
+),
+s_only AS (
+  SELECT s.c_custkey,
+         'acct-' || CAST(s.c_custkey AS VARCHAR) AS c_name,
+         'NEW' AS c_mktsegment,
+         s.spend_cents // 1000 AS bal_cents
+  FROM src s
+  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM tgt)
+)
+SELECT * FROM m_out
+UNION ALL SELECT * FROM t_only
+UNION ALL SELECT * FROM s_only
+"""
+
+
+@query("merge_into_customers", oracle=_MERGE_ORACLE)
+def merge_into_customers(spark, sf_dir):
+    """Post-merge customer state via the merge_into operator."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_ord"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+    )
+    src = base.unionByName(
+        base.filter(F.col("c_custkey") % 97 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+        )
+    )
+    return merge_into(
+        cust,
+        src,
+        ["c_custkey"],
+        when_matched=[
+            MergeClause(
+                "update",
+                "s.n_ord >= 20",
+                {
+                    "bal_cents": "t.bal_cents + s.spend_cents DIV 100",
+                    "c_mktsegment": "'VIP'",
+                },
+            ),
+            MergeClause("delete", "t.bal_cents < 0"),
+        ],
+        when_not_matched=[
+            MergeClause(
+                "insert",
+                None,
+                {
+                    "c_name": "concat('acct-', cast(s.c_custkey as string))",
+                    "c_mktsegment": "'NEW'",
+                    "bal_cents": "s.spend_cents DIV 1000",
+                },
+            )
+        ],
+        when_not_matched_by_source=[
+            MergeClause("delete", "t.bal_cents < -50000"),
+        ],
+    )

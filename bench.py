@@ -89,6 +89,7 @@ HEADLINE = [
     "bitmap_exact_distinct",
     "session_membership_join",
     "freq_sketch_merge",
+    "merge_into_customers",
 ]
 
 
