@@ -134,6 +134,7 @@ def pagerank_quantized(
     *,
     iters: int = 3,
     reliable: bool = False,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected graph, computed in
     pure fixed-point BIGINT arithmetic.
@@ -169,21 +170,26 @@ def pagerank_quantized(
     adj = und.join(deg, "a").repartition("a").persist()
     base = (1 * PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     ranks = deg.select("a", F.lit(PR_SCALE).cast("long").alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = adj.join(ranks, "a").select(
             F.col("b").alias("node"),
             F.expr(
                 f"({PR_DAMP_NUM} * rank) DIV ({PR_DAMP_DEN} * deg)"
             ).alias("c"),
         )
-        ranks = _cut_lineage(
+        ranks = (
             contrib.groupBy("node")
             .agg(F.sum("c").cast("long").alias("in_sum"))
             .select(
                 F.col("node").alias("a"),
                 (F.lit(base).cast("long") + F.col("in_sum")).alias("rank"),
-            ),
-            reliable,
+            )
         )
+        # lineage grows by one join + one agg per round; cutting it
+        # EVERY round pays an eager materialization each time. Cut on
+        # an interval (GraphX-style checkpointInterval) — deep enough
+        # to stay cheap, shallow enough that the plan never compounds
+        if (i + 1) % max(1, checkpoint_interval) == 0 and i != iters - 1:
+            ranks = _cut_lineage(ranks, reliable)
     adj.unpersist()
     return ranks.select(F.col("a").alias("node"), "rank")
