@@ -188,6 +188,91 @@ def bigram_repetition(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    *,
+    salt: str = "quota#1",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen by deterministic
+    hash rank (md5 of salt||key, ties broken by key) — the per-domain
+    cap every web-corpus pipeline applies so one hot domain cannot
+    dominate the training mixture. Hash ranking makes the kept subset
+    a stable uniform sample: reproducible across runs, engines, and
+    partitionings, unlike rand() or input order.
+
+    One shuffle on the group key; the rank window sorts only inside
+    each group. At 100 TB the quota cut happens before any text-heavy
+    downstream op, so the savings compound. Adds ``rank_in_group``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash64(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        key_col,
+    )
+    return (
+        df.withColumn(
+            "rank_in_group", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank_in_group") <= quota)
+    )
+
+
+def waterfill_allocation(
+    per_group: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget: Column,
+) -> DataFrame:
+    """Water-filling allocation of a token ``budget`` across groups:
+    the unique level C with sum(min(size_g, C)) <= budget (maximal
+    integer C) — the standard data-mixing answer to "cap the giant
+    sources, keep the tail whole". Returns ``per_group`` plus
+    ``alloc`` = min(size, C).
+
+    Closed form, no iteration: over groups sorted by size ascending,
+    each rank r proposes C_r = (budget - cum_smaller) DIV slots_left,
+    clamped at its own size; the water level is max_r min(C_r, size_r)
+    (proved by checking the piecewise-linear fill function on each
+    segment). The windows run on ONE partition — correct here because
+    the per-GROUP table is tiny (sources/domains, not documents); the
+    heavy per-document aggregation upstream already reduced it.
+    Everything is non-negative integer DIV, exact in any engine."""
+    from pyspark.sql import Window
+
+    order = [F.col(size_col).asc(), F.col(group_col).asc()]
+    w_run = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sized = (
+        per_group.withColumn("_budget", budget)
+        .withColumn(
+            "_cum_smaller",
+            F.coalesce(F.sum(size_col).over(w_run), F.lit(0)).cast("long"),
+        )
+        .withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_cand",
+            F.expr(
+                "GREATEST(_budget - _cum_smaller, 0L) DIV (_n - _rn + 1)"
+            ),
+        )
+        .withColumn(
+            "_level",
+            F.max(F.least(F.col("_cand"), F.col(size_col))).over(w_all),
+        )
+    )
+    return sized.withColumn(
+        "alloc", F.least(F.col(size_col), F.col("_level")).cast("long")
+    ).drop("_budget", "_cum_smaller", "_rn", "_n", "_cand", "_level")
+
+
 def scrub_pii(col: Column | str) -> dict[str, Column]:
     """Redact emails and count the redactions. Returns the scrubbed
     text column and the match count (for curation audit metrics)."""

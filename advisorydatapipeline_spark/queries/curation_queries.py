@@ -426,3 +426,110 @@ def pmi_collocations(spark, sf_dir):
     return scored.orderBy(
         F.col("pmi_q").desc(), F.col("t1").asc(), F.col("t2").asc()
     ).limit(PMI_TOP_K).select("t1", "t2", "cp", "pmi_q")
+
+
+# --- per-source quota cap (domain balancing) ---------------------------------
+
+_QUOTA, _QSALT = 10, "quota#1"
+
+
+@query(
+    "source_quota_cap",
+    oracle=f"""
+SELECT doc_id, source, rank_in_group FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {DUCK_HASH64.format(x=f"'{_QSALT}' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS rank_in_group
+  FROM documents)
+WHERE rank_in_group <= {_QUOTA}
+""",
+)
+def source_quota_cap(spark, sf_dir):
+    """Per-domain quota: keep at most {10} docs per source, selected
+    by deterministic md5 rank — the anti-domination cap a web corpus
+    applies before mixing (one hot domain must not swamp the batch).
+    One shuffle on the source key; reproducible under any
+    partitioning (hash rank, not input order)."""
+    from advisorydatapipeline_spark.operators.curation import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(
+        docs, "source", "doc_id", _QUOTA, salt=_QSALT
+    ).select("doc_id", "source", "rank_in_group")
+
+
+# --- token-budget water-fill mixing ------------------------------------------
+
+
+@query(
+    "corpus_mixture_waterfill",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         CAST(len({DUCK_TOKENS.format(x='text')}) AS BIGINT) AS nt
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS tokens_total
+  FROM tok GROUP BY source
+),
+tot AS (
+  SELECT CAST(CAST(sum(tokens_total) AS BIGINT) // 2 AS BIGINT) AS b
+  FROM per_src
+),
+rk AS (
+  SELECT p.source, p.tokens_total, t.b,
+         row_number() OVER (ORDER BY tokens_total, source) AS rn,
+         COALESCE(CAST(sum(tokens_total) OVER (
+             ORDER BY tokens_total, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS cum,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per_src p CROSS JOIN tot t
+),
+lv AS (
+  SELECT max(LEAST(GREATEST(b - cum, 0) // (n - rn + 1), tokens_total))
+           AS c
+  FROM rk
+)
+SELECT p.source, p.n_docs, p.tokens_total,
+       CAST(LEAST(p.tokens_total, l.c) AS BIGINT) AS tokens_alloc
+FROM per_src p CROSS JOIN lv l
+""",
+)
+def corpus_mixture_waterfill(spark, sf_dir):
+    """Token-budget corpus mixing: water-fill half the corpus's token
+    budget across sources — big sources get capped at the common
+    level C, small sources keep everything (sum of allocations ==
+    budget, maximal integer C). The closed-form level computation is
+    windowed integer math over the tiny per-source table; the only
+    heavy work is the per-document token count, which partial-aggs
+    into one row per source before any window runs."""
+    from advisorydatapipeline_spark.functions.text import tokens
+    from advisorydatapipeline_spark.operators.curation import (
+        waterfill_allocation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(tokens("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens_total"),
+        )
+    )
+    total = per_src.agg(
+        F.expr("CAST(sum(tokens_total) AS LONG) DIV 2").alias("b")
+    )
+    per = per_src.crossJoin(F.broadcast(total))
+    out = waterfill_allocation(per, "source", "tokens_total", F.col("b"))
+    return out.select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.col("alloc").alias("tokens_alloc"),
+    )

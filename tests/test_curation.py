@@ -71,3 +71,57 @@ def test_scrub_pii_redacts_and_counts(spark):
     }
     assert rows[1] == ("mail <EMAIL> and <EMAIL> now", 2)
     assert rows[2] == ("no pii here", 0)
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    from advisorydatapipeline_spark.operators.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "k long, g string"
+    )
+    out = cap_per_group(df, "g", "k", 5)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.g, []).append(r.k)
+    assert all(len(v) == 5 for v in per.values())
+    # deterministic: same subset under a different partitioning
+    out2 = cap_per_group(df.repartition(7), "g", "k", 5)
+    assert {(r.g, r.k) for r in out2.collect()} == {
+        (r.g, r.k) for r in rows
+    }
+    assert all(1 <= r.rank_in_group <= 5 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "sizes,budget",
+    [
+        ([1, 5, 10], 12),
+        ([4, 4, 4], 10),
+        ([0, 5], 4),
+        ([2, 10], 5),
+        ([7], 3),
+        ([3, 3, 3], 100),  # budget exceeds total -> full allocation
+        ([1, 2, 3, 1000], 20),
+    ],
+)
+def test_waterfill_matches_bruteforce(spark, sizes, budget):
+    from advisorydatapipeline_spark.operators.curation import (
+        waterfill_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", s) for i, s in enumerate(sizes)], "g string, t long"
+    )
+    got = {
+        r.g: r.alloc
+        for r in waterfill_allocation(
+            df, "g", "t", F.lit(budget).cast("long")
+        ).collect()
+    }
+    # brute force the maximal integer level C with sum(min(t,C)) <= B
+    c = 0
+    while sum(min(t, c + 1) for t in sizes) <= budget and c < max(sizes):
+        c += 1
+    want = {f"s{i}": min(s, c) for i, s in enumerate(sizes)}
+    assert got == want
