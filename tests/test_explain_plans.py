@@ -254,3 +254,71 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     df.collect()
     p = full_plan(df)
     assert "dynamicpruning" in p.lower(), p[:2000]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """At 100 TB the selective-dim join can't broadcast (dim too big);
+    Spark's runtime bloom filter then pre-prunes the fact side before
+    the shuffle. Pin that the optimizer injects bloom_filter_agg /
+    might_contain when broadcast is off — the shape this engine relies
+    on for selective dim joins at scale. (Threshold confs are lowered
+    because the creation-side heuristics are sized for real clusters,
+    not sf0.001 test files.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pt = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+            F.col("p_size") == 1
+        )
+        j = li.join(pt, li.l_partkey == pt.p_partkey).groupBy(
+            "p_brand"
+        ).count()
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p and "might_contain" in p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_zorder_layout_single_range_exchange(spark):
+    """The z-order rewrite costs exactly one range-partition exchange
+    (what any compaction rewrite pays) — no extra shuffles."""
+    from advisorydatapipeline_spark.operators.layout import zorder_layout
+
+    df = spark.range(1000).select(
+        (F.col("id") % 97).alias("a"), (F.col("id") % 89).alias("b")
+    )
+    out = zorder_layout(df, F.col("a"), F.col("b"), partitions=4)
+    p = plan(out)
+    assert p.count("Exchange rangepartitioning") == 1
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_merge_into_single_join_no_extra_shuffle(spark):
+    """merge_into is ONE outer join plus row-local projection: no
+    window, no second join, no re-shuffle after the join."""
+    from advisorydatapipeline_spark.operators.merge import (
+        MergeClause,
+        merge_into,
+    )
+
+    t = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    s = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(2).alias("v")
+    )
+    out = merge_into(
+        t, s, ["k"],
+        when_matched=[MergeClause("update")],
+        when_not_matched=[MergeClause("insert")],
+    )
+    p = plan(out)
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1
+    assert "Window" not in p
