@@ -99,7 +99,11 @@ def merge_into(
         if cl.action != "insert":
             raise ValueError("when_not_matched supports only INSERT")
 
-    tcols = list(target.columns)
+    reserved = {"_t_ex", "_s_ex", "_s_dup", "__action"}
+    clash = reserved & (set(target.columns) | set(source.columns))
+    if clash:
+        raise ValueError(f"merge_into reserves column names {sorted(clash)}")
+
     scols = set(source.columns)
     t = target.withColumn("_t_ex", F.lit(True)).alias("t")
     s = source.withColumn("_s_ex", F.lit(True))

@@ -114,6 +114,10 @@ AUDIT = [
     "neardup_triangles",
     "kmeans_lloyd_step",
     "session_window_api",
+    "merge_into_customers",
+    "source_quota_cap",
+    "corpus_mixture_waterfill",
+    "zorder_chunk_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -141,6 +145,8 @@ NESTED_LOOP_OK = {
     "kmeans_lloyd_step",
     # 1-row broadcast corpus-total scalar
     "pmi_collocations",
+    # 1-row broadcast token-budget scalar (B = total DIV 2)
+    "corpus_mixture_waterfill",
 }
 
 JOIN_PAT = re.compile(

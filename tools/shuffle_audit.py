@@ -50,6 +50,10 @@ AUDIT = [
     "freq_sketch_merge",
     "session_membership_join",
     "modern_sql_aggregates",
+    "merge_into_customers",
+    "source_quota_cap",
+    "corpus_mixture_waterfill",
+    "zorder_chunk_stats",
 ]
 
 
