@@ -498,3 +498,112 @@ def canonical_corpus(spark, sf_dir):
             .alias("chars_after"),
         )
     )
+
+
+# --- LSH tuning eval: recall / candidate precision vs exact truth ------------
+
+_LSH_EVAL_ORACLE = f"""
+WITH {DUCK_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+       {_SIG_AGGS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+allp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM (SELECT doc_id, {DUCK_HASH64.format(x='shingle')} AS sh64 FROM sh) a
+  JOIN (SELECT doc_id, {DUCK_HASH64.format(x='shingle')} AS sh64 FROM sh) b
+    ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT p.id_a, p.id_b
+  FROM allp p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE p.shared / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= {MIN_JACCARD}
+),
+ver AS (
+  SELECT c.id_a FROM cands c JOIN truth t
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified,
+       CAST((SELECT count(*) FROM ver) * 1000000
+            // GREATEST((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm,
+       CAST((SELECT count(*) FROM ver) * 1000000
+            // GREATEST((SELECT count(*) FROM cands), 1) AS BIGINT)
+         AS cand_precision_ppm
+"""
+
+
+@query("lsh_recall_eval", oracle=_LSH_EVAL_ORACLE)
+def lsh_recall_eval(spark, sf_dir):
+    """Measure, don't guess: LSH banding quality against exact ground
+    truth — recall (verified candidates / true pairs) and candidate
+    precision (verified / generated candidates), in exact integer ppm.
+    This is the tuning dial for (num_hashes, bands, rows): run it on a
+    SAMPLE whenever banding parameters change; the exact-truth side is
+    inherently all-co-occurring-pairs and is NOT meant for the full
+    corpus (the production path stays candidates-only). Same uncapped
+    shingle universe and threshold on both sides, so verified is a
+    subset of truth by construction."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        jaccard_for_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    idx = shingle_index(
+        load(spark, sf_dir, "documents"), "doc_id", "text", 3
+    ).persist()
+    cands = lsh_candidate_pairs(
+        lsh_bands(
+            minhash_signatures(idx, "doc_id", NUM_HASHES),
+            "doc_id",
+            BANDS,
+            ROWS,
+        ),
+        "doc_id",
+    ).persist()
+    verified = jaccard_for_pairs(idx, cands, "doc_id").filter(
+        F.col("jaccard") >= MIN_JACCARD
+    )
+    truth = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
+    one = (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(
+            F.broadcast(
+                cands.agg(F.count("*").cast("long").alias("n_candidates"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                verified.agg(F.count("*").cast("long").alias("n_verified"))
+            )
+        )
+    )
+    return one.select(
+        "n_true",
+        "n_candidates",
+        "n_verified",
+        F.expr("n_verified * 1000000L DIV GREATEST(n_true, 1L)").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "n_verified * 1000000L DIV GREATEST(n_candidates, 1L)"
+        ).alias("cand_precision_ppm"),
+    )
