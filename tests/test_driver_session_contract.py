@@ -52,6 +52,12 @@ PROBE_QUERIES = [
     "incremental_rollup_merge",
     "nation_volume_shipping",
     "regional_market_share",
+    # round-4 additions
+    "merge_into_customers",
+    "source_quota_cap",
+    "corpus_mixture_waterfill",
+    "zorder_chunk_stats",
+    "lsh_recall_eval",
 ]
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"

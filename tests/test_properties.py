@@ -121,3 +121,63 @@ def test_sample_by_hash_deterministic_and_monotone(spark):
     assert all_rows == 500 and none_rows == 0
     assert half_a == half_b  # deterministic
     assert half_a <= bigger  # rate increase only adds rows
+
+
+@_slow
+@given(
+    sizes=st.lists(st.integers(0, 500), min_size=1, max_size=12),
+    budget=st.integers(0, 3000),
+)
+def test_waterfill_invariants(spark, sizes, budget):
+    """alloc == min(size, C) for the maximal integer level C with
+    sum(min(size, C)) <= budget — checked against a brute-force C."""
+    from advisorydatapipeline_spark.operators.curation import (
+        waterfill_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", s) for i, s in enumerate(sizes)], "g string, t long"
+    )
+    got = {
+        r.g: r.alloc
+        for r in waterfill_allocation(
+            df, "g", "t", F.lit(budget).cast("long")
+        ).collect()
+    }
+    c = 0
+    while (
+        sum(min(t, c + 1) for t in sizes) <= budget and c < max(sizes)
+    ):
+        c += 1
+    assert got == {f"s{i}": min(s, c) for i, s in enumerate(sizes)}
+    # global invariants: never over budget (when budget < total),
+    # never capping when budget covers everything
+    total = sum(sizes)
+    if budget < total:
+        assert sum(got.values()) <= budget
+    else:
+        assert got == {f"s{i}": s for i, s in enumerate(sizes)}
+
+
+@_slow
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zvalue_bit_interleave_property(spark, pts):
+    """z de-interleaves back to exactly (a, b) — bijectivity on the
+    16-bit x 16-bit domain, via a pure-Python reference."""
+    from advisorydatapipeline_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(pts, "a long, b long").select(
+        "a", "b", zvalue(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        a = b = 0
+        for i in range(16):
+            a |= ((r.z >> (2 * i)) & 1) << i
+            b |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r.a, r.b)
