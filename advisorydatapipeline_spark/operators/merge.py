@@ -92,9 +92,20 @@ def merge_into(
     aliases ``t`` (target) and ``s`` (source), e.g.
     ``MergeClause("update", "s.n >= 20", {"bal": "t.bal + s.spend"})``.
     """
+    if not on:
+        raise ValueError("merge_into needs at least one key column")
     for cl in [*when_matched, *when_not_matched_by_source]:
         if cl.action == "insert":
             raise ValueError("INSERT is only valid in when_not_matched")
+    for cl in when_not_matched_by_source:
+        # ANSI: BY SOURCE clauses may reference only the target; the
+        # source side is all-NULL there, so defaulting assignments to
+        # s.<col> would silently null shared columns
+        if cl.action == "update" and not cl.assignments:
+            raise ValueError(
+                "when_not_matched_by_source UPDATE requires explicit "
+                "assignments (source columns are NULL in that branch)"
+            )
     for cl in when_not_matched:
         if cl.action != "insert":
             raise ValueError("when_not_matched supports only INSERT")
@@ -156,11 +167,15 @@ def merge_into(
         ~F.col("__action").isin(*drop_tags)
     )
 
-    def assignment(cl: MergeClause, col: str) -> Column:
+    def assignment(cl: MergeClause, col: str, prefix: str) -> Column:
         if cl.assignments is not None and col in cl.assignments:
             return F.expr(cl.assignments[col])
         if cl.action == "insert":
             return F.col(f"s.{col}") if col in scols else F.lit(None)
+        if prefix == "b":
+            # BY SOURCE branch: the source side is all-NULL — columns
+            # without an explicit assignment keep their target value
+            return F.col(f"t.{col}")
         return F.col(f"s.{col}") if col in scols else F.col(f"t.{col}")
 
     out = []
@@ -176,7 +191,8 @@ def merge_into(
                 if cl.action not in ("update", "insert"):
                     continue
                 chain = (chain.when if chain is not None else F.when)(
-                    F.col("__action") == f"{prefix}{i}", assignment(cl, col)
+                    F.col("__action") == f"{prefix}{i}",
+                    assignment(cl, col, prefix),
                 )
         expr = (
             chain.otherwise(F.col(f"t.{col}"))

@@ -143,6 +143,28 @@ def test_invalid_clause_combinations_rejected(spark):
         )
     with pytest.raises(ValueError, match="no assignments"):
         MergeClause("delete", None, {"bal": "1"})
+    with pytest.raises(ValueError, match="requires explicit"):
+        merge_into(
+            _tgt(spark), _src(spark), ["k"],
+            when_not_matched_by_source=[MergeClause("update")],
+        )
+    with pytest.raises(ValueError, match="at least one key"):
+        merge_into(_tgt(spark), _src(spark), [])
+
+
+def test_by_source_update_with_explicit_assignments(spark):
+    out = merge_into(
+        _tgt(spark),
+        _src(spark),
+        ["k"],
+        when_not_matched_by_source=[
+            MergeClause("update", "t.bal > 0", {"name": "'stale'"})
+        ],
+    )
+    got = _rows(out)
+    assert got[3] == ("stale", 7)    # no source row, bal > 0 -> tagged
+    assert got[4] == ("d", -999)     # condition fails -> kept as-is
+    assert got[1] == ("a", 100)      # matched -> untouched (no clauses)
 
 
 def test_left_join_without_insert_clauses(spark):
