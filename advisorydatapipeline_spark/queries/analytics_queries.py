@@ -223,6 +223,16 @@ def blocked_fuzzy_pairs(parts: DataFrame) -> DataFrame:
             F.array(lb - 2, lb - 1, lb, lb + 1, lb + 2)
         ).alias("lkey"),
     )
+    # CPU/bytes mismatch guard: a 20k-row part file arrives as ONE
+    # split, and a broadcast join would then BUILD all ~24M candidate
+    # pairs (and run their levenshteins) inside that single task.
+    # Pre-shuffling both sides on the join key spreads pair
+    # construction + distance across the cluster — the input is KB,
+    # the pair stage is the real work (measured 13.7s -> 2.3s at
+    # sf0.1, 32 cores).
+    nparts = parts.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(nparts, "blk", "lkey")
+    b = b.repartition(nparts, "blk", "lkey")
     return (
         a.join(b, ["blk", "lkey"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -156,6 +156,69 @@ def start_streaming_upsert(
     return writer.start()
 
 
+def start_streaming_merge(
+    updates: DataFrame,
+    prod_path: str,
+    keys: list[str],
+    schema: T.StructType,
+    checkpoint_dir: str,
+    *,
+    when_matched,
+    when_not_matched,
+    prepare=None,
+    available_now: bool = True,
+):
+    """Per-micro-batch MERGE INTO the prod table — the clause-level
+    generalization of :func:`start_streaming_upsert`. Conditional
+    MERGE clauses express semantics last-writer-wins upsert cannot,
+    e.g. ACCUMULATE across batches (``WHEN MATCHED UPDATE SET n =
+    t.n + s.n``) for incremental rollups. Each batch reads prod,
+    merges (one outer join), and writes temp-then-swap — the same
+    exactly-once-per-batch discipline as the upsert sink; on a
+    MERGE-native table format the foreachBatch body is the single
+    place to swap in a real ``MERGE INTO``.
+
+    ``prepare`` maps the raw micro-batch to the merge source (e.g. a
+    per-batch aggregation). Stream RAW rows and aggregate here, NOT
+    upstream: a stateful streaming aggregation in update mode emits
+    CUMULATIVE per-key state each trigger, which an accumulating
+    MERGE would double-count."""
+    from advisorydatapipeline_spark.operators.merge import merge_into
+    from advisorydatapipeline_spark.sources.io import read_table, write_table
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        source = prepare(batch_df) if prepare is not None else batch_df
+        # read prod, MERGE the batch in, write temp-then-swap (same
+        # lazy-plan-over-deleted-files discipline as upsert_to_path)
+        target = read_table(spark, prod_path, schema)
+        merged = merge_into(
+            target,
+            source,
+            keys,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+        )
+        tmp = prod_path.rstrip("/") + "__tmp"
+        write_table(merged, tmp, schema=schema)
+        final = read_table(spark, tmp, schema)
+        write_table(final, prod_path, schema=schema)
+        import shutil as _sh
+
+        _sh.rmtree(tmp.removeprefix("file:"), ignore_errors=True)
+
+    writer = (
+        updates.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 RUNNING_COUNTS_OUT = "user_id long, n_events long, max_value double"
 RUNNING_COUNTS_STATE = "n long, mx double"
 

@@ -270,3 +270,77 @@ def test_checkpoint_recovery_resumes_offsets(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_merge_accumulates_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Per-batch MERGE with accumulate clauses: counts must SUM across
+    micro-batches (last-writer-wins upsert would keep only the final
+    batch's count). Three single-file triggers force three batches."""
+    from advisorydatapipeline_spark.operators.merge import MergeClause
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        start_streaming_merge,
+    )
+
+    src_dir = tmp_path / "ev_split"
+    src_dir.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    # deterministic 3-way split, one file each
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / f"b{i}"))
+    stage = tmp_path / "stream_in"
+    stage.mkdir()
+    import glob
+    import shutil as sh
+
+    for i in range(3):
+        (f,) = glob.glob(str(src_dir / f"b{i}" / "part-*.parquet"))
+        sh.copy(f, stage / f"part-{i}.parquet")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    prod = str(tmp_path / "prod_counts")
+    q = start_streaming_merge(
+        stream,
+        prod,
+        ["user_id"],
+        schema,
+        str(tmp_path / "ckpt"),
+        prepare=lambda b: b.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n")
+        ),
+        when_matched=[MergeClause("update", None, {"n": "t.n + s.n"})],
+        when_not_matched=[MergeClause("insert")],
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.user_id: r.n for r in spark.read.parquet(prod).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # multiple micro-batches actually ran, so the accumulate clause
+    # (not a single-batch insert) produced the totals
+    ran = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(ran) >= 2
