@@ -416,3 +416,38 @@ def modern_sql_aggregates(spark, sf_dir):
         "median_price_cents",
         "vip_total",
     )
+
+
+# --- Spark 4 SQL pipe syntax --------------------------------------------------
+
+
+@query(
+    "pipe_syntax_aggregate",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def pipe_syntax_aggregate(spark, sf_dir):
+    """SQL pipe syntax (Spark 4 `|>` operators): the same
+    filter->aggregate expressed as a left-to-right pipeline — parity
+    surface for the modern SQL dialect; the oracle is the standard
+    formulation, proving the dialects agree. Decimal-sum inside,
+    double outside: float SUM would be association-order-dependent
+    across partitionings."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        """
+    )
