@@ -95,3 +95,81 @@ def span_dup_profile(
         "hot_frac",
         F.col("n_hot").cast("double") / F.col("n_shingles").cast("double"),
     )
+
+
+BM25_S = 1000          # fixed-point scale for k1/b/length-norm
+BM25_K1_S = 1200       # k1 = 1.2
+BM25_B_S = 750         # b  = 0.75
+BM25_IDF_SCALE = 1000  # smaller than IDF_SCALE: leaves BIGINT headroom
+                       # for tf * (k1+1)*S * idf at billion-doc N
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents per query term by integer-scaled BM25.
+
+    Classic BM25 with k1=1.2, b=0.75, in pure BIGINT fixed-point so
+    ranking is bit-identical across engines (same rule as tfidf_topk;
+    the idf is the linear ``(N*scale) DIV df`` proxy for the same
+    portability reason — float log() can flip ranks in the last ulp):
+
+        lnorm_s = (S - bS) + (bS * dl * S) DIV avgdl_s
+        denom_s = tf * S + (k1S * lnorm_s) DIV S
+        score   = (tf * (k1S + S) * idf) DIV denom_s
+
+    Scale shape: the token filter keeps only query-term rows BEFORE
+    the (doc, term) aggregation, so tf is tiny; df-per-term and the
+    corpus (N, sum dl) scalars are broadcast 1-row/short aggregates;
+    the only wide ops are the tf partial-agg and one per-term top-k
+    window over already-filtered rows. Document text never shuffles.
+    """
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("ts"))
+    dl = tokd.select(
+        F.col(id_col), F.size("ts").cast("long").alias("dl")
+    )
+    tf = (
+        tokd.select(F.col(id_col), F.explode("ts").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = df.agg(
+        F.count("*").cast("long").alias("n"),
+    ).crossJoin(
+        dl.agg(F.sum("dl").cast("long").alias("sumdl"))
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl_s", F.expr(f"(sumdl * {BM25_S}) DIV n"))
+        .withColumn("idf", F.expr(f"(n * {BM25_IDF_SCALE}) DIV df"))
+        .withColumn(
+            "lnorm_s",
+            F.expr(
+                f"({BM25_S} - {BM25_B_S})"
+                f" + ({BM25_B_S} * dl * {BM25_S}) DIV avgdl_s"
+            ),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                f"(tf * ({BM25_K1_S} + {BM25_S}) * idf)"
+                f" DIV (tf * {BM25_S} + ({BM25_K1_S} * lnorm_s) DIV {BM25_S})"
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("term", id_col, "tf", "dl", "df", "score", "rn")
+    )

@@ -298,3 +298,208 @@ def embedding_near_dupes_pandas(
     return assigned.groupBy(centroid_id_col).applyInPandas(
         score_bucket, out_schema
     )
+
+
+def rhp_weights(n_planes: int, dim: int, seed: int = 1234) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane matrix (SimHash for
+    embeddings, Charikar 2002). A seeded Mersenne-Twister draw is
+    stable across Python versions/platforms, so the Spark plan and the
+    DuckDB oracle can both embed the SAME literal matrix — the whole
+    signature computation stays engine-portable integer arithmetic."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def rhp_signature_bands(
+    df: DataFrame,
+    weights: list[list[int]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 4,
+) -> DataFrame:
+    """(id, band, band_key) rows: the banded random-hyperplane LSH
+    signature. bit_j = [w_j . q >= 0] over the quantized vector; bits
+    are packed MSB-first into ``n_planes // band_bits`` keys.
+
+    All per-row narrow work (no shuffle): the weight matrix is a plan
+    literal, each signature is n_planes exact integer dot products.
+    Cosine-similar vectors agree on each bit with probability
+    1 - theta/pi, so near-dupes collide in at least one band with
+    tunable probability — the scale path needs no centroids and no
+    training, unlike IVF bucketing."""
+    n_planes = len(weights)
+    if n_planes % band_bits:
+        raise ValueError("n_planes must be a multiple of band_bits")
+    q = quantize(vec_col)
+    wlit = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in row])
+            for row in weights
+        ]
+    )
+    bits = F.transform(
+        wlit,
+        lambda row: F.when(dot_q(row, q) >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    bands = F.array(
+        *[
+            F.aggregate(
+                F.slice(bits, b * band_bits + 1, band_bits),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2 + x,
+            )
+            for b in range(n_planes // band_bits)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(bands).alias("band", "band_key")
+    )
+
+
+def rhp_near_dupes(
+    corpus: DataFrame,
+    weights: list[list[int]],
+    min_cosine: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH: banded
+    signature equi-join generates candidates, exact quantized cosine
+    verifies. Returns (id_a, id_b, cosine) with cosine >= min_cosine.
+
+    Scale shape: signatures are per-row narrow columns; the only
+    shuffles are the (band, band_key) candidate equi-join and the
+    candidate-distinct — bucketed, never all-pairs. Candidates that
+    collide in several bands are deduped BEFORE the verify join so
+    each pair's cosine is computed once. Complements
+    :func:`embedding_near_dupes` (IVF buckets): RHP needs no centroid
+    fit and its recall/precision is tuned by (n_planes, band_bits)
+    instead of k/nprobe."""
+    sigs = rhp_signature_bands_pandas(
+        corpus, weights, id_col=id_col, vec_col=vec_col, band_bits=band_bits
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    c = corpus.select(
+        F.col(id_col),
+        quantize(vec_col).alias("vq"),
+        norm_sq_q(quantize(vec_col)).alias("vn"),
+    )
+    ca = c.select(
+        F.col(id_col).alias("id_a"),
+        F.col("vq").alias("aq"),
+        F.col("vn").alias("an"),
+    )
+    cb = c.select(
+        F.col(id_col).alias("id_b"),
+        F.col("vq").alias("bq"),
+        F.col("vn").alias("bn"),
+    )
+    joined = cand.join(ca, "id_a").join(cb, "id_b")
+    return _verify_pairs_pandas(joined, min_cosine)
+
+
+def rhp_signature_bands_pandas(
+    df: DataFrame,
+    weights: list[list[int]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 4,
+) -> DataFrame:
+    """Vectorized twin of :func:`rhp_signature_bands`: all n_planes
+    dots per Arrow batch are ONE numpy int64 matmul (Q @ W.T) instead
+    of n_planes interpreted zip_with/aggregate expressions — measured
+    ~4x faster end-to-end at sf0.1, bit-identical bits/keys (integer
+    dots are exact in int64; |q| <= ~1000 per dim so no overflow)."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = len(weights)
+    if n_planes % band_bits:
+        raise ValueError("n_planes must be a multiple of band_bits")
+    n_bands = n_planes // band_bits
+    wt = [list(row) for row in weights]
+    src = df.select(F.col(id_col), quantize(vec_col).alias("vq"))
+    schema = f"{id_col} long, band int, band_key long"
+    # MSB-first packing within each band — same order as the
+    # expression version and the SQL oracle
+    shifts = None
+
+    def sign_bands(batches):
+        nonlocal shifts
+        w = np.asarray(wt, dtype=np.int64)
+        if shifts is None:
+            shifts = (2 ** np.arange(band_bits - 1, -1, -1, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+            bits = (q @ w.T >= 0).astype(np.int64)  # (n, n_planes)
+            keys = (
+                bits.reshape(len(pdf), n_bands, band_bits) * shifts
+            ).sum(axis=2)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_bands)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(sign_bands, schema)
+
+
+def _verify_pairs_pandas(joined: DataFrame, min_cosine: float) -> DataFrame:
+    """Vectorized exact-cosine verify over candidate pairs carrying
+    (aq, an, bq, bn): per-batch numpy row-wise dots, one double
+    division over one sqrt — the same IEEE expression as cosine_q, so
+    results are bit-identical to the HOF form and the oracle
+    (an*bn <= (64*1e6)^2 < 2^53, exact in float64)."""
+    import numpy as np
+    import pandas as pd
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["aq"].to_numpy()).astype(np.int64)
+            b = np.stack(pdf["bq"].to_numpy()).astype(np.int64)
+            dots = np.einsum("ij,ij->i", a, b)
+            nn = (
+                pdf["an"].to_numpy(np.int64) * pdf["bn"].to_numpy(np.int64)
+            ).astype(np.float64)
+            cos = dots / np.sqrt(nn)
+            keep = cos >= min_cosine
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(verify, "id_a long, id_b long, cosine double")

@@ -292,3 +292,68 @@ def sample_capped_per_group(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= CAP_PER_GROUP)
     )
+
+
+BM25_TERMS = ["join", "spark", "window"]
+BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    from advisorydatapipeline_spark.operators.ranking import (
+        BM25_B_S,
+        BM25_IDF_SCALE,
+        BM25_K1_S,
+        BM25_S,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS ts FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tokd),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM tokd)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sumdl
+),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dl.dl, d.df,
+         (tf.tf * ({BM25_K1_S} + {BM25_S})
+            * ((s.n * {BM25_IDF_SCALE}) // d.df))
+         // (tf.tf * {BM25_S}
+             + ({BM25_K1_S} * (({BM25_S} - {BM25_B_S})
+                + ({BM25_B_S} * dl.dl * {BM25_S})
+                  // ((s.sumdl * {BM25_S}) // s.n))) // {BM25_S})
+           AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term), stats s
+)
+SELECT term, doc_id, tf, dl, df, CAST(score AS BIGINT) AS score,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY term ORDER BY score DESC, doc_id ASC
+  ) AS rn FROM scored
+) WHERE rn <= {BM25_K}
+"""
+
+
+@query("bm25_doc_ranking", oracle=_bm25_oracle())
+def bm25_doc_ranking(spark, sf_dir):
+    """Search relevance over the corpus: top-10 documents per query
+    term by integer fixed-point BM25 (k1=1.2, b=0.75; BIGINT-only
+    arithmetic so ranks are engine-identical — see
+    operators/ranking.bm25_topk). Query-term filter lands BEFORE the
+    tf aggregation, so the wide stages only ever see matching rows."""
+    from advisorydatapipeline_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        BM25_TERMS, k=BM25_K,
+    )

@@ -405,3 +405,78 @@ def kmeans_lloyd_step(spark, sf_dir):
         F.count("*").cast("long").alias("n_members"),
         (F.sum("qv") / F.count("*")).alias("centroid_q"),
     )
+
+
+# --- random-hyperplane LSH (no centroids, no training) -----------------------
+
+RHP_PLANES, RHP_BAND_BITS, RHP_MIN_COSINE = 16, 4, 0.35
+
+
+def _rhp_oracle() -> str:
+    """Render the SAME ±1 hyperplane matrix the Spark operator uses as
+    literal VALUES rows, then replay signature -> band join -> exact
+    cosine verify in SQL."""
+    from advisorydatapipeline_spark.operators.similarity import rhp_weights
+
+    w = rhp_weights(RHP_PLANES, 64)
+    rows = ",\n  ".join(
+        f"({j}, CAST([{', '.join(str(float(v)) for v in vec)}] AS DOUBLE[]))"
+        for j, vec in enumerate(w)
+    )
+    nb = RHP_BAND_BITS
+    return f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+w(j, wv) AS (VALUES
+  {rows}
+),
+dots AS (
+  SELECT c.vec_id, w.j, list_dot_product(c.v, w.wv) AS d FROM c, w
+),
+sigs AS (
+  SELECT vec_id, CAST(j // {nb} AS INT) AS band,
+         CAST(sum(CASE WHEN d >= 0
+                  THEN (CAST(1 AS BIGINT) << ({nb - 1} - (j % {nb})))
+                  ELSE 0 END) AS BIGINT) AS band_key
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a
+  JOIN sigs b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         list_dot_product(ca.v, cb.v)
+           / sqrt(list_dot_product(ca.v, ca.v) * list_dot_product(cb.v, cb.v))
+           AS cosine
+  FROM cand
+  JOIN c ca ON ca.vec_id = cand.id_a
+  JOIN c cb ON cb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {RHP_MIN_COSINE}
+"""
+
+
+@query("dedup_embedding_rhp", oracle=_rhp_oracle())
+def dedup_embedding_rhp(spark, sf_dir):
+    """Embedding near-dup pairs via random-hyperplane (SimHash) LSH —
+    the centroid-free scale path beside dedup_embedding_cosine's IVF
+    buckets: 16 ±1 hyperplanes -> 4 bands x 4 bits -> banded equi-join
+    candidates -> exact quantized-cosine verify. No training/fit step,
+    recall tuned by (n_planes, band_bits); candidates dedupe before
+    the verify join so each pair scores once."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        rhp_near_dupes,
+        rhp_weights,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return rhp_near_dupes(
+        emb,
+        rhp_weights(RHP_PLANES, 64),
+        RHP_MIN_COSINE,
+        band_bits=RHP_BAND_BITS,
+    )

@@ -306,3 +306,54 @@ def winnow_neardup_pairs(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("shared_fp"))
         .filter(F.col("shared_fp") >= WINNOW_MIN_SHARED)
     )
+
+
+VOCAB_SIZE = 20
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_T}) AS term FROM documents
+),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+vocab AS (
+  SELECT term FROM cnt ORDER BY c DESC, term ASC LIMIT {VOCAB_SIZE}
+),
+j AS (
+  SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       sum(oov) / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM j GROUP BY doc_id
+""",
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build the top-{20}-by-frequency
+    vocab from the corpus itself (count desc, term asc — a total
+    order, so the boundary is deterministic), then score each doc's
+    out-of-vocab token fraction. The vocab limit is a TakeOrdered
+    (per-partition top-V then merge on the driver of V rows, never a
+    global sort), the vocab joins back in broadcast, and the per-doc
+    aggregate is one partial-agg shuffle of (doc_id) — the exact plan
+    a vocab-coverage audit runs before committing to a tokenizer."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        (F.sum(oov) / F.count("*").cast("double")).alias("oov_rate"),
+    )

@@ -90,6 +90,9 @@ HEADLINE = [
     "session_membership_join",
     "freq_sketch_merge",
     "merge_into_customers",
+    "dedup_embedding_rhp",
+    "bm25_doc_ranking",
+    "vocab_oov_rate",
 ]
 
 

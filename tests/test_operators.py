@@ -252,3 +252,85 @@ def test_ivf_recall_against_brute_ground_truth(spark, sf_dir):
     # on clustered data. The floor detects collapse (broken
     # assignment/probing => recall ~= k/corpus ~= 0.1), not quality.
     assert recall >= 0.35, f"IVF recall@k collapsed: {recall:.2f}"
+
+
+def test_rhp_weights_deterministic_pm1():
+    from advisorydatapipeline_spark.operators.similarity import rhp_weights
+
+    w1 = rhp_weights(8, 16)
+    w2 = rhp_weights(8, 16)
+    assert w1 == w2  # seeded: stable across calls/processes
+    assert all(v in (-1, 1) for row in w1 for v in row)
+    assert rhp_weights(8, 16, seed=7) != w1
+
+
+def test_rhp_identical_vectors_always_collide(spark):
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        rhp_near_dupes,
+        rhp_weights,
+    )
+
+    base = [0.5, -0.25, 0.75, 0.1] * 4  # 16-dim
+    off = [-v for v in base]
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=base),
+            Row(vec_id=2, embedding=list(base)),  # exact dup
+            Row(vec_id=3, embedding=off),         # antipodal: cos=-1
+        ]
+    )
+    out = rhp_near_dupes(
+        df, rhp_weights(8, 16), 0.9, band_bits=4
+    ).collect()
+    # identical vectors share every band -> always a candidate; the
+    # antipodal vector flips every bit -> never pairs above 0.9
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].cosine == 1.0
+
+
+def test_rhp_candidates_dedupe_across_bands(spark):
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        rhp_signature_bands,
+        rhp_weights,
+    )
+
+    v = [1.0] * 16
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=v), Row(vec_id=2, embedding=list(v))]
+    )
+    sigs = rhp_signature_bands(df, rhp_weights(8, 16)).collect()
+    # 8 planes / 4-bit bands -> exactly 2 band rows per vector, and
+    # keys fit in [0, 15]
+    per_vec = {}
+    for r in sigs:
+        per_vec.setdefault(r.vec_id, []).append((r.band, r.band_key))
+        assert 0 <= r.band_key < 16
+    assert sorted(b for b, _ in per_vec[1]) == [0, 1]
+    assert per_vec[1] == per_vec[2]
+
+
+def test_rhp_pandas_signatures_match_expression_path(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        rhp_signature_bands,
+        rhp_signature_bands_pandas,
+        rhp_weights,
+    )
+
+    rng = random.Random(99)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    w = rhp_weights(8, 16)
+    expr = sorted(map(tuple, rhp_signature_bands(df, w).collect()))
+    vec = sorted(map(tuple, rhp_signature_bands_pandas(df, w).collect()))
+    assert expr == vec  # matmul path is bit-identical to the HOF path

@@ -93,3 +93,49 @@ def test_span_dup_profile_short_docs_drop_out(spark):
     )
     out = span_dup_profile(df, "doc_id", "text", n=3, hot_df=2).collect()
     assert {r.doc_id for r in out} == {2}
+
+
+def test_bm25_ranks_high_tf_short_docs_first(spark):
+    from advisorydatapipeline_spark.operators.ranking import (
+        BM25_IDF_SCALE,
+        BM25_K1_S,
+        BM25_S,
+        bm25_topk,
+    )
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="query query query"),          # tf=3, dl=3
+            Row(doc_id=2, text="query filler filler filler"), # tf=1, dl=4
+            Row(doc_id=3, text="filler filler"),              # no match
+            Row(doc_id=4, text="query query filler filler filler filler"),
+        ]
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["query"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    # only matching docs appear, ordered by score desc
+    assert set(ids) == {1, 2, 4}
+    assert ids[0] == 1  # highest tf, shortest doc
+    assert [r.rn for r in out] == [1, 2, 3]
+    # replay the fixed-point formula for the winner: tf=3, dl=3,
+    # df=3, N=4, sumdl=15
+    avgdl_s = (15 * BM25_S) // 4
+    idf = (4 * BM25_IDF_SCALE) // 3
+    lnorm = (BM25_S - 750) + (750 * 3 * BM25_S) // avgdl_s
+    expect = (3 * (BM25_K1_S + BM25_S) * idf) // (
+        3 * BM25_S + (BM25_K1_S * lnorm) // BM25_S
+    )
+    assert out[0].score == expect
+
+
+def test_bm25_tiebreak_and_k_cap(spark):
+    from advisorydatapipeline_spark.operators.ranking import bm25_topk
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same same other") for i in range(5)]
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["same"], k=3).collect()
+    # identical scores -> doc_id ascending, capped at k
+    assert [r.doc_id for r in out] == [0, 1, 2]
