@@ -474,3 +474,154 @@ def simhash64_near_dupes(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    index: DataFrame, id_col: str, min_overlap: float
+) -> DataFrame:
+    """Asymmetric near-dup detection: pairs whose shingle OVERLAP
+    coefficient ``shared / min(n_a, n_b)`` >= threshold, plus both
+    directional containments ``shared / n_a`` and ``shared / n_b``.
+
+    Jaccard misses doc-in-doc duplication — a paragraph quoted inside
+    a 100x longer page has tiny Jaccard but containment ~1.0. This is
+    the query that finds quotes, boilerplate inclusions, and
+    subset-republication, the cases a training-data pipeline must
+    catch to avoid double-counting text (Broder's containment, the
+    same statistic CC-style pipelines use for URL rollups).
+
+    Same plan shape (and the same df-capped index input) as
+    jaccard_pairs: hash-keyed self-join on the 60-bit shingle hash,
+    partial-agg shared counts, two small size joins — only
+    (id, hash) pairs ever shuffle.
+    """
+    sizes = index.groupBy(id_col).agg(F.count("*").alias("n"))
+    key = hash64(F.col("shingle")).alias("_sh")
+    a = index.select(F.col(id_col).alias("id_a"), key)
+    b = index.select(F.col(id_col).alias("id_b"), key)
+    shared = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    overlap = F.col("shared") / F.least("n_a", "n_b").cast("double")
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "overlap",
+            (F.col("shared") / F.col("n_a").cast("double")).alias(
+                "containment_a"
+            ),
+            (F.col("shared") / F.col("n_b").cast("double")).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
+# --- Bloom-filter corpus membership ------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # 1 Mi bits = 32 Ki 32-bit words
+BLOOM_K = 3
+
+
+def bloom_positions(hash_col, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """k bit positions from one portable 60-bit hash via double
+    hashing (Kirsch-Mitzenmacher: p_i = (h1 + i*h2) mod m). Pure
+    nonnegative BIGINT arithmetic — identical in every engine."""
+    # m is a power of two, so h % m and h DIV m are bit ops — exact on
+    # the 60-bit hash (a float `/` would round above 2^53 and silently
+    # diverge from the oracle's integer arithmetic)
+    log2m = m_bits.bit_length() - 1
+    if (1 << log2m) != m_bits:
+        raise ValueError("m_bits must be a power of two")
+    h1 = hash_col.bitwiseAND(m_bits - 1)
+    h2 = 1 + F.shiftright(hash_col, log2m) % (m_bits - 1)
+    return F.array(*[(h1 + F.lit(i) * h2) % m_bits for i in range(k)])
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build a Bloom filter RELATIONALLY: one row per 32-bit word that
+    has any bit set — (word_idx, word) with ``word = bit_or(1 << (p %
+    32))``. 32-bit words keep every value positive (no BIGINT
+    sign-bit edge cases across engines).
+
+    Scale: the build is one partial-agg shuffle of (word_idx, word)
+    pairs — at most m/32 rows regardless of corpus size — and the
+    resulting filter is kilobytes-to-megabytes, so the PROBE side
+    broadcast-joins it. This is how a 100 TB corpus membership check
+    avoids re-shuffling the corpus for every incoming batch: build
+    once, persist the words table, broadcast to probes.
+    """
+    pos = keys.select(
+        F.explode(
+            bloom_positions(hash64(F.col(key_col)), m_bits, k)
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("p"), 5).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+                "v"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(v)").alias("word"))
+    )
+
+
+def bloom_probe_docs(
+    index: DataFrame,
+    bloom: DataFrame,
+    id_col: str,
+    *,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe each document's shingles against a (broadcast) Bloom
+    filter: a shingle is maybe-present iff ALL k bits are set.
+    Returns per-doc (n_shingles, n_maybe_in_corpus, hit_rate) — the
+    contamination-screen statistic. False positives are bounded by
+    the classic (1 - e^{-kn/m})^k; false negatives are impossible,
+    so hit_rate == 0 certifies a clean doc."""
+    pos = index.select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.posexplode(
+            bloom_positions(hash64(F.col("shingle")), m_bits, k)
+        ).alias("i", "p"),
+    ).select(
+        id_col,
+        "shingle",
+        "i",
+        F.shiftright(F.col("p"), 5).alias("word_idx"),
+        (F.col("p") % 32).alias("bit"),
+    )
+    probed = pos.join(F.broadcast(bloom), "word_idx", "left").withColumn(
+        "hit",
+        F.when(
+            F.expr("(shiftright(word, CAST(bit AS INT)) & 1) = 1"), 1
+        ).otherwise(0),
+    )
+    per_shingle = probed.groupBy(id_col, "shingle").agg(
+        F.min("hit").alias("all_set")
+    )
+    return per_shingle.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("all_set").cast("long").alias("n_maybe_in_corpus"),
+        (F.sum("all_set") / F.count("*").cast("double")).alias("hit_rate"),
+    )

@@ -607,3 +607,121 @@ def lsh_recall_eval(spark, sf_dir):
             "n_verified * 1000000L DIV GREATEST(n_candidates, 1L)"
         ).alias("cand_precision_ppm"),
     )
+
+
+MIN_OVERLAP = 0.5
+
+_CONTAINMENT_ORACLE = f"""
+WITH {DUCK_SHINGLES},
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {MAX_DOC_FREQ}
+),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  WHERE sh.shingle NOT IN (SELECT shingle FROM hot)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+shh AS (
+  SELECT doc_id, {DUCK_HASH64.format(x='shingle')} AS sh64 FROM shc
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM shh a JOIN shh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       p.shared / CAST(least(sa.n, sb.n) AS DOUBLE) AS overlap,
+       p.shared / CAST(sa.n AS DOUBLE) AS containment_a,
+       p.shared / CAST(sb.n AS DOUBLE) AS containment_b
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE p.shared / CAST(least(sa.n, sb.n) AS DOUBLE) >= {MIN_OVERLAP}
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark, sf_dir):
+    """Doc-in-doc duplication: pairs by shingle OVERLAP coefficient
+    (shared / min set size) with both directional containments —
+    catches quotes and subset republication that Jaccard's
+    union-normalization hides. Same df-capped inverted-index join
+    plan as dedup_ngram_jaccard."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    idx = shingle_index(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        3,
+        max_doc_freq=MAX_DOC_FREQ,
+    ).persist()
+    return containment_pairs(idx, "doc_id", MIN_OVERLAP)
+
+
+from advisorydatapipeline_spark.operators.dedup import (  # noqa: E402
+    BLOOM_K,
+    BLOOM_M_BITS,
+)
+
+_BLOOM_H = DUCK_HASH64.format(x="shingle")
+_BLOOM_P = (
+    f"((h % {BLOOM_M_BITS}) + i * (1 + (h // {BLOOM_M_BITS})"
+    f" % {BLOOM_M_BITS - 1})) % {BLOOM_M_BITS}"
+)
+
+_BLOOM_ORACLE = f"""
+WITH {DUCK_SHINGLES},
+h AS (SELECT doc_id, shingle, {_BLOOM_H} AS h FROM sh),
+ks AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
+corpus_pos AS (
+  SELECT {_BLOOM_P} AS p FROM h, ks
+  WHERE doc_id % {_NEW_MOD} <> {_NEW_REM}
+),
+bloom AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM corpus_pos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, shingle, {_BLOOM_P} AS p FROM h, ks
+  WHERE doc_id % {_NEW_MOD} = {_NEW_REM}
+),
+hits AS (
+  SELECT p.doc_id, p.shingle,
+         min(CASE WHEN ((b.word >> CAST(p.p % 32 AS INT)) & 1) = 1
+             THEN 1 ELSE 0 END) AS all_set
+  FROM probe p LEFT JOIN bloom b ON b.word_idx = p.p // 32
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(all_set) AS BIGINT) AS n_maybe_in_corpus,
+       sum(all_set) / CAST(count(*) AS DOUBLE) AS hit_rate
+FROM hits GROUP BY doc_id
+"""
+
+
+@query("bloom_corpus_probe", oracle=_BLOOM_ORACLE)
+def bloom_corpus_probe(spark, sf_dir):
+    """Bloom-filter corpus membership screen: the existing corpus's
+    shingles build a 1 Mi-bit relational Bloom filter (<= 32 Ki rows
+    of 32-bit words — kilobytes regardless of corpus size); each
+    incoming doc's shingles probe it via a broadcast join and report
+    the maybe-in-corpus fraction. Zero false negatives, so
+    hit_rate = 0 certifies novel text without ever joining against
+    the full corpus — the cheap first pass before exact/LSH dedup."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe_docs,
+    )
+
+    idx = shingle_index(
+        load(spark, sf_dir, "documents"), "doc_id", "text", 3
+    ).persist()
+    is_new = F.col("doc_id") % _NEW_MOD == _NEW_REM
+    bloom = bloom_build(idx.filter(~is_new), "shingle")
+    return bloom_probe_docs(idx.filter(is_new), bloom, "doc_id")

@@ -93,6 +93,8 @@ HEADLINE = [
     "dedup_embedding_rhp",
     "bm25_doc_ranking",
     "vocab_oov_rate",
+    "dedup_containment",
+    "bloom_corpus_probe",
 ]
 
 

@@ -334,3 +334,80 @@ def test_rhp_pandas_signatures_match_expression_path(spark):
     expr = sorted(map(tuple, rhp_signature_bands(df, w).collect()))
     vec = sorted(map(tuple, rhp_signature_bands_pandas(df, w).collect()))
     assert expr == vec  # matmul path is bit-identical to the HOF path
+
+
+def test_containment_catches_doc_in_doc(spark):
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.operators.dedup import (
+        containment_pairs,
+        shingle_index,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    page = quote + " " + " ".join(f"filler{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quote),
+            Row(doc_id=2, text=page),
+            Row(doc_id=3, text="totally different words here entirely"),
+        ]
+    )
+    idx = shingle_index(docs, "doc_id", "text", 3)
+    out = containment_pairs(idx, "doc_id", 0.9).collect()
+    # doc1 (4 shingles) is fully contained in doc2 -> overlap 1.0;
+    # Jaccard would be ~4/34 and miss it at any usable threshold
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.overlap == 1.0 and r.containment_a == 1.0
+    assert r.containment_b < 0.2
+
+
+def test_bloom_no_false_negatives_and_counts(spark):
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe_docs,
+        shingle_index,
+    )
+
+    corpus_text = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=corpus_text),
+            # probe doc repeats the corpus text exactly -> every
+            # shingle MUST hit (Bloom has no false negatives)
+            Row(doc_id=2, text=corpus_text),
+        ]
+    )
+    idx = shingle_index(docs, "doc_id", "text", 3)
+    bloom = bloom_build(idx.filter("doc_id = 1"), "shingle")
+    out = bloom_probe_docs(idx.filter("doc_id = 2"), bloom, "doc_id").collect()
+    assert len(out) == 1
+    assert out[0].n_shingles == 5  # 7 tokens -> 5 trigram shingles
+    assert out[0].n_maybe_in_corpus == 5
+    assert out[0].hit_rate == 1.0
+
+
+def test_bloom_positions_are_in_range_and_exact(spark):
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.functions.text import hash64
+    from advisorydatapipeline_spark.operators.dedup import (
+        BLOOM_M_BITS,
+        bloom_positions,
+    )
+    import hashlib
+
+    df = spark.createDataFrame([Row(s="some shingle text")])
+    [row] = df.select(
+        bloom_positions(hash64(F.col("s"))).alias("ps")
+    ).collect()
+    # replay the double-hash in pure Python off the same md5 prefix
+    h = int(hashlib.md5(b"some shingle text").hexdigest()[:15], 16)
+    m = BLOOM_M_BITS
+    h1, h2 = h % m, 1 + (h // m) % (m - 1)
+    assert row.ps == [(h1 + i * h2) % m for i in range(3)]
+    assert all(0 <= p < m for p in row.ps)
