@@ -702,3 +702,194 @@ def freq_sketch_merge(spark, sf_dir):
         F.col("t.item").alias("event_type"),
         F.col("t.count").cast("long").alias("n"),
     )
+
+
+# --- entity resolution (block -> match -> cluster -> survivorship) ----------
+
+ER_MAX_DIST = 2
+
+_ER_ORACLE = f"""
+WITH RECURSIVE c AS (
+  SELECT p_partkey, lower(p_name) AS nm,
+         split_part(lower(p_name), ' ', 1) AS blk
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM c a JOIN c b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.nm, b.nm) <= {ER_MAX_DIST}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+cl AS (
+  SELECT id AS entity_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT entity_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       CAST(cluster_id = entity_id AS BOOLEAN) AS is_canonical
+FROM cl
+"""
+
+
+@query("entity_resolution_parts", oracle=_ER_ORACLE)
+def entity_resolution_parts(spark, sf_dir):
+    """Entity resolution end-to-end: block on the name's first token,
+    match blocked pairs by edit distance (levenshtein <= 2, the
+    bounded variant so Spark can short-circuit), cluster matches with
+    the same Pregel-style min-label connected components the dedup
+    family uses, and elect the min-key record as the surviving
+    canonical entity. The block equi-join bounds the pair space
+    exactly like the dedup shingle index bounds near-dup candidates —
+    never an all-pairs cross join."""
+    from advisorydatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("nm"),
+        F.split_part(F.lower("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    a = c.select(
+        F.col("p_partkey").alias("id_a"), F.col("nm").alias("nm_a"), "blk"
+    )
+    b = c.select(
+        F.col("p_partkey").alias("id_b"), F.col("nm").alias("nm_b"), "blk"
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("nm_a", "nm_b", ER_MAX_DIST) >= 0)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(
+            F.col("node").alias("entity_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "is_canonical", F.col("cluster_id") == F.col("entity_id")
+        )
+    )
+
+
+# --- mergeable histogram quantile sketch ------------------------------------
+
+HIST_BINS = 50
+HIST_QS = (0.5, 0.95, 0.99)
+
+
+@query(
+    "histogram_quantile_estimate",
+    oracle=f"""
+WITH edges AS (
+  SELECT min(l_extendedprice) AS mn,
+         (max(l_extendedprice) - min(l_extendedprice)) / {HIST_BINS}
+           AS width
+  FROM lineitem
+),
+binned AS (
+  SELECT l.l_returnflag,
+         CAST(least(floor((l.l_extendedprice - e.mn) / e.width),
+                    {HIST_BINS - 1}) AS INT) AS bin
+  FROM lineitem l, edges e
+),
+hist AS (
+  SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bin, c,
+         CAST(sum(c) OVER (
+           PARTITION BY l_returnflag ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM hist
+),
+qs(q) AS (VALUES {', '.join(f'(CAST({q} AS DOUBLE))' for q in HIST_QS)}),
+hit AS (
+  SELECT l_returnflag, q, min(bin) AS bin
+  FROM cum, qs WHERE cum >= q * n GROUP BY 1, 2
+)
+SELECT h.l_returnflag, h.q, h.bin,
+       e.mn + h.bin * e.width AS est_lower_edge
+FROM hit h, edges e
+""",
+)
+def histogram_quantile_estimate(spark, sf_dir):
+    """Mergeable approximate quantiles: fixed-width histogram over
+    globally shared bin edges, per-group cumulative counts, and the
+    first bin covering each target quantile. This is the
+    distributed-quantile shape that scales where exact percentiles
+    don't: per-shard histograms are one partial-agg shuffle of at most
+    |groups| x {HIST_BINS} rows and merge by bin-count addition —
+    the same accumulate/combine contract as the HLL/theta sketch
+    entries. Shared edges come from one broadcast (min, max) row;
+    identical IEEE bin arithmetic on both engines keeps the estimate
+    deterministic (exact-percentile twin: grouped_percentiles)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    edges = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        (
+            (F.max("l_extendedprice") - F.min("l_extendedprice"))
+            / HIST_BINS
+        ).alias("width"),
+    )
+    binned = li.crossJoin(F.broadcast(edges)).select(
+        "l_returnflag",
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("width")),
+            F.lit(HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("l_returnflag", "bin").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bin",
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("l_returnflag", "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.crossJoin(F.broadcast(edges)).select(
+        "l_returnflag",
+        "q",
+        "bin",
+        (F.col("mn") + F.col("bin") * F.col("width")).alias(
+            "est_lower_edge"
+        ),
+    )

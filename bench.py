@@ -95,6 +95,8 @@ HEADLINE = [
     "vocab_oov_rate",
     "dedup_containment",
     "bloom_corpus_probe",
+    "entity_resolution_parts",
+    "histogram_quantile_estimate",
 ]
 
 
