@@ -743,14 +743,21 @@ FROM cl
 
 @query("entity_resolution_parts", oracle=_ER_ORACLE)
 def entity_resolution_parts(spark, sf_dir):
-    """Entity resolution end-to-end: block on the name's first token,
-    match blocked pairs by edit distance (levenshtein <= 2, the
-    bounded variant so Spark can short-circuit), cluster matches with
-    the same Pregel-style min-label connected components the dedup
-    family uses, and elect the min-key record as the surviving
-    canonical entity. The block equi-join bounds the pair space
-    exactly like the dedup shingle index bounds near-dup candidates —
-    never an all-pairs cross join."""
+    """Entity resolution end-to-end, the distinct-then-expand shape
+    production ER uses at scale: collapse records to DISTINCT names
+    first (64 names stand in for 20k parts at sf0.1 — identical-name
+    twins are dist-0 matches by definition, so nothing is lost), block
+    on the first name token, match rep pairs by bounded levenshtein,
+    run min-label connected components on the tiny rep graph, then
+    expand membership back to every record and elect the min-key
+    record as the surviving canonical entity.
+
+    Compared to pairing raw records, this removes the quadratic
+    identical-name blowup (312 copies of one name = ~49k pairs that
+    all say nothing) — the match stage cost now scales with distinct
+    entities, not records. The oracle replays the naive raw-pair
+    graph; results are identical because dist-0 twins always land in
+    their rep's cluster."""
     from advisorydatapipeline_spark.operators.graph import (
         connected_components,
     )
@@ -761,30 +768,51 @@ def entity_resolution_parts(spark, sf_dir):
         F.lower("p_name").alias("nm"),
         F.split_part(F.lower("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
     )
-    a = c.select(
-        F.col("p_partkey").alias("id_a"), F.col("nm").alias("nm_a"), "blk"
+    # one representative (min key) per distinct name
+    names = c.groupBy("nm", "blk").agg(
+        F.min("p_partkey").alias("rep"),
+        F.count("*").cast("long").alias("n_members"),
     )
-    b = c.select(
-        F.col("p_partkey").alias("id_b"), F.col("nm").alias("nm_b"), "blk"
+    a = names.select(
+        F.col("rep").alias("id_a"), F.col("nm").alias("nm_a"), "blk"
     )
-    pairs = (
+    b = names.select(
+        F.col("rep").alias("id_b"), F.col("nm").alias("nm_b"), "blk"
+    )
+    rep_edges = (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.levenshtein("nm_a", "nm_b", ER_MAX_DIST) >= 0)
         .select("id_a", "id_b")
     )
-    cc = connected_components(pairs, "id_a", "id_b")
-    w = Window.partitionBy("cluster_id")
-    return (
-        cc.select(
-            F.col("node").alias("entity_id"),
-            F.col("component").alias("cluster_id"),
-        )
-        .withColumn("cluster_size", F.count("*").over(w).cast("long"))
-        .withColumn(
-            "is_canonical", F.col("cluster_id") == F.col("entity_id")
-        )
+    # multi-member groups must surface even with no fuzzy neighbor
+    # (their identical-name twins ARE matches): a self-edge keeps the
+    # rep in the component graph without changing any component
+    self_edges = (
+        names.filter(F.col("n_members") >= 2)
+        .select(F.col("rep").alias("id_a"), F.col("rep").alias("id_b"))
     )
+    cc = connected_components(
+        rep_edges.unionByName(self_edges), "id_a", "id_b"
+    )
+    # expand: every record of a clustered name joins its rep's
+    # component; cluster_id = min reachable rep = min partkey in the
+    # cluster, because each rep is already its group's min key
+    clustered = (
+        c.join(names.select("nm", "rep"), "nm")
+        .join(
+            cc.select(
+                F.col("node").alias("rep"),
+                F.col("component").alias("cluster_id"),
+            ),
+            "rep",
+        )
+        .select(F.col("p_partkey").alias("entity_id"), "cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return clustered.withColumn(
+        "cluster_size", F.count("*").over(w).cast("long")
+    ).withColumn("is_canonical", F.col("cluster_id") == F.col("entity_id"))
 
 
 # --- mergeable histogram quantile sketch ------------------------------------

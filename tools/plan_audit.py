@@ -118,6 +118,13 @@ AUDIT = [
     "source_quota_cap",
     "corpus_mixture_waterfill",
     "zorder_chunk_stats",
+    "dedup_embedding_rhp",
+    "bm25_doc_ranking",
+    "vocab_oov_rate",
+    "dedup_containment",
+    "bloom_corpus_probe",
+    "entity_resolution_parts",
+    "histogram_quantile_estimate",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -147,6 +154,11 @@ NESTED_LOOP_OK = {
     "pmi_collocations",
     # 1-row broadcast token-budget scalar (B = total DIV 2)
     "corpus_mixture_waterfill",
+    # 1-row broadcast (min, width) bin-edge scalar + 3-row quantile
+    # literals — single/constant-row build sides, not data-scale loops
+    "histogram_quantile_estimate",
+    # 1-row broadcast (N, sum dl) corpus-stats scalar
+    "bm25_doc_ranking",
 }
 
 JOIN_PAT = re.compile(

@@ -54,6 +54,13 @@ AUDIT = [
     "source_quota_cap",
     "corpus_mixture_waterfill",
     "zorder_chunk_stats",
+    "dedup_embedding_rhp",
+    "bm25_doc_ranking",
+    "vocab_oov_rate",
+    "dedup_containment",
+    "bloom_corpus_probe",
+    "entity_resolution_parts",
+    "histogram_quantile_estimate",
 ]
 
 
