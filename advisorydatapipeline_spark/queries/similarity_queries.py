@@ -480,3 +480,119 @@ def dedup_embedding_rhp(spark, sf_dir):
         RHP_MIN_COSINE,
         band_bits=RHP_BAND_BITS,
     )
+
+
+def _rhp_eval_oracle() -> str:
+    """RHP banding quality vs exact brute-force ground truth, exact
+    integer ppm — shares the signature/candidate CTEs with
+    _rhp_oracle."""
+    base = _rhp_oracle()
+    # reuse everything up to (and including) the cand CTE
+    head = base[: base.index("pairs AS (")]
+    return (
+        head
+        + f"""ver AS (
+  SELECT cand.id_a FROM cand
+  JOIN c ca ON ca.vec_id = cand.id_a
+  JOIN c cb ON cb.vec_id = cand.id_b
+  WHERE list_dot_product(ca.v, cb.v)
+          / sqrt(list_dot_product(ca.v, ca.v)
+                 * list_dot_product(cb.v, cb.v)) >= {RHP_MIN_COSINE}
+),
+truth AS (
+  SELECT a.vec_id FROM c a JOIN c b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / sqrt(list_dot_product(a.v, a.v)
+                 * list_dot_product(b.v, b.v)) >= {RHP_MIN_COSINE}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified,
+       CAST((SELECT count(*) FROM ver) * 1000000
+            // GREATEST((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm,
+       CAST((SELECT count(*) FROM ver) * 1000000
+            // GREATEST((SELECT count(*) FROM cand), 1) AS BIGINT)
+         AS cand_precision_ppm
+"""
+    )
+
+
+@query("rhp_recall_eval", oracle=_rhp_eval_oracle())
+def rhp_recall_eval(spark, sf_dir):
+    """Measure, don't guess (the lsh_recall_eval twin for embeddings):
+    RHP banding quality against exact brute-force cosine ground truth
+    — recall and candidate precision in exact integer ppm. The tuning
+    dial for (n_planes, band_bits): more bits per band = fewer, purer
+    candidates but lower recall (P[band match] = (1 - theta/pi)^bits).
+    The brute truth side is O(n^2) BY DESIGN — run on a sample, never
+    the full corpus; the production path stays candidates-only."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        _verify_pairs_pandas,
+        norm_sq_q,
+        quantize,
+        rhp_signature_bands_pandas,
+        rhp_weights,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = rhp_signature_bands_pandas(
+        emb, rhp_weights(RHP_PLANES, 64), band_bits=RHP_BAND_BITS
+    )
+    cand = (
+        sigs.select(F.col("vec_id").alias("id_a"), "band", "band_key")
+        .join(
+            sigs.select(F.col("vec_id").alias("id_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    c = emb.select(
+        "vec_id",
+        quantize("embedding").alias("vq"),
+        norm_sq_q(quantize("embedding")).alias("vn"),
+    )
+    ca = c.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vq").alias("aq"),
+        F.col("vn").alias("an"),
+    )
+    cb = c.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vq").alias("bq"),
+        F.col("vn").alias("bn"),
+    )
+    verified = _verify_pairs_pandas(
+        cand.join(ca, "id_a").join(cb, "id_b"), RHP_MIN_COSINE
+    )
+    truth = _verify_pairs_pandas(
+        ca.crossJoin(cb).filter(F.col("id_a") < F.col("id_b")),
+        RHP_MIN_COSINE,
+    )
+    one = (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(
+            F.broadcast(
+                cand.agg(F.count("*").cast("long").alias("n_candidates"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                verified.agg(F.count("*").cast("long").alias("n_verified"))
+            )
+        )
+    )
+    return one.select(
+        "n_true",
+        "n_candidates",
+        "n_verified",
+        F.expr("n_verified * 1000000L DIV GREATEST(n_true, 1L)").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "n_verified * 1000000L DIV GREATEST(n_candidates, 1L)"
+        ).alias("cand_precision_ppm"),
+    )

@@ -110,6 +110,33 @@ def run(spark, path: str) -> dict[str, float]:
     out["span_dup"] = timed(
         lambda: noop(span_dup_profile(docs, "doc_id", "text", n=3, hot_df=4))
     )
+
+    def containment():
+        from advisorydatapipeline_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        idx = shingle_index(
+            docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+        ).persist()
+        noop(containment_pairs(idx, "doc_id", 0.5))
+        idx.unpersist()
+
+    out["containment"] = timed(containment)
+
+    def bloom():
+        from advisorydatapipeline_spark.operators.dedup import (
+            bloom_build,
+            bloom_probe_docs,
+        )
+
+        idx = shingle_index(docs, "doc_id", "text", 3).persist()
+        is_new = F.col("doc_id") % 10 == 7
+        bl = bloom_build(idx.filter(~is_new), "shingle")
+        noop(bloom_probe_docs(idx.filter(is_new), bl, "doc_id"))
+        idx.unpersist()
+
+    out["bloom_probe"] = timed(bloom)
     return out
 
 
@@ -154,6 +181,23 @@ def run_similarity(spark, path: str) -> dict[str, float]:
     out["ann_ivf"] = timed(
         lambda: noop(ivf_topk(emb, queries, centroids, 5, 2))
     )
+
+    def rhp():
+        from advisorydatapipeline_spark.operators.similarity import (
+            rhp_near_dupes,
+            rhp_weights,
+        )
+
+        # 8-bit bands (256 keys/band), not the query's 4-bit demo
+        # bands: the band key space must scale with the corpus so
+        # buckets stay O(n/keys) — at 16 keys/band a 4x corpus gives
+        # 4x buckets and a 16x candidate join. Sizing band_bits to
+        # corpus is THE rhp scaling knob.
+        noop(rhp_near_dupes(emb, rhp_weights(32, 64), 0.35, band_bits=8))
+
+    # rhp pairs grow ~R^2 by construction (replicas are exact clones
+    # in embedding space); candidate-bounded like the text LSH ops
+    out["rhp_lsh"] = timed(rhp)
     return out
 
 
@@ -190,7 +234,14 @@ def main() -> None:
         "candidate-bounded, not blowing up. ann_brute grows with "
         "corpus x fixed queries (linear here, the labeled ground-truth "
         "ceiling) while ann_ivf probes a fixed cluster fraction — the "
-        "gap between those two rows is the IVF scale story.\n",
+        "gap between those two rows is the IVF scale story. "
+        "bloom_probe should be the flattest row of all: the corpus "
+        "side collapses into a fixed-size bitmap (<= m/32 rows however "
+        "large the corpus) and the probe side is a broadcast join, so "
+        "only the probe batch scales. rhp_lsh (8-bit bands here — the "
+        "band key space must scale with the corpus) and containment "
+        "(same df-capped index join as jaccard) are candidate-bounded "
+        "like the text LSH rows.\n",
         "| op | " + " | ".join(f"x{r} ({counts[r]} docs)" for r in REPLICAS)
         + " | t(x4)/t(x1) vs 4.0 input ratio |",
         "|---|" + "---|" * (len(REPLICAS) + 1),
