@@ -503,3 +503,96 @@ def _verify_pairs_pandas(joined: DataFrame, min_cosine: float) -> DataFrame:
             )
 
     return joined.mapInPandas(verify, "id_a long, id_b long, cosine double")
+
+
+def allpairs_cosine_blocked(
+    corpus: DataFrame,
+    min_cosine: float,
+    *,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via block-partitioned
+    matmul — the scalable way to compute brute-force ground truth
+    (recall evals, kNN graphs) without materializing O(n^2) pair rows.
+
+    Each vector belongs to block ``id % n_blocks`` and is replicated
+    to every unordered block pair (i, j) it participates in — an
+    n_blocks-fold data replication that buys the O(n^2) compute as
+    |blocks|^2/2 dense numpy int64 matmuls, one per Arrow group, with
+    NO quadratic shuffle: a naive crossJoin ships n^2 pair rows (each
+    carrying two vectors) through the shuffle and Arrow; this ships
+    n * n_blocks vector rows total. Same exact quantized arithmetic
+    and single sqrt-division as cosine_q, so results are
+    bit-identical to the HOF/crossJoin forms and the SQL oracles.
+
+    Skew-free by construction (blocks are id-hash-uniform); n_blocks
+    trades replication volume against per-group matrix size — pick
+    n_blocks ~ n / rows_per_task so one group's matmul fits a task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = corpus.select(
+        F.col(id_col),
+        quantize(vec_col).alias("vq"),
+        (F.col(id_col) % n_blocks).cast("int").alias("_blk"),
+    )
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_blk"), F.lit(j)).alias("bl"),
+                F.greatest(F.col("_blk"), F.lit(j)).alias("bh"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    rep = c.select(
+        id_col, "vq", "_blk", F.explode(pair_keys).alias("_bp")
+    ).select(
+        id_col, "vq", "_blk",
+        F.col("_bp.bl").alias("_bl"), F.col("_bp.bh").alias("_bh"),
+    )
+
+    def score_block_pair(pdf: pd.DataFrame):
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        bl, bh = int(pdf["_bl"].iloc[0]), int(pdf["_bh"].iloc[0])
+        pdf = pdf.sort_values(id_col if id_col else "vec_id")
+        if bl == bh:
+            ids = pdf[id_col].to_numpy()
+            m = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+            dots = m @ m.T
+            nsq = np.diag(dots)
+            cos = dots / np.sqrt(np.outer(nsq, nsq).astype(np.float64))
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = cos[iu, ju] >= min_cosine
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[keep]],
+                    "id_b": ids[ju[keep]],
+                    "cosine": cos[iu, ju][keep],
+                }
+            )
+        a = pdf[pdf["_blk"] == bl]
+        b = pdf[pdf["_blk"] == bh]
+        if not len(a) or not len(b):
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        ia, ib = a[id_col].to_numpy(), b[id_col].to_numpy()
+        ma = np.stack(a["vq"].to_numpy()).astype(np.int64)
+        mb = np.stack(b["vq"].to_numpy()).astype(np.int64)
+        dots = ma @ mb.T
+        na = np.einsum("ij,ij->i", ma, ma)
+        nb = np.einsum("ij,ij->i", mb, mb)
+        cos = dots / np.sqrt(np.outer(na, nb).astype(np.float64))
+        ii, jj = np.nonzero(cos >= min_cosine)
+        id_a = np.minimum(ia[ii], ib[jj])
+        id_b = np.maximum(ia[ii], ib[jj])
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cosine": cos[ii, jj]}
+        )
+
+    return rep.groupBy("_bl", "_bh").applyInPandas(
+        score_block_pair, "id_a long, id_b long, cosine double"
+    )

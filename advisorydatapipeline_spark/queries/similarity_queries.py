@@ -529,6 +529,7 @@ def rhp_recall_eval(spark, sf_dir):
     the full corpus; the production path stays candidates-only."""
     from advisorydatapipeline_spark.operators.similarity import (
         _verify_pairs_pandas,
+        allpairs_cosine_blocked,
         norm_sq_q,
         quantize,
         rhp_signature_bands_pandas,
@@ -568,10 +569,11 @@ def rhp_recall_eval(spark, sf_dir):
     verified = _verify_pairs_pandas(
         cand.join(ca, "id_a").join(cb, "id_b"), RHP_MIN_COSINE
     )
-    truth = _verify_pairs_pandas(
-        ca.crossJoin(cb).filter(F.col("id_a") < F.col("id_b")),
-        RHP_MIN_COSINE,
-    )
+    # blocked matmul, NOT a crossJoin: the naive form ships n^2 pair
+    # rows (two vectors each) through Arrow — 12.8 GB at 5k vectors;
+    # the blocked form ships n * n_blocks vector rows (~40 MB) and
+    # does one dense matmul per block pair (11.9s -> ~1s at sf0.1)
+    truth = allpairs_cosine_blocked(emb, RHP_MIN_COSINE)
     one = (
         truth.agg(F.count("*").cast("long").alias("n_true"))
         .crossJoin(

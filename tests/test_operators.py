@@ -411,3 +411,62 @@ def test_bloom_positions_are_in_range_and_exact(spark):
     h1, h2 = h % m, 1 + (h // m) % (m - 1)
     assert row.ps == [(h1 + i * h2) % m for i in range(3)]
     assert all(0 <= p < m for p in row.ps)
+
+
+def test_allpairs_blocked_matches_naive_crossjoin(spark):
+    import random
+
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        allpairs_cosine_blocked,
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        quantize,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        map(tuple, allpairs_cosine_blocked(df, 0.2, n_blocks=4).collect())
+    )
+    c = df.select(
+        "vec_id",
+        quantize("embedding").alias("vq"),
+        norm_sq_q(quantize("embedding")).alias("vn"),
+    )
+    a = c.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vq").alias("aq"),
+        F.col("vn").alias("an"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vq").alias("bq"),
+        F.col("vn").alias("bn"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                cosine_q(
+                    dot_q(F.col("aq"), F.col("bq")),
+                    F.col("an"),
+                    F.col("bn"),
+                ),
+            )
+            .filter(F.col("cosine") >= 0.2)
+            .select("id_a", "id_b", "cosine")
+            .collect(),
+        )
+    )
+    assert got == want  # every pair exactly once, bit-identical cosine
+    assert len(got) > 0
