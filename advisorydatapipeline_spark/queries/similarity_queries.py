@@ -598,3 +598,71 @@ def rhp_recall_eval(spark, sf_dir):
             "n_verified * 1000000L DIV GREATEST(n_candidates, 1L)"
         ).alias("cand_precision_ppm"),
     )
+
+
+def _ivf_eval_oracle() -> str:
+    """IVF probe quality vs exact top-k: replay both the brute and IVF
+    rankings (the same CTE bodies as their standalone oracles) and
+    count exact neighbor-set hits."""
+    brute = _BRUTE_ORACLE.strip()
+    ivf = _IVF_ORACLE.strip()
+    return f"""
+WITH truth AS (
+  {brute}
+),
+approx AS (
+  {ivf}
+),
+hits AS (
+  SELECT t.query_id FROM truth t
+  JOIN approx a
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       CAST((SELECT count(*) FROM hits) * 1000000
+            // GREATEST((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm
+"""
+
+
+@query("ivf_recall_eval", oracle=_ivf_eval_oracle())
+def ivf_recall_eval(spark, sf_dir):
+    """Measure, don't guess — the ANN leg of the recall-gauge trio
+    (lsh_recall_eval for MinHash, rhp_recall_eval for RHP): exact
+    top-k overlap between the IVF probe path and brute-force ground
+    truth, in integer ppm. The tuning dial for (n_centroids, nprobe);
+    the brute side is the labeled O(corpus x queries) ceiling — run on
+    a query sample at scale, never the full query log."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    truth = cosine_topk(emb, queries, K).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, centroids, K, NPROBE).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(approx, ["query_id", "neighbor_id"])
+    one = (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(
+            F.broadcast(
+                approx.agg(F.count("*").cast("long").alias("n_approx"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(hits.agg(F.count("*").cast("long").alias("n_hits")))
+        )
+    )
+    return one.select(
+        "n_true",
+        "n_approx",
+        "n_hits",
+        F.expr("n_hits * 1000000L DIV GREATEST(n_true, 1L)").alias(
+            "recall_ppm"
+        ),
+    )
