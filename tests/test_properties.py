@@ -181,3 +181,64 @@ def test_zvalue_bit_interleave_property(spark, pts):
             a |= ((r.z >> (2 * i)) & 1) << i
             b |= ((r.z >> (2 * i + 1)) & 1) << i
         assert (a, b) == (r.a, r.b)
+
+
+@_slow
+@given(texts=texts)
+def test_containment_invariants(spark, texts):
+    from advisorydatapipeline_spark.operators.dedup import (
+        containment_pairs,
+        shingle_index,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    idx = shingle_index(df, "doc_id", "text", 2)
+    rows = containment_pairs(idx, "doc_id", 0.0).collect()
+    for r in rows:
+        # shared can't exceed either set; overlap/containments in (0,1]
+        assert r.id_a < r.id_b
+        assert 1 <= r.shared <= min(r.n_a, r.n_b)
+        assert r.overlap == r.shared / min(r.n_a, r.n_b)
+        assert 0 < r.containment_a <= 1 and 0 < r.containment_b <= 1
+        # overlap is the max of the two containments by definition
+        assert abs(r.overlap - max(r.containment_a, r.containment_b)) < 1e-12
+
+
+@_slow
+@given(
+    corpus=st.lists(
+        st.text(alphabet="ab x", min_size=5, max_size=30),
+        min_size=1,
+        max_size=10,
+    ),
+    probe_from_corpus=st.booleans(),
+)
+def test_bloom_membership_properties(spark, corpus, probe_from_corpus):
+    from advisorydatapipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe_docs,
+        shingle_index,
+    )
+
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    # probe doc 1000 either replays corpus text (expect hit_rate 1.0 on
+    # any doc that shingles) or uses novel tokens (no guarantee, but
+    # counts must still be consistent)
+    probe_text = corpus[0] if probe_from_corpus else "zq wq vq uq tq sq"
+    df = spark.createDataFrame(
+        rows + [(1000, probe_text)], "doc_id long, text string"
+    )
+    idx = shingle_index(df, "doc_id", "text", 2)
+    bloom = bloom_build(idx.filter("doc_id < 1000"), "shingle")
+    out = bloom_probe_docs(
+        idx.filter("doc_id = 1000"), bloom, "doc_id"
+    ).collect()
+    assert len(out) <= 1
+    for r in out:
+        assert 0 <= r.n_maybe_in_corpus <= r.n_shingles
+        assert r.hit_rate == r.n_maybe_in_corpus / r.n_shingles
+        if probe_from_corpus:
+            # zero false negatives: corpus shingles always hit
+            assert r.n_maybe_in_corpus == r.n_shingles
