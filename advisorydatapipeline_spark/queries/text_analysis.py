@@ -357,3 +357,61 @@ def vocab_oov_rate(spark, sf_dir):
         F.sum(oov).cast("long").alias("n_oov"),
         (F.sum(oov) / F.count("*").cast("double")).alias("oov_rate"),
     )
+
+
+BPE_TOPK = 10
+
+
+@query(
+    "bpe_pair_ranks",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_T}) AS w FROM documents
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+intra AS (
+  SELECT substr(w, CAST(t.i AS INT), 1) AS sym_a,
+         substr(w, CAST(t.i AS INT) + 1, 1) AS sym_b, n
+  FROM wc, unnest(generate_series(1, length(w) - 1)) AS t(i)
+),
+endp AS (
+  SELECT substr(w, length(w), 1) AS sym_a, '</w>' AS sym_b, n FROM wc
+),
+prs AS (SELECT * FROM intra UNION ALL SELECT * FROM endp),
+agg AS (
+  SELECT sym_a, sym_b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM prs GROUP BY 1, 2
+)
+SELECT sym_a, sym_b, cnt, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY cnt DESC, sym_a ASC, sym_b ASC
+  ) AS rn FROM agg
+) WHERE rn <= {BPE_TOPK}
+""",
+)
+def bpe_pair_ranks(spark, sf_dir):
+    """The BPE merge-step statistic: top-10 adjacent character-symbol
+    pairs by corpus-weighted frequency (end-of-word marker included —
+    the standard Sennrich setup that lets BPE learn suffixes). This is
+    iteration 0 of operators/bpe.bpe_learn, oracle-gated; the full
+    iterative learner is deterministic (cnt desc, pair asc tiebreak)
+    and unit-tested against a pure-Python reference. The corpus
+    collapses to the word-count table first, so every BPE iteration
+    costs O(|vocab|), not O(|corpus|)."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.bpe import (
+        bpe_pair_counts,
+        word_symbol_table,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    counts = bpe_pair_counts(word_symbol_table(d, "text"))
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col("sym_a").asc(), F.col("sym_b").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= BPE_TOPK)
+    )
