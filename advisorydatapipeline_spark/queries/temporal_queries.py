@@ -265,3 +265,54 @@ def session_membership_join(spark, sf_dir):
     ).select(
         "event_id", "user_id", "ts_us", "session_start_us", "session_end_us"
     )
+
+
+@query(
+    "seasonal_dow_indices",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(dayofweek(o_orderdate) AS INT) % 7 AS dow,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+),
+base AS (
+  SELECT CAST(avg(rev) AS DOUBLE) AS overall FROM daily
+)
+SELECT dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       sum(rev) / count(*) AS dow_mean,
+       (sum(rev) / count(*)) / b.overall AS seasonal_index
+FROM daily, base b
+GROUP BY dow, b.overall
+""",
+)
+def seasonal_dow_indices(spark, sf_dir):
+    """Time-series seasonal decomposition, the multiplicative
+    day-of-week component: per-dow mean daily revenue over the overall
+    mean (index > 1 = busy weekday). Two partial-agg shuffles (daily
+    rollup, then 7-row dow rollup) + a broadcast 1-row overall scalar
+    — the seasonal-baseline job every forecasting pipeline runs before
+    fitting residuals (detrended twin: forecast_revenue_band;
+    anomaly twin: zscore_anomalies). dow normalized 0=Sunday on both
+    engines."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("d"),
+        ((F.dayofweek("o_orderdate") - 1) % 7).cast("int").alias("dow"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    base = daily.agg(F.avg("rev").cast("double").alias("overall"))
+    return (
+        daily.crossJoin(F.broadcast(base))
+        .groupBy("dow", "overall")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            (F.sum("rev") / F.count("*")).alias("dow_mean"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "dow_mean",
+            (F.col("dow_mean") / F.col("overall")).alias("seasonal_index"),
+        )
+    )

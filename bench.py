@@ -97,6 +97,8 @@ HEADLINE = [
     "bloom_corpus_probe",
     "entity_resolution_parts",
     "histogram_quantile_estimate",
+    "bpe_pair_ranks",
+    "seasonal_dow_indices",
 ]
 
 

@@ -125,6 +125,10 @@ AUDIT = [
     "bloom_corpus_probe",
     "entity_resolution_parts",
     "histogram_quantile_estimate",
+    "rhp_recall_eval",
+    "ivf_recall_eval",
+    "bpe_pair_ranks",
+    "seasonal_dow_indices",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -159,6 +163,12 @@ NESTED_LOOP_OK = {
     "histogram_quantile_estimate",
     # 1-row broadcast (N, sum dl) corpus-stats scalar
     "bm25_doc_ranking",
+    # 1-row broadcast count scalars (recall-ppm assembly) + the
+    # labeled brute-force truth side
+    "rhp_recall_eval",
+    "ivf_recall_eval",
+    # 1-row broadcast overall-mean scalar
+    "seasonal_dow_indices",
 }
 
 JOIN_PAT = re.compile(

@@ -61,6 +61,8 @@ AUDIT = [
     "bloom_corpus_probe",
     "entity_resolution_parts",
     "histogram_quantile_estimate",
+    "bpe_pair_ranks",
+    "seasonal_dow_indices",
 ]
 
 
