@@ -16,6 +16,13 @@ Scale design (100 TB / billions of vectors):
   ``nprobe`` partitions — the Spark-native analogue of an IVF index's
   posting lists. Residual refinement / PQ compression would slot in
   as additional narrow columns.
+- RHP LSH (rhp_*): centroid-free near-dup path — banded
+  random-hyperplane signatures, candidates from band equi-joins;
+  band_bits is the scaling knob (key space must grow with the
+  corpus so buckets stay O(n / 2^bits)).
+- exact all-pairs (allpairs_cosine_blocked): block-pair-replicated
+  matmul — O(n^2) compute without an O(n^2) shuffle; the ground
+  truth for the recall gauges.
 """
 
 from __future__ import annotations

@@ -408,10 +408,12 @@ def bpe_pair_ranks(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     counts = bpe_pair_counts(word_symbol_table(d, "text"))
-    w = Window.orderBy(
+    # TakeOrdered top-K FIRST (per-partition top-K, driver merge of K
+    # rows), THEN rank the 10 survivors — the unpartitioned ranking
+    # window only ever sees K rows, never the full pair table
+    order = [
         F.col("cnt").desc(), F.col("sym_a").asc(), F.col("sym_b").asc()
-    )
-    return (
-        counts.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= BPE_TOPK)
-    )
+    ]
+    top = counts.orderBy(*order).limit(BPE_TOPK)
+    w = Window.orderBy(*order)
+    return top.withColumn("rn", F.row_number().over(w).cast("int"))
