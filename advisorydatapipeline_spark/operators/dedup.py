@@ -601,13 +601,12 @@ def bloom_probe_docs(
     pos = index.select(
         F.col(id_col),
         F.col("shingle"),
-        F.posexplode(
+        F.explode(
             bloom_positions(hash64(F.col("shingle")), m_bits, k)
-        ).alias("i", "p"),
+        ).alias("p"),
     ).select(
         id_col,
         "shingle",
-        "i",
         F.shiftright(F.col("p"), 5).alias("word_idx"),
         (F.col("p") % 32).alias("bit"),
     )

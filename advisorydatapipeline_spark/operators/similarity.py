@@ -392,21 +392,55 @@ def rhp_near_dupes(
     :func:`embedding_near_dupes` (IVF buckets): RHP needs no centroid
     fit and its recall/precision is tuned by (n_planes, band_bits)
     instead of k/nprobe."""
-    sigs = rhp_signature_bands_pandas(
+    cand = rhp_candidate_pairs(
         corpus, weights, id_col=id_col, vec_col=vec_col, band_bits=band_bits
     )
+    return rhp_verify_pairs(
+        corpus, cand, min_cosine, id_col=id_col, vec_col=vec_col
+    )
+
+
+def rhp_candidate_pairs(
+    corpus: DataFrame,
+    weights: list[list[int]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 4,
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from the banded RHP
+    signature equi-join. The signature DataFrame is persisted before
+    the self-join — the two sides are different projections, so
+    without it the full-corpus signature matmul would execute twice
+    (no ReusedExchange across differently-aliased sides)."""
+    sigs = rhp_signature_bands_pandas(
+        corpus, weights, id_col=id_col, vec_col=vec_col, band_bits=band_bits
+    ).persist()
     a = sigs.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )
     b = sigs.select(
         F.col(id_col).alias("id_b"), "band", "band_key"
     )
-    cand = (
+    return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def rhp_verify_pairs(
+    corpus: DataFrame,
+    cand: DataFrame,
+    min_cosine: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact quantized-cosine verify of (id_a, id_b) candidate pairs
+    against the corpus — the shared verify stage of rhp_near_dupes and
+    the recall gauge, so the gauge measures the production path."""
     c = corpus.select(
         F.col(id_col),
         quantize(vec_col).alias("vq"),
@@ -448,7 +482,10 @@ def rhp_signature_bands_pandas(
     n_bands = n_planes // band_bits
     wt = [list(row) for row in weights]
     src = df.select(F.col(id_col), quantize(vec_col).alias("vq"))
-    schema = f"{id_col} long, band int, band_key long"
+    # preserve the id column's actual type (string/int/... ids all
+    # work) instead of hardcoding long like an early draft did
+    id_type = src.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, band int, band_key long"
     # MSB-first packing within each band — same order as the
     # expression version and the SQL oracle
     shifts = None
@@ -541,10 +578,13 @@ def allpairs_cosine_blocked(
     import numpy as np
     import pandas as pd
 
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # id would land in a negative "block" that never forms a diagonal
+    # group — its pairs would silently vanish from the "exact" truth
     c = corpus.select(
         F.col(id_col),
         quantize(vec_col).alias("vq"),
-        (F.col(id_col) % n_blocks).cast("int").alias("_blk"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
     pair_keys = F.array(
         *[
@@ -566,7 +606,7 @@ def allpairs_cosine_blocked(
         if len(pdf) < 2:
             return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
         bl, bh = int(pdf["_bl"].iloc[0]), int(pdf["_bh"].iloc[0])
-        pdf = pdf.sort_values(id_col if id_col else "vec_id")
+        pdf = pdf.sort_values(id_col)
         if bl == bh:
             ids = pdf[id_col].to_numpy()
             m = np.stack(pdf["vq"].to_numpy()).astype(np.int64)

@@ -528,47 +528,20 @@ def rhp_recall_eval(spark, sf_dir):
     The brute truth side is O(n^2) BY DESIGN — run on a sample, never
     the full corpus; the production path stays candidates-only."""
     from advisorydatapipeline_spark.operators.similarity import (
-        _verify_pairs_pandas,
         allpairs_cosine_blocked,
-        norm_sq_q,
-        quantize,
-        rhp_signature_bands_pandas,
+        rhp_candidate_pairs,
+        rhp_verify_pairs,
         rhp_weights,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    sigs = rhp_signature_bands_pandas(
+    # the SAME candidate + verify stages the production operator runs
+    # (rhp_near_dupes == verify(candidates)), so the gauge measures
+    # exactly the path it claims to
+    cand = rhp_candidate_pairs(
         emb, rhp_weights(RHP_PLANES, 64), band_bits=RHP_BAND_BITS
-    )
-    cand = (
-        sigs.select(F.col("vec_id").alias("id_a"), "band", "band_key")
-        .join(
-            sigs.select(F.col("vec_id").alias("id_b"), "band", "band_key"),
-            ["band", "band_key"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .persist()
-    )
-    c = emb.select(
-        "vec_id",
-        quantize("embedding").alias("vq"),
-        norm_sq_q(quantize("embedding")).alias("vn"),
-    )
-    ca = c.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("vq").alias("aq"),
-        F.col("vn").alias("an"),
-    )
-    cb = c.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("vq").alias("bq"),
-        F.col("vn").alias("bn"),
-    )
-    verified = _verify_pairs_pandas(
-        cand.join(ca, "id_a").join(cb, "id_b"), RHP_MIN_COSINE
-    )
+    ).persist()
+    verified = rhp_verify_pairs(emb, cand, RHP_MIN_COSINE)
     # blocked matmul, NOT a crossJoin: the naive form ships n^2 pair
     # rows (two vectors each) through Arrow — 12.8 GB at 5k vectors;
     # the blocked form ships n * n_blocks vector rows (~40 MB) and

@@ -470,3 +470,25 @@ def test_allpairs_blocked_matches_naive_crossjoin(spark):
     )
     assert got == want  # every pair exactly once, bit-identical cosine
     assert len(got) > 0
+
+
+def test_allpairs_blocked_handles_negative_ids(spark):
+    from pyspark.sql import Row
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        allpairs_cosine_blocked,
+    )
+
+    # regression: Spark's % keeps the dividend's sign, so a plain
+    # id % n_blocks sent negative ids to blocks that never formed a
+    # diagonal group and their pairs silently vanished; pmod fixes it
+    v = [0.5] * 8
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=list(v)) for i in (-1, -5, 3)]
+    )
+    out = allpairs_cosine_blocked(df, 0.9, n_blocks=4).collect()
+    assert sorted((r.id_a, r.id_b) for r in out) == [
+        (-5, -1),
+        (-5, 3),
+        (-1, 3),
+    ]
