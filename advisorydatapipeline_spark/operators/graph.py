@@ -193,3 +193,48 @@ def pagerank_quantized(
             ranks = _cut_lineage(ranks, reliable)
     adj.unpersist()
     return ranks.select(F.col("a").alias("node"), "rank")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    *,
+    reliable: bool = False,
+) -> DataFrame:
+    """Frontier BFS: minimum hop count from any seed to every
+    reachable node within ``max_hops``.
+
+    ``edges`` is directed ``(a, b)`` — pass both orientations for an
+    undirected graph. ``seeds`` is a one-column ``(node)`` relation
+    (a DataFrame, not a collected list: seed selection stays a
+    distributed plan).
+
+    Node-centric, not path-centric: each round joins only the NEW
+    frontier against the adjacency (pre-partitioned on ``a`` and
+    persisted once — the loop-invariant side never reshuffles), then
+    anti-joins the visited set so a node expands exactly once. Path
+    enumeration — what a naive recursive self-join does — grows
+    multiplicatively with hop count; the frontier here is bounded by
+    |V| regardless of edge density, which is what makes BFS feasible
+    on a 100 TB edge list. Lineage is cut per round (``max_hops``
+    is small; interval-cutting as in PageRank would also work).
+    """
+    adj = edges.repartition("a").persist()
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("int").alias("hops"),
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+        )
+        visited = _cut_lineage(visited.unionByName(nxt), reliable)
+        frontier = nxt
+    adj.unpersist()
+    return visited

@@ -162,3 +162,55 @@ def interval_cover_join(
         )
         .drop("_bin")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Merge overlapping/touching ``[start, end]`` intervals per key
+    (gaps-and-islands). Returns one row per merged island:
+    ``keys..., island_id, isl_start, isl_end, n_intervals``.
+
+    Plan shape: ONE shuffle on ``keys``, then two window passes over
+    the same (keys, start, end, tiebreak) sort — Catalyst reuses the
+    sort, so the per-partition cost is a single O(n log n) sort plus
+    two linear scans. No join, no pair blowup: the classic quadratic
+    formulation (interval x interval overlap test) never appears.
+    At 100 TB the only concern is per-key row count (a key's
+    intervals must window within one task); keys here are natural
+    shard keys (supplier, user) with bounded fan-in.
+
+    A new island starts where ``start`` exceeds the running max of
+    every *previous* ``end`` (strict >: touching intervals merge).
+    ``order_cols`` must make the sort total so island numbering is
+    deterministic under any partitioning.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        start_col, end_col, *order_cols
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "island_id",
+        F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return numbered.groupBy(*keys, "island_id").agg(
+        F.min(start_col).alias("isl_start"),
+        F.max(end_col).alias("isl_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -16,6 +16,7 @@ from advisorydatapipeline_spark.operators.graph import (
     PR_DAMP_DEN,
     PR_DAMP_NUM,
     PR_SCALE,
+    bfs_hops,
     pagerank_quantized,
 )
 from advisorydatapipeline_spark.queries.helpers import load
@@ -183,3 +184,62 @@ def neardup_triangles(spark, sf_dir):
     return roles.groupBy(F.col("node").alias("doc_id")).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "bfs_reachable_hops",
+    oracle=f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o.o_custkey AS src,
+                  l.l_suppkey + {SUPP_OFFSET} AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+),
+und AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0
+),
+bfs AS (
+  SELECT (SELECT min(src) FROM e0) AS node, 0 AS hop
+  UNION
+  SELECT u.b AS node, bfs.hop + 1 AS hop
+  FROM bfs JOIN und u ON u.a = bfs.node
+  WHERE bfs.hop < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(hop) AS INT) AS hops
+FROM bfs GROUP BY node
+""",
+)
+def bfs_reachable_hops(spark, sf_dir):
+    """Shortest hop distance (BFS) from the lowest-keyed customer
+    with an URGENT order to every node within {4} hops of the
+    customer<->supplier trade graph. Spark side is frontier BFS
+    (operators/graph.bfs_hops): per-round frontier∶adjacency hash
+    join + visited anti-join — frontier bounded by |V|, never by
+    path count. The DuckDB oracle is an independent recursive CTE
+    whose UNION dedup gives the same min-hop fix-point; min(hop)
+    per node reconciles the two formulations."""
+    e0 = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e0.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        e0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    seeds = e0.agg(F.min("src").alias("node"))
+    return bfs_hops(und, seeds, BFS_MAX_HOPS)

@@ -179,3 +179,78 @@ def key_skew_profile(spark, sf_dir):
             "share_ppm"
         ),
     )
+
+
+_PROFILE_COLS = (
+    # (name, min/max rendered to engine-identical VARCHAR)
+    ("o_orderkey", "CAST({m} AS VARCHAR)"),
+    ("o_custkey", "CAST({m} AS VARCHAR)"),
+    ("o_orderstatus", "{m}"),
+    ("o_totalprice", "CAST(CAST({m} AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderpriority", "{m}"),
+)
+
+
+def _profile_oracle() -> str:
+    arms = []
+    for c, fmt in _PROFILE_COLS:
+        arms.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {fmt.format(m=f'min({c})')} AS min_val,
+       {fmt.format(m=f'max({c})')} AS max_val
+FROM orders""")
+    arms.append("""
+SELECT 'o_orderdate' AS col_name,
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS min_val,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS max_val
+FROM orders""")
+    return "\nUNION ALL\n".join(arms)
+
+
+@query("column_profile_orders", oracle=_profile_oracle())
+def column_profile_orders(spark, sf_dir):
+    """Whole-table column profile (null count, exact distinct count,
+    rendered min/max) in ONE scan: all 18 aggregates ride a single
+    pass — Catalyst plans the multi-column DISTINCTs as one Expand
+    (rows x #distinct-columns) feeding a partial agg, so a 100 TB
+    profile is one read + one shuffle of expanded KEYS (values never
+    move). The oracle recomputes per-column with six scans — same
+    values, deliberately different plan. Min/max are rendered to
+    engine-identical VARCHAR per type (BIGINT digits, DECIMAL(18,2)
+    for the monetary double, yyyy-MM-dd for the date); exact distinct
+    is the verifiable twin of the approx_count_distinct profile you'd
+    ship at petabyte scale."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c, fmt in _PROFILE_COLS:
+        # Spark spells the string type STRING where DuckDB says
+        # VARCHAR; both render BIGINT/DECIMAL identically
+        sfmt = fmt.replace("AS VARCHAR", "AS STRING")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.expr(sfmt.format(m=f"min({c})")).alias(f"mn_{c}"),
+            F.expr(sfmt.format(m=f"max({c})")).alias(f"mx_{c}"),
+        ]
+    aggs += [
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("nn_d"),
+        F.countDistinct("o_orderdate").alias("nd_d"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_d"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_d"),
+    ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    ) + ", 'o_orderdate', nn_d, nd_d, mn_d, mx_d"
+    return wide.select(
+        F.expr(
+            f"stack(6, {stack_args}) AS "
+            "(col_name, n_null, n_distinct, min_val, max_val)"
+        )
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.operators.temporal import (
     asof_join,
+    merge_intervals,
     range_join_binned,
 )
 from advisorydatapipeline_spark.queries.helpers import load
@@ -315,4 +316,91 @@ def seasonal_dow_indices(spark, sf_dir):
             "dow_mean",
             (F.col("dow_mean") / F.col("overall")).alias("seasonal_index"),
         )
+    )
+
+
+@query(
+    "interval_merge_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS start_day,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           + CAST(l_quantity AS BIGINT) AS end_day
+  FROM lineitem
+),
+flagged AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, start_day, end_day,
+         CASE WHEN max(end_day) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY start_day, end_day, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start_day > max(end_day) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY start_day, end_day, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+numbered AS (
+  SELECT l_suppkey, start_day, end_day,
+         sum(new_island) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY start_day, end_day, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island_id
+  FROM flagged
+),
+islands AS (
+  SELECT l_suppkey, island_id,
+         min(start_day) AS isl_start, max(end_day) AS isl_end,
+         count(*) AS n_intervals
+  FROM numbered GROUP BY l_suppkey, island_id
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+       CAST(sum(isl_end - isl_start) AS BIGINT) AS covered_days
+FROM islands GROUP BY l_suppkey
+""",
+)
+def interval_merge_coverage(spark, sf_dir):
+    """Gaps-and-islands interval merge: each lineitem contributes a
+    supplier-busy interval [ship_day, ship_day + quantity days];
+    overlapping/touching intervals per supplier merge into islands,
+    reported as per-supplier island count + covered days. ONE shuffle
+    on l_suppkey, window + partial-agg — the quadratic interval-
+    overlap join never appears (see operators/temporal.py
+    merge_intervals). The DuckDB oracle recomputes the same islands
+    independently. Both window passes (flag + running sum) use the
+    SAME total order ending in (l_orderkey, l_linenumber) — with
+    duplicate (start,end) rows at an island boundary, a shorter sort
+    key could swap a flag-0 row ahead of its island's flag-1 row and
+    bridge a real gap.
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.to_date("l_shipdate"), epoch).alias("start_day"),
+            (
+                F.datediff(F.to_date("l_shipdate"), epoch)
+                + F.col("l_quantity").cast("long")
+            ).alias("end_day"),
+        )
+    )
+    islands = merge_intervals(
+        iv, ["l_suppkey"], "start_day", "end_day",
+        ["l_orderkey", "l_linenumber"],
+    )
+    return islands.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_intervals").alias("n_intervals"),
+        F.sum(F.col("isl_end") - F.col("isl_start")).alias("covered_days"),
     )

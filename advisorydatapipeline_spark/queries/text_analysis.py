@@ -417,3 +417,64 @@ def bpe_pair_ranks(spark, sf_dir):
     top = counts.orderBy(*order).limit(BPE_TOPK)
     w = Window.orderBy(*order)
     return top.withColumn("rn", F.row_number().over(w).cast("int"))
+
+
+POSTINGS_DF_PCT_MIN, POSTINGS_DF_PCT_MAX = 1, 90  # df band, % of corpus
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, unnest(list_distinct({_T})) AS term FROM documents
+),
+p AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM toks GROUP BY term
+)
+SELECT term, df, postings FROM p, n
+WHERE df * 100 >= n_docs * {POSTINGS_DF_PCT_MIN}
+  AND df * 100 <= n_docs * {POSTINGS_DF_PCT_MAX}
+""",
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build: term -> sorted posting list (rendered as
+    a comma-joined string so the gate hashes a scalar), restricted to
+    the scale-invariant df band [{1}%,{90}%] of corpus size (integer
+    cross-multiplication — no float thresholds to drift between
+    engines). One explode + one shuffle on term with map-side
+    distinct; the upper band is the scale guard — beyond-band head
+    terms ("the") would otherwise collect corpus-sized posting rows
+    on one reducer, exactly the hot-key failure a production indexer
+    avoids by sharding head postings. collect_set + sort_array gives
+    a deterministic list under any partitioning; the oracle's ordered
+    string_agg (numeric ORDER BY doc_id, not lexicographic) renders
+    the same bytes."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") * 100 >= F.col("n_docs") * POSTINGS_DF_PCT_MIN)
+            & (F.col("df") * 100 <= F.col("n_docs") * POSTINGS_DF_PCT_MAX)
+        )
+        .drop("n_docs")
+    )

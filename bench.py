@@ -99,6 +99,10 @@ HEADLINE = [
     "histogram_quantile_estimate",
     "bpe_pair_ranks",
     "seasonal_dow_indices",
+    "interval_merge_coverage",
+    "bfs_reachable_hops",
+    "column_profile_orders",
+    "inverted_index_postings",
 ]
 
 

@@ -114,3 +114,34 @@ def test_reliable_checkpoint_mode_same_results(spark, tmp_path, monkeypatch):
 
     ckpt_root = tmp_path / "ckpt"
     assert ckpt_root.exists() and any(os.scandir(ckpt_root))
+
+
+def _bfs(spark, edges, seeds, k):
+    from advisorydatapipeline_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(edges, "a long, b long")
+    und = e.union(e.select("b", "a"))
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    rows = bfs_hops(und, s, k).collect()
+    return {r.node: r.hops for r in rows}
+
+
+def test_bfs_chain_hops(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1], 3)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond max_hops
+
+
+def test_bfs_min_hop_wins_on_multiple_paths(spark):
+    # 1-2-4 and 1-3-4 plus shortcut 1-4: node 4 is hop 1, not 2
+    got = _bfs(spark, [(1, 2), (2, 4), (1, 3), (3, 4), (1, 4)], [1], 3)
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_bfs_multi_seed_and_unreachable(spark):
+    got = _bfs(spark, [(1, 2), (10, 11)], [1, 10], 2)
+    assert got == {1: 0, 10: 0, 2: 1, 11: 1}
+
+
+def test_bfs_cycle_terminates(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 1)], [1], 4)
+    assert got == {1: 0, 2: 1, 3: 1}

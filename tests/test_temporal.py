@@ -132,3 +132,46 @@ def test_interval_cover_join_no_duplicate_pairs(spark):
         points, intervals, ["key"], "p", "s", "e", 10
     ).collect()
     assert len(rows) == 1
+
+
+def _islands(spark, rows):
+    from advisorydatapipeline_spark.operators.temporal import merge_intervals
+
+    df = spark.createDataFrame(rows, "k long, s long, e long, tb long")
+    out = merge_intervals(df, ["k"], "s", "e", ["tb"]).collect()
+    return sorted(
+        (r.k, r.island_id, r.isl_start, r.isl_end, r.n_intervals)
+        for r in out
+    )
+
+
+def test_merge_overlap_touch_and_gap(spark):
+    got = _islands(
+        spark,
+        [
+            (1, 0, 5, 1),   # |-- island A
+            (1, 3, 8, 2),   # overlaps
+            (1, 8, 10, 3),  # touches (start == running max end) -> merges
+            (1, 12, 14, 4), # gap -> island B
+            (2, 0, 1, 5),   # other key unaffected
+        ],
+    )
+    assert got == [
+        (1, 1, 0, 10, 3),
+        (1, 2, 12, 14, 1),
+        (2, 1, 0, 1, 1),
+    ]
+
+
+def test_merge_contained_and_duplicate_intervals(spark):
+    got = _islands(
+        spark,
+        [(1, 0, 10, 1), (1, 2, 3, 2), (1, 2, 3, 3), (1, 9, 11, 4)],
+    )
+    assert got == [(1, 1, 0, 11, 4)]
+
+
+def test_merge_island_spans_beyond_first_interval_end(spark):
+    # chained overlaps: each start is inside the PREVIOUS max end only
+    got = _islands(spark, [(1, 0, 4, 1), (1, 3, 6, 2), (1, 5, 9, 3)])
+    assert got == [(1, 1, 0, 9, 3)]
