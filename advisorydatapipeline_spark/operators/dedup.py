@@ -23,7 +23,7 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.functions.text import hash64, norm_text, tokens
@@ -623,4 +623,119 @@ def bloom_probe_docs(
         F.count("*").cast("long").alias("n_shingles"),
         F.sum("all_set").cast("long").alias("n_maybe_in_corpus"),
         (F.sum("all_set") / F.count("*").cast("double")).alias("hit_rate"),
+    )
+
+
+def positional_shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    *,
+    max_doc_freq: int | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Like :func:`shingle_index` but keeps each shingle's token
+    POSITION — the anchor table for exact duplicated-passage
+    detection (positions let matched anchors chain into runs).
+    ``max_doc_freq`` drops shingles present in more than that many
+    distinct docs (distinct, not raw rows: a shingle repeated inside
+    one doc must not trip the cap)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_ts"))
+    nparts = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    toked = toked.repartition(nparts, id_col)
+    ts = F.col("_ts")
+    sh = F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(ts, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    idx = toked.select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "shingle")
+    )
+    if max_doc_freq is not None:
+        hot = (
+            idx.select(id_col, "shingle")
+            .distinct()
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    return idx
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    *,
+    max_doc_freq: int | None = None,
+    min_run_tokens: int = 15,
+) -> DataFrame:
+    """Exact duplicated-passage detection (the substring-dedup step of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): maximal runs of verbatim-shared text >= min_run_tokens
+    between doc pairs, found WITHOUT any suffix array.
+
+    Plan: positional n-gram anchors (df-capped) -> anchor equi-join
+    on the shingle -> per (pair, diagonal = pos_a - pos_b) the
+    matched anchor positions chain into gaps-and-islands runs; a run
+    of k consecutive anchors is a shared span of k + n - 1 tokens.
+    Every step is an equi-join or a keyed window: the anchor join is
+    bounded by the df cap (hot boilerplate shingles never fan out),
+    and the diagonal trick turns 2-D span matching into 1-D
+    consecutive-integer islands — the same plan at 100 TB, with the
+    shingle hash as the shuffle key. Returns one row per doc pair:
+    n_runs, max_run_tokens, dup_tokens (sum over runs; overlapping
+    diagonals each count their own run).
+    """
+    idx = positional_shingle_index(
+        df, id_col, text_col, n, max_doc_freq=max_doc_freq
+    )
+    a = idx.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "shingle"
+    )
+    b = idx.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    prev = F.lag("pos_a").over(w)
+    flagged = pairs.withColumn(
+        "_nr",
+        F.when(prev.isNull() | (F.col("pos_a") - prev > 1), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    runs = (
+        flagged.withColumn(
+            "_rid",
+            F.sum("_nr").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_a", "doc_b", "diag", "_rid")
+        .agg(
+            (F.max("pos_a") - F.min("pos_a") + F.lit(n)).alias("run_tokens")
+        )
+        .filter(F.col("run_tokens") >= min_run_tokens)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_tokens").cast("long").alias("max_run_tokens"),
+        F.sum("run_tokens").alias("dup_tokens"),
     )

@@ -154,3 +154,63 @@ def min_gap_events(spark, sf_dir):
         F.col("prev_us").isNull()
         | (F.col("us") - F.col("prev_us") > US_MIN_GAP)
     ).select("event_id", "user_id", "event_type", "us")
+
+
+ROLL_DAYS = 7
+
+
+@query(
+    "rolling_distinct_users",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // {US_DAY} AS day, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM du),
+win AS (
+  SELECT d.day AS day, du.day AS src_day, du.user_id
+  FROM days d JOIN du
+    ON du.day BETWEEN d.day - {ROLL_DAYS - 1} AND d.day
+)
+SELECT day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS u7_users,
+       CAST(count(DISTINCT CASE WHEN src_day = day THEN user_id END)
+            AS BIGINT) AS day_users
+FROM win GROUP BY day
+""",
+)
+def rolling_distinct_users(spark, sf_dir):
+    """Trailing-{7}-day distinct active users per day — the sliding-
+    window DISTINCT neither engine's window frames can express
+    (COUNT(DISTINCT) OVER RANGE is unsupported everywhere). Plan:
+    pre-distinct to (day, user) — the corpus-shrinking step; at
+    100 TB this is days x active-users, orders of magnitude under raw
+    events — then replicate each compact pair to the {7} window
+    anchors it serves and count per anchor. Replication factor is
+    window/slide, the same strategy Structured Streaming uses for
+    sliding windows; the shuffle moves the deduped pair set, never
+    raw events. The oracle computes the identical windows via a
+    range join on the distinct set."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    du = ev.select(
+        F.expr(f"ts DIV {US_DAY * 1000}").alias("src_day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("src_day").alias("day")).distinct()
+    rep = du.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.col("src_day"), F.col("src_day") + F.lit(ROLL_DAYS - 1)
+            )
+        ),
+    )
+    return (
+        rep.join(days, "day")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("u7_users"),
+            F.countDistinct(
+                F.when(F.col("src_day") == F.col("day"), F.col("user_id"))
+            ).alias("day_users"),
+        )
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.operators.dedup import (
+    duplicate_passages,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_near_dupes,
@@ -725,3 +726,72 @@ def bloom_corpus_probe(spark, sf_dir):
     is_new = F.col("doc_id") % _NEW_MOD == _NEW_REM
     bloom = bloom_build(idx.filter(~is_new), "shingle")
     return bloom_probe_docs(idx.filter(is_new), bloom, "doc_id")
+
+
+PASSAGE_N, PASSAGE_MIN_RUN = 8, 15
+
+
+@query(
+    "duplicate_passages",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(toks[u.i:u.i+{PASSAGE_N - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {PASSAGE_N - 2}, 1))) AS u(i)
+),
+hot AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+  ) WHERE df > {MAX_DOC_FREQ}
+),
+gc AS (SELECT * FROM g ANTI JOIN hot USING (gram)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM gc a JOIN gc b USING (gram) WHERE a.doc_id < b.doc_id
+),
+flag AS (
+  SELECT doc_a, doc_b, diag, pa,
+         CASE WHEN lag(pa) OVER w IS NULL OR pa - lag(pa) OVER w > 1
+              THEN 1 ELSE 0 END AS nr
+  FROM pairs WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, pa,
+         sum(nr) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                       ROWS UNBOUNDED PRECEDING) AS rid
+  FROM flag
+),
+rl AS (
+  SELECT doc_a, doc_b, diag, rid,
+         max(pa) - min(pa) + {PASSAGE_N} AS run_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, rid
+)
+SELECT doc_a, doc_b,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+       CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
+FROM rl WHERE run_tokens >= {PASSAGE_MIN_RUN}
+GROUP BY doc_a, doc_b
+""",
+)
+def duplicate_passages_pairs(spark, sf_dir):
+    """Exact duplicated-passage pairs (Lee et al. substring dedup):
+    doc pairs sharing a verbatim run of >= {15} tokens, with run
+    count / longest run / total duplicated tokens. Suffix-array-free:
+    df-capped positional 8-gram anchors, anchor equi-join, diagonal
+    gaps-and-islands (operators/dedup.duplicate_passages). The oracle
+    replays the same anchor->diagonal->island pipeline in DuckDB with
+    1-based positions — diag and run lengths are shift-invariant, so
+    the outputs match exactly."""
+    return duplicate_passages(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        PASSAGE_N,
+        max_doc_freq=MAX_DOC_FREQ,
+        min_run_tokens=PASSAGE_MIN_RUN,
+    )

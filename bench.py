@@ -103,6 +103,8 @@ HEADLINE = [
     "bfs_reachable_hops",
     "column_profile_orders",
     "inverted_index_postings",
+    "duplicate_passages",
+    "rolling_distinct_users",
 ]
 
 

@@ -492,3 +492,72 @@ def test_allpairs_blocked_handles_negative_ids(spark):
         (-5, 3),
         (-1, 3),
     ]
+
+
+def _w(i):
+    return f"w{i}"
+
+
+def test_duplicate_passages_finds_exact_run(spark):
+    from advisorydatapipeline_spark.operators.dedup import duplicate_passages
+
+    shared = " ".join(_w(i) for i in range(100, 115))  # 15 tokens
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, "zeta " + shared + " eta theta"),
+        (3, " ".join(_w(i) for i in range(200, 230))),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_runs, r.max_run_tokens, r.dup_tokens)
+        for r in duplicate_passages(
+            df, "doc_id", "text", 8, min_run_tokens=15
+        ).collect()
+    }
+    assert got == {(1, 2): (1, 15, 15)}
+
+
+def test_duplicate_passages_below_threshold_dropped(spark):
+    from advisorydatapipeline_spark.operators.dedup import duplicate_passages
+
+    shared = " ".join(_w(i) for i in range(10))  # 10 tokens < 15
+    rows = [(1, shared + " x1 x2"), (2, "y1 y2 " + shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        duplicate_passages(
+            df, "doc_id", "text", 8, min_run_tokens=15
+        ).count()
+        == 0
+    )
+
+
+def test_duplicate_passages_two_separate_runs(spark):
+    from advisorydatapipeline_spark.operators.dedup import duplicate_passages
+
+    r1 = " ".join(_w(i) for i in range(100, 116))  # 16 tokens
+    r2 = " ".join(_w(i) for i in range(300, 320))  # 20 tokens
+    filler_a = " ".join(_w(i) for i in range(400, 410))
+    filler_b = " ".join(_w(i) for i in range(500, 510))
+    rows = [(1, r1 + " " + filler_a + " " + r2),
+            (2, r2 + " " + filler_b + " " + r1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_runs, r.max_run_tokens, r.dup_tokens)
+        for r in duplicate_passages(
+            df, "doc_id", "text", 8, min_run_tokens=15
+        ).collect()
+    }
+    assert got == {(1, 2): (2, 20, 36)}
+
+
+def test_positional_shingle_df_cap_counts_distinct_docs(spark):
+    from advisorydatapipeline_spark.operators.dedup import (
+        positional_shingle_index,
+    )
+
+    # the same 3-gram occurs TWICE in doc 1 but only in 1 distinct doc
+    rows = [(1, "a b c x a b c"), (2, "p q r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = positional_shingle_index(df, "doc_id", "text", 3, max_doc_freq=1)
+    # cap=1 keeps shingles present in <=1 distinct doc: everything stays
+    assert idx.count() == 5 + 1  # doc1: 5 trigrams, doc2: 1
