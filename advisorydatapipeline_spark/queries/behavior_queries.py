@@ -214,3 +214,53 @@ def rolling_distinct_users(spark, sf_dir):
             ).alias("day_users"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events WHERE ts IS NOT NULL
+),
+tr AS (
+  SELECT from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       CAST(n * 1000000
+            // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+            AS BIGINT) AS ppm
+FROM tr
+""",
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: count + integer-ppm probability of each
+    (from_type -> to_type) edge. One lag window on user_id, one
+    partial-agg shuffle to the (from, to) matrix (|types|^2 rows —
+    tiny at any corpus scale), then the row-normalizing window runs
+    on that tiny matrix, not the events. The per-user sequence sort
+    is the only event-scale work and reuses the exchange other
+    user-keyed windows need anyway."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    return tr.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr(
+            "n_transitions * 1000000 DIV "
+            "sum(n_transitions) OVER (PARTITION BY from_type)"
+        ).alias("ppm"),
+    )

@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from advisorydatapipeline_spark.queries.helpers import load
 from advisorydatapipeline_spark.registry import query
@@ -353,4 +354,114 @@ def bitwise_aggregates(spark, sf_dir):
         F.bit_and("event_id").cast("long").alias("id_and"),
         F.bit_or("event_id").cast("long").alias("id_or"),
         F.bit_xor("event_id").cast("long").alias("id_xor"),
+    )
+
+
+US_DAY = 86_400_000_000
+NS_DAY = US_DAY * 1000
+
+
+@query(
+    "gap_fill_interpolate",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // {US_DAY} AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.day, d.cents
+  FROM spine s LEFT JOIN daily d USING (user_id, day)
+),
+ctx AS (
+  SELECT user_id, day, cents,
+    last_value(cents IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wp AS pd,
+    first_value(cents IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      OVER wf AS nd
+  FROM j
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 ELSE pv + ((nv - pv) * (day - pd)) // (nd - pd)
+            END AS BIGINT) AS cents_filled,
+       CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS interpolated
+FROM ctx
+""",
+)
+def gap_fill_interpolate(spark, sf_dir):
+    """Per-user daily spine with LINEAR interpolation of missing
+    days — the time-series feature-prep step beyond forward fill
+    (calendar_spine_fill). All integer: daily totals in floor-cents,
+    interpolation as pv + (nv-pv)*(day-pd) intdiv (nd-pd); both
+    engines truncate integer division toward zero, so the lerp is
+    bit-identical. Plan: one shuffle to daily totals (partial agg),
+    a per-user bounds agg reused to explode the spine (bounded by
+    the user's own span — no global calendar broadcast), then two
+    window passes over the SAME (user, day) sort — Catalyst reuses
+    the exchange and the sort. Interior gaps always have both
+    neighbors because the spine is bounded by each user's min/max
+    observed day."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr(f"ts DIV {NS_DAY}").alias("day"),
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("_c"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    ctx = (
+        j.withColumn("pv", F.last("cents", ignorenulls=True).over(wp))
+        .withColumn("pd", F.last(known_day, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("cents", ignorenulls=True).over(wf))
+        .withColumn("nd", F.first(known_day, ignorenulls=True).over(wf))
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(
+            F.col("pv")
+            + F.expr("((nv - pv) * (day - pd)) DIV (nd - pd)")
+        )
+        .cast("long")
+        .alias("cents_filled"),
+        F.when(F.col("cents").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("interpolated"),
     )

@@ -105,6 +105,8 @@ HEADLINE = [
     "inverted_index_postings",
     "duplicate_passages",
     "rolling_distinct_users",
+    "gap_fill_interpolate",
+    "event_transition_matrix",
 ]
 
 
