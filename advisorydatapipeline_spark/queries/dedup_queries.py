@@ -795,3 +795,51 @@ def duplicate_passages_pairs(spark, sf_dir):
         max_doc_freq=MAX_DOC_FREQ,
         min_run_tokens=PASSAGE_MIN_RUN,
     )
+
+
+@query(
+    "cross_source_dup_matrix",
+    oracle=f"""
+WITH {_JACCARD_CTES},
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM jp
+JOIN src sa ON sa.doc_id = jp.id_a
+JOIN src sb ON sb.doc_id = jp.id_b
+GROUP BY 1, 2
+""",
+)
+def cross_source_dup_matrix(spark, sf_dir):
+    """Which sources duplicate each other: near-dup pair counts
+    rolled up to an unordered (source, source) matrix — the report a
+    corpus owner reads to find mirror sites / wholesale copying
+    before deciding crawl priorities. Reuses the exact df-capped
+    Jaccard pair plan, then two joins against the tiny (doc_id,
+    source) projection and a partial-agg rollup; pair->source joins
+    move only the PAIR set (already near-dup-sparse), never text.
+    least/greatest canonicalizes the unordered pair so A∶B and B∶A
+    accumulate together."""
+    docs = load(spark, sf_dir, "documents")
+    idx = shingle_index(
+        docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+    ).persist()
+    pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

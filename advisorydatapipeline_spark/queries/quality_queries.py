@@ -254,3 +254,84 @@ def column_profile_orders(spark, sf_dir):
             "(col_name, n_null, n_distinct, min_val, max_val)"
         )
     )
+
+
+KS_BUCKET_CENTS = 5_000  # $50-wide value buckets
+
+
+@query(
+    "ks_value_drift",
+    oracle=f"""
+WITH b AS (
+  SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+  FROM events WHERE ts IS NOT NULL
+),
+e AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) // {KS_BUCKET_CENTS} AS bucket,
+         CASE WHEN epoch_ns(ts) * 2 <= mn + mx THEN 1 ELSE 0 END AS early
+  FROM events, b WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT bucket,
+         CAST(sum(early) AS BIGINT) AS n_early,
+         CAST(count(*) - sum(early) AS BIGINT) AS n_late
+  FROM e GROUP BY 1
+),
+c AS (
+  SELECT bucket, n_early, n_late,
+         CAST(sum(n_early) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce,
+         CAST(sum(n_late) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cl,
+         CAST(sum(n_early) OVER () AS BIGINT) AS te,
+         CAST(sum(n_late) OVER () AS BIGINT) AS tl
+  FROM g
+)
+SELECT bucket, n_early, n_late,
+       CAST(ce * 1000000 // te AS BIGINT) AS cdf_early_ppm,
+       CAST(cl * 1000000 // tl AS BIGINT) AS cdf_late_ppm,
+       CAST(abs(ce * 1000000 // te - cl * 1000000 // tl) AS BIGINT)
+         AS gap_ppm
+FROM c
+""",
+)
+def ks_value_drift(spark, sf_dir):
+    """Distribution-drift monitor: two-sample KS profile of the event
+    value distribution, first time-half vs second (the max gap_ppm
+    row IS the KS statistic in ppm). All integer: floor-cents
+    buckets, ppm CDFs, midpoint split via the doubled-epoch trick
+    (no float halving). Plan: a 2-value bounds agg broadcast into
+    the scan pass, ONE partial-agg shuffle to the ~10-row bucket
+    table; the cumulative windows run on that tiny table — a
+    single-partition window is fine there and never touches event-
+    scale data. This is the shape of every production drift check:
+    heavy scan -> tiny sketch -> driver-free comparison."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    bounds = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    e = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"CAST(floor(value * 100) AS BIGINT) DIV {KS_BUCKET_CENTS}"
+        ).alias("bucket"),
+        F.expr("CASE WHEN ts * 2 <= mn + mx THEN 1 ELSE 0 END").alias(
+            "early"
+        ),
+    )
+    g = e.groupBy("bucket").agg(
+        F.sum("early").alias("n_early"),
+        (F.count(F.lit(1)) - F.sum("early")).alias("n_late"),
+    )
+    return g.selectExpr(
+        "bucket",
+        "n_early",
+        "n_late",
+        "sum(n_early) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"
+        " * 1000000 DIV sum(n_early) OVER () AS cdf_early_ppm",
+        "sum(n_late) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"
+        " * 1000000 DIV sum(n_late) OVER () AS cdf_late_ppm",
+        "abs(sum(n_early) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"
+        " * 1000000 DIV sum(n_early) OVER ()"
+        " - sum(n_late) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"
+        " * 1000000 DIV sum(n_late) OVER ()) AS gap_ppm",
+    )

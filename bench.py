@@ -107,6 +107,8 @@ HEADLINE = [
     "rolling_distinct_users",
     "gap_fill_interpolate",
     "event_transition_matrix",
+    "ks_value_drift",
+    "cross_source_dup_matrix",
 ]
 
 
