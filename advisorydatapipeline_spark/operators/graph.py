@@ -201,6 +201,7 @@ def bfs_hops(
     max_hops: int,
     *,
     reliable: bool = False,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Frontier BFS: minimum hop count from any seed to every
     reachable node within ``max_hops``.
@@ -217,8 +218,10 @@ def bfs_hops(
     enumeration — what a naive recursive self-join does — grows
     multiplicatively with hop count; the frontier here is bounded by
     |V| regardless of edge density, which is what makes BFS feasible
-    on a 100 TB edge list. Lineage is cut per round (``max_hops``
-    is small; interval-cutting as in PageRank would also work).
+    on a 100 TB edge list. Lineage is cut on ``checkpoint_interval``
+    (as in PageRank): each cut is an eager materialization job, and
+    for shallow traversals the linear plan growth between cuts is
+    cheaper than a per-round barrier.
     """
     adj = edges.repartition("a").persist()
     visited = seeds.select(
@@ -234,7 +237,9 @@ def bfs_hops(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
         )
-        visited = _cut_lineage(visited.unionByName(nxt), reliable)
+        visited = visited.unionByName(nxt)
+        if h % max(1, checkpoint_interval) == 0 and h != max_hops:
+            visited = _cut_lineage(visited, reliable)
         frontier = nxt
     adj.unpersist()
     return visited

@@ -225,8 +225,16 @@ def column_profile_orders(spark, sf_dir):
     engine-identical VARCHAR per type (BIGINT digits, DECIMAL(18,2)
     for the monetary double, yyyy-MM-dd for the date); exact distinct
     is the verifiable twin of the approx_count_distinct profile you'd
-    ship at petabyte scale."""
+    ship at petabyte scale.
+
+    The pre-agg repartition is the bytes-vs-CPU guard: a small table
+    arrives as ONE split, and the Expand multiplies rows x7 into a
+    single task's sort-aggregate; spreading the scan first puts the
+    partial aggregation on every core (4.7s -> sub-second at sf0.1).
+    At real scale the table has thousands of splits and the exchange
+    is a no-op-sized rebalance."""
     o = load(spark, sf_dir, "orders")
+    o = o.repartition(o.sparkSession.sparkContext.defaultParallelism)
     aggs = []
     for c, fmt in _PROFILE_COLS:
         # Spark spells the string type STRING where DuckDB says

@@ -129,6 +129,16 @@ AUDIT = [
     "ivf_recall_eval",
     "bpe_pair_ranks",
     "seasonal_dow_indices",
+    "interval_merge_coverage",
+    "bfs_reachable_hops",
+    "column_profile_orders",
+    "inverted_index_postings",
+    "duplicate_passages",
+    "rolling_distinct_users",
+    "gap_fill_interpolate",
+    "event_transition_matrix",
+    "ks_value_drift",
+    "cross_source_dup_matrix",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
