@@ -179,6 +179,10 @@ NESTED_LOOP_OK = {
     "ivf_recall_eval",
     # 1-row broadcast overall-mean scalar
     "seasonal_dow_indices",
+    # 1-row broadcast corpus-doc-count scalar (df band bounds)
+    "inverted_index_postings",
+    # 1-row broadcast (min ts, max ts) bounds scalar (midpoint split)
+    "ks_value_drift",
 }
 
 JOIN_PAT = re.compile(

@@ -137,6 +137,24 @@ def run(spark, path: str) -> dict[str, float]:
         idx.unpersist()
 
     out["bloom_probe"] = timed(bloom)
+
+    def passages():
+        from advisorydatapipeline_spark.operators.dedup import (
+            duplicate_passages,
+        )
+
+        noop(
+            duplicate_passages(
+                docs,
+                "doc_id",
+                "text",
+                8,
+                max_doc_freq=MAX_DOC_FREQ,
+                min_run_tokens=15,
+            )
+        )
+
+    out["dup_passages"] = timed(passages)
     return out
 
 
