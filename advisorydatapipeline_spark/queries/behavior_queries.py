@@ -264,3 +264,55 @@ def event_transition_matrix(spark, sf_dir):
             "sum(n_transitions) OVER (PARTITION BY from_type)"
         ).alias("ppm"),
     )
+
+
+@query(
+    "time_weighted_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt_us
+  FROM events WHERE ts IS NOT NULL
+),
+held AS (
+  SELECT user_id, cents, nxt_us - ts_us AS dur_us
+  FROM seq WHERE nxt_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(sum(dur_us) AS BIGINT) AS obs_us,
+       CAST(sum(cents * dur_us) // sum(dur_us) AS BIGINT) AS twa_cents
+FROM held GROUP BY user_id
+HAVING sum(dur_us) > 0
+""",
+)
+def time_weighted_value(spark, sf_dir):
+    """Time-weighted average value per user (the TWAB shape: each
+    observation holds until the next one, weights = holding
+    duration). One user-keyed window for the lead() duration — the
+    same exchange every other per-user window reuses — then a
+    partial-agg rollup; integer microsecond x floor-cents products
+    stay far inside BIGINT (1e11 us x 1e4 cents = 1e15/term). Users
+    with a single event have no holding interval and drop out via
+    the HAVING guard on both engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("ts DIV 1000").alias("ts_us"),
+        (F.lead(F.expr("ts DIV 1000")).over(w)).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    held = seq.select(
+        "user_id", "cents", (F.col("nxt_us") - F.col("ts_us")).alias("dur_us")
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum("dur_us").alias("obs_us"),
+            F.expr("sum(cents * dur_us) DIV sum(dur_us)").alias("twa_cents"),
+        )
+        .filter(F.col("obs_us") > 0)
+    )

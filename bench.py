@@ -109,6 +109,7 @@ HEADLINE = [
     "event_transition_matrix",
     "ks_value_drift",
     "cross_source_dup_matrix",
+    "time_weighted_value",
 ]
 
 

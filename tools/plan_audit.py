@@ -139,6 +139,7 @@ AUDIT = [
     "event_transition_matrix",
     "ks_value_drift",
     "cross_source_dup_matrix",
+    "time_weighted_value",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

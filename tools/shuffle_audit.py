@@ -73,6 +73,7 @@ AUDIT = [
     "event_transition_matrix",
     "ks_value_drift",
     "cross_source_dup_matrix",
+    "time_weighted_value",
 ]
 
 
