@@ -327,7 +327,7 @@ WITH iv AS (
          date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
            AS start_day,
          date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-           + CAST(l_quantity AS BIGINT) AS end_day
+           + CAST(floor(l_quantity) AS BIGINT) AS end_day
   FROM lineitem
 ),
 flagged AS (
@@ -389,9 +389,12 @@ def interval_merge_coverage(spark, sf_dir):
             "l_orderkey",
             "l_linenumber",
             F.datediff(F.to_date("l_shipdate"), epoch).alias("start_day"),
+            # floor-then-cast: a bare double->BIGINT cast ROUNDS in
+            # DuckDB but truncates in Spark; floor() pins both (the
+            # data is integer-valued today, but the guard is free)
             (
                 F.datediff(F.to_date("l_shipdate"), epoch)
-                + F.col("l_quantity").cast("long")
+                + F.expr("CAST(floor(l_quantity) AS BIGINT)")
             ).alias("end_day"),
         )
     )
