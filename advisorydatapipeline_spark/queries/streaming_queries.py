@@ -512,3 +512,47 @@ def streaming_upsert_merge(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "streaming_sliding_distinct",
+    oracle="""
+WITH wins AS (
+  SELECT user_id,
+         unnest([ (epoch_us(ts) // 1800000000) * 1800000000,
+                  (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 ])
+           AS window_start_us
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT window_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM wins GROUP BY window_start_us
+""",
+)
+def streaming_sliding_distinct(spark, sf_dir):
+    """Sliding-window DISTINCT users, streaming: the stateful stage
+    holds (window, user) groups — the distinct state, bounded by the
+    watermark — and the drained result is rolled up to per-window
+    user counts in a trivially small batch agg. This is the
+    streaming twin of rolling_distinct_users' replicate-then-count
+    plan: state is per (window, user), never per event, so a hot
+    user adds ONE state row per window however many events they
+    emit. The oracle replays the 1 h/30 min two-window expansion
+    with integer epoch math over the same parquet."""
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    pairs = (
+        stream.withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("win"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "user_id",
+        )
+    )
+    drained = _run_to_memory(pairs, spark)
+    return drained.groupBy("window_start_us").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

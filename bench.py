@@ -110,6 +110,7 @@ HEADLINE = [
     "ks_value_drift",
     "cross_source_dup_matrix",
     "time_weighted_value",
+    "streaming_sliding_distinct",
 ]
 
 
