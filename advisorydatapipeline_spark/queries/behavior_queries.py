@@ -316,3 +316,62 @@ def time_weighted_value(spark, sf_dir):
         )
         .filter(F.col("obs_us") > 0)
     )
+
+
+CEP_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "cep_pattern_matches",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type, 1) OVER w AS t1,
+         lag(event_type, 2) OVER w AS t2,
+         lag(epoch_us(ts), 2) OVER w AS start_us
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS purchase_id, start_us, ts_us AS end_us,
+       CAST(ts_us - start_us AS BIGINT) AS span_us
+FROM seq
+WHERE event_type = 'purchase' AND t1 = 'view' AND t2 = 'view'
+  AND ts_us - start_us <= {CEP_WINDOW_US}
+""",
+)
+def cep_pattern_matches(spark, sf_dir):
+    """Complex-event-processing pattern match: the CONTIGUOUS
+    per-user sequence view -> view -> purchase completing within 24
+    hours (MATCH_RECOGNIZE's simplest shape, strict contiguity —
+    an intervening event of any other type breaks the match, which
+    is exactly what funnel_analysis' stage-min formulation cannot
+    express). One per-user sequence window — two lags over one sort,
+    no joins, no state: at 100 TB this is a single exchange the
+    other user-keyed windows already pay for, and the pattern
+    predicate is a codegen'd row filter."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "event_type",
+        F.expr("ts DIV 1000").alias("end_us"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag(F.expr("ts DIV 1000"), 2).over(w).alias("start_us"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t1") == "view")
+            & (F.col("t2") == "view")
+            & (F.col("end_us") - F.col("start_us") <= CEP_WINDOW_US)
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "start_us",
+            "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("span_us"),
+        )
+    )

@@ -111,6 +111,7 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "time_weighted_value",
     "streaming_sliding_distinct",
+    "cep_pattern_matches",
 ]
 
 
