@@ -140,6 +140,7 @@ AUDIT = [
     "ks_value_drift",
     "cross_source_dup_matrix",
     "time_weighted_value",
+    "cep_pattern_matches",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -74,6 +74,7 @@ AUDIT = [
     "ks_value_drift",
     "cross_source_dup_matrix",
     "time_weighted_value",
+    "cep_pattern_matches",
 ]
 
 
