@@ -739,3 +739,75 @@ def duplicate_passages(
         F.max("run_tokens").cast("long").alias("max_run_tokens"),
         F.sum("run_tokens").alias("dup_tokens"),
     )
+
+
+def jaccard_pairs_prefix(
+    index: DataFrame,
+    id_col: str,
+    jaccard_num: int,
+    jaccard_den: int,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (the PPJoin/SSJoin family,
+    Chaudhuri et al. / Xiao et al.): same result set as
+    :func:`jaccard_pairs`, but the candidate join touches only each
+    doc's PREFIX — its ``|d| - ceil(t*|d|) + 1`` rarest shingles in a
+    global (df, hash) canonical order. Two docs with Jaccard >= t
+    must share a prefix token, so candidates are complete; and
+    because prefixes are drawn rarest-first, the equi-join's groups
+    are the SMALLEST df groups in the corpus — the hot-token pair
+    blowup the df-cap fights is structurally avoided here, making
+    this the all-pairs plan that still stands at 100 TB (the df-cap
+    then only guards recall policy, not the join).
+
+    The threshold is a RATIONAL ``jaccard_num/jaccard_den``: prefix
+    lengths and the |A|-vs-|B| size filter use exact integer
+    cross-multiplication — a float ``0.4`` would exclude true
+    boundary pairs (0.4*5 > 2 in IEEE). Verification reuses
+    :func:`jaccard_for_pairs` (exact), so the output is
+    bit-identical to the ground-truth plan.
+    """
+    p, q = jaccard_num, jaccard_den
+    key = hash64(F.col("shingle")).alias("_sh")
+    idxh = index.select(F.col(id_col), key)
+    dfreq = idxh.groupBy("_sh").agg(F.count("*").alias("_df"))
+    sizes = index.groupBy(id_col).agg(F.count("*").alias("n"))
+    ranked = (
+        idxh.join(dfreq, "_sh")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", "_sh")
+            ),
+        )
+        .join(sizes, id_col)
+    )
+    # prefix length = n - ceil(p*n/q) + 1, all-integer
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("n")
+        - F.expr(f"(n * {p} + {q} - 1) DIV {q}")
+        + 1
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "_sh", F.col("n").alias("_na")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "_sh", F.col("n").alias("_nb")
+    )
+    cand = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # J >= p/q  =>  p * max(|A|,|B|) <= q * min(|A|,|B|)
+        .filter(F.col("_na") * p <= F.col("_nb") * q)
+        .filter(F.col("_nb") * p <= F.col("_na") * q)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        jaccard_for_pairs(index, cand, id_col)
+        .filter(
+            F.col("shared") * q
+            >= (F.col("n_a") + F.col("n_b") - F.col("shared")) * p
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )

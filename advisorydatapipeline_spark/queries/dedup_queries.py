@@ -14,6 +14,7 @@ from advisorydatapipeline_spark.operators.dedup import (
     duplicate_passages,
     exact_dedup_groups,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_near_dupes,
     shingle_index,
     simhash64_near_dupes,
@@ -843,3 +844,26 @@ def cross_source_dup_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query("dedup_jaccard_prefix", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered EXACT Jaccard pairs — same oracle
+    (and bit-identical output) as dedup_ngram_jaccard, different
+    physical plan: candidates come from joining only each doc's
+    rarest ``|d| - ceil(t|d|) + 1`` shingles in global (df, hash)
+    order, so join-group sizes track the RARE end of the df curve
+    instead of the hot end. The threshold rides as the rational 2/5
+    through integer cross-multiplication (a float 0.4 drops exact-
+    boundary pairs; see operators/dedup.jaccard_pairs_prefix and the
+    boundary unit test). The ground-truth/optimized twin pair is the
+    same verification structure the LSH entries use — here both
+    sides are exact, so the oracle is shared verbatim."""
+    idx = shingle_index(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        3,
+        max_doc_freq=MAX_DOC_FREQ,
+    ).persist()
+    return jaccard_pairs_prefix(idx, "doc_id", 2, 5)

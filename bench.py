@@ -112,6 +112,7 @@ HEADLINE = [
     "time_weighted_value",
     "streaming_sliding_distinct",
     "cep_pattern_matches",
+    "dedup_jaccard_prefix",
 ]
 
 

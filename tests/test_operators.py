@@ -561,3 +561,53 @@ def test_positional_shingle_df_cap_counts_distinct_docs(spark):
     idx = positional_shingle_index(df, "doc_id", "text", 3, max_doc_freq=1)
     # cap=1 keeps shingles present in <=1 distinct doc: everything stays
     assert idx.count() == 5 + 1  # doc1: 5 trigrams, doc2: 1
+
+
+def test_prefix_jaccard_matches_ground_truth(spark):
+    """PPJoin prefix filtering must reproduce the full all-pairs
+    result EXACTLY, including threshold-boundary pairs."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingle_index,
+    )
+
+    rows = []
+    base = [f"t{i}" for i in range(40)]
+    for d in range(30):
+        # overlapping sliding vocab windows -> a spread of jaccards,
+        # including exact boundary ratios from equal-size sets
+        toks = base[d % 10: d % 10 + 12]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = shingle_index(df, "doc_id", "text", 3).persist()
+    truth = {
+        (r.id_a, r.id_b): (r.shared, r.n_a, r.n_b)
+        for r in jaccard_pairs(idx, "doc_id", 0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): (r.shared, r.n_a, r.n_b)
+        for r in jaccard_pairs_prefix(idx, "doc_id", 2, 5).collect()
+    }
+    assert truth == got and len(truth) > 0
+
+
+def test_prefix_jaccard_boundary_pair_kept(spark):
+    """A pair sitting EXACTLY on J = 2/5 must survive (the float-t
+    formulation would drop it if sizes hit the 0.4*n rounding edge)."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    # two 5-shingle docs sharing exactly 2 shingles -> J = 2/8? no:
+    # craft union 5: |A|=4, |B|=3, shared 2 -> J = 2/5 exactly
+    rows = [
+        (1, [("s%d" % i) for i in (1, 2, 3, 4)]),
+        (2, [("s%d" % i) for i in (1, 2, 7)]),
+    ]
+    idx = spark.createDataFrame(
+        [(d, s) for d, ss in rows for s in ss],
+        "doc_id long, shingle string",
+    )
+    got = jaccard_pairs_prefix(idx, "doc_id", 2, 5).collect()
+    assert len(got) == 1 and got[0].shared == 2

@@ -141,6 +141,7 @@ AUDIT = [
     "cross_source_dup_matrix",
     "time_weighted_value",
     "cep_pattern_matches",
+    "dedup_jaccard_prefix",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

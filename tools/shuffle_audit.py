@@ -75,6 +75,7 @@ AUDIT = [
     "cross_source_dup_matrix",
     "time_weighted_value",
     "cep_pattern_matches",
+    "dedup_jaccard_prefix",
 ]
 
 
