@@ -639,3 +639,86 @@ def ivf_recall_eval(spark, sf_dir):
             "recall_ppm"
         ),
     )
+
+
+GRID_SIZE, GRID_CELL = 1024, 16  # coord space, cell width = Chebyshev radius
+
+_DH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+@query(
+    "grid_proximity_join",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey,
+         {_DH.format(x="'gx' || CAST(c_custkey AS VARCHAR)")} % {GRID_SIZE}
+           AS cx,
+         {_DH.format(x="'gy' || CAST(c_custkey AS VARCHAR)")} % {GRID_SIZE}
+           AS cy
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         {_DH.format(x="'gx' || CAST(s_suppkey AS VARCHAR)")} % {GRID_SIZE}
+           AS sx,
+         {_DH.format(x="'gy' || CAST(s_suppkey AS VARCHAR)")} % {GRID_SIZE}
+           AS sy
+  FROM supplier
+)
+SELECT c_custkey, s_suppkey,
+       CAST(greatest(abs(cx - sx), abs(cy - sy)) AS BIGINT) AS cheb
+FROM c, s
+WHERE abs(cx - sx) <= {GRID_CELL} AND abs(cy - sy) <= {GRID_CELL}
+""",
+)
+def grid_proximity_join(spark, sf_dir):
+    """2-D grid spatial join: all (customer, supplier) pairs within
+    Chebyshev distance {16} on a deterministic {1024}^2 coordinate
+    grid (portable-hash pseudo-coordinates — the geometry is
+    synthetic, the JOIN PLAN is the real thing). The 2-D analogue of
+    range_join_binned/interval_cover_join: one side keys on its
+    cell, the other replicates to its 3x3 cell neighborhood, the
+    equi-join on (cell_x, cell_y) meets every qualifying pair, and
+    the exact distance predicate prunes corner cells. Replication is
+    a constant 9x of the SMALLER side; the oracle is the plain
+    quadratic inequality join the grid plan avoids — at 100 TB the
+    nested loop is impossible and the grid join's shuffle is
+    9|S| + |C| rows on compact integer keys."""
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    def coords(df, key, xa, ya):
+        k = F.col(key).cast("string")
+        return df.select(
+            key,
+            (hash64(F.concat(F.lit("gx"), k)) % GRID_SIZE).alias(xa),
+            (hash64(F.concat(F.lit("gy"), k)) % GRID_SIZE).alias(ya),
+        )
+
+    c = coords(load(spark, sf_dir, "customer"), "c_custkey", "cx", "cy")
+    s = coords(load(spark, sf_dir, "supplier"), "s_suppkey", "sx", "sy")
+    c = c.withColumn("_gx", F.expr(f"cx DIV {GRID_CELL}")).withColumn(
+        "_gy", F.expr(f"cy DIV {GRID_CELL}")
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    s = (
+        s.withColumn("_dx", off)
+        .withColumn("_dy", off)
+        .withColumn("_gx", F.expr(f"sx DIV {GRID_CELL}") + F.col("_dx"))
+        .withColumn("_gy", F.expr(f"sy DIV {GRID_CELL}") + F.col("_dy"))
+        .drop("_dx", "_dy")
+    )
+    return (
+        c.join(s, ["_gx", "_gy"])
+        .filter(
+            (F.abs(F.col("cx") - F.col("sx")) <= GRID_CELL)
+            & (F.abs(F.col("cy") - F.col("sy")) <= GRID_CELL)
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.greatest(
+                F.abs(F.col("cx") - F.col("sx")),
+                F.abs(F.col("cy") - F.col("sy")),
+            ).alias("cheb"),
+        )
+    )

@@ -113,6 +113,7 @@ HEADLINE = [
     "streaming_sliding_distinct",
     "cep_pattern_matches",
     "dedup_jaccard_prefix",
+    "grid_proximity_join",
 ]
 
 

@@ -76,6 +76,7 @@ AUDIT = [
     "time_weighted_value",
     "cep_pattern_matches",
     "dedup_jaccard_prefix",
+    "grid_proximity_join",
 ]
 
 
