@@ -354,3 +354,93 @@ def incremental_rollup_merge(spark, sf_dir):
         F.max("max_value").alias("max_value"),
         F.countDistinct("day").cast("long").alias("n_days"),
     )
+
+
+CMS_D, CMS_W = 4, 64  # depth (hash rows) x width (counters per row)
+
+_CMS_DH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_CMS_KEY = "'cms' || CAST(u.i AS VARCHAR) || ':' || {t}"
+
+
+@query(
+    "countmin_estimates",
+    oracle=f"""
+WITH cells AS (
+  SELECT u.i AS i,
+         {_CMS_DH.format(x=_CMS_KEY.format(t='event_type'))} % {CMS_W}
+           AS col,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events, unnest([0, 1, 2, 3]) AS u(i)
+  GROUP BY 1, 2
+),
+types AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY 1
+),
+probes AS (
+  SELECT t.event_type, t.true_n, u.i AS i,
+         {_CMS_DH.format(x=_CMS_KEY.format(t='t.event_type'))} % {CMS_W}
+           AS col
+  FROM types t, unnest([0, 1, 2, 3]) AS u(i)
+)
+SELECT p.event_type, p.true_n,
+       CAST(min(c.n) AS BIGINT) AS cms_estimate,
+       CAST(min(c.n) - p.true_n AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON c.i = p.i AND c.col = p.col
+GROUP BY 1, 2
+""",
+)
+def countmin_estimates(spark, sf_dir):
+    """Count-min sketch as a RELATIONAL composition: the {4}x{64}
+    cell matrix is a groupBy over (row, portable-hash % width) — one
+    partial-agg shuffle whose map-side combine IS the per-shard
+    sketch merge (the sketch is mergeable because addition is) — and
+    point estimates are min-over-rows via an equi-join of the probe
+    keys. Every cell and estimate is an exact integer under the
+    md5-portable hash family, so the oracle rebuilds the identical
+    sketch and the CMS guarantee (estimate >= true count, here
+    surfaced as `overestimate`) is value-checked, not just claimed.
+    At 100 TB the sketch stays {4}x{64} BIGINTs regardless of input;
+    only the probe set scales."""
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    ev = load(spark, sf_dir, "events")
+
+    def rowcol(tcol):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            hash64(
+                                F.concat(F.lit(f"cms{i}:"), F.col(tcol))
+                            )
+                            % CMS_W
+                        ).alias("col"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        )
+
+    cells = (
+        ev.select(rowcol("event_type").alias("rc"))
+        .select("rc.i", "rc.col")
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    types = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    probes = types.select(
+        "event_type", "true_n", rowcol("event_type").alias("rc")
+    ).select("event_type", "true_n", "rc.i", "rc.col")
+    return (
+        probes.join(cells, ["i", "col"])
+        .groupBy("event_type", "true_n")
+        .agg(
+            F.min("n").alias("cms_estimate"),
+            (F.min("n") - F.col("true_n")).alias("overestimate"),
+        )
+    )

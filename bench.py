@@ -114,6 +114,7 @@ HEADLINE = [
     "cep_pattern_matches",
     "dedup_jaccard_prefix",
     "grid_proximity_join",
+    "countmin_estimates",
 ]
 
 
