@@ -214,3 +214,38 @@ def merge_intervals(
         F.max(end_col).alias("isl_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    *,
+    tiebreak: str,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Forward as-of left join: for every left row, the right row
+    with the SMALLEST ``right_ts`` >= ``left_ts`` per key (pandas
+    ``merge_asof(direction='forward')``).
+
+    Implemented by time negation over :func:`asof_join`: the
+    earliest future event under ``ts`` is the latest past event
+    under ``-ts``, so the forward join inherits the backward plan
+    verbatim — one shuffle, union + last-ignorenulls window, no
+    inequality join — instead of duplicating the window machinery.
+    Tie semantics follow the backward operator: at equal ``right_ts``
+    the max-``tiebreak`` row wins. ns-long timestamps negate exactly
+    (no float passage)."""
+    l2 = left.withColumn(left_ts, -F.col(left_ts))
+    r2 = right.withColumn(right_ts, -F.col(right_ts))
+    out = asof_join(
+        l2, r2, keys, left_ts, right_ts, payload_cols,
+        tiebreak=tiebreak, suffix=suffix,
+    )
+    m = f"{right_ts}{suffix}"
+    return out.withColumn(left_ts, -F.col(left_ts)).withColumn(
+        m, -F.col(m)
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.operators.temporal import (
     asof_join,
+    asof_join_forward,
     merge_intervals,
     range_join_binned,
 )
@@ -406,4 +407,56 @@ def interval_merge_coverage(spark, sf_dir):
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("n_intervals").alias("n_intervals"),
         F.sum(F.col("isl_end") - F.col("isl_start")).alias("covered_days"),
+    )
+
+
+@query(
+    "asof_join_next_purchase",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+p1 AS (SELECT user_id, ts, event_id, value FROM p WHERE rn = 1)
+SELECT v.event_id, v.user_id,
+       epoch_us(v.ts) AS view_ts_us,
+       p1.event_id AS purchase_event_id,
+       epoch_us(p1.ts) AS purchase_ts_us,
+       p1.value AS purchase_value
+FROM v ASOF LEFT JOIN p1
+  ON v.user_id = p1.user_id AND v.ts <= p1.ts
+""",
+)
+def asof_join_next_purchase(spark, sf_dir):
+    """FORWARD as-of join: for every view, the user's next purchase
+    at-or-after it (pandas merge_asof direction='forward'; DuckDB's
+    native forward ASOF is the oracle). Time-negation reuse of the
+    backward union+window plan — see operators/temporal.py
+    asof_join_forward; same single shuffle, no inequality join."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        "value",
+    )
+    out = asof_join_forward(
+        v, p, ["user_id"], "ts", "ts",
+        ["purchase_event_id", "value"], tiebreak="purchase_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("view_ts_us"),
+        F.col("purchase_event_id_r").alias("purchase_event_id"),
+        F.expr("ts_r DIV 1000").alias("purchase_ts_us"),
+        F.col("value_r").alias("purchase_value"),
     )

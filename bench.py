@@ -115,6 +115,7 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "grid_proximity_join",
     "countmin_estimates",
+    "asof_join_next_purchase",
 ]
 
 

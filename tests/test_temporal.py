@@ -175,3 +175,29 @@ def test_merge_island_spans_beyond_first_interval_end(spark):
     # chained overlaps: each start is inside the PREVIOUS max end only
     got = _islands(spark, [(1, 0, 4, 1), (1, 3, 6, 2), (1, 5, 9, 3)])
     assert got == [(1, 1, 0, 9, 3)]
+
+
+def test_asof_forward_inclusive_and_tiebreak(spark):
+    from advisorydatapipeline_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 250), (1, 400), (2, 50)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10, 1.0),   # equal ts -> forward-inclusive match
+         (1, 100, 11, 2.0),   # tied ts: max tiebreak (11) wins
+         (1, 300, 12, 3.0)],
+        "k long, ts long, rid long, val double",
+    )
+    out = asof_join_forward(
+        left, right, ["k"], "ts", "ts", ["rid", "val"], tiebreak="rid"
+    ).collect()
+    got = {(r.k, r.ts): (r.rid_r, r.ts_r) for r in out}
+    assert got == {
+        (1, 100): (11, 100),   # inclusive + max-tiebreak at tie
+        (1, 250): (12, 300),   # next future event
+        (1, 400): (None, None),  # nothing ahead
+        (2, 50): (None, None),   # no right rows for key
+    }
