@@ -460,3 +460,97 @@ def asof_join_next_purchase(spark, sf_dir):
         F.expr("ts_r DIV 1000").alias("purchase_ts_us"),
         F.col("value_r").alias("purchase_value"),
     )
+
+
+@query(
+    "asof_join_nearest_purchase",
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
+),
+p AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+p1 AS (SELECT user_id, ts, event_id FROM p WHERE rn = 1),
+b AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         p1.event_id AS b_id, p1.ts AS b_ts
+  FROM c ASOF LEFT JOIN p1
+    ON c.user_id = p1.user_id AND c.ts >= p1.ts
+),
+f AS (
+  SELECT c.event_id, p1.event_id AS f_id, p1.ts AS f_ts
+  FROM c ASOF LEFT JOIN p1
+    ON c.user_id = p1.user_id AND c.ts <= p1.ts
+)
+SELECT b.event_id, b.user_id, epoch_us(b.ts) AS click_ts_us,
+       CASE
+         WHEN b_ts IS NULL THEN f_id
+         WHEN f_ts IS NULL THEN b_id
+         WHEN epoch_us(b.ts) - epoch_us(b_ts)
+              <= epoch_us(f_ts) - epoch_us(b.ts) THEN b_id
+         ELSE f_id
+       END AS purchase_event_id,
+       CASE
+         WHEN b_ts IS NULL THEN epoch_us(f_ts) - epoch_us(b.ts)
+         WHEN f_ts IS NULL THEN epoch_us(b.ts) - epoch_us(b_ts)
+         ELSE least(epoch_us(b.ts) - epoch_us(b_ts),
+                    epoch_us(f_ts) - epoch_us(b.ts))
+       END AS gap_us
+FROM b JOIN f ON b.event_id = f.event_id
+""",
+)
+def asof_join_nearest_purchase(spark, sf_dir):
+    """NEAREST as-of join (pandas merge_asof direction='nearest',
+    ties -> backward): each click matched to the user's closest
+    purchase in either time direction. Composition of the backward
+    and forward union+window operators joined on the unique left
+    event id — still zero inequality joins; the oracle runs BOTH
+    native DuckDB ASOF directions and replays the same
+    closest-with-backward-ties choice. Gap arithmetic truncates each
+    ts to us before differencing, matching the oracle's
+    epoch_us-based gaps."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).select("event_id", "user_id", "ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    b = asof_join(
+        c, p, ["user_id"], "ts", "ts", ["pid"], tiebreak="pid"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pid_r").alias("b_id"),
+        F.col("ts_r").alias("b_ts"),
+    )
+    f = asof_join_forward(
+        c, p, ["user_id"], "ts", "ts", ["pid"], tiebreak="pid"
+    ).select(
+        "event_id",
+        F.col("pid_r").alias("f_id"),
+        F.col("ts_r").alias("f_ts"),
+    )
+    j = b.join(f, "event_id")
+    gb = F.expr("ts DIV 1000 - b_ts DIV 1000")
+    gf = F.expr("f_ts DIV 1000 - ts DIV 1000")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("click_ts_us"),
+        F.when(F.col("b_ts").isNull(), F.col("f_id"))
+        .when(F.col("f_ts").isNull(), F.col("b_id"))
+        .when(gb <= gf, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .alias("purchase_event_id"),
+        F.when(F.col("b_ts").isNull(), gf)
+        .when(F.col("f_ts").isNull(), gb)
+        .otherwise(F.least(gb, gf))
+        .alias("gap_us"),
+    )

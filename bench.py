@@ -116,6 +116,7 @@ HEADLINE = [
     "grid_proximity_join",
     "countmin_estimates",
     "asof_join_next_purchase",
+    "asof_join_nearest_purchase",
 ]
 
 
