@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from advisorydatapipeline_spark.operators.temporal import asof_join
 from advisorydatapipeline_spark.queries.helpers import load
 from advisorydatapipeline_spark.registry import query
 
@@ -373,5 +374,274 @@ def cep_pattern_matches(spark, sf_dir):
             "start_us",
             "end_us",
             (F.col("end_us") - F.col("start_us")).alias("span_us"),
+        )
+    )
+
+
+US_HOUR = 3_600_000_000
+TREND_K = 3
+
+
+@query(
+    "trending_per_hour",
+    oracle=f"""
+WITH hc AS (
+  SELECT (epoch_us(ts) // {US_HOUR}) * {US_HOUR} AS hour_us, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT hour_us, event_type, n,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT hour_us, event_type, n,
+         row_number() OVER (PARTITION BY hour_us
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM hc
+)
+WHERE rnk <= {TREND_K}
+""",
+)
+def trending_per_hour(spark, sf_dir):
+    """Trending items: top-{3} event types per hour bucket by count,
+    deterministic (count DESC, type ASC) ranking — the leaderboard
+    shape every analytics surface serves. One partial-agg shuffle to
+    the (hour, type) table (tiny: hours x |types|); the rank window
+    runs on that rollup, never on events. At 100 TB the rollup is
+    the only event-scale pass and it combines map-side."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hc = (
+        ev.select(
+            F.expr(f"(ts DIV {US_HOUR * 1000}) * {US_HOUR}").alias(
+                "hour_us"
+            ),
+            "event_type",
+        )
+        .groupBy("hour_us", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("hour_us").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        hc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TREND_K)
+    )
+
+
+FUNNEL_STEP_US = 7 * 86_400_000_000  # 7-day stage-to-stage window
+
+
+@query(
+    "funnel_time_bound",
+    oracle=f"""
+WITH v1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS v_us
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+),
+c1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+  FROM events e JOIN v1 ON e.user_id = v1.user_id
+  WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+    AND epoch_us(e.ts) > v1.v_us
+    AND epoch_us(e.ts) <= v1.v_us + {FUNNEL_STEP_US}
+  GROUP BY 1
+),
+p1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN c1 ON e.user_id = c1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+    AND epoch_us(e.ts) > c1.c_us
+    AND epoch_us(e.ts) <= c1.c_us + {FUNNEL_STEP_US}
+  GROUP BY 1
+)
+SELECT CASE WHEN p_us IS NOT NULL THEN 3
+            WHEN c_us IS NOT NULL THEN 2
+            ELSE 1 END AS stage,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM v1 LEFT JOIN c1 USING (user_id) LEFT JOIN p1 USING (user_id)
+GROUP BY 1
+""",
+)
+def funnel_time_bound(spark, sf_dir):
+    """Time-bound conversion funnel: view -> click within 7 days ->
+    purchase within 7 days of the click (stage-to-stage windows —
+    what funnel_analysis' lifetime stage-mins cannot express, and
+    looser than cep_pattern_matches' strict contiguity: the three
+    funnel formulations triangulate the semantics space). Each stage
+    is one filtered min-agg joined to the previous stage's users;
+    all three joins key on user_id so AQE reuses one exchange, and
+    stage tables only ever shrink."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.expr("ts DIV 1000")
+
+    def stage(etype, prev, prev_col, alias):
+        e = ev.filter(F.col("event_type") == etype).select(
+            "user_id", us.alias("_us")
+        )
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("_us").alias(alias))
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("_us") > F.col(prev_col))
+                & (F.col("_us") <= F.col(prev_col) + FUNNEL_STEP_US)
+            )
+            .groupBy("user_id")
+            .agg(F.min("_us").alias(alias))
+        )
+
+    v1 = stage("view", None, None, "v_us")
+    c1 = stage("click", v1, "v_us", "c_us")
+    p1 = stage("purchase", c1, "c_us", "p_us")
+    return (
+        v1.join(c1, "user_id", "left")
+        .join(p1, "user_id", "left")
+        .select(
+            F.when(F.col("p_us").isNotNull(), F.lit(3))
+            .when(F.col("c_us").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("stage")
+        )
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SESSION_GAP_US = 3_600 * 1_000_000  # mirrors aggregates.sessionization
+
+
+@query(
+    "session_relative_features",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts_us, event_id) AS BIGINT)
+         AS idx_in_session,
+       CAST(ts_us - min(ts_us) OVER (PARTITION BY user_id, session_id)
+            AS BIGINT) AS us_since_start
+FROM sess
+""",
+)
+def session_relative_features(spark, sf_dir):
+    """Per-EVENT session-relative features (index within session, us
+    since session start) — the feature-engineering face of
+    sessionization: what a sequence model consumes, where the
+    `sessionization` entry emits per-session rollups. Three window
+    passes, all over (user_id)-rooted sorts, so one exchange serves
+    the gap flag, the running session id, and the within-session
+    rank/min — Catalyst reuses the sort across them."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(wu).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wu) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    return sess.select(
+        "user_id",
+        "event_id",
+        "session_id",
+        F.row_number().over(ws).cast("long").alias("idx_in_session"),
+        (
+            F.col("ts_us")
+            - F.min("ts_us").over(
+                Window.partitionBy("user_id", "session_id")
+            )
+        ).alias("us_since_start"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+v AS (
+  SELECT user_id, ts,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+),
+v1 AS (SELECT user_id, ts, k FROM v WHERE rn = 1),
+m AS (
+  SELECT p.cents, v1.k // 10 AS bucket
+  FROM p ASOF LEFT JOIN v1
+    ON p.user_id = v1.user_id AND p.ts >= v1.ts
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS attributed_cents
+FROM m GROUP BY bucket
+""",
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase's floor-cents
+    value credited to the campaign decile (props.k // 10) of the
+    user's most recent prior view; unattributed purchases land in
+    the NULL bucket. Composition entry: backward as-of join (one
+    shuffle, no inequality join) + JSON extraction + partial-agg
+    rollup — the marketing-attribution shape, value-gated end to
+    end against DuckDB's native ASOF."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    v = ev.filter(
+        (F.col("event_type") == "view") & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.col("event_id").alias("vid"),
+    )
+    m = asof_join(
+        p, v, ["user_id"], "ts", "ts", ["k"], tiebreak="vid"
+    )
+    return (
+        m.select(
+            "cents", F.expr("k_r DIV 10").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
         )
     )

@@ -117,6 +117,10 @@ HEADLINE = [
     "countmin_estimates",
     "asof_join_next_purchase",
     "asof_join_nearest_purchase",
+    "trending_per_hour",
+    "funnel_time_bound",
+    "session_relative_features",
+    "attribution_last_touch",
 ]
 
 
