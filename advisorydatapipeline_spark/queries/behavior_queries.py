@@ -645,3 +645,46 @@ def attribution_last_touch(spark, sf_dir):
             F.sum("cents").alias("attributed_cents"),
         )
     )
+
+
+@query(
+    "gap_histogram_log2",
+    oracle="""
+WITH gaps AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_us > 0
+GROUP BY 1
+""",
+)
+def gap_histogram_log2(spark, sf_dir):
+    """Inter-event gap distribution in log2 buckets (the latency/
+    cadence histogram every ops dashboard wants). The bucket is
+    ``len(binary(gap)) - 1`` — exact floor(log2) via STRING length
+    of the base-2 rendering, because float log2's last-ulp behavior
+    is libm-specific and would flake the gate at power-of-two
+    boundaries; string length is exact in both engines. One user-
+    keyed lag window (the shared exchange) then a partial-agg
+    histogram of at most 64 buckets."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.expr("ts DIV 1000")
+            - F.lag(F.expr("ts DIV 1000")).over(w)
+        ).alias("gap_us")
+    ).filter(F.col("gap_us") > 0)
+    return (
+        gaps.select(
+            (F.length(F.conv(F.col("gap_us"), 10, 2)) - 1)
+            .cast("long")
+            .alias("log2_bucket")
+        )
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )

@@ -13,6 +13,7 @@ before summing — the repo-wide oracle-portability rule.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from advisorydatapipeline_spark.queries.helpers import load
 from advisorydatapipeline_spark.registry import query
@@ -660,4 +661,71 @@ def regional_market_share(spark, sf_dir):
             ).cast("double").alias("nation_volume"),
             F.sum("volume").cast("double").alias("total_volume"),
         )
+    )
+
+
+@query(
+    "percent_of_parent_rollup",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS nation_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, nation_cents,
+       CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT)
+         AS region_cents,
+       CAST(nation_cents * 1000000
+            // CAST(sum(nation_cents) OVER (PARTITION BY region)
+                    AS BIGINT) AS BIGINT) AS share_ppm
+FROM rev
+""",
+)
+def percent_of_parent_rollup(spark, sf_dir):
+    """Percent-of-parent hierarchical rollup: nation revenue as an
+    integer-ppm share of its region (the drill-down tree every BI
+    tool renders). Revenue rides as floor-cents — the per-row double
+    product is IEEE-identical in both engines, and everything after
+    it is integer. One star-join pass (nation/region dims broadcast)
+    to a |nations|-row rollup; the percent-of-parent window runs on
+    that tiny table only."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)"
+        ).alias("_c"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("region", "nation")
+        .agg(F.sum("_c").alias("nation_cents"))
+    )
+    wr = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "nation_cents",
+        F.sum("nation_cents").over(wr).alias("region_cents"),
+        F.expr(
+            "nation_cents * 1000000 DIV "
+            "sum(nation_cents) OVER (PARTITION BY region)"
+        ).alias("share_ppm"),
     )

@@ -121,6 +121,8 @@ HEADLINE = [
     "funnel_time_bound",
     "session_relative_features",
     "attribution_last_touch",
+    "percent_of_parent_rollup",
+    "gap_histogram_log2",
 ]
 
 
