@@ -19,6 +19,7 @@ from advisorydatapipeline_spark.operators.curation import (
     sample_by_hash,
     scrub_pii,
 )
+from advisorydatapipeline_spark.functions.text import tokens
 from advisorydatapipeline_spark.operators.dedup import shingle_index
 from advisorydatapipeline_spark.queries.dedup_queries import (
     DUCK_HASH64,
@@ -532,4 +533,114 @@ def corpus_mixture_waterfill(spark, sf_dir):
         "n_docs",
         "tokens_total",
         F.col("alloc").alias("tokens_alloc"),
+    )
+
+
+@query(
+    "temperature_mix_rates",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+  FROM s
+)
+SELECT source, n_docs, weight,
+       CAST(weight * 1000000
+            // CAST(sum(weight) OVER () AS BIGINT) AS BIGINT)
+         AS sample_ppm
+FROM w
+""",
+)
+def temperature_mix_rates(spark, sf_dir):
+    """Temperature-balanced sampling rates (the XLM-R / mBERT
+    p^alpha recipe at alpha = 0.5): per-source weight = isqrt(docs),
+    sampling rate = integer-ppm share of the weight total. isqrt via
+    floor(sqrt(n)) is EXACT cross-engine (IEEE requires sqrt to be
+    correctly rounded, and below 2^52 the floor can't straddle an
+    integer boundary) — the one transcendental a hash-gated oracle
+    can use; a float power/log formulation could not be value-gated.
+    One partial-agg pass to the |sources|-row table; the normalizing
+    window runs there."""
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "weight", F.expr("CAST(floor(sqrt(n_docs)) AS BIGINT)")
+        )
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "weight",
+        F.expr(
+            "weight * 1000000 DIV sum(weight) OVER ()"
+        ).alias("sample_ppm"),
+    )
+
+
+@query(
+    "length_bucket_batching",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(len({DUCK_TOKENS.format(x='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens,
+       -- explicit floor: DuckDB's // on DOUBLE does NOT floor, and
+       -- a bare BIGINT cast would round up across the boundary
+       CAST(floor((CAST(count(*) AS BIGINT)
+             * power(2, CAST(length(bin(n_tokens)) - 1 AS BIGINT) + 1)
+             - sum(n_tokens)) * 1000000
+            / (CAST(count(*) AS BIGINT)
+               * power(2, CAST(length(bin(n_tokens)) - 1 AS BIGINT) + 1)))
+            AS BIGINT) AS pad_waste_ppm
+FROM t WHERE n_tokens > 0
+GROUP BY 1
+""",
+)
+def length_bucket_batching(spark, sf_dir):
+    """Dynamic-batching prep: docs binned into power-of-two token-
+    length buckets (exact floor(log2) via base-2 string length — no
+    libm), with the padding waste each bucket pays if batches pad to
+    the bucket ceiling (2^(b+1)) in ppm. This is the bucketing a
+    training dataloader runs to keep GPU batches dense; the waste
+    column is the quantity you tune bucket granularity against.
+    power(2, int) is exact in doubles far past any real length, so
+    the ppm arithmetic stays integer-valued on both engines."""
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(F.size(tokens("text")).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "len_bucket",
+            (F.length(F.conv(F.col("n_tokens"), 10, 2)) - 1).cast(
+                "long"
+            ),
+        )
+    )
+    g = t.groupBy("len_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("bucket_tokens"),
+    )
+    cap = F.expr("n_docs * power(2, len_bucket + 1)")
+    return g.select(
+        "len_bucket",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        "bucket_tokens",
+        ((cap - F.col("bucket_tokens")) * 1000000 / cap)
+        .cast("long")
+        .alias("pad_waste_ppm"),
     )

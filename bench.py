@@ -123,6 +123,8 @@ HEADLINE = [
     "attribution_last_touch",
     "percent_of_parent_rollup",
     "gap_histogram_log2",
+    "temperature_mix_rates",
+    "length_bucket_batching",
 ]
 
 
