@@ -20,6 +20,7 @@ from advisorydatapipeline_spark.operators.dedup import (
     simhash64_near_dupes,
     simhash_buckets,
 )
+from advisorydatapipeline_spark.functions.text import tokens
 from advisorydatapipeline_spark.queries.helpers import load
 from advisorydatapipeline_spark.registry import query
 
@@ -876,3 +877,117 @@ def dedup_jaccard_prefix(spark, sf_dir):
         max_doc_freq=MAX_DOC_FREQ,
     ).persist()
     return jaccard_pairs_prefix(idx, "doc_id", 2, 5)
+
+
+@query(
+    "syndicated_families",
+    oracle=f"""
+WITH comp AS ({_CLUSTERS_ORACLE}),
+fam AS (
+  SELECT c.cluster_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+  GROUP BY 1
+)
+SELECT cluster_id, n_docs, n_sources,
+       CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END AS is_syndicated
+FROM fam
+""",
+)
+def syndicated_families(spark, sf_dir):
+    """Syndication detector: near-dup content FAMILIES (connected
+    components over the exact-Jaccard pair graph) annotated with how
+    many sources each family spans — cross-source families are the
+    mirror/wire-copy signal a crawl prioritizer consumes; same-
+    source families are re-crawls. Reuses the dedup_clusters plan
+    (df-capped pairs -> min-label CC), then one join against the
+    tiny (doc_id, source) projection and a per-family rollup. The
+    oracle nests the full recursive-CTE clusters oracle as a
+    subquery and joins sources independently."""
+    from advisorydatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = shingle_index(
+        docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+    ).persist()
+    pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
+    cc = connected_components(pairs, "id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .join(src, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            "n_sources",
+            F.when(F.col("n_sources") >= 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_syndicated"),
+        )
+    )
+
+
+@query(
+    "ngram_novelty",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({DUCK_TOKENS.format(x='text')}))
+           AS tok
+  FROM documents
+),
+first_seen AS (
+  SELECT tok, min(doc_id) AS first_doc FROM sh GROUP BY tok
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(count(*) FILTER (WHERE f.first_doc = sh.doc_id) AS BIGINT)
+         AS n_novel,
+       CAST(count(*) FILTER (WHERE f.first_doc = sh.doc_id) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN first_seen f ON sh.tok = f.tok
+GROUP BY sh.doc_id
+""",
+)
+def ngram_novelty(spark, sf_dir):
+    """Corpus-order novelty score: per doc, the ppm fraction of its
+    distinct terms whose FIRST corpus occurrence (by doc_id order)
+    is this doc — the diversity/memorization signal curation uses to
+    spot boilerplate-heavy tails (novelty collapses as a corpus
+    saturates). Plan: one term shuffle builds the first-seen table
+    (a min-agg, map-side combinable), joined back to the per-doc
+    term lists on the same key — the exchange is reused, and the
+    doc-side rollup is partial-agg. Term-level, not positional:
+    |vocab| rows of state however big the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    first_seen = sh.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first_seen, "tok")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            novel.cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_terms").alias("novelty_ppm"),
+        )
+    )

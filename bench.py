@@ -125,6 +125,8 @@ HEADLINE = [
     "gap_histogram_log2",
     "temperature_mix_rates",
     "length_bucket_batching",
+    "syndicated_families",
+    "ngram_novelty",
 ]
 
 
