@@ -688,3 +688,126 @@ def gap_histogram_log2(spark, sf_dir):
         .groupBy("log2_bucket")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+@query(
+    "daily_autocorr_moments",
+    oracle=f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {US_DAY} AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+lagged AS (
+  SELECT u.lag AS lag_days, d.n_events AS y, p.n_events AS x
+  FROM daily d
+  JOIN (SELECT unnest([1, 7]) AS lag) u ON true
+  JOIN daily p ON p.day = d.day - u.lag
+)
+SELECT lag_days,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sx,
+       CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(y * y) AS BIGINT) AS syy,
+       CAST(sum(x * y) AS BIGINT) AS sxy
+FROM lagged GROUP BY 1
+""",
+)
+def daily_autocorr_moments(spark, sf_dir):
+    """Autocorrelation of the daily event-count series at lags 1 and
+    7, emitted as EXACT integer moments (n, sx, sy, sxx, syy, sxy) —
+    Pearson r is one driver-side formula away, but the distributed
+    part stays bit-stable (integer sums are association-order-free,
+    float reductions are not; same contract as
+    price_qty_regression's decimal moments). The lag pairing is a
+    self-join on the tiny daily rollup, not on events; the only
+    event-scale pass is the day rollup with map-side combine."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(F.expr(f"ts DIV {US_DAY * 1000}").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    lags = daily.sparkSession.createDataFrame(
+        [(1,), (7,)], "lag_days long"
+    )
+    d = daily.select("day", F.col("n_events").alias("y"))
+    p = daily.select(
+        F.col("day").alias("p_day"), F.col("n_events").alias("x")
+    )
+    lagged = (
+        d.crossJoin(F.broadcast(lags))
+        .join(
+            p,
+            F.col("p_day") == F.col("day") - F.col("lag_days"),
+        )
+    )
+    return lagged.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+
+
+@query(
+    "chi2_independence_scan",
+    oracle="""
+WITH obs AS (
+  -- calendar-free weekday: epoch-day mod 7 (0 = Thursday) — the
+  -- engines disagree on dayofweek() numbering (DuckDB 0-6 Sun-first,
+  -- Spark 1-7), integer day arithmetic cannot
+  SELECT event_type,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+margins AS (
+  SELECT event_type, dow, o,
+         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
+         CAST(sum(o) OVER () AS BIGINT) AS t
+  FROM obs
+)
+SELECT event_type, dow, o,
+       CAST(r * c // t AS BIGINT) AS e_floor,
+       CAST((o - r * c // t) * (o - r * c // t) * 1000000
+            // greatest(r * c // t, 1) AS BIGINT) AS cell_chi2_scaled
+FROM margins
+""",
+)
+def chi2_independence_scan(spark, sf_dir):
+    """Per-cell chi-square contributions for the event_type x
+    day-of-week contingency table (the independence screen a data-
+    quality monitor runs to catch schedule-skewed collection). The
+    expected count rides as the FLOOR integer r*c/t so every cell
+    statistic is exact integer arithmetic — a float expected-count
+    would be libm-identical but its squared residual would not
+    survive the hash gate across engines at boundary cells. One
+    event-scale rollup; margins and cells compute on the 5x7 table."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    obs = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts DIV {US_DAY * 1000}) % 7").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    return obs.selectExpr(
+        "event_type",
+        "dow",
+        "o",
+        "sum(o) OVER (PARTITION BY event_type) * sum(o) OVER (PARTITION BY dow)"
+        " DIV sum(o) OVER () AS e_floor",
+    ).selectExpr(
+        "event_type",
+        "dow",
+        "o",
+        "e_floor",
+        "(o - e_floor) * (o - e_floor) * 1000000"
+        " DIV greatest(e_floor, 1) AS cell_chi2_scaled",
+    )

@@ -127,6 +127,8 @@ HEADLINE = [
     "length_bucket_batching",
     "syndicated_families",
     "ngram_novelty",
+    "daily_autocorr_moments",
+    "chi2_independence_scan",
 ]
 
 

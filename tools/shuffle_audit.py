@@ -77,6 +77,19 @@ AUDIT = [
     "cep_pattern_matches",
     "dedup_jaccard_prefix",
     "grid_proximity_join",
+    "countmin_estimates",
+    "asof_join_next_purchase",
+    "asof_join_nearest_purchase",
+    "trending_per_hour",
+    "funnel_time_bound",
+    "session_relative_features",
+    "attribution_last_touch",
+    "percent_of_parent_rollup",
+    "gap_histogram_log2",
+    "temperature_mix_rates",
+    "length_bucket_batching",
+    "syndicated_families",
+    "ngram_novelty",
 ]
 
 
