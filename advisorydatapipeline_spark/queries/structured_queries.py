@@ -451,3 +451,110 @@ def pipe_syntax_aggregate(spark, sf_dir):
            GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, frequency, monetary_cents,
+         ntile(4) OVER (ORDER BY last_day, o_custkey) AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_quartile
+  FROM cust
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (ntile with the customer key as tiebreak — rank-based
+    splits are engine-identical only under a TOTAL order) rolled to
+    the 4x4x4 segment grid with counts and exact floor-cents value.
+    One shuffle to the customer rollup; the three ntile windows run
+    over that rollup (global sorts of |customers| rows — at real
+    scale swap for percent_rank against broadcast quantile cuts; the
+    quartile SEMANTICS here are the contract)."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+        ).alias("monetary_cents"),
+    )
+    def nt(order):
+        return F.ntile(4).over(
+            Window.orderBy(F.col(order), F.col("o_custkey"))
+        )
+    scored = cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        nt("last_day").alias("r_quartile"),
+        nt("frequency").alias("f_quartile"),
+        nt("monetary_cents").alias("m_quartile"),
+    )
+    return scored.groupBy(
+        "r_quartile", "f_quartile", "m_quartile"
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
+
+
+@query(
+    "benford_screen",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS lead_digit
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT lead_digit,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT)
+         AS freq_ppm
+FROM d GROUP BY 1
+""",
+)
+def benford_screen(spark, sf_dir):
+    """Benford's-law screen: leading-digit distribution of order
+    values (ppm), the classic fabricated-data / unit-mixing smell
+    test auditors run over financial columns. The leading digit is
+    taken from the DECIMAL STRING of exact floor-cents — no
+    log10/pow, so no libm variance — and the ppm shares are integer.
+    One scan + partial agg to nine rows; the normalizing window
+    touches only those nine."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").cast(
+                "string"
+            ),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("lead_digit")
+    )
+    return (
+        d.groupBy("lead_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .selectExpr(
+            "lead_digit",
+            "n",
+            "n * 1000000 DIV sum(n) OVER () AS freq_ppm",
+        )
+    )
