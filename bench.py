@@ -129,6 +129,8 @@ HEADLINE = [
     "ngram_novelty",
     "daily_autocorr_moments",
     "chi2_independence_scan",
+    "rfm_segments",
+    "benford_screen",
 ]
 
 
