@@ -766,3 +766,48 @@ def dpp_partitioned_join(spark, sf_dir):
             .alias("sum_cents"),
         )
     )
+
+
+@query(
+    "federated_dim_join",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS balance_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+)
+def federated_dim_join(spark, sf_dir):
+    """Federated JOIN across connectors: the nation dim read LIVE
+    from embedded Derby over JDBC, broadcast against the parquet
+    customer scan — the lakehouse-meets-operational-store join every
+    enrichment pipeline runs. The JDBC side is dim-sized (read once,
+    broadcast); the parquet side keeps its pushdown; the oracle
+    reads both relations from parquet, proving the JDBC hop is
+    lossless. Complements federated_union_scan (cross-format UNION)
+    with the cross-format JOIN face."""
+    from advisorydatapipeline_spark.sources.jdbc import read_jdbc_table
+
+    url = _derby_nation_url(spark, sf_dir)
+    n = read_jdbc_table(
+        spark,
+        url,
+        "nation_jdbc",
+        NATION_SCHEMA,
+        driver=DERBY_DRIVER,
+        strict=True,
+    ).select("n_nationkey", F.col("n_name").alias("nation"))
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("_b"),
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_b").alias("balance_cents"),
+        )
+    )

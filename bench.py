@@ -131,6 +131,7 @@ HEADLINE = [
     "chi2_independence_scan",
     "rfm_segments",
     "benford_screen",
+    "federated_dim_join",
 ]
 
 
