@@ -343,3 +343,96 @@ def ks_value_drift(spark, sf_dir):
         " - sum(n_late) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"
         " * 1000000 DIV sum(n_late) OVER ()) AS gap_ppm",
     )
+
+
+DIFF_BUCKETS = 64
+_ROWSTR = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' ||"
+    " CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+)
+_RH = f"(('0x' || substr(md5({_ROWSTR}), 1, 15))::BIGINT)"
+
+
+@query(
+    "table_diff_fingerprints",
+    oracle=f"""
+WITH a AS (SELECT *, {_RH} AS rh FROM orders),
+b AS (
+  SELECT *, {_RH} AS rh FROM (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 0.01
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+  )
+),
+fa AS (
+  SELECT o_orderkey % {DIFF_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_a,
+         CAST(bit_xor(rh) AS BIGINT) AS fp_a
+  FROM a GROUP BY 1
+),
+fb AS (
+  SELECT o_orderkey % {DIFF_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(bit_xor(rh) AS BIGINT) AS fp_b
+  FROM b GROUP BY 1
+)
+SELECT bucket, n_a, n_b,
+       CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END AS fp_match
+FROM fa JOIN fb USING (bucket)
+WHERE n_a <> n_b OR fp_a <> fp_b
+""",
+)
+def table_diff_fingerprints(spark, sf_dir):
+    """Merkle-style table diff: both table versions collapse to
+    {64} bucket fingerprints (row-hash XOR + count — XOR is the
+    order-free, mergeable combiner), and only mismatched buckets
+    surface for row-level investigation. This is how you reconcile
+    a replicated 100 TB table WITHOUT shuffling rows: each side
+    ships 64 (count, fingerprint) pairs however large the data. The
+    'other version' is derived in-plan with deterministic deletes
+    (keys % 97) and cent-level updates (keys % 89) so the diff has
+    known ground truth; row hashes ride the portable md5-60bit."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.expr("o_orderkey % 97 <> 0")).withColumn(
+        "o_totalprice",
+        F.expr(
+            "CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 0.01"
+            " ELSE o_totalprice END"
+        ),
+    )
+    rowstr = F.expr(_ROWSTR.replace("AS VARCHAR", "AS STRING"))
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    def fingerprint(df, n_alias, fp_alias):
+        return (
+            df.withColumn("_rh", hash64(rowstr))
+            .groupBy(
+                F.expr(f"o_orderkey % {DIFF_BUCKETS}").alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias(n_alias),
+                F.expr("bit_xor(_rh)").alias(fp_alias),
+            )
+        )
+
+    fa = fingerprint(o, "n_a", "fp_a")
+    fb = fingerprint(b, "n_b", "fp_b")
+    return (
+        fa.join(fb, "bucket")
+        .filter(
+            (F.col("n_a") != F.col("n_b"))
+            | (F.col("fp_a") != F.col("fp_b"))
+        )
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.when(F.col("fp_a") == F.col("fp_b"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("fp_match"),
+        )
+    )

@@ -132,6 +132,7 @@ HEADLINE = [
     "rfm_segments",
     "benford_screen",
     "federated_dim_join",
+    "table_diff_fingerprints",
 ]
 
 

@@ -156,6 +156,12 @@ AUDIT = [
     "length_bucket_batching",
     "syndicated_families",
     "ngram_novelty",
+    "daily_autocorr_moments",
+    "chi2_independence_scan",
+    "rfm_segments",
+    "benford_screen",
+    "federated_dim_join",
+    "table_diff_fingerprints",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
