@@ -242,3 +242,41 @@ def test_bloom_membership_properties(spark, corpus, probe_from_corpus):
         if probe_from_corpus:
             # zero false negatives: corpus shingles always hit
             assert r.n_maybe_in_corpus == r.n_shingles
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.sets(st.integers(0, 25), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    num=st.sampled_from([(1, 3), (2, 5), (1, 2), (3, 5)]),
+)
+def test_prefix_jaccard_equivalence(spark, docs, num):
+    """PPJoin prefix filtering must equal the full all-pairs plan on
+    ARBITRARY set families, at several rational thresholds — the
+    candidate-completeness theorem, property-tested."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    p, q = num
+    idx = spark.createDataFrame(
+        [(d, f"s{s}") for d, ss in enumerate(docs) for s in ss],
+        "doc_id long, shingle string",
+    )
+    truth = {
+        (r.id_a, r.id_b): (r.shared, r.n_a, r.n_b)
+        for r in jaccard_pairs(idx, "doc_id", p / q).collect()
+        # re-filter with exact rational arithmetic: the float
+        # threshold in jaccard_pairs may keep/drop boundary pairs
+        # differently than p/q — the prefix twin is the exact one
+        if r.shared * q >= (r.n_a + r.n_b - r.shared) * p
+    }
+    got = {
+        (r.id_a, r.id_b): (r.shared, r.n_a, r.n_b)
+        for r in jaccard_pairs_prefix(idx, "doc_id", p, q).collect()
+    }
+    assert got == truth

@@ -206,6 +206,8 @@ NESTED_LOOP_OK = {
     "inverted_index_postings",
     # 1-row broadcast (min ts, max ts) bounds scalar (midpoint split)
     "ks_value_drift",
+    # 2-row broadcast lag-list constant (lags 1 and 7)
+    "daily_autocorr_moments",
 }
 
 JOIN_PAT = re.compile(
