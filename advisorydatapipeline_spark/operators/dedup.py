@@ -769,17 +769,20 @@ def jaccard_pairs_prefix(
     p, q = jaccard_num, jaccard_den
     key = hash64(F.col("shingle")).alias("_sh")
     idxh = index.select(F.col(id_col), key)
-    dfreq = idxh.groupBy("_sh").agg(F.count("*").alias("_df"))
-    sizes = index.groupBy(id_col).agg(F.count("*").alias("n"))
-    ranked = (
-        idxh.join(dfreq, "_sh")
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("_df", "_sh")
-            ),
-        )
-        .join(sizes, id_col)
+    # df as a count-over-window on the _sh partition: ONE shuffle
+    # annotates every posting, where groupBy + join back would
+    # shuffle the index twice
+    withdf = idxh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+    )
+    ranked = withdf.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("_df", "_sh"))
+        .alias("_rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(id_col))
+        .alias("n"),
     )
     # prefix length = n - ceil(p*n/q) + 1, all-integer
     prefix = ranked.filter(

@@ -861,9 +861,11 @@ def dedup_jaccard_prefix(spark, sf_dir):
     same verification structure the LSH entries use — here both
     sides are exact, so the oracle is shared verbatim.
 
-    Honest trade-off, measured: at sf0.1 this runs ~4x SLOWER than
-    the df-capped all-pairs plan (8.1s vs 2.0s warm) — the df/rank
-    preparation passes dominate a small corpus. Its value is at the
+    Honest trade-off, measured: at sf0.1 this runs ~2-3x SLOWER
+    than the df-capped all-pairs plan (5.3-8.0s vs 2.0-3.2s) — the
+    df/rank window passes dominate a small corpus (already trimmed:
+    df rides a count-over-window, one index shuffle instead of a
+    groupBy + join-back pair). Its value is at the
     scale where the df-cap is not acceptable policy: prefix
     filtering bounds the candidate join WITHOUT dropping any shingle
     (complete exact result), which the capped plan cannot promise.
