@@ -811,3 +811,134 @@ def chi2_independence_scan(spark, sf_dir):
         "(o - e_floor) * (o - e_floor) * 1000000"
         " DIV greatest(e_floor, 1) AS cell_chi2_scaled",
     )
+
+
+@query(
+    "ab_test_lift",
+    oracle="""
+WITH arms AS (
+  SELECT user_id,
+         (('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 15))
+          ::BIGINT) % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS purchase_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST(sum(converted) * 1000000 // count(*) AS BIGINT)
+         AS conv_ppm,
+       CAST(sum(purchase_cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(purchase_cents) // count(*) AS BIGINT)
+         AS arpu_cents
+FROM arms GROUP BY arm
+""",
+)
+def ab_test_lift(spark, sf_dir):
+    """Experimentation readout: users deterministically split into
+    two arms by salted portable hash (the assignment IS the
+    experiment infrastructure — stable under re-runs and engine-
+    independent), with per-arm exact conversion ppm and ARPU in
+    floor-cents. One user rollup (partial-agg) then a 2-row arm
+    rollup; significance math happens driver-side on these exact
+    counts. Same salt-hash machinery as split_assignment, applied
+    to the metrics face."""
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    ev = load(spark, sf_dir, "events")
+    arms = (
+        ev.withColumn(
+            "arm",
+            hash64(
+                F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))
+            )
+            % 2,
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(floor(value * 100) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            ).alias("purchase_cents"),
+        )
+    )
+    return arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.expr("sum(converted) * 1000000 DIV count(*)").alias("conv_ppm"),
+        F.sum("purchase_cents").alias("revenue_cents"),
+        F.expr("sum(purchase_cents) DIV count(*)").alias("arpu_cents"),
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle=f"""
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts) // {US_DAY}) AS cohort_day
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_day,
+         (epoch_us(e.ts) // {US_DAY}) - f.cohort_day AS age_days,
+         CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT cohort_day, age_days, day_cents,
+       CAST(sum(day_cents) OVER (
+         PARTITION BY cohort_day ORDER BY age_days
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_cents
+FROM rev
+""",
+)
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort LTV curve: cumulative purchase revenue (exact floor-
+    cents) by signup cohort and account age in days — the growth-
+    accounting surface retention_cohorts' user counts feed into. The
+    cohort join keys on user_id (the exchange every behavior query
+    shares), the day rollup partial-aggs, and the cumulative window
+    runs on the cohort x age grid, not on events."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    firsts = (
+        ev.select("user_id", F.expr(f"ts DIV {US_DAY * 1000}").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(f"ts DIV {US_DAY * 1000}").alias("d"),
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("_c"),
+        )
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("d") - F.col("cohort_day")).alias("age_days"),
+        )
+        .agg(F.sum("_c").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "cohort_day",
+        "age_days",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("cum_cents"),
+    )

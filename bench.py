@@ -133,6 +133,8 @@ HEADLINE = [
     "benford_screen",
     "federated_dim_join",
     "table_diff_fingerprints",
+    "ab_test_lift",
+    "cohort_ltv_curve",
 ]
 
 

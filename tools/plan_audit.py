@@ -162,6 +162,8 @@ AUDIT = [
     "benford_screen",
     "federated_dim_join",
     "table_diff_fingerprints",
+    "ab_test_lift",
+    "cohort_ltv_curve",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -96,6 +96,8 @@ AUDIT = [
     "benford_screen",
     "federated_dim_join",
     "table_diff_fingerprints",
+    "ab_test_lift",
+    "cohort_ltv_curve",
 ]
 
 
