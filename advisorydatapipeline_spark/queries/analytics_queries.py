@@ -921,3 +921,119 @@ def histogram_quantile_estimate(spark, sf_dir):
             "est_lower_edge"
         ),
     )
+
+
+SNM_WINDOW = 3  # compare each record with its next W sort neighbors
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+WITH s AS (
+  SELECT p_partkey, lower(p_name) AS nm,
+         row_number() OVER (ORDER BY lower(p_name), p_partkey) AS rn
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+  FROM s a JOIN s b
+    ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+  WHERE levenshtein(a.nm, b.nm) <= 2
+)
+SELECT id_a, id_b, dist FROM pairs
+""",
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-Neighborhood Method (Hernandez & Stolfo): the OTHER
+    classic entity-resolution blocking — sort on a fuzzy key, then
+    compare each record only with its next {3} sort neighbors.
+    Complements fuzzy_name_pairs' hash blocking: SNM catches pairs
+    whose first token differs (hash blocking's blind spot) as long
+    as they sort adjacently. Spark plan: rank window, then the
+    neighbor join becomes a LEAD explode — each row emits its {3}
+    (rn, offset) probes and equi-joins back on rn, so no inequality
+    join exists and the work is W x |rows| however large the table.
+    At scale the global sort becomes a range-partitioned sort; the
+    window body is unchanged."""
+    s = load(spark, sf_dir, "part").select(
+        "p_partkey", F.lower("p_name").alias("nm")
+    )
+    w = Window.orderBy("nm", "p_partkey")
+    ranked = s.withColumn("rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("nm").alias("nm_a"),
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(i) for i in range(1, SNM_WINDOW + 1)])
+        ).alias("rn_b"),
+    )
+    b = ranked.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("nm").alias("nm_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(b, "rn_b")
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b", 2).cast("long"))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "winsorized_revenue",
+    oracle=f"""
+WITH fences AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+         quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+  FROM lineitem GROUP BY 1
+),
+clamped AS (
+  SELECT l.l_returnflag,
+         CAST(floor(least(greatest(l.l_extendedprice, f.lo), f.hi) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS winsorized_cents,
+       CAST(sum(cents) // count(*) AS BIGINT) AS winsorized_mean_cents
+FROM clamped GROUP BY l_returnflag
+""",
+)
+def winsorized_revenue(spark, sf_dir):
+    """Winsorized (outlier-clamped) revenue per return flag: exact
+    P05/P95 fences (both engines' continuous percentile interpolates
+    identically on the sorted doubles), values clamped to the
+    fences, floor-cents AFTER clamping so the aggregation is pure
+    integer. The robust-statistics twin of mad_outliers — two passes
+    over the same grouped exchange: fence agg broadcast back, then
+    clamp + partial agg."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile(l_extendedprice, {WINSOR_LO})"
+        ).alias("lo"),
+        F.expr(
+            f"percentile(l_extendedprice, {WINSOR_HI})"
+        ).alias("hi"),
+    )
+    clamped = li.join(F.broadcast(fences), "l_returnflag").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(floor(least(greatest(l_extendedprice, lo), hi) * 100)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("winsorized_cents"),
+        F.expr("sum(cents) DIV count(*)").alias("winsorized_mean_cents"),
+    )

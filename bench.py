@@ -135,6 +135,8 @@ HEADLINE = [
     "table_diff_fingerprints",
     "ab_test_lift",
     "cohort_ltv_curve",
+    "sorted_neighborhood_pairs",
+    "winsorized_revenue",
 ]
 
 

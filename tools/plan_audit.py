@@ -164,6 +164,8 @@ AUDIT = [
     "table_diff_fingerprints",
     "ab_test_lift",
     "cohort_ltv_curve",
+    "sorted_neighborhood_pairs",
+    "winsorized_revenue",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
