@@ -942,3 +942,93 @@ def cohort_ltv_curve(spark, sf_dir):
         "day_cents",
         F.sum("day_cents").over(w).alias("cum_cents"),
     )
+
+
+@query(
+    "basket_pair_lift",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_DAY} AS day, event_type
+  FROM events WHERE ts IS NOT NULL
+),
+n_baskets AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM (SELECT DISTINCT user_id, day FROM items)
+),
+singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_ab,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(p.n_ab * nb.t * 1000000 // (sa.n * sb.n) AS BIGINT)
+         AS lift_ppm
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.item_a
+JOIN singles sb ON sb.event_type = p.item_b
+CROSS JOIN n_baskets nb
+""",
+)
+def basket_pair_lift(spark, sf_dir):
+    """Market-basket association: support and integer-ppm lift for
+    every event-type pair co-occurring in a (user, day) basket —
+    lift > 1e6 means the pair co-occurs more than independence
+    predicts. The basket self-join keys on (user, day), so pair
+    blowup is bounded by per-basket item count (<= |event types|,
+    a constant) — the property that makes frequent-itemset mining
+    feasible at 100 TB. Singles and the basket total broadcast back
+    onto the tiny pair table; everything after the distinct is
+    integer."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    items = ev.select(
+        "user_id",
+        F.expr(f"ts DIV {US_DAY * 1000}").alias("day"),
+        "event_type",
+    ).distinct()
+    t = items.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    singles = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = items.select(
+        "user_id", "day", F.col("event_type").alias("item_a")
+    )
+    b = items.select(
+        "user_id", "day", F.col("event_type").alias("item_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("item_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("item_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_ab * t * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

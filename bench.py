@@ -137,6 +137,7 @@ HEADLINE = [
     "cohort_ltv_curve",
     "sorted_neighborhood_pairs",
     "winsorized_revenue",
+    "basket_pair_lift",
 ]
 
 

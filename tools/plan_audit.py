@@ -166,6 +166,7 @@ AUDIT = [
     "cohort_ltv_curve",
     "sorted_neighborhood_pairs",
     "winsorized_revenue",
+    "basket_pair_lift",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -100,6 +100,7 @@ AUDIT = [
     "cohort_ltv_curve",
     "sorted_neighborhood_pairs",
     "winsorized_revenue",
+    "basket_pair_lift",
 ]
 
 
