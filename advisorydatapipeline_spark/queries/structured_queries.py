@@ -558,3 +558,63 @@ def benford_screen(spark, sf_dir):
             "n * 1000000 DIV sum(n) OVER () AS freq_ppm",
         )
     )
+
+
+@query(
+    "pareto_skyline",
+    oracle="""
+WITH pts AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+)
+SELECT a.o_custkey, a.frequency, a.monetary_cents
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.frequency >= a.frequency
+    AND b.monetary_cents >= a.monetary_cents
+    AND (b.frequency > a.frequency
+         OR b.monetary_cents > a.monetary_cents)
+)
+""",
+)
+def pareto_skyline(spark, sf_dir):
+    """Pareto skyline (maximal vectors): customers not strictly
+    dominated on (order frequency, monetary value). The oracle is
+    the O(n^2) NOT EXISTS definition; the Spark plan is the
+    O(n log n) sort-window algorithm — a point survives iff its
+    monetary beats every point with strictly HIGHER frequency (a
+    RANGE frame excluding the current frequency) AND it is the
+    monetary max within its own frequency (same-frequency domination
+    + exact-tie points both kept). Two window passes over one
+    (frequency-ordered) sort; at scale the global sort range-
+    partitions and everything else is per-row."""
+    o = load(spark, sf_dir, "orders")
+    pts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+        ).alias("monetary_cents"),
+    )
+    w_higher = (
+        Window.orderBy(F.col("frequency").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("frequency")
+    scored = pts.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        F.max("monetary_cents").over(w_higher).alias("_best_higher"),
+        F.max("monetary_cents").over(w_equal).alias("_best_equal"),
+    )
+    return scored.filter(
+        (
+            F.col("_best_higher").isNull()
+            | (F.col("monetary_cents") > F.col("_best_higher"))
+        )
+        & (F.col("monetary_cents") == F.col("_best_equal"))
+    ).select("o_custkey", "frequency", "monetary_cents")

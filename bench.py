@@ -138,6 +138,7 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "winsorized_revenue",
     "basket_pair_lift",
+    "pareto_skyline",
 ]
 
 

@@ -167,6 +167,7 @@ AUDIT = [
     "sorted_neighborhood_pairs",
     "winsorized_revenue",
     "basket_pair_lift",
+    "pareto_skyline",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -101,6 +101,7 @@ AUDIT = [
     "sorted_neighborhood_pairs",
     "winsorized_revenue",
     "basket_pair_lift",
+    "pareto_skyline",
 ]
 
 
