@@ -15,6 +15,7 @@ engines hash the same values.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from advisorydatapipeline_spark.operators.temporal import (
     asof_join,
@@ -553,4 +554,67 @@ def asof_join_nearest_purchase(spark, sf_dir):
         .when(F.col("f_ts").isNull(), gb)
         .otherwise(F.least(gb, gf))
         .alias("gap_us"),
+    )
+
+
+@query(
+    "interval_concurrency_curve",
+    oracle="""
+WITH iv AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS start_day,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           + CAST(floor(l_quantity) AS BIGINT) AS end_day
+  FROM lineitem
+),
+deltas AS (
+  SELECT start_day AS day, CAST(count(*) AS BIGINT) AS delta FROM iv
+  GROUP BY 1
+  UNION ALL
+  SELECT end_day + 1 AS day, -CAST(count(*) AS BIGINT) AS delta FROM iv
+  GROUP BY 1
+),
+curve AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY 1
+)
+SELECT day,
+       CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_active
+FROM curve
+""",
+)
+def interval_concurrency_curve(spark, sf_dir):
+    """Sweep-line concurrency curve: how many supplier-busy
+    intervals (ship_day .. ship_day + quantity, as in
+    interval_merge_coverage) are active on each boundary day — the
+    resource-utilization question behind capacity planning, answered
+    WITHOUT expanding intervals to their days. Each interval becomes
+    two deltas (+1 at start, -1 past end), deltas partial-agg to one
+    row per boundary day, and a single running sum rebuilds the
+    curve: shuffle volume is 2x intervals collapsing to |distinct
+    days|, never interval-length-dependent. The global running sum
+    orders by day — at scale a range-partitioned prefix-sum; here
+    the curve table is tiny."""
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = load(spark, sf_dir, "lineitem").select(
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("start_day"),
+        (
+            F.datediff(F.to_date("l_shipdate"), epoch)
+            + F.expr("CAST(floor(l_quantity) AS BIGINT)")
+        ).alias("end_day"),
+    )
+    starts = iv.groupBy(F.col("start_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    ends = iv.groupBy((F.col("end_day") + 1).alias("day")).agg(
+        (-F.count(F.lit(1))).alias("delta")
+    )
+    curve = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.select(
+        "day", F.sum("net").over(w).alias("n_active")
     )

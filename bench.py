@@ -139,6 +139,7 @@ HEADLINE = [
     "winsorized_revenue",
     "basket_pair_lift",
     "pareto_skyline",
+    "interval_concurrency_curve",
 ]
 
 

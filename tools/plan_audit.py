@@ -168,6 +168,7 @@ AUDIT = [
     "winsorized_revenue",
     "basket_pair_lift",
     "pareto_skyline",
+    "interval_concurrency_curve",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -102,6 +102,7 @@ AUDIT = [
     "winsorized_revenue",
     "basket_pair_lift",
     "pareto_skyline",
+    "interval_concurrency_curve",
 ]
 
 
