@@ -24,7 +24,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from advisorydatapipeline_spark.registry import query
+from advisorydatapipeline_spark.registry import ORACLES, query
 from advisorydatapipeline_spark.streaming.pipeline import (
     read_event_stream,
     session_event_counts,
@@ -555,4 +555,50 @@ def streaming_sliding_distinct(spark, sf_dir):
     drained = _run_to_memory(pairs, spark)
     return drained.groupBy("window_start_us").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
+    "streaming_transition_counts",
+    oracle=ORACLES["event_transition_matrix"],
+)
+def streaming_transition_counts(spark, sf_dir):
+    """Streaming twin of event_transition_matrix: per-user Markov
+    transition deltas from an applyInPandasWithState operator whose
+    state is exactly ONE remembered event per user (see
+    streaming/pipeline.running_transitions), drained availableNow
+    and rolled up to the same (from, to, count, ppm) matrix — hash-
+    checked against the identical batch-lag-window oracle."""
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        running_transitions,
+    )
+
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    name = f"adp_transitions_{next(_uniq)}"
+    q = (
+        running_transitions(
+            stream.filter(F.col("ts").isNotNull()).select(
+                "user_id", "event_id", "ts", "event_type"
+            )
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.sql(
+        f"""
+        WITH tr AS (
+          SELECT from_type, to_type, sum(n) AS n_transitions
+          FROM {name} GROUP BY 1, 2
+        )
+        SELECT from_type, to_type,
+               CAST(n_transitions AS BIGINT) AS n_transitions,
+               n_transitions * 1000000 DIV
+                 sum(n_transitions) OVER (PARTITION BY from_type) AS ppm
+        FROM tr
+        """
     )

@@ -320,3 +320,61 @@ def running_value_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+TRANSITIONS_OUT = "from_type string, to_type string, n long"
+TRANSITIONS_STATE = "last_ts long, last_eid long, last_type string"
+
+
+def running_transitions(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user Markov transition
+    DELTAS via applyInPandasWithState. State holds the user's last
+    event (ts, event_id, type); each micro-batch sorts its group
+    rows by (ts, event_id), chains them onto the remembered last
+    event, emits this batch's (from_type -> to_type) counts, and
+    advances the state — so transitions NEVER recount across batches
+    and the union of all emitted deltas equals the batch lag-window
+    matrix under any batch split (as long as event time does not
+    regress across batches; the file source replays in file order,
+    and the gate drains availableNow).
+
+    This is the state-machine face the built-in windowed aggregates
+    can't express: the transition depends on the PREVIOUS row, so
+    the operator must remember exactly one event per key — O(keys)
+    state, no timeline buffering.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        types = rows["event_type"].tolist()
+        prev: list[str] = []
+        if state.exists:
+            prev = [state.get[2]]
+        chain = prev + types
+        pairs: dict[tuple[str, str], int] = {}
+        for a, b in zip(chain, chain[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        if types:
+            last = rows.iloc[-1]
+            state.update(
+                (int(last["ts"]), int(last["event_id"]), str(last["event_type"]))
+            )
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "from_type": [k[0] for k in pairs],
+                    "to_type": [k[1] for k in pairs],
+                    "n": list(pairs.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        TRANSITIONS_OUT,
+        TRANSITIONS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -140,6 +140,7 @@ HEADLINE = [
     "basket_pair_lift",
     "pareto_skyline",
     "interval_concurrency_curve",
+    "streaming_transition_counts",
 ]
 
 

@@ -344,3 +344,64 @@ def test_streaming_merge_accumulates_across_batches(
     # (not a single-batch insert) produced the totals
     ran = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(ran) >= 2
+
+
+def test_running_transitions_chain_across_batches(spark, tmp_path):
+    """The remembered-last-event state must chain transitions across
+    micro-batch boundaries: with one file per trigger, the first
+    event of batch 2 forms a pair with the LAST event of batch 1."""
+    import time
+
+    import pandas as pd
+
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        EVENT_STREAM_SCHEMA,
+        read_event_stream,
+        running_transitions,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = 1_700_000_000_000_000  # epoch-us
+    f1 = [(1, base + 1, 7, "view", 1.0, None),
+          (2, base + 2, 7, "click", 1.0, None)]
+    f2 = [(3, base + 3, 7, "purchase", 1.0, None)]
+    sch = ("event_id long, ts_us long, user_id long, event_type string,"
+           " value double, props string")
+
+    def write(rows, sub):
+        # the stream schema reads ts as TIMESTAMP_NTZ (what the
+        # driver's parquet carries); render it from exact us ints
+        df = spark.createDataFrame(rows, sch).selectExpr(
+            "event_id",
+            "CAST(timestamp_micros(ts_us) AS timestamp_ntz) AS ts",
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.parquet(str(d / sub), mode="overwrite")
+
+    write(f1, "b1")
+    time.sleep(1.1)  # file source orders batches by mod time
+    write(f2, "b2")
+    stream = read_event_stream(
+        spark, str(d / "*"), max_files_per_trigger=1
+    )
+    q = (
+        running_transitions(
+            stream.select("user_id", "event_id", "ts", "event_type")
+        )
+        .writeStream.format("memory")
+        .queryName("tr_x_batch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.sql(
+            "SELECT from_type, to_type, sum(n) AS n FROM tr_x_batch"
+            " GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}
