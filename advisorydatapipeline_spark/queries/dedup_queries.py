@@ -993,3 +993,55 @@ def ngram_novelty(spark, sf_dir):
             F.expr("n_novel * 1000000 DIV n_terms").alias("novelty_ppm"),
         )
     )
+
+
+_SCURVE_CONFIGS = "(4, 4), (8, 2), (2, 8), (16, 1)"  # (bands, rows)
+
+
+@query(
+    "lsh_s_curve",
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(u.i AS BIGINT) AS step,
+         u.i / 20.0 AS s
+  FROM unnest(range(1, 20)) AS u(i)
+),
+cfg AS (
+  SELECT * FROM (VALUES {_SCURVE_CONFIGS}) AS t(bands, rows_per_band)
+)
+SELECT g.step, CAST(c.bands AS BIGINT) AS bands,
+       CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+       1.0 - power(1.0 - power(g.s, c.rows_per_band), c.bands)
+         AS p_candidate
+FROM grid g CROSS JOIN cfg c
+""",
+)
+def lsh_s_curve(spark, sf_dir):
+    """LSH tuning table: the s-curve P(candidate | similarity s) =
+    1 - (1 - s^r)^b for each (bands, rows) split of a 16-perm
+    signature, over a 19-step similarity grid — the planning query
+    you run BEFORE a MinHash job to pick banding (lsh_recall_eval
+    then validates the pick empirically). Pure per-row float math
+    with an identical expression tree on both engines (IEEE
+    division/power are deterministic per-row; nothing aggregates),
+    so even the doubles hash-gate cleanly. No table inputs: the grid
+    is generated in-plan."""
+    spark_grid = spark.range(1, 20).select(
+        F.col("id").alias("step"), (F.col("id") / 20.0).alias("s")
+    )
+    cfg = spark.createDataFrame(
+        [(4, 4), (8, 2), (2, 8), (16, 1)],
+        "bands long, rows_per_band long",
+    )
+    return spark_grid.crossJoin(F.broadcast(cfg)).select(
+        "step",
+        "bands",
+        "rows_per_band",
+        (
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow(F.col("s"), F.col("rows_per_band")),
+                F.col("bands"),
+            )
+        ).alias("p_candidate"),
+    )

@@ -141,6 +141,7 @@ HEADLINE = [
     "pareto_skyline",
     "interval_concurrency_curve",
     "streaming_transition_counts",
+    "lsh_s_curve",
 ]
 
 
