@@ -1032,3 +1032,121 @@ def basket_pair_lift(spark, sf_dir):
             ).alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "activity_streaks",
+    oracle=f"""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_DAY} AS day
+  FROM events WHERE ts IS NOT NULL
+),
+grp AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS streak_key
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM grp GROUP BY user_id, streak_key
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY user_id
+""",
+)
+def activity_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks per user (the engagement
+    metric behind every 'X-day streak' badge): the day-minus-rank
+    trick turns consecutive runs into equal keys — one distinct
+    shuffle, one window, two partial aggs, no self-join. The rank
+    window and both rollups share the user_id exchange."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = ev.select(
+        "user_id", F.expr(f"ts DIV {US_DAY * 1000}").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "streak_key", F.col("day") - F.row_number().over(w)
+    )
+    streaks = grp.groupBy("user_id", "streak_key").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@query(
+    "bounce_rate_daily",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+per_session AS (
+  SELECT user_id, session_id,
+         min(ts_us) // {US_DAY} AS start_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT start_day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM per_session GROUP BY start_day
+""",
+)
+def bounce_rate_daily(spark, sf_dir):
+    """Daily bounce rate: share of sessions (1 h inactivity gap, the
+    sessionization contract) containing exactly one event, by
+    session-start day in integer ppm — the engagement-quality metric
+    product teams watch. Reuses the session windows' user exchange;
+    the daily rollup is partial-agg over the per-session table."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(wu).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wu) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.expr(f"min(ts_us) DIV {US_DAY}").alias("start_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy("start_day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("n_events") == 1, 1).otherwise(0)
+        ).alias("n_bounces"),
+        F.expr(
+            "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*)"
+        ).alias("bounce_ppm"),
+    )

@@ -142,6 +142,8 @@ HEADLINE = [
     "interval_concurrency_curve",
     "streaming_transition_counts",
     "lsh_s_curve",
+    "activity_streaks",
+    "bounce_rate_daily",
 ]
 
 

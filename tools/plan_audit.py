@@ -169,6 +169,10 @@ AUDIT = [
     "basket_pair_lift",
     "pareto_skyline",
     "interval_concurrency_curve",
+    "streaming_transition_counts",
+    "lsh_s_curve",
+    "activity_streaks",
+    "bounce_rate_daily",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
