@@ -729,3 +729,55 @@ def percent_of_parent_rollup(spark, sf_dir):
             "sum(nation_cents) OVER (PARTITION BY region)"
         ).alias("share_ppm"),
     )
+
+
+@query(
+    "ship_latency_percentiles",
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50_days,
+       CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90_days,
+       CAST(quantile_disc(days, 0.99) AS BIGINT) AS p99_days,
+       CAST(max(days) AS BIGINT) AS max_days
+FROM lat GROUP BY o_orderpriority
+""",
+)
+def ship_latency_percentiles(spark, sf_dir):
+    """Order-to-ship latency SLA report: exact discrete percentiles
+    of ship delay (days) per order priority — the ops-latency shape
+    (p50/p90/p99) every SLA dashboard renders, computed EXACTLY
+    (discrete percentile of integer days dodges both engines'
+    interpolation differences). One fact join with the dim broadcast
+    and a grouped percentile agg; at petabyte scale swap the exact
+    percentile for the mergeable histogram sketch entry — the
+    contract here is the exact twin."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).cast("long").alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_approx(days, 0.5, 2147483647)")
+        .cast("long")
+        .alias("p50_days"),
+        F.expr("percentile_approx(days, 0.9, 2147483647)")
+        .cast("long")
+        .alias("p90_days"),
+        F.expr("percentile_approx(days, 0.99, 2147483647)")
+        .cast("long")
+        .alias("p99_days"),
+        F.max("days").alias("max_days"),
+    )

@@ -144,6 +144,7 @@ HEADLINE = [
     "lsh_s_curve",
     "activity_streaks",
     "bounce_rate_daily",
+    "ship_latency_percentiles",
 ]
 
 

@@ -173,6 +173,7 @@ AUDIT = [
     "lsh_s_curve",
     "activity_streaks",
     "bounce_rate_daily",
+    "ship_latency_percentiles",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

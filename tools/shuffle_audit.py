@@ -107,6 +107,7 @@ AUDIT = [
     "lsh_s_curve",
     "activity_streaks",
     "bounce_rate_daily",
+    "ship_latency_percentiles",
 ]
 
 
