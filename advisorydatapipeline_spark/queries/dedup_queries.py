@@ -1045,3 +1045,68 @@ def lsh_s_curve(spark, sf_dir):
             )
         ).alias("p_candidate"),
     )
+
+
+EVIDENCE_K = 3
+
+
+@query(
+    "dedup_pair_evidence",
+    oracle=f"""
+WITH {_JACCARD_CTES},
+shared_sh AS (
+  SELECT jp.id_a, jp.id_b, a.sh64
+  FROM jp
+  JOIN shh a ON a.doc_id = jp.id_a
+  JOIN shh b ON b.doc_id = jp.id_b AND b.sh64 = a.sh64
+),
+ranked AS (
+  SELECT id_a, id_b, sh64,
+         row_number() OVER (PARTITION BY id_a, id_b ORDER BY sh64)
+           AS rk
+  FROM shared_sh
+)
+SELECT id_a, id_b,
+       string_agg(CAST(sh64 AS VARCHAR), ',' ORDER BY sh64)
+         AS evidence_hashes
+FROM ranked WHERE rk <= {EVIDENCE_K}
+GROUP BY id_a, id_b
+""",
+)
+def dedup_pair_evidence(spark, sf_dir):
+    """Near-dup pair EVIDENCE: for every confirmed Jaccard pair, the
+    {3} smallest shared shingle hashes rendered as a stable string —
+    the forensics a reviewer pulls to see WHY two docs were called
+    duplicates (auditability is what lets a 100 TB dedup decision be
+    contested). Candidates join back to the shingle index on both
+    sides of the pair; the per-pair top-k rides one window over the
+    shared-shingle rows, bounded by the pair's own shingle overlap."""
+    from advisorydatapipeline_spark.functions.text import hash64
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    idx = shingle_index(
+        docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+    ).persist()
+    pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD).select(
+        "id_a", "id_b"
+    )
+    hashed = idx.select(
+        F.col("doc_id"), hash64(F.col("shingle")).alias("sh64")
+    )
+    a = hashed.select(F.col("doc_id").alias("id_a"), "sh64")
+    b = hashed.select(F.col("doc_id").alias("id_b"), "sh64")
+    shared = pairs.join(a, "id_a").join(b, ["id_b", "sh64"])
+    w = Window.partitionBy("id_a", "id_b").orderBy("sh64")
+    topk = shared.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= EVIDENCE_K
+    )
+    return topk.groupBy("id_a", "id_b").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("sh64")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("evidence_hashes")
+    )

@@ -145,6 +145,7 @@ HEADLINE = [
     "activity_streaks",
     "bounce_rate_daily",
     "ship_latency_percentiles",
+    "dedup_pair_evidence",
 ]
 
 

@@ -174,6 +174,7 @@ AUDIT = [
     "activity_streaks",
     "bounce_rate_daily",
     "ship_latency_percentiles",
+    "dedup_pair_evidence",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -108,6 +108,7 @@ AUDIT = [
     "activity_streaks",
     "bounce_rate_daily",
     "ship_latency_percentiles",
+    "dedup_pair_evidence",
 ]
 
 
