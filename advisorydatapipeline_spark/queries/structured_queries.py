@@ -618,3 +618,66 @@ def pareto_skyline(spark, sf_dir):
         )
         & (F.col("monetary_cents") == F.col("_best_equal"))
     ).select("o_custkey", "frequency", "monetary_cents")
+
+
+@query(
+    "lorenz_revenue_deciles",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+decs AS (
+  SELECT o_custkey, cents,
+         ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM cust
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS decile_cents,
+       CAST(sum(cents) * 1000000
+            // CAST(sum(sum(cents)) OVER () AS BIGINT) AS BIGINT)
+         AS share_ppm,
+       CAST(sum(sum(cents)) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) * 1000000
+            // CAST(sum(sum(cents)) OVER () AS BIGINT) AS BIGINT)
+         AS cum_share_ppm
+FROM decs GROUP BY decile
+""",
+)
+def lorenz_revenue_deciles(spark, sf_dir):
+    """Revenue-concentration (Lorenz) curve: customers ranked into
+    revenue deciles (total order, custkey tiebreak), each decile's
+    exact floor-cents share and cumulative share in integer ppm —
+    the 'top 10% of customers drive X% of revenue' answer, and the
+    discrete Lorenz curve a Gini computation reads off. One customer
+    rollup, one global ntile (range-partitioned sort at scale), and
+    the share windows run on the 10-row decile table."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    decs = cust.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    g = decs.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    return g.selectExpr(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        "decile_cents * 1000000 DIV sum(decile_cents) OVER ()"
+        " AS share_ppm",
+        "sum(decile_cents) OVER (ORDER BY decile ROWS UNBOUNDED"
+        " PRECEDING) * 1000000 DIV sum(decile_cents) OVER ()"
+        " AS cum_share_ppm",
+    )

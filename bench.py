@@ -146,6 +146,7 @@ HEADLINE = [
     "bounce_rate_daily",
     "ship_latency_percentiles",
     "dedup_pair_evidence",
+    "lorenz_revenue_deciles",
 ]
 
 

@@ -175,6 +175,7 @@ AUDIT = [
     "bounce_rate_daily",
     "ship_latency_percentiles",
     "dedup_pair_evidence",
+    "lorenz_revenue_deciles",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

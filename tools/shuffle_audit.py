@@ -109,6 +109,7 @@ AUDIT = [
     "bounce_rate_daily",
     "ship_latency_percentiles",
     "dedup_pair_evidence",
+    "lorenz_revenue_deciles",
 ]
 
 
