@@ -222,6 +222,11 @@ NESTED_LOOP_OK = {
     "ks_value_drift",
     # 2-row broadcast lag-list constant (lags 1 and 7)
     "daily_autocorr_moments",
+    # 1-row broadcast basket-total scalar
+    "basket_pair_lift",
+    # 4-row broadcast banding-config constant x 19-row grid (the
+    # whole query is constant-size; no data-scale side exists)
+    "lsh_s_curve",
 }
 
 JOIN_PAT = re.compile(
