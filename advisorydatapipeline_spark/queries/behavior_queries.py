@@ -1150,3 +1150,59 @@ def bounce_rate_daily(spark, sf_dir):
             " DIV count(*)"
         ).alias("bounce_ppm"),
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {US_DAY} AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+slopes AS (
+  SELECT (b.n_events - a.n_events)
+           / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.day > a.day
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       quantile_disc(slope, 0.5) AS median_slope
+FROM slopes
+""",
+)
+def theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of the daily event-count series: the
+    MEDIAN of all pairwise slopes — immune to the outlier days that
+    wreck least squares (price_qty_regression's moments). Pairwise
+    slopes are quadratic in DAYS, not events (30 days -> 435 pairs),
+    so the self-join runs on the tiny daily rollup; each slope is
+    one IEEE division (identical per-row on both engines) and the
+    median is a discrete quantile — an actual slope value, rank-
+    selected identically, no interpolation to drift."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(F.expr(f"ts DIV {US_DAY * 1000}").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("n_events").alias("na")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("n_events").alias("nb")
+    )
+    slopes = (
+        a.join(b, F.col("db") > F.col("da"))
+        .select(
+            (
+                (F.col("nb") - F.col("na"))
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope")
+        )
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile_approx(slope, 0.5, 2147483647)").alias(
+            "median_slope"
+        ),
+    )

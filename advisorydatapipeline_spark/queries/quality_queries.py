@@ -436,3 +436,81 @@ def table_diff_fingerprints(spark, sf_dir):
             .alias("fp_match"),
         )
     )
+
+
+EMD_BUCKET_CENTS = 5_000
+
+
+@query(
+    "emd_value_distributions",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) // {EMD_BUCKET_CENTS}
+           AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+g AS (
+  SELECT bucket,
+         CAST(sum(is_p) AS BIGINT) AS n_p,
+         CAST(count(*) - sum(is_p) AS BIGINT) AS n_v
+  FROM e GROUP BY 1
+),
+c AS (
+  SELECT bucket, n_p, n_v,
+         CAST(sum(n_p) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cp,
+         CAST(sum(n_v) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cv,
+         CAST(sum(n_p) OVER () AS BIGINT) AS tp,
+         CAST(sum(n_v) OVER () AS BIGINT) AS tv
+  FROM g
+)
+SELECT bucket, n_p, n_v,
+       CAST(abs(cp * 1000000 // tp - cv * 1000000 // tv) AS BIGINT)
+         AS cum_gap_ppm,
+       CAST(sum(abs(cp * 1000000 // tp - cv * 1000000 // tv))
+              OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS emd_running_ppm
+FROM c
+""",
+)
+def emd_value_distributions(spark, sf_dir):
+    """Earth-mover's distance (1-D, integer) between the purchase and
+    view value distributions: on ordered buckets EMD is the SUM of
+    |CDF gaps| (where KS takes the max — the two entries together
+    give both classic distribution distances). The final row's
+    emd_running_ppm IS the EMD in ppm-bucket units. Same
+    heavy-scan -> tiny-bucket-sketch shape as ks_value_drift; all
+    integer."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    e = ev.select(
+        F.expr(
+            f"CAST(floor(value * 100) AS BIGINT) DIV {EMD_BUCKET_CENTS}"
+        ).alias("bucket"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_p"),
+    )
+    g = e.groupBy("bucket").agg(
+        F.sum("is_p").alias("n_p"),
+        (F.count(F.lit(1)) - F.sum("is_p")).alias("n_v"),
+    )
+    return g.selectExpr(
+        "bucket",
+        "n_p",
+        "n_v",
+        "abs(sum(n_p) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"
+        " * 1000000 DIV sum(n_p) OVER ()"
+        " - sum(n_v) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"
+        " * 1000000 DIV sum(n_v) OVER ()) AS cum_gap_ppm",
+    ).selectExpr(
+        "bucket",
+        "n_p",
+        "n_v",
+        "cum_gap_ppm",
+        "sum(cum_gap_ppm) OVER (ORDER BY bucket ROWS UNBOUNDED"
+        " PRECEDING) AS emd_running_ppm",
+    )

@@ -147,6 +147,8 @@ HEADLINE = [
     "ship_latency_percentiles",
     "dedup_pair_evidence",
     "lorenz_revenue_deciles",
+    "emd_value_distributions",
+    "theil_sen_trend",
 ]
 
 

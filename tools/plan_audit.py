@@ -176,6 +176,8 @@ AUDIT = [
     "ship_latency_percentiles",
     "dedup_pair_evidence",
     "lorenz_revenue_deciles",
+    "emd_value_distributions",
+    "theil_sen_trend",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
