@@ -444,3 +444,73 @@ def countmin_estimates(spark, sf_dir):
             (F.min("n") - F.col("true_n")).alias("overestimate"),
         )
     )
+
+
+KMV_K = 64
+_KMV_HMAX = 1 << 60  # portable md5-60bit hash space
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+     ::BIGINT) AS hv
+  FROM events
+),
+ranked AS (
+  SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM h
+),
+kth AS (SELECT hv AS kth_hash FROM ranked WHERE rk = {KMV_K}),
+truth AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       kth_hash,
+       CAST(({_KMV_HMAX} // kth_hash) * ({KMV_K} - 1) AS BIGINT)
+         AS kmv_estimate,
+       true_distinct
+FROM kth CROSS JOIN truth
+""",
+)
+def kmv_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch: keep the {64}
+    smallest portable hashes of the key; the k-th smallest fixes the
+    estimate (k-1) * H / h_(k). The third mergeable distinct
+    estimator in the suite (HLL: fixed registers; Theta: sampled
+    set; KMV: order statistics) — and uniquely, BOTH the sketch
+    content (the k-th hash) and the estimate are exact integers, so
+    the oracle value-checks the estimator itself, not a tolerance
+    claim. Distributed shape: per-partition top-k via the min-hash
+    sort is a TakeOrdered (no full sort); the estimate math is one
+    row."""
+    from advisorydatapipeline_spark.functions.text import hash64
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        hash64(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("hv")
+    ).distinct()
+    ranked = h.withColumn(
+        "rk", F.row_number().over(Window.orderBy("hv"))
+    )
+    kth = ranked.filter(F.col("rk") == KMV_K).select(
+        F.col("hv").alias("kth_hash")
+    )
+    truth = h.agg(F.count(F.lit(1)).alias("true_distinct"))
+    return (
+        kth.crossJoin(F.broadcast(truth))
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            "kth_hash",
+            # divide FIRST: (k-1) * H overflows BIGINT; the
+            # reordered floor costs < (k-1) absolute error on an
+            # O(true_distinct) estimate — noise for an estimator
+            F.expr(
+                f"CAST(({_KMV_HMAX} DIV kth_hash) * ({KMV_K} - 1)"
+                " AS BIGINT)"
+            ).alias("kmv_estimate"),
+            "true_distinct",
+        )
+    )

@@ -149,6 +149,7 @@ HEADLINE = [
     "lorenz_revenue_deciles",
     "emd_value_distributions",
     "theil_sen_trend",
+    "kmv_distinct_sketch",
 ]
 
 

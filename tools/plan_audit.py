@@ -178,6 +178,7 @@ AUDIT = [
     "lorenz_revenue_deciles",
     "emd_value_distributions",
     "theil_sen_trend",
+    "kmv_distinct_sketch",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -229,6 +230,9 @@ NESTED_LOOP_OK = {
     # 4-row broadcast banding-config constant x 19-row grid (the
     # whole query is constant-size; no data-scale side exists)
     "lsh_s_curve",
+    # pairwise-slope self-join runs on the ~30-row daily rollup —
+    # quadratic in DAYS by design, never in events
+    "theil_sen_trend",
 }
 
 JOIN_PAT = re.compile(

@@ -112,6 +112,7 @@ AUDIT = [
     "lorenz_revenue_deciles",
     "emd_value_distributions",
     "theil_sen_trend",
+    "kmv_distinct_sketch",
 ]
 
 
