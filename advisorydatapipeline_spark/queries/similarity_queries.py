@@ -722,3 +722,69 @@ def grid_proximity_join(spark, sf_dir):
             ).alias("cheb"),
         )
     )
+
+
+@query(
+    "centroid_separation",
+    oracle="""
+WITH q AS (
+  SELECT label, CAST(u.i AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) * 1000)
+              AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(qv) // count(*) AS BIGINT) AS c_milli
+  FROM q GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum((a.c_milli - b.c_milli) * (a.c_milli - b.c_milli))
+            AS BIGINT) AS dist2_milli
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2
+""",
+)
+def centroid_separation(spark, sf_dir):
+    """Inter-class separation audit for the embedding space: squared
+    L2 distance between every pair of label centroids, in exact
+    milli-unit integers (per-dim sums of floor(x*1000) — the float
+    multiply is per-row IEEE — then a truncating divide to the
+    centroid, so no float ever aggregates). The posexplode +
+    (label, dim) partial agg is the only vector-scale pass; the
+    pairwise join runs on the |labels| x 64 centroid table. The
+    drift-monitoring twin of embedding_centroids: collapsing
+    separation across training batches is the signal that embeddings
+    are degenerating."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)").alias(
+            "qv"
+        ),
+    )
+    cent = q.groupBy("label", "dim").agg(
+        F.expr("sum(qv) DIV count(*)").alias("c_milli")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("c_milli").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim",
+        F.col("c_milli").alias("cb"),
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+            ).alias("dist2_milli")
+        )
+    )

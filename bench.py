@@ -150,6 +150,7 @@ HEADLINE = [
     "emd_value_distributions",
     "theil_sen_trend",
     "kmv_distinct_sketch",
+    "centroid_separation",
 ]
 
 

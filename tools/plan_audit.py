@@ -179,6 +179,7 @@ AUDIT = [
     "emd_value_distributions",
     "theil_sen_trend",
     "kmv_distinct_sketch",
+    "centroid_separation",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

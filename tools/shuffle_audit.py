@@ -113,6 +113,7 @@ AUDIT = [
     "emd_value_distributions",
     "theil_sen_trend",
     "kmv_distinct_sketch",
+    "centroid_separation",
 ]
 
 
