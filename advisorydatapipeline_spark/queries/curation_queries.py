@@ -644,3 +644,80 @@ def length_bucket_batching(spark, sf_dir):
         .cast("long")
         .alias("pad_waste_ppm"),
     )
+
+
+@query(
+    "temperature_mix_apply",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+  FROM s
+),
+r AS (
+  SELECT source, n_docs,
+         CAST(weight * 1000000
+              // CAST(sum(weight) OVER () AS BIGINT) AS BIGINT)
+           AS sample_ppm
+  FROM w
+),
+kept AS (
+  SELECT d.source,
+         CASE WHEN (('0x' || substr(md5('tmix:' ||
+                      CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                   % 1000000 < r.sample_ppm
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN r ON d.source = r.source
+)
+SELECT k.source, r.n_docs, r.sample_ppm,
+       CAST(sum(k.keep) AS BIGINT) AS n_kept
+FROM kept k JOIN r ON k.source = r.source
+GROUP BY 1, 2, 3
+""",
+)
+def temperature_mix_apply(spark, sf_dir):
+    """The APPLY step of temperature sampling: the isqrt-weight ppm
+    rates from temperature_mix_rates become a deterministic keep
+    decision per doc (salted hash % 1e6 < rate — reproducible under
+    reruns and engine-independent, the same mechanism as
+    split_assignment), reported as per-source kept counts. Rates
+    broadcast onto the scan; the only shuffle is the per-source
+    rollup. Plan (rates) and apply (this) together close the
+    balancing loop a multilingual corpus build runs."""
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    docs = load(spark, sf_dir, "documents")
+    r = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "weight", F.expr("CAST(floor(sqrt(n_docs)) AS BIGINT)")
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "weight * 1000000 DIV sum(weight) OVER () AS sample_ppm",
+        )
+    )
+    kept = docs.join(F.broadcast(r), "source").select(
+        "source",
+        "n_docs",
+        "sample_ppm",
+        F.when(
+            hash64(
+                F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))
+            )
+            % 1000000
+            < F.col("sample_ppm"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+    return kept.groupBy("source", "n_docs", "sample_ppm").agg(
+        F.sum("keep").alias("n_kept")
+    )

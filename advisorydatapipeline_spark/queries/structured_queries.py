@@ -681,3 +681,82 @@ def lorenz_revenue_deciles(spark, sf_dir):
         " PRECEDING) * 1000000 DIV sum(decile_cents) OVER ()"
         " AS cum_share_ppm",
     )
+
+
+@query(
+    "decile_migration_matrix",
+    oracle="""
+WITH bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS mn,
+         max(CAST(o_orderdate AS DATE)) AS mx
+  FROM orders
+),
+halves AS (
+  SELECT o_custkey,
+         CASE WHEN date_diff('day', b.mn, CAST(o_orderdate AS DATE)) * 2
+                   <= date_diff('day', b.mn, b.mx)
+              THEN 1 ELSE 2 END AS half,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, bounds b
+),
+per AS (
+  SELECT o_custkey, half,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM halves GROUP BY 1, 2
+),
+d1 AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS q1
+  FROM per WHERE half = 1
+),
+d2 AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS q2
+  FROM per WHERE half = 2
+)
+SELECT d1.q1, d2.q2, CAST(count(*) AS BIGINT) AS n_customers
+FROM d1 JOIN d2 ON d1.o_custkey = d2.o_custkey
+GROUP BY 1, 2
+""",
+)
+def decile_migration_matrix(spark, sf_dir):
+    """Customer value-migration matrix: revenue QUINTILE in the first
+    time-half vs the second (who moved up, who churned down) — the
+    retention-economics view a CRM team reads quarterly. The halving
+    cutoff is the doubled-datediff midpoint (integer, no float
+    halving); quintiles are total-order ntiles; the matrix join keys
+    on customer and rolls up to 25 cells. Two rollup windows + one
+    equi-join, all over customer-keyed exchanges."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("mn"),
+        F.max(F.to_date("o_orderdate")).alias("mx"),
+    )
+    halves = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(
+            F.datediff(F.to_date("o_orderdate"), F.col("mn")) * 2
+            <= F.datediff(F.col("mx"), F.col("mn")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+        .alias("half"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per = halves.groupBy("o_custkey", "half").agg(
+        F.sum("cents").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    d1 = per.filter(F.col("half") == 1).select(
+        "o_custkey", F.ntile(5).over(w).alias("q1")
+    )
+    d2 = per.filter(F.col("half") == 2).select(
+        "o_custkey", F.ntile(5).over(w).alias("q2")
+    )
+    return (
+        d1.join(d2, "o_custkey")
+        .groupBy("q1", "q2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

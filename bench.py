@@ -151,6 +151,8 @@ HEADLINE = [
     "theil_sen_trend",
     "kmv_distinct_sketch",
     "centroid_separation",
+    "temperature_mix_apply",
+    "decile_migration_matrix",
 ]
 
 

@@ -114,6 +114,8 @@ AUDIT = [
     "theil_sen_trend",
     "kmv_distinct_sketch",
     "centroid_separation",
+    "temperature_mix_apply",
+    "decile_migration_matrix",
 ]
 
 
