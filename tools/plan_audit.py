@@ -236,6 +236,10 @@ NESTED_LOOP_OK = {
     # pairwise-slope self-join runs on the ~30-row daily rollup —
     # quadratic in DAYS by design, never in events
     "theil_sen_trend",
+    # 1-row broadcast true-distinct scalar beside the 1-row kth-hash
+    "kmv_distinct_sketch",
+    # 1-row broadcast (min, max) order-date bounds scalar
+    "decile_migration_matrix",
 }
 
 JOIN_PAT = re.compile(
