@@ -514,3 +514,65 @@ def emd_value_distributions(spark, sf_dir):
         "sum(cum_gap_ppm) OVER (ORDER BY bucket ROWS UNBOUNDED"
         " PRECEDING) AS emd_running_ppm",
     )
+
+
+SKEW_WHATIF_N = (8, 32, 128)
+
+
+@query(
+    "shuffle_skew_whatif",
+    oracle=f"""
+WITH b AS (
+  SELECT u.n AS n_partitions,
+         (('0x' || substr(md5('skew:' || CAST(user_id AS VARCHAR)), 1, 15))
+          ::BIGINT) % u.n AS bucket
+  FROM events, unnest([{', '.join(str(n) for n in SKEW_WHATIF_N)}])
+         AS u(n)
+),
+g AS (
+  SELECT n_partitions, bucket, CAST(count(*) AS BIGINT) AS rows_in
+  FROM b GROUP BY 1, 2
+)
+SELECT n_partitions,
+       CAST(count(*) AS BIGINT) AS buckets_used,
+       CAST(max(rows_in) AS BIGINT) AS max_bucket_rows,
+       CAST(max(rows_in) * CAST(n_partitions AS BIGINT) * 1000000
+            // CAST(sum(rows_in) AS BIGINT) AS BIGINT)
+         AS max_over_even_ppm
+FROM g GROUP BY n_partitions
+""",
+)
+def shuffle_skew_whatif(spark, sf_dir):
+    """Shuffle-skew what-if: for candidate partition counts
+    {8, 32, 128}, how uneven would a hash shuffle on user_id land?
+    max_over_even_ppm = heaviest bucket / perfectly-even share (1e6
+    = balanced; 3e6 = one reducer does 3x the average — the straggler
+    predictor you consult BEFORE picking spark.sql.shuffle.partitions
+    or deciding to salt). One scan with a 3-way config explode,
+    partial-agg to (config, bucket) cells, and the verdict windows
+    run on those cells. Companion to key_skew_profile (which ranks
+    the hot KEYS; this scores the hash LAYOUT)."""
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        F.explode(
+            F.array(*[F.lit(n) for n in SKEW_WHATIF_N])
+        ).alias("n_partitions"),
+        hash64(
+            F.concat(F.lit("skew:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    ).select(
+        "n_partitions", (F.col("h") % F.col("n_partitions")).alias("bucket")
+    )
+    g = b.groupBy("n_partitions", "bucket").agg(
+        F.count(F.lit(1)).alias("rows_in")
+    )
+    return g.groupBy("n_partitions").agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.max("rows_in").alias("max_bucket_rows"),
+        F.expr(
+            "CAST(max(rows_in) * CAST(n_partitions AS BIGINT) * 1000000"
+            " DIV sum(rows_in) AS BIGINT)"
+        ).alias("max_over_even_ppm"),
+    )

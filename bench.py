@@ -153,6 +153,7 @@ HEADLINE = [
     "centroid_separation",
     "temperature_mix_apply",
     "decile_migration_matrix",
+    "shuffle_skew_whatif",
 ]
 
 

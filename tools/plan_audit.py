@@ -182,6 +182,7 @@ AUDIT = [
     "centroid_separation",
     "temperature_mix_apply",
     "decile_migration_matrix",
+    "shuffle_skew_whatif",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -116,6 +116,7 @@ AUDIT = [
     "centroid_separation",
     "temperature_mix_apply",
     "decile_migration_matrix",
+    "shuffle_skew_whatif",
 ]
 
 
