@@ -86,18 +86,154 @@ def extract_metadata(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(op, METADATA_SCHEMA)
 
 
+def encode_bmp(width: int, height: int, pixel_value: int = 0) -> bytes:
+    """Minimal valid 24-bpp uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + padded pixel rows), pure Python. Used to build
+    real decodable fixtures — BMP needs no codec library, only the
+    fixed 54-byte header layout from the public format spec."""
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    data_size = row_bytes * height
+    header = (
+        b"BM"
+        + int(54 + data_size).to_bytes(4, "little")  # file size
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel-data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + int(width).to_bytes(4, "little", signed=True)
+        + int(height).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + data_size.to_bytes(4, "little")
+        + b"\x00" * 16  # ppm + palette fields
+    )
+    row = bytes([pixel_value % 256] * (width * 3)) + b"\x00" * (
+        row_bytes - width * 3
+    )
+    return header + row * height
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, bpp) from a BMP header; raises on non-BMP."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    bpp = int.from_bytes(payload[28:30], "little")
+    return width, height, bpp
+
+
+def encode_wav(
+    sample_rate: int, n_samples: int, amplitude: int = 0
+) -> bytes:
+    """Minimal valid PCM WAV (RIFF/fmt/data), mono 16-bit, pure
+    Python — the canonical 44-byte header from the public RIFF spec
+    plus ``n_samples`` constant-amplitude samples."""
+    data_size = n_samples * 2
+    byte_rate = sample_rate * 2
+    header = (
+        b"RIFF"
+        + (36 + data_size).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")  # PCM fmt chunk size
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + int(sample_rate).to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+        + b"data"
+        + data_size.to_bytes(4, "little")
+    )
+    sample = int(amplitude).to_bytes(2, "little", signed=True)
+    return header + sample * n_samples
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_samples, bits) from a PCM WAV header; raises
+    on non-WAV. Walks RIFF chunks rather than assuming fixed offsets
+    so files with extra chunks (LIST/INFO) still parse."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, bits, data_size = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            sample_rate = int.from_bytes(
+                payload[pos + 12 : pos + 16], "little"
+            )
+            bits = int.from_bytes(payload[pos + 22 : pos + 24], "little")
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize % 2)
+    if sample_rate is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return sample_rate, data_size // (bits // 8), bits
+
+
+def decode_media_headers(media_df: DataFrame) -> DataFrame:
+    """REAL media decode for codec-free container formats (round-5
+    upgrade of the all-stub arm): BMP and PCM-WAV headers are fixed
+    public byte layouts, so their dimensions/sample counts decode in
+    pure Python — no PIL/av needed. Unknown magic bytes yield a NULL
+    row (``container = 'unknown'``) instead of raising, so one bad
+    object can't kill a 100 TB scan.
+
+    mapInPandas, narrow, Arrow-batched: payload bytes never shuffle.
+    """
+    schema = (
+        "media_id long, container string, width int, height int, "
+        "sample_rate int, n_samples int, byte_len long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"]) if row["payload"] is not None else b""
+                rec = {
+                    "media_id": row["media_id"],
+                    "container": "unknown",
+                    "width": None,
+                    "height": None,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "byte_len": len(b),
+                }
+                try:
+                    if b[:2] == b"BM":
+                        w, h, _bpp = decode_bmp(b)
+                        rec.update(container="bmp", width=w, height=h)
+                    elif b[:4] == b"RIFF":
+                        sr, n, _bits = decode_wav(b)
+                        rec.update(
+                            container="wav", sample_rate=sr, n_samples=n
+                        )
+                except ValueError:
+                    pass
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(op, schema)
+
+
 def decode_media(media_df: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode payloads to typed media properties.
 
-    STUB: real decoding needs codec libraries not present in this
-    container. With ``fake=True`` it produces *deterministic* fake
-    dimensions derived from the content hash — keeping the operator
-    signature, schema, and batch shape real for pipeline tests.
+    PARTIAL STUB: BMP/WAV decode is real (see
+    :func:`decode_media_headers`); everything else needs codec
+    libraries not present in this container. With ``fake=True`` it
+    produces *deterministic* fake dimensions derived from the content
+    hash — keeping the operator signature, schema, and batch shape
+    real for pipeline tests.
     """
     if not fake and not _HAS_PIL:
         raise NotImplementedError(
-            "media decoding requires codec libraries (PIL/av) that are "
-            "not installed; pass fake=True for the deterministic stub"
+            "general media decoding requires codec libraries (PIL/av) "
+            "that are not installed; use decode_media_headers for "
+            "codec-free BMP/WAV, or pass fake=True for the "
+            "deterministic stub"
         )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

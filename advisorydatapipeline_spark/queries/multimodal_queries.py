@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from advisorydatapipeline_spark.operators.multimodal import (
@@ -168,6 +169,73 @@ def arrow_doc_stats(spark, sf_dir):
     return docs.mapInArrow(
         stats, "doc_id long, n_chars long, n_bytes long"
     )
+
+
+@query(
+    "media_decode_stats",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         doc_id % 2 = 0 AS is_bmp,
+         CAST(4 + doc_id % 32 AS INTEGER) AS w,
+         CAST(2 + doc_id % 16 AS INTEGER) AS h,
+         CAST(CASE doc_id % 8 WHEN 1 THEN 8000 WHEN 3 THEN 11025
+              WHEN 5 THEN 16000 ELSE 44100 END AS INTEGER) AS rate,
+         CAST(50 + doc_id % 500 AS INTEGER) AS ns
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE WHEN is_bmp THEN 'bmp' ELSE 'wav' END AS container,
+       CASE WHEN is_bmp THEN w END AS width,
+       CASE WHEN is_bmp THEN h END AS height,
+       CASE WHEN NOT is_bmp THEN rate END AS sample_rate,
+       CASE WHEN NOT is_bmp THEN ns END AS n_samples,
+       CAST(CASE WHEN is_bmp THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+            ELSE 44 + ns * 2 END AS BIGINT) AS byte_len
+FROM params
+""",
+)
+def media_decode_stats(spark, sf_dir):
+    """REAL media decode, value-gated end to end (round-5 close of
+    the all-stub decode gap): each document becomes an actual BMP
+    (even doc_id) or PCM-WAV (odd) byte payload built by the pure-
+    Python encoders, then ``decode_media_headers`` parses the REAL
+    header bytes back into dimensions / sample counts. The oracle
+    recomputes the expected integers from doc_id arithmetic — so a
+    wrong header offset, padding rule (BMP rows pad to 4 bytes), or
+    chunk walk shows up as a value mismatch, not just a unit test.
+
+    Scale shape: encode and decode are both narrow mapInPandas hops —
+    payload bytes are created and consumed inside one partition and
+    never shuffle; only the 7 scalar stat columns leave the operator.
+    """
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_media_headers,
+        encode_bmp,
+        encode_wav,
+    )
+
+    def encode(batches):
+        rates = {1: 8000, 3: 11025, 5: 16000, 7: 44100}
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    payloads.append(
+                        encode_bmp(4 + d % 32, 2 + d % 16, d % 251)
+                    )
+                else:
+                    payloads.append(
+                        encode_wav(rates[d % 8], 50 + d % 500, d % 100)
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return decode_media_headers(media)
 
 
 FPS, SAMPLE_EVERY = 24, 48  # 24 fps, sample every 2 seconds

@@ -135,6 +135,89 @@ def write_table(
         writer.format(fmt).save(path)
 
 
+def write_raw(
+    spark: SparkSession,
+    content: str | bytes,
+    path: str,
+    *,
+    fmt: str = "text",
+) -> None:
+    """Write one small raw artifact (manifest, report, config dump) to
+    ``path`` atomically.
+
+    Re-expresses the reference's ``write_raw_file`` /
+    ``write_raw_json/csv/text``
+    (pipeline_libs/local/__init__.py:10-135, S3 twin aws/__init__.py:10)
+    — the one un-surveyed utility in the reference, and dead code
+    there (zero callers), ported for surface completeness.
+
+    Design notes vs the reference:
+
+    - The reference routes text content through a 1-element
+      ``parallelize(...).saveAsTextFile`` and then moves
+      ``part-00000`` by hand — a full Spark job plus a brittle
+      filename dance to write what is driver-local data. A raw
+      artifact is by definition small and already on the driver, so
+      the right tool is the filesystem API, not an RDD job.
+    - Atomicity: write to ``<path>.tmp-<pid>`` then rename, so a
+      concurrent reader never sees a half-written file (the
+      reference's move gives the same guarantee for text but its
+      binary arm writes in place).
+    - Remote paths (hdfs://, s3a://) go through the Hadoop FileSystem
+      API of the live session — same code path the reference's AWS
+      twin hand-rolls with boto3.
+
+    ``fmt`` mirrors the reference surface: ``text``/``json``/``csv``
+    (str, utf-8-encoded) or ``binary`` (bytes passthrough).
+    """
+    if fmt in ("text", "json", "csv"):
+        data = content.encode("utf-8") if isinstance(content, str) else content
+    elif fmt == "binary":
+        data = content if isinstance(content, bytes) else content.encode("utf-8")
+    else:
+        raise ValueError(f"unsupported raw format: {fmt}")
+
+    if "://" not in path or path.startswith("file:"):
+        local = path.removeprefix("file:")
+        tmp = f"{local}.tmp-{os.getpid()}"
+        parent = os.path.dirname(local)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, local)
+        return
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp-{os.getpid()}")
+    fs = dst.getFileSystem(conf)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
+
+
+def write_raw_json(spark: SparkSession, json_content: str, path: str) -> None:
+    """Reference parity: pipeline_libs/local/__init__.py:84-99."""
+    write_raw(spark, json_content, path, fmt="json")
+
+
+def write_raw_csv(spark: SparkSession, csv_content: str, path: str) -> None:
+    """Reference parity: pipeline_libs/local/__init__.py:102-117."""
+    write_raw(spark, csv_content, path, fmt="csv")
+
+
+def write_raw_text(spark: SparkSession, text_content: str, path: str) -> None:
+    """Reference parity: pipeline_libs/local/__init__.py:120-135."""
+    write_raw(spark, text_content, path, fmt="text")
+
+
 def register_view(df: DataFrame, name: str, *, global_view: bool = False) -> None:
     """Tables-as-views handoff (reference: createGlobalTempView sites,
     SURVEY.md §1.1). Global temp views live in ``global_temp``."""

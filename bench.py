@@ -3,8 +3,22 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+  {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+   "core_total": sec, "extended_total": sec, "n_extended": N,
+   "queries": {core_name: sec, ...}}
+
+Two tiers (round-5 restructure — the driver's artifact keeps only a
+bounded tail of this line, so the old single 131-query dict lost its
+head and rounds could not be compared per-query):
+
+- CORE: a stable set of ~45 queries, one per subsystem, reported in
+  the stdout ``queries`` dict EVERY round in full — the longitudinal
+  comparison set. Kept small enough that the whole JSON line survives
+  the driver's truncation.
+- EXTENDED: everything else in the registry worth timing. Timed in
+  the same run, summarized on stdout (``extended_total``), and the
+  full per-query dict for BOTH tiers is written to a committed
+  ``BENCH_LOCAL_r{N}.json`` so no timing is ever lost.
 
 Each query is fully materialized via the `noop` sink (forces the
 whole plan, no driver collect, no result-size bias).
@@ -12,8 +26,10 @@ whole plan, no driver collect, no result-size bias).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -22,53 +38,75 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from advisorydatapipeline_spark.registry import QUERIES  # noqa: E402
 from advisorydatapipeline_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# Stable longitudinal tier — do NOT reorder or remove entries; append
+# only with a round note. One representative per subsystem plus the
+# historically watched queries.
+CORE = [
     "flagship_advisory_resolution",
     "pricing_summary",
     "revenue_topn",
     "local_supplier_revenue",
     "sessionization",
     "window_top1_per_key",
-    "grouped_max_by",
     "upsert_anti_union",
     "state_machine_native",
+    "jdbc_live_scan",
+    "advisory_datasource_scan",
+    "media_metadata",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_simhash64",
     "dedup_clusters",
-    "decontaminate_overlap",
-    "repetition_stats",
-    "jdbc_live_scan",
-    "advisory_datasource_scan",
+    "dedup_containment",
+    "dedup_jaccard_prefix",
+    "duplicate_passages",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "dedup_embedding_rhp",
     "text_quality",
     "text_lang_id",
-    "media_metadata",
-    "asof_join_last_view",
-    "range_join_views_before_purchase",
-    "dedup_embedding_cosine",
-    "time_rollup",
-    "skew_salted_agg",
-    "streaming_hourly_counts",
-    "streaming_dedup_pairs",
-    "window_running_metrics",
+    "tfidf_top_terms",
+    "bm25_doc_ranking",
     "doc_chunks",
     "sample_stratified",
     "pii_scrub",
-    "corpus_ngram_stats",
     "sequence_packing",
+    "curation_pipeline",
+    "hll_shard_union",
+    "theta_set_overlap",
+    "freq_sketch_merge",
+    "bitmap_exact_distinct",
+    "countmin_estimates",
+    "kmv_distinct_sketch",
+    "modern_sql_aggregates",
+    "pagerank_suppliers",
+    "bfs_reachable_hops",
+    "neardup_triangles",
+    "syndicated_families",
+    "asof_join_last_view",
+    "range_join_views_before_purchase",
+    "window_analytics",
+    "skew_salted_agg",
+    "streaming_hourly_counts",
+    "streaming_dedup_pairs",
+    "bpe_pair_ranks",
+]
+
+EXTENDED = [
+    "grouped_max_by",
+    "decontaminate_overlap",
+    "repetition_stats",
+    "time_rollup",
+    "window_running_metrics",
+    "corpus_ngram_stats",
     "embedding_centroids",
     "json_extract_props",
-    "window_analytics",
     "pivot_event_matrix",
-    "tfidf_top_terms",
-    "curation_pipeline",
     "small_qty_brand_revenue",
     "priority_semi_join",
-    "pagerank_suppliers",
     "ewma_user_values",
     "retention_cohorts",
     "federated_union_scan",
@@ -78,32 +116,20 @@ HEADLINE = [
     "group_normalized_features",
     "pmi_collocations",
     "kmeans_lloyd_step",
-    "neardup_triangles",
     "dpp_partitioned_join",
-    "hll_shard_union",
-    "theta_set_overlap",
-    "modern_sql_aggregates",
     "incremental_rollup_merge",
     "regional_market_share",
     "winnow_neardup_pairs",
-    "bitmap_exact_distinct",
     "session_membership_join",
-    "freq_sketch_merge",
     "merge_into_customers",
-    "dedup_embedding_rhp",
-    "bm25_doc_ranking",
     "vocab_oov_rate",
-    "dedup_containment",
     "bloom_corpus_probe",
     "entity_resolution_parts",
     "histogram_quantile_estimate",
-    "bpe_pair_ranks",
     "seasonal_dow_indices",
     "interval_merge_coverage",
-    "bfs_reachable_hops",
     "column_profile_orders",
     "inverted_index_postings",
-    "duplicate_passages",
     "rolling_distinct_users",
     "gap_fill_interpolate",
     "event_transition_matrix",
@@ -112,9 +138,7 @@ HEADLINE = [
     "time_weighted_value",
     "streaming_sliding_distinct",
     "cep_pattern_matches",
-    "dedup_jaccard_prefix",
     "grid_proximity_join",
-    "countmin_estimates",
     "asof_join_next_purchase",
     "asof_join_nearest_purchase",
     "trending_per_hour",
@@ -125,7 +149,6 @@ HEADLINE = [
     "gap_histogram_log2",
     "temperature_mix_rates",
     "length_bucket_batching",
-    "syndicated_families",
     "ngram_novelty",
     "daily_autocorr_moments",
     "chi2_independence_scan",
@@ -149,17 +172,29 @@ HEADLINE = [
     "lorenz_revenue_deciles",
     "emd_value_distributions",
     "theil_sen_trend",
-    "kmv_distinct_sketch",
     "centroid_separation",
     "temperature_mix_apply",
     "decile_migration_matrix",
     "shuffle_skew_whatif",
+    "media_decode_stats",
 ]
+
+
+def _infer_round(repo_dir: str) -> int:
+    """Current round = max committed BENCH_r{N}.json + 1 (the driver
+    writes BENCH_r{N} AFTER the round this run belongs to)."""
+    rounds = [0]
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     spark = get_spark("bench")
 
     # warm the session outside the timed region: JVM/codegen init,
@@ -180,7 +215,7 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in CORE + EXTENDED:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -193,14 +228,40 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    core_total = round(sum(timings[n] for n in CORE), 3)
+    ext_total = round(sum(timings[n] for n in EXTENDED), 3)
+
+    # Full per-query record (both tiers) -> committed local artifact,
+    # immune to the driver's stdout truncation.
+    local = {
+        "round": _infer_round(repo_dir),
+        "sf": float(sf),
+        "core_total": core_total,
+        "extended_total": ext_total,
+        "total": round(core_total + ext_total, 3),
+        "core": {n: timings[n] for n in CORE},
+        "extended": {n: timings[n] for n in EXTENDED},
+    }
+    local_path = os.path.join(
+        repo_dir, f"BENCH_LOCAL_r{local['round']:02d}.json"
+    )
+    with open(local_path, "w") as f:
+        json.dump(local, f, indent=1, sort_keys=False)
+        f.write("\n")
+
     print(
         json.dumps(
             {
-                "metric": "headline query wall time, local[*] at sf=" + sf,
-                "value": round(sum(timings.values()), 3),
+                "metric": "query wall time, local[*] at sf=" + sf,
+                "value": round(core_total + ext_total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
+                "core_total": core_total,
+                "extended_total": ext_total,
+                "n_core": len(CORE),
+                "n_extended": len(EXTENDED),
+                "full_timings": os.path.basename(local_path),
+                "queries": {n: timings[n] for n in CORE},
             }
         )
     )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -100,3 +102,57 @@ def test_observed_counts_ride_the_write(spark, tmp_path):
     df2, obs = observed(df, "write_metrics")
     df2.write.mode("overwrite").parquet(str(tmp_path / "obs_out"))
     assert obs.get["n_rows"] == 100
+
+
+def test_write_raw_text_and_atomic_replace(spark, tmp_path):
+    from advisorydatapipeline_spark.sources.io import write_raw_text
+
+    path = str(tmp_path / "nested" / "report.txt")
+    write_raw_text(spark, "hello\nworld\n", path)
+    assert open(path).read() == "hello\nworld\n"
+    # overwrite is atomic replace, not append
+    write_raw_text(spark, "v2", path)
+    assert open(path).read() == "v2"
+    import glob
+
+    assert not glob.glob(path + ".tmp-*")  # no temp litter
+
+
+def test_write_raw_json_csv_binary(spark, tmp_path):
+    from advisorydatapipeline_spark.sources.io import (
+        write_raw,
+        write_raw_csv,
+        write_raw_json,
+    )
+
+    jp = str(tmp_path / "m.json")
+    write_raw_json(spark, '{"a": 1}', jp)
+    import json
+
+    assert json.load(open(jp)) == {"a": 1}
+
+    cp = str(tmp_path / "m.csv")
+    write_raw_csv(spark, "a,b\n1,2\n", cp)
+    assert open(cp).read().startswith("a,b")
+
+    bp = str(tmp_path / "m.bin")
+    write_raw(spark, b"\x00\x01\xff", bp, fmt="binary")
+    assert open(bp, "rb").read() == b"\x00\x01\xff"
+    # str content to binary arm round-trips via utf-8 like the reference
+    write_raw(spark, "text-as-bytes", bp, fmt="binary")
+    assert open(bp, "rb").read() == b"text-as-bytes"
+
+
+def test_write_raw_rejects_unknown_format(spark, tmp_path):
+    from advisorydatapipeline_spark.sources.io import write_raw
+
+    with pytest.raises(ValueError):
+        write_raw(spark, "x", str(tmp_path / "f"), fmt="avro")
+
+
+def test_write_raw_file_uri_scheme(spark, tmp_path):
+    from advisorydatapipeline_spark.sources.io import write_raw
+
+    path = str(tmp_path / "uri.txt")
+    write_raw(spark, "via-uri", "file:" + path)
+    assert open(path).read() == "via-uri"

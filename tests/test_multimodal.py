@@ -56,3 +56,89 @@ def test_sample_frames_only_video(spark):
     frames = sample_frames(_media(spark), every_n=30, fake=True).collect()
     assert frames and all(f.media_id == 2 for f in frames)
     assert [f.frame_idx for f in frames] == sorted(f.frame_idx for f in frames)
+
+
+def test_bmp_encode_decode_roundtrip():
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for w, h in [(1, 1), (4, 2), (35, 17), (33, 1)]:
+        b = encode_bmp(w, h, 42)
+        assert decode_bmp(b) == (w, h, 24)
+        # file size field equals actual length (row padding correct)
+        assert int.from_bytes(b[2:6], "little") == len(b)
+        # rows pad to 4-byte boundaries
+        row_bytes = ((w * 3 + 3) // 4) * 4
+        assert len(b) == 54 + row_bytes * h
+
+
+def test_wav_encode_decode_roundtrip():
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    for rate, n in [(8000, 50), (44100, 549), (16000, 1)]:
+        b = encode_wav(rate, n, 17)
+        assert decode_wav(b) == (rate, n, 16)
+        assert len(b) == 44 + n * 2
+
+
+def test_wav_decode_walks_extra_chunks():
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    b = encode_wav(22050, 10)
+    # splice a LIST chunk between fmt and data; parse must skip it
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    spliced = b[:36] + extra + b[36:]
+    # fix RIFF size field
+    spliced = (
+        spliced[:4]
+        + (len(spliced) - 8).to_bytes(4, "little")
+        + spliced[8:]
+    )
+    assert decode_wav(spliced) == (22050, 10, 16)
+
+
+def test_decode_rejects_garbage():
+    import pytest
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"nope")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_decode_media_headers_mixed(spark):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_media_headers,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rows = [
+        (1, encode_bmp(8, 4, 9)),
+        (2, encode_wav(16000, 100)),
+        (3, b"not media at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_media_headers(df).collect()}
+    assert (out[1].container, out[1].width, out[1].height) == ("bmp", 8, 4)
+    assert (out[2].container, out[2].sample_rate, out[2].n_samples) == (
+        "wav",
+        16000,
+        100,
+    )
+    assert out[3].container == "unknown" and out[3].width is None
+    assert out[4].container == "unknown" and out[4].byte_len == 0

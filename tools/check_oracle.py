@@ -5,7 +5,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same parquet dir, then compares row count, column
 names, and an order-insensitive multiset of canonicalized rows.
 
-Usage: python tools/check_oracle.py [--bare] [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--bare] [--out FILE] [sf_dir]
+       [query_name ...]
+
+``--out FILE`` additionally writes a machine-readable result map
+``{name: {"status": ok|rows-only|fail, "rows": N, "sec": s}}`` —
+``tools/sample_gap.py`` consumes it to report local-gate status for
+registry entries the driver has never sampled.
 
 ``--bare`` builds a plain ``SparkSession.builder.getOrCreate()`` (no
 session.py confs), mirroring the external driver's harness so
@@ -109,8 +115,13 @@ def compare_query(spark, con, name, fn, oracle, sf_dir):
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--bare"]
-    bare = "--bare" in sys.argv[1:]
+    raw = sys.argv[1:]
+    bare = "--bare" in raw
+    out_path = None
+    if "--out" in raw:
+        out_path = raw[raw.index("--out") + 1]
+        raw = raw[: raw.index("--out")] + raw[raw.index("--out") + 2 :]
+    argv = [a for a in raw if a != "--bare"]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
@@ -134,6 +145,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     n_checked = 0
     failures, no_oracle = [], []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -142,6 +154,15 @@ def main() -> int:
         problems, n_rows = compare_query(
             spark, con, name, fn, oracles.get(name), sf_dir
         )
+        results[name] = {
+            "status": (
+                "fail"
+                if problems
+                else ("rows-only" if name not in oracles else "ok")
+            ),
+            "rows": n_rows,
+            "sec": round(time.time() - t0, 2),
+        }
         if name not in oracles:
             no_oracle.append(name)
             flag = f" [{problems[0]}]" if problems else ""
@@ -160,6 +181,12 @@ def main() -> int:
 
     print(f"\n{n_checked - len(failures) - len(no_oracle)} ok, "
           f"{len(no_oracle)} rows-only, {len(failures)} FAILED")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+            f.write("\n")
     return 1 if failures else 0
 
 

@@ -183,6 +183,7 @@ AUDIT = [
     "temperature_mix_apply",
     "decile_migration_matrix",
     "shuffle_skew_whatif",
+    "media_decode_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -117,6 +117,7 @@ AUDIT = [
     "temperature_mix_apply",
     "decile_migration_matrix",
     "shuffle_skew_whatif",
+    "media_decode_stats",
 ]
 
 
