@@ -322,6 +322,44 @@ def rhp_weights(n_planes: int, dim: int, seed: int = 1234) -> list[list[int]]:
     ]
 
 
+def rhp_plan_size(
+    n_rows: int,
+    *,
+    n_bands: int = 4,
+    target_bucket: int = 64,
+    min_band_bits: int = 4,
+    max_band_bits: int = 20,
+) -> tuple[int, int]:
+    """Corpus-size-aware ``(n_planes, band_bits)`` sizing policy — THE
+    rhp scaling knob (round-5 fix for the fixed-band-width saturation
+    the x4 scale smoke exposed: a constant band-key space means
+    buckets grow linearly with the corpus and the candidate equi-join
+    quadratically).
+
+    Policy: keep the expected RANDOM bucket size ~``target_bucket`` by
+    sizing the per-band key space to the corpus —
+    ``band_bits = ceil(log2(n_rows / target_bucket))`` (clamped), so
+    bucket count grows O(n) and random-collision candidates stay
+    O(n * target_bucket) instead of O(n^2 / 2^bits). The band COUNT
+    stays fixed (recall is governed by
+    ``1 - (1 - p^band_bits)^n_bands`` with ``p = 1 - theta/pi``;
+    near-dup pairs have p ~ 1, so deeper bands cost little recall on
+    true dups while sharply suppressing random collisions), hence
+    ``n_planes = n_bands * band_bits``.
+
+    At cluster scale, pass the corpus row count from table metadata or
+    a cheap ``count()``; the weights matrix stays a plan literal.
+    """
+    import math
+
+    if n_rows > target_bucket:
+        bits = math.ceil(math.log2(n_rows / target_bucket))
+    else:
+        bits = min_band_bits
+    bits = max(min_band_bits, min(max_band_bits, bits))
+    return n_bands * bits, bits
+
+
 def rhp_signature_bands(
     df: DataFrame,
     weights: list[list[int]],
@@ -391,7 +429,9 @@ def rhp_near_dupes(
     each pair's cosine is computed once. Complements
     :func:`embedding_near_dupes` (IVF buckets): RHP needs no centroid
     fit and its recall/precision is tuned by (n_planes, band_bits)
-    instead of k/nprobe."""
+    instead of k/nprobe. Size (n_planes, band_bits) from the corpus
+    row count with :func:`rhp_plan_size` — a fixed band width
+    saturates as the corpus grows (buckets O(n), candidates O(n^2))."""
     cand = rhp_candidate_pairs(
         corpus, weights, id_col=id_col, vec_col=vec_col, band_bits=band_bits
     )

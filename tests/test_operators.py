@@ -611,3 +611,29 @@ def test_prefix_jaccard_boundary_pair_kept(spark):
     )
     got = jaccard_pairs_prefix(idx, "doc_id", 2, 5).collect()
     assert len(got) == 1 and got[0].shared == 2
+
+
+def test_rhp_plan_size_policy():
+    from advisorydatapipeline_spark.operators.similarity import (
+        rhp_plan_size,
+    )
+
+    # tiny corpus clamps to the minimum band width
+    assert rhp_plan_size(10) == (16, 4)
+    assert rhp_plan_size(0) == (16, 4)
+    # key space tracks the corpus: expected random bucket ~target
+    for n in (10_000, 1_000_000, 100_000_000):
+        n_planes, bits = rhp_plan_size(n)
+        assert n_planes == 4 * bits
+        # bucket target respected except at the max_band_bits clamp
+        assert n / (1 << bits) <= 64 or bits == 20
+        assert n / (1 << (bits - 1)) > 64 or bits in (4, 20)  # minimal
+    # monotone in corpus size, clamped at max_band_bits
+    sizes = [rhp_plan_size(n)[1] for n in (1e3, 1e5, 1e7, 1e9, 1e12)]
+    assert sizes == sorted(sizes)
+    assert rhp_plan_size(10**15)[1] == 20
+    # knobs respected
+    assert rhp_plan_size(10**6, n_bands=8, target_bucket=1024) == (
+        8 * 10,
+        10,
+    )

@@ -203,15 +203,22 @@ def run_similarity(spark, path: str) -> dict[str, float]:
     def rhp():
         from advisorydatapipeline_spark.operators.similarity import (
             rhp_near_dupes,
+            rhp_plan_size,
             rhp_weights,
         )
 
-        # 8-bit bands (256 keys/band), not the query's 4-bit demo
-        # bands: the band key space must scale with the corpus so
-        # buckets stay O(n/keys) — at 16 keys/band a 4x corpus gives
-        # 4x buckets and a 16x candidate join. Sizing band_bits to
-        # corpus is THE rhp scaling knob.
-        noop(rhp_near_dupes(emb, rhp_weights(32, 64), 0.35, band_bits=8))
+        # POLICY-SIZED bands (rhp_plan_size): the band key space must
+        # scale with the corpus so buckets stay ~target_bucket — a
+        # fixed band width saturates (x4 ratio 8.99 in round 4's
+        # smoke) because buckets grow O(n) and the candidate equi-join
+        # O(n^2 / keys). The planes matrix stays a plan literal.
+        n = emb.count()
+        n_planes, band_bits = rhp_plan_size(n)
+        noop(
+            rhp_near_dupes(
+                emb, rhp_weights(n_planes, 64), 0.35, band_bits=band_bits
+            )
+        )
 
     # rhp pairs grow ~R^2 by construction (replicas are exact clones
     # in embedding space); candidate-bounded like the text LSH ops
@@ -238,6 +245,37 @@ def main() -> None:
         results[r].update(run_similarity(spark, epath))
         print(f"x{r} ({counts[r]} docs): {results[r]}", flush=True)
 
+    # rhp-only x8 extension: the policy claim is that band sizing
+    # bends the curve PAST the range where fixed bands saturated, so
+    # measure one more doubling for just this op (full x8 for every
+    # op would double smoke wall time for no extra signal).
+    from advisorydatapipeline_spark.operators.similarity import (
+        rhp_near_dupes,
+        rhp_plan_size,
+        rhp_weights,
+    )
+
+    rhp_rs = REPLICAS + [8]
+    rhp_times: dict[int, float] = {
+        r: results[r]["rhp_lsh"] for r in REPLICAS
+    }
+    rhp_bits: dict[int, int] = {}
+    for r in rhp_rs:
+        epath = f"{base}/emb_x{r}"
+        if r not in results:
+            epath = emb_corpus(spark, sf_dir, r, base)
+        emb = spark.read.parquet(epath)
+        n = emb.count()
+        n_planes, band_bits = rhp_plan_size(n)
+        rhp_bits[r] = band_bits
+        if r not in results:
+            t0 = time.time()
+            rhp_near_dupes(
+                emb, rhp_weights(n_planes, 64), 0.35, band_bits=band_bits
+            ).write.format("noop").mode("overwrite").save()
+            rhp_times[r] = round(time.time() - t0, 2)
+    print(f"rhp x8 extension: {rhp_times} band_bits={rhp_bits}", flush=True)
+
     ops = list(results[REPLICAS[0]].keys())
     lines = [
         "# SCALE — operator scaling smoke\n",
@@ -256,10 +294,10 @@ def main() -> None:
         "bloom_probe should be the flattest row of all: the corpus "
         "side collapses into a fixed-size bitmap (<= m/32 rows however "
         "large the corpus) and the probe side is a broadcast join, so "
-        "only the probe batch scales. rhp_lsh (8-bit bands here — the "
-        "band key space must scale with the corpus) and containment "
-        "(same df-capped index join as jaccard) are candidate-bounded "
-        "like the text LSH rows.\n",
+        "only the probe batch scales. rhp_lsh uses rhp_plan_size's "
+        "corpus-sized bands (key space grows with n, buckets stay "
+        "~constant) and containment (same df-capped index join as "
+        "jaccard) is candidate-bounded like the text LSH rows.\n",
         "| op | " + " | ".join(f"x{r} ({counts[r]} docs)" for r in REPLICAS)
         + " | t(x4)/t(x1) vs 4.0 input ratio |",
         "|---|" + "---|" * (len(REPLICAS) + 1),
@@ -270,6 +308,25 @@ def main() -> None:
         lines.append(
             f"| {op} | " + " | ".join(f"{t}s" for t in ts) + f" | {ratio} |"
         )
+    lines += [
+        "",
+        "## rhp_lsh x8 extension (policy-sized bands)",
+        "",
+        "`rhp_plan_size` grows the per-band key space with the corpus "
+        "(expected random bucket ~64 rows), so the candidate join "
+        "tracks the true-dup curve instead of saturating like a fixed "
+        "band width. band_bits chosen per scale: "
+        + ", ".join(f"x{r}->{rhp_bits[r]}b" for r in rhp_rs)
+        + ".",
+        "",
+        "| op | "
+        + " | ".join(f"x{r}" for r in rhp_rs)
+        + " | t(x8)/t(x1) vs 8.0 input ratio |",
+        "|---|" + "---|" * (len(rhp_rs) + 1),
+        "| rhp_lsh | "
+        + " | ".join(f"{rhp_times[r]}s" for r in rhp_rs)
+        + f" | {round(rhp_times[8] / rhp_times[1], 2) if rhp_times[1] else float('nan')} |",
+    ]
     with open("SCALE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("SCALE.md written")
