@@ -97,6 +97,124 @@ def bpe_apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     return out
 
 
+# A small "pretrained" ordered merge table for the ENCODE path — in
+# production this artifact comes from bpe_learn (or a published
+# tokenizer's merges.txt); it is a static plan literal, never data.
+PRETRAINED_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"),
+    ("s", "</w>"),
+    ("t", "h"),
+    ("th", "e</w>"),
+    ("d", "</w>"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("t", "</w>"),
+    ("in", "g"),
+    ("ing", "</w>"),
+    ("o", "u"),
+    ("a", "r"),
+    ("y", "</w>"),
+]
+
+BPE_SEP = "|"  # not in the token alphabet [a-z0-9] nor in "</w>"
+
+
+def bpe_replace_pairs(
+    merges: list[tuple[str, str]], *, sep: str = BPE_SEP
+) -> list[tuple[str, str]]:
+    """Render an ordered merge list as (search, replace) string pairs
+    over the boundary-delimited symbol encoding ``|s1|s2|...|``.
+
+    Each merge (a, b) becomes ``|a|b| -> |ab|``: the surrounding
+    delimiters force FULL-symbol matches (``xa|b`` must not merge),
+    and SQL ``replace`` scans leftmost-first non-overlapping — the
+    within-pass BPE semantics of :func:`bpe_apply_merge`'s fold.
+    Because a replaced occurrence consumes its trailing delimiter, an
+    immediately-following occurrence is skipped in that scan; ONE
+    second pass catches every skipped occurrence (merged symbols can
+    never re-create a lone ``|a|b|`` when a != b), so the caller
+    applies each pair TWICE. Self-pairs (a == b) can chain-overlap
+    and are rejected — segmentation for those needs the fold form.
+    """
+    out = []
+    for a, b in merges:
+        if a == b:
+            raise ValueError(
+                f"self-pair merge {(a, b)} not supported by the "
+                "replace-chain encoder; use bpe_apply_merge"
+            )
+        out.append((f"{sep}{a}{sep}{b}{sep}", f"{sep}{a}{b}{sep}"))
+    return out
+
+
+def bpe_encoded_string(
+    word_col,
+    merges: list[tuple[str, str]],
+    *,
+    end_mark: str = "</w>",
+    sep: str = BPE_SEP,
+):
+    """Boundary-delimited BPE symbol string for a word under an
+    ORDERED merge list — a pure whole-stage-codegen expression chain
+    (regexp char split + 2 ``replace`` calls per merge), no UDF, no
+    shuffle. ``"the"`` -> ``"|th|e</w>|"`` under the pretrained table.
+
+    The same (search, replace) pairs render to a DuckDB expression via
+    :func:`duck_bpe_encoded_string`, making tokenizer-apply exactly
+    oracle-checkable cross-engine."""
+    c = F.col(word_col) if isinstance(word_col, str) else word_col
+    s = F.concat(
+        F.lit(sep),
+        F.regexp_replace(c, "(.)", "$1" + sep),
+        F.lit(end_mark + sep),
+    )
+    for search, repl in bpe_replace_pairs(merges, sep=sep):
+        s = F.replace(s, F.lit(search), F.lit(repl))
+        s = F.replace(s, F.lit(search), F.lit(repl))  # catch skipped
+    return s
+
+
+def bpe_token_count_expr(
+    word_col,
+    merges: list[tuple[str, str]],
+    *,
+    end_mark: str = "</w>",
+    sep: str = BPE_SEP,
+):
+    """BPE token count for a word: delimiter count minus one over the
+    encoded string — stays fully codegen'd."""
+    s = bpe_encoded_string(word_col, merges, end_mark=end_mark, sep=sep)
+    return (
+        F.length(s) - F.length(F.replace(s, F.lit(sep), F.lit("")))
+    ).cast("long") - 1
+
+
+def duck_bpe_token_count(
+    word_expr: str,
+    merges: list[tuple[str, str]],
+    *,
+    end_mark: str = "</w>",
+    sep: str = BPE_SEP,
+) -> str:
+    """DuckDB SQL twin of :func:`bpe_token_count_expr`, built from the
+    SAME (search, replace) pairs so both engines execute the identical
+    merge chain."""
+    s = (
+        f"'{sep}' || regexp_replace({word_expr}, '(.)', '\\1{sep}', 'g')"
+        f" || '{end_mark}{sep}'"
+    )
+    for search, repl in bpe_replace_pairs(merges, sep=sep):
+        s = f"replace({s}, '{search}', '{repl}')"
+        s = f"replace({s}, '{search}', '{repl}')"
+    return (
+        f"CAST(length({s}) - length(replace({s}, '{sep}', '')) AS BIGINT)"
+        " - 1"
+    )
+
+
 def bpe_learn(
     df: DataFrame, text_col: str, n_merges: int
 ) -> tuple[list[tuple[str, str]], DataFrame]:

@@ -419,6 +419,68 @@ def bpe_pair_ranks(spark, sf_dir):
     return top.withColumn("rn", F.row_number().over(w).cast("int"))
 
 
+def _bpe_encode_oracle() -> str:
+    from advisorydatapipeline_spark.operators.bpe import (
+        PRETRAINED_MERGES,
+        duck_bpe_token_count,
+    )
+
+    wtoks = duck_bpe_token_count("w", PRETRAINED_MERGES)
+    return f"""
+WITH tw AS (
+  SELECT doc_id, unnest({_T}) AS w FROM documents
+),
+grouped AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n_occ
+  FROM tw GROUP BY 1, 2
+),
+enc AS (
+  SELECT doc_id, n_occ, {wtoks} AS wtoks FROM grouped
+)
+SELECT doc_id,
+       CAST(sum(n_occ) AS BIGINT) AS n_words,
+       CAST(sum(n_occ * wtoks) AS BIGINT) AS n_bpe_tokens
+FROM enc GROUP BY doc_id
+"""
+
+
+@query("bpe_encode_tokens", oracle=_bpe_encode_oracle())
+def bpe_encode_tokens(spark, sf_dir):
+    """Tokenizer APPLY (the other half of bpe_pair_ranks/bpe_learn):
+    per-document BPE token counts under a pretrained ordered merge
+    table, as a pure codegen'd replace-chain — no UDF anywhere in a
+    tokenization pass, which is exactly what you want for the 100 TB
+    "count tokens before mixing" step of a training-data pipeline.
+
+    Plan shape: explode to words, pre-aggregate to (doc, word, n_occ)
+    so the merge chain evaluates once per DISTINCT word per doc (at
+    cluster scale you'd hoist a global distinct-word dimension and
+    hash-join it back), then one partial-agg rollup to the doc. Two
+    shuffles total, both map-side combined. The oracle executes the
+    IDENTICAL (search, replace) merge chain rendered to DuckDB SQL —
+    tokenizer-apply is value-gated, not eyeballed."""
+    from advisorydatapipeline_spark.operators.bpe import (
+        PRETRAINED_MERGES,
+        bpe_token_count_expr,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    grouped = (
+        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+    enc = grouped.withColumn(
+        "wtoks", bpe_token_count_expr("w", PRETRAINED_MERGES)
+    )
+    return enc.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("long").alias("n_words"),
+        F.sum(F.col("n_occ") * F.col("wtoks")).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 POSTINGS_DF_PCT_MIN, POSTINGS_DF_PCT_MAX = 1, 90  # df band, % of corpus
 
 

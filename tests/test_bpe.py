@@ -84,3 +84,95 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     assert counts[("a", "b")] == 3
     assert counts[("c", "d")] == 1
     assert counts[("b", END)] == 3
+
+
+def _py_bpe_fold(word: str, merges, end_mark="</w>"):
+    """Pure-Python reference: standard BPE apply — for each merge in
+    order, one leftmost-first non-overlapping pass over the symbols
+    (the same semantics as operators/bpe.bpe_apply_merge's fold)."""
+    syms = list(word) + [end_mark]
+    for a, b in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def _py_replace_chain(word: str, merges, end_mark="</w>", sep="|"):
+    from advisorydatapipeline_spark.operators.bpe import bpe_replace_pairs
+
+    s = sep + sep.join(word) + sep + end_mark + sep
+    for search, repl in bpe_replace_pairs(merges, sep=sep):
+        s = s.replace(search, repl)
+        s = s.replace(search, repl)
+    return [t for t in s.split(sep) if t]
+
+
+def test_replace_chain_equals_fold_pretrained():
+    from advisorydatapipeline_spark.operators.bpe import PRETRAINED_MERGES
+
+    words = [
+        "the", "then", "there", "thethe", "ththth", "ingoing",
+        "singing", "raining", "arrear", "inn", "noon", "and",
+        "sands", "es", "e", "x", "rere", "erer", "ererer",
+        "thththth", "anand", "bananas", "rering", "you", "young",
+    ]
+    for w in words:
+        assert _py_replace_chain(w, PRETRAINED_MERGES) == _py_bpe_fold(
+            w, PRETRAINED_MERGES
+        ), w
+
+
+def test_replace_chain_equals_fold_property():
+    import random
+
+    from advisorydatapipeline_spark.operators.bpe import PRETRAINED_MERGES
+
+    rng = random.Random(7)
+    # biased alphabet so merge pairs actually occur often
+    alpha = "theinagrous" + "thethering"
+    for _ in range(2000):
+        w = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(1, 12))
+        )
+        assert _py_replace_chain(w, PRETRAINED_MERGES) == _py_bpe_fold(
+            w, PRETRAINED_MERGES
+        ), w
+
+
+def test_replace_chain_rejects_self_pair():
+    import pytest
+
+    from advisorydatapipeline_spark.operators.bpe import bpe_replace_pairs
+
+    with pytest.raises(ValueError):
+        bpe_replace_pairs([("a", "a")])
+
+
+def test_spark_encode_matches_python_fold(spark):
+    from pyspark.sql import functions as F
+
+    from advisorydatapipeline_spark.operators.bpe import (
+        PRETRAINED_MERGES,
+        bpe_encoded_string,
+        bpe_token_count_expr,
+    )
+
+    words = ["the", "singing", "thethe", "and", "rerere", "x", "noon"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: (r["enc"], r["cnt"])
+        for r in df.select(
+            "w",
+            bpe_encoded_string("w", PRETRAINED_MERGES).alias("enc"),
+            bpe_token_count_expr("w", PRETRAINED_MERGES).alias("cnt"),
+        ).collect()
+    }
+    for w in words:
+        syms = _py_bpe_fold(w, PRETRAINED_MERGES)
+        assert got[w][0] == "|" + "|".join(syms) + "|", w
+        assert got[w][1] == len(syms), w

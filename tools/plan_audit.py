@@ -184,6 +184,7 @@ AUDIT = [
     "decile_migration_matrix",
     "shuffle_skew_whatif",
     "media_decode_stats",
+    "bpe_encode_tokens",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
