@@ -109,3 +109,36 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return f.join(d, [*keys, "_salt"], how).drop("_salt")
+
+
+def join_cardinality_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Exact pre-join output-size profile: (k, n_left, n_right, pairs)
+    per join key, where ``pairs = n_left * n_right`` is that key's
+    contribution to the join result (|A JOIN B| = sum over keys).
+
+    This is the planner dry-run you execute BEFORE committing a
+    100 TB join: it costs two partial-agg shuffles on the join key
+    plus a join of the (much smaller) distinct-key tables — never the
+    join itself — and tells you the output cardinality exactly, which
+    key dominates it, and therefore whether to broadcast, salt
+    (:func:`salted_join`), or split a runaway hot key. Catalyst's
+    size-in-bytes estimates can be orders of magnitude off after a
+    few operators; per-key counts cannot.
+    """
+    la = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left")
+    )
+    ra = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right")
+    )
+    return la.join(ra, "k").select(
+        "k",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).cast("long").alias("pairs"),
+    )

@@ -576,3 +576,64 @@ def shuffle_skew_whatif(spark, sf_dir):
             " DIV sum(rows_in) AS BIGINT)"
         ).alias("max_over_even_ppm"),
     )
+
+
+JOINCARD_TOPK = 5
+
+
+@query(
+    "join_cardinality_whatif",
+    oracle=f"""
+WITH la AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_left
+  FROM events GROUP BY 1
+),
+ra AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_right
+  FROM orders GROUP BY 1
+),
+prof AS (
+  SELECT la.k, n_left, n_right,
+         CAST(n_left * n_right AS BIGINT) AS pairs
+  FROM la JOIN ra ON la.k = ra.k
+),
+tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM prof)
+SELECT k AS join_key, n_left, n_right, pairs, total_pairs,
+       CAST(pairs * 1000000 // total_pairs AS BIGINT) AS share_ppm
+FROM prof, tot
+ORDER BY pairs DESC, join_key ASC LIMIT {JOINCARD_TOPK}
+""",
+)
+def join_cardinality_whatif(spark, sf_dir):
+    """Join-cardinality what-if (planner dry run, companion to
+    shuffle_skew_whatif): EXACT output size of events-x-orders on
+    user_id = o_custkey from per-key count histograms — without
+    running the join. Emits the top-5 contributing keys with their
+    exact pair counts and ppm share of the total, i.e. the decision
+    inputs for broadcast vs salt vs split before a 100 TB join. Cost:
+    two partial-agg shuffles on the key + a distinct-key join; the
+    1-row total joins back via broadcast (scalar nested-loop, not a
+    data-sized cross)."""
+    from advisorydatapipeline_spark.operators.skew import (
+        join_cardinality_profile,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    prof = join_cardinality_profile(ev, orders, "user_id", "o_custkey")
+    total = prof.agg(
+        F.sum("pairs").cast("long").alias("total_pairs")
+    )
+    top = prof.orderBy(
+        F.col("pairs").desc(), F.col("k").asc()
+    ).limit(JOINCARD_TOPK)
+    return top.crossJoin(F.broadcast(total)).select(
+        F.col("k").alias("join_key"),
+        "n_left",
+        "n_right",
+        "pairs",
+        "total_pairs",
+        F.expr(
+            "CAST(pairs * 1000000 DIV total_pairs AS BIGINT)"
+        ).alias("share_ppm"),
+    )

@@ -178,6 +178,7 @@ EXTENDED = [
     "shuffle_skew_whatif",
     "media_decode_stats",
     "bpe_encode_tokens",
+    "join_cardinality_whatif",
 ]
 
 

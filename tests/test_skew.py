@@ -72,3 +72,26 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(f, d, ["k"], salt_buckets=3, salt_on="v", how="left")
     rows = {r.k: r.w for r in out.collect()}
     assert rows == {1: "X", 2: None}
+
+
+def test_join_cardinality_profile_exact(spark):
+    from pyspark.sql import functions as F
+
+    from advisorydatapipeline_spark.operators.skew import (
+        join_cardinality_profile,
+    )
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (3,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (3,), (4,)], "r long"
+    )
+    prof = join_cardinality_profile(left, right, "k", "r")
+    rows = {r.k: (r.n_left, r.n_right, r.pairs) for r in prof.collect()}
+    # key 2 (no right match) and 4 (no left match) are absent
+    assert rows == {1: (3, 2, 6), 3: (2, 1, 2)}
+    # profile total equals the actual join cardinality
+    total = prof.agg(F.sum("pairs")).collect()[0][0]
+    actual = left.join(right, left.k == right.r).count()
+    assert total == actual == 8

@@ -185,6 +185,7 @@ AUDIT = [
     "shuffle_skew_whatif",
     "media_decode_stats",
     "bpe_encode_tokens",
+    "join_cardinality_whatif",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -192,6 +193,8 @@ AUDIT = [
 # broadcast global-scalar cross joins (corpus size / global total)
 # in tfidf and the Q11 shape
 NESTED_LOOP_OK = {
+    # 1-row broadcast total_pairs scalar join
+    "join_cardinality_whatif",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "tfidf_top_terms",

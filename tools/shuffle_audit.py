@@ -119,6 +119,7 @@ AUDIT = [
     "shuffle_skew_whatif",
     "media_decode_stats",
     "bpe_encode_tokens",
+    "join_cardinality_whatif",
 ]
 
 
