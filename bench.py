@@ -251,19 +251,24 @@ def main() -> None:
         json.dump(local, f, indent=1, sort_keys=False)
         f.write("\n")
 
+    # Key order matters: the external driver keeps only the LAST ~2000
+    # chars of this line, so the queries dict goes first and every
+    # headline scalar goes last — truncation can only ever eat the
+    # head of the core timings (all preserved in BENCH_LOCAL anyway),
+    # never the totals.
     print(
         json.dumps(
             {
-                "metric": "query wall time, local[*] at sf=" + sf,
-                "value": round(core_total + ext_total, 3),
-                "unit": "sec",
-                "sf": float(sf),
-                "core_total": core_total,
-                "extended_total": ext_total,
+                "queries": {n: timings[n] for n in CORE},
+                "full_timings": os.path.basename(local_path),
                 "n_core": len(CORE),
                 "n_extended": len(EXTENDED),
-                "full_timings": os.path.basename(local_path),
-                "queries": {n: timings[n] for n in CORE},
+                "core_total": core_total,
+                "extended_total": ext_total,
+                "sf": float(sf),
+                "unit": "sec",
+                "value": round(core_total + ext_total, 3),
+                "metric": "query wall time, local[*] at sf=" + sf,
             }
         )
     )
