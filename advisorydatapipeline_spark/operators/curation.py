@@ -281,3 +281,73 @@ def scrub_pii(col: Column | str) -> dict[str, Column]:
         "scrubbed": F.regexp_replace(c, EMAIL_RE, "<EMAIL>"),
         "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("int"),
     }
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (CDC, the gear/Rabin-boundary family
+    used by dedup storage systems): a chunk boundary opens wherever
+    the rolling word-``gram`` hash is 0 mod ``divisor`` (expected
+    chunk length ~``divisor`` grams). Unlike fixed-stride
+    :func:`chunk_text`, boundaries are functions of CONTENT, so an
+    insertion near the front shifts only its own chunk — downstream
+    chunk fingerprints re-synchronize, which is what makes
+    passage-level incremental dedup work across document revisions.
+
+    Returns (id, chunk_idx, n_grams, pos_start, pos_end,
+    chunk_min_hash) — the fingerprint row per chunk; dedup joins on
+    (chunk_min_hash, n_grams).
+
+    Plan shape: gram construction is IN-ROW (transform over the token
+    array — no self-join, no explode-then-window for the gram text);
+    the only shuffle is the per-doc cumulative-boundary window plus
+    the chunk rollup, both partitioned by the doc id. Portable: the
+    gram hash is md5-based :func:`hash64`, non-negative, so ``%`` is
+    engine-identical.
+    """
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).filter(F.size("_t") >= gram)
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - gram + 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    hash64(
+                        F.concat_ws(
+                            " ", F.slice("_t", i.cast("int"), gram)
+                        )
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = grams.withColumn(
+        "chunk_idx",
+        F.sum(
+            F.when(F.col("gh") % divisor == 0, 1).otherwise(0)
+        ).over(w).cast("int"),
+    )
+    return chunked.groupBy(id_col, "chunk_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.min("pos").cast("long").alias("pos_start"),
+        F.max("pos").cast("long").alias("pos_end"),
+        F.min("gh").cast("long").alias("chunk_min_hash"),
+    )

@@ -721,3 +721,55 @@ def temperature_mix_apply(spark, sf_dir):
     return kept.groupBy("source", "n_docs", "sample_ppm").agg(
         F.sum("keep").alias("n_kept")
     )
+
+
+CDC_GRAM, CDC_DIVISOR = 4, 16
+
+_CDC_GH = DUCK_HASH64.format(
+    x=f"array_to_string(t[i:i + {CDC_GRAM - 1}], ' ')"
+)
+
+
+@query(
+    "cdc_chunk_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {_CDC_GH} AS gh
+  FROM toks,
+       unnest(generate_series(1, len(t) - {CDC_GRAM} + 1)) AS u(i)
+  WHERE len(t) >= {CDC_GRAM}
+),
+chunked AS (
+  SELECT doc_id, pos, gh,
+         CAST(sum(CASE WHEN gh % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS INT)
+           AS chunk_idx
+  FROM grams
+)
+SELECT doc_id, chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(min(pos) AS BIGINT) AS pos_start,
+       CAST(max(pos) AS BIGINT) AS pos_end,
+       CAST(min(gh) AS BIGINT) AS chunk_min_hash
+FROM chunked GROUP BY 1, 2
+""",
+)
+def cdc_chunk_stats(spark, sf_dir):
+    """Content-defined chunking over the corpus: per-chunk fingerprint
+    rows whose boundaries depend on CONTENT (rolling 4-gram hash = 0
+    mod 16), so edits re-synchronize and chunk-level dedup survives
+    document revisions — the storage-dedup primitive fixed-stride
+    doc_chunks cannot provide. Gram construction is in-row; the only
+    shuffle is the per-doc boundary cumsum window + chunk rollup."""
+    from advisorydatapipeline_spark.operators.curation import cdc_chunks
+
+    return cdc_chunks(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        gram=CDC_GRAM,
+        divisor=CDC_DIVISOR,
+    )

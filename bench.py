@@ -179,6 +179,7 @@ EXTENDED = [
     "media_decode_stats",
     "bpe_encode_tokens",
     "join_cardinality_whatif",
+    "cdc_chunk_stats",
 ]
 
 

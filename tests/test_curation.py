@@ -125,3 +125,33 @@ def test_waterfill_matches_bruteforce(spark, sizes, budget):
         c += 1
     want = {f"s{i}": min(s, c) for i, s in enumerate(sizes)}
     assert got == want
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    import random
+
+    from advisorydatapipeline_spark.operators.curation import cdc_chunks
+
+    rng = random.Random(11)
+    words = [f"w{rng.randint(0, 400)}" for _ in range(300)]
+    base = " ".join(words)
+    edited = " ".join(["zz1", "zz2", "zz3"] + words)  # front insertion
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df, "doc_id", "text")
+    rows = out.collect()
+    fp = {1: set(), 2: set()}
+    for r in rows:
+        fp[r.doc_id].add((r.chunk_min_hash, r.n_grams))
+    # content-defined boundaries re-synchronize after the edit: the
+    # overwhelming majority of chunk fingerprints survive (a fixed-
+    # stride chunker would shift EVERY chunk by 3 words and share ~0)
+    shared = fp[1] & fp[2]
+    assert len(shared) >= 0.7 * len(fp[1]), (len(shared), len(fp[1]))
+    # determinism
+    out2 = {(r.doc_id, r.chunk_idx): r.chunk_min_hash for r in rows}
+    rows2 = cdc_chunks(df, "doc_id", "text").collect()
+    assert {
+        (r.doc_id, r.chunk_idx): r.chunk_min_hash for r in rows2
+    } == out2

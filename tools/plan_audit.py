@@ -186,6 +186,7 @@ AUDIT = [
     "media_decode_stats",
     "bpe_encode_tokens",
     "join_cardinality_whatif",
+    "cdc_chunk_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -120,6 +120,7 @@ AUDIT = [
     "media_decode_stats",
     "bpe_encode_tokens",
     "join_cardinality_whatif",
+    "cdc_chunk_stats",
 ]
 
 
