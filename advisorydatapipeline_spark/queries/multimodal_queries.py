@@ -238,6 +238,100 @@ def media_decode_stats(spark, sf_dir):
     return decode_media_headers(media)
 
 
+N_MEDIA_FILES = 100
+
+
+def _media_fixture_dir() -> str:
+    """Deterministic on-disk media fixtures (ids 0..99, the
+    media_decode_stats parameter arithmetic): real .bmp/.wav FILES so
+    the binaryFile source reads actual bytes from an actual directory
+    layout. Built once per machine, rebuild-if-missing."""
+    import os
+    import tempfile
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), "adp_media_files_v1")
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rates = {1: 8000, 3: 11025, 5: 16000, 7: 44100}
+    for i in range(N_MEDIA_FILES):
+        if i % 2 == 0:
+            path = os.path.join(d, f"media_{i:05d}.bmp")
+            payload = encode_bmp(4 + i % 32, 2 + i % 16, i % 251)
+        else:
+            path = os.path.join(d, f"media_{i:05d}.wav")
+            payload = encode_wav(rates[i % 8], 50 + i % 500, i % 100)
+        with open(path, "wb") as f:
+            f.write(payload)
+    open(marker, "w").close()
+    return d
+
+
+@query(
+    "binary_media_files",
+    oracle=f"""
+WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({N_MEDIA_FILES}) t(i)),
+params AS (
+  SELECT media_id,
+         media_id % 2 = 0 AS is_bmp,
+         CAST(4 + media_id % 32 AS INTEGER) AS w,
+         CAST(2 + media_id % 16 AS INTEGER) AS h,
+         CAST(CASE media_id % 8 WHEN 1 THEN 8000 WHEN 3 THEN 11025
+              WHEN 5 THEN 16000 ELSE 44100 END AS INTEGER) AS rate,
+         CAST(50 + media_id % 500 AS INTEGER) AS ns
+  FROM ids
+)
+SELECT media_id,
+       CASE WHEN is_bmp THEN 'bmp' ELSE 'wav' END AS container,
+       CASE WHEN is_bmp THEN w END AS width,
+       CASE WHEN is_bmp THEN h END AS height,
+       CASE WHEN NOT is_bmp THEN rate END AS sample_rate,
+       CASE WHEN NOT is_bmp THEN ns END AS n_samples,
+       CAST(CASE WHEN is_bmp THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+            ELSE 44 + ns * 2 END AS BIGINT) AS byte_len
+FROM params
+""",
+)
+def binary_media_files(spark, sf_dir):
+    """The real 100 TB media-ingestion path, end to end: actual .bmp/
+    .wav FILES on disk -> Spark's ``binaryFile`` source (path,
+    length, content rows; partition sizing via
+    ``spark.sql.files.maxPartitionBytes``, server-side listing
+    filters via ``pathGlobFilter``/``recursiveFileLookup``) -> real
+    pure-Python header decode (``decode_media_headers``). The oracle
+    recomputes every stat from the id arithmetic the fixtures were
+    built with, so a wrong byte anywhere in write->list->read->parse
+    is a value mismatch.
+
+    Scale: binary payloads stay in-partition from scan through
+    decode (narrow mapInPandas); only 7 scalar columns survive."""
+    from pyspark.sql import functions as SF
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_media_headers,
+    )
+
+    d = _media_fixture_dir()
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "media_*")
+        .load(d)
+    )
+    media = raw.select(
+        SF.regexp_extract(SF.col("path"), r"media_(\d+)\.", 1)
+        .cast("long")
+        .alias("media_id"),
+        SF.col("content").alias("payload"),
+    )
+    return decode_media_headers(media)
+
+
 FPS, SAMPLE_EVERY = 24, 48  # 24 fps, sample every 2 seconds
 
 

@@ -26,9 +26,16 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query (decorator)."""
+    """Register a query (decorator). Duplicate names are an import
+    error: last-wins shadowing once silently paired one entry's Spark
+    plan with another's oracle (round 5, ``binary_file_scan``)."""
 
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

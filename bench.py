@@ -180,6 +180,7 @@ EXTENDED = [
     "bpe_encode_tokens",
     "join_cardinality_whatif",
     "cdc_chunk_stats",
+    "binary_media_files",
 ]
 
 

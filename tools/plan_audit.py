@@ -187,6 +187,7 @@ AUDIT = [
     "bpe_encode_tokens",
     "join_cardinality_whatif",
     "cdc_chunk_stats",
+    "binary_media_files",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
