@@ -41,6 +41,40 @@ def json_extract_props(spark, sf_dir):
 
 
 @query(
+    "variant_extract_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(NULL AS BIGINT) AS missing_field,
+       CAST(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+            THEN 1 ELSE 0 END AS INTEGER) AS has_k
+FROM events
+WHERE props IS NOT NULL
+""",
+)
+def variant_extract_props(spark, sf_dir):
+    """Spark 4 VARIANT surface (the json_extract_props twin on the
+    native semi-structured type): ``parse_json`` once into a VARIANT
+    column, then typed access via ``variant_get`` and null-safe
+    ``try_variant_get`` on a missing path. VARIANT is the scale
+    answer for ragged JSON — one binary parse per row, typed
+    shredded access downstream, no per-access string re-parse like
+    repeated get_json_object calls."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing_field"),
+        F.when(k.isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("has_k"),
+    )
+
+
+@query(
     "pivot_event_matrix",
     oracle="""
 SELECT user_id,

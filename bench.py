@@ -181,6 +181,7 @@ EXTENDED = [
     "join_cardinality_whatif",
     "cdc_chunk_stats",
     "binary_media_files",
+    "variant_extract_props",
 ]
 
 

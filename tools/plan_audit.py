@@ -188,6 +188,7 @@ AUDIT = [
     "join_cardinality_whatif",
     "cdc_chunk_stats",
     "binary_media_files",
+    "variant_extract_props",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
