@@ -105,6 +105,37 @@ def pivot_event_matrix(spark, sf_dir):
 
 
 @query(
+    "unpivot_event_matrix",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t(event_type) AS (
+  VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+),
+c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+""",
+)
+def unpivot_event_matrix(spark, sf_dir):
+    """``unpivot``/melt surface: the wide user x event-type matrix
+    from the pivot twin folded back to long form — wide-to-long is
+    how feature matrices return to a joinable shape. Dense by
+    construction (every user carries all 5 type rows, zeros where the
+    pair never occurred), which the oracle mirrors with a
+    dim-cross-join; the unpivot itself is narrow (row-local
+    transpose, no shuffle beyond the pivot's)."""
+    wide = pivot_event_matrix(spark, sf_dir)
+    return wide.unpivot(
+        "user_id", list(EVENT_TYPES), "event_type", "n_events"
+    )
+
+
+@query(
     "window_analytics",
     oracle="""
 SELECT event_id, user_id,

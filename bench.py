@@ -182,6 +182,7 @@ EXTENDED = [
     "cdc_chunk_stats",
     "binary_media_files",
     "variant_extract_props",
+    "unpivot_event_matrix",
 ]
 
 

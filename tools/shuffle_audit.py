@@ -123,6 +123,7 @@ AUDIT = [
     "cdc_chunk_stats",
     "binary_media_files",
     "variant_extract_props",
+    "unpivot_event_matrix",
 ]
 
 
