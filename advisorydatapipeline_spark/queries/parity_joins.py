@@ -64,6 +64,62 @@ def ci_compound_key_left_join(spark, sf_dir):
 
 
 @query(
+    "collated_ci_join",
+    oracle="""
+WITH dim AS (
+  SELECT upper(p_brand) AS ov_brand, upper(p_type) AS ov_type,
+         'flagged' AS flag
+  FROM part WHERE p_size > 40
+  GROUP BY upper(p_brand), upper(p_type)
+)
+SELECT p.p_partkey, p.p_brand, p.p_type,
+       coalesce(d.flag, 'none') AS flag
+FROM part p
+LEFT JOIN dim d
+  ON lower(p.p_brand) = lower(d.ov_brand)
+ AND lower(p.p_type) = lower(d.ov_type)
+""",
+)
+def collated_ci_join(spark, sf_dir):
+    """The J1 case-insensitive join on Spark 4 NATIVE collations
+    (``collate(col, 'UTF8_LCASE')`` equality) instead of lower()
+    wrappers — same answer (oracle shared with
+    ci_compound_key_left_join), different physical story: collated
+    equality is a first-class equi-join key (hash-partitionable,
+    statistics-aware), where a lower() expression key blinds column
+    stats and blocks bucketed co-location. This is the modern form of
+    the reference's packages_to_enrich.py:34 join at scale."""
+    part = load(spark, sf_dir, "part")
+    dim = (
+        part.filter(F.col("p_size") > 40)
+        .select(
+            F.upper("p_brand").alias("ov_brand"),
+            F.upper("p_type").alias("ov_type"),
+        )
+        .distinct()
+        .withColumn("flag", F.lit("flagged"))
+    )
+    joined = part.join(
+        F.broadcast(dim),
+        (
+            F.collate(part.p_brand, "UTF8_LCASE")
+            == F.collate(dim.ov_brand, "UTF8_LCASE")
+        )
+        & (
+            F.collate(part.p_type, "UTF8_LCASE")
+            == F.collate(dim.ov_type, "UTF8_LCASE")
+        ),
+        "left",
+    )
+    return joined.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        F.coalesce("flag", F.lit("none")).alias("flag"),
+    )
+
+
+@query(
     "left_anti_cache_skip",
     oracle=f"""
 SELECT e.event_id, e.user_id, e.event_type

@@ -183,6 +183,7 @@ EXTENDED = [
     "binary_media_files",
     "variant_extract_props",
     "unpivot_event_matrix",
+    "collated_ci_join",
 ]
 
 

@@ -190,6 +190,7 @@ AUDIT = [
     "binary_media_files",
     "variant_extract_props",
     "unpivot_event_matrix",
+    "collated_ci_join",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
