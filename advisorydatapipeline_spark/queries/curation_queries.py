@@ -773,3 +773,80 @@ def cdc_chunk_stats(spark, sf_dir):
         gram=CDC_GRAM,
         divisor=CDC_DIVISOR,
     )
+
+
+# --- weighted sampling without replacement (A-ES) -------------------
+
+_ARES_SALT = "ares#1"
+_ARES_K = 12  # sample size per language stratum
+# 13 hex digits = 52 bits: the hash-int stays under 2^53 so the
+# int->double conversion below is EXACT in both engines
+_ARES_DENOM = float(1 << 52)
+
+_DUCK_ARES_U = (
+    f"((('0x' || substr(md5('{_ARES_SALT}' || CAST(doc_id AS VARCHAR)),"
+    f" 1, 13))::BIGINT + 1) / {_ARES_DENOM!r})"
+)
+
+
+@query(
+    "weighted_sample_ares",
+    oracle=f"""
+SELECT lang, rn, doc_id, weight
+FROM (
+  SELECT lang, doc_id, n_chars AS weight,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ln({_DUCK_ARES_U}) / n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_ARES_K}
+""",
+)
+def weighted_sample_ares(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement per language stratum —
+    Efraimidis-Spirakis A-ES: priority u^(1/w) (compared as
+    ln(u)/w), top-k by priority == a weight-proportional sample.
+    Importance sampling for training mixes (here w = n_chars: longer
+    docs proportionally likelier), reproducible across runs, retries
+    and partitionings because u is md5-derived, not rand().
+
+    Scale: u and the key are map-side column math; only
+    (lang, key, doc_id, weight) ever shuffles for the per-stratum
+    top-k — the text never moves. The float key is ordering-only and
+    never output (engine ulp differences in ln() cannot perturb
+    hashed values, and perturbing the order of two keys would need a
+    ~1e-16 near-tie between md5-derived reals).
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_ARES_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(_ARES_DENOM)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        key.desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+        )
+        .filter(F.col("rn") <= _ARES_K)
+    )

@@ -637,3 +637,123 @@ def join_cardinality_whatif(spark, sf_dir):
             "CAST(pairs * 1000000 DIV total_pairs AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+# --- Deequ-style constraint suite: analyzer metrics + verdicts ------
+
+_PRIORITY_RE = "^[1-5]-[A-Z ]+$"
+
+
+@query(
+    "constraint_suite_orders",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_custkey) AS BIGINT) AS n_cust,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('P','O','F')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ok_status,
+         CAST(SUM(CASE WHEN regexp_matches(o_orderpriority,
+                       '{_PRIORITY_RE}')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ok_prio,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price
+  FROM orders
+)
+SELECT 'size_min_1' AS constraint, CAST(n AS DOUBLE) AS metric,
+       n >= 1 AS passed FROM base
+UNION ALL SELECT 'completeness_o_custkey',
+       n_cust / CAST(n AS DOUBLE), n_cust = n FROM base
+UNION ALL SELECT 'uniqueness_o_orderkey',
+       nd_key / CAST(n AS DOUBLE), nd_key = n FROM base
+UNION ALL SELECT 'distinctness_o_orderstatus',
+       nd_status / CAST(n AS DOUBLE), nd_status <= 10 FROM base
+UNION ALL SELECT 'compliance_status_domain',
+       ok_status / CAST(n AS DOUBLE), ok_status = n FROM base
+UNION ALL SELECT 'compliance_priority_pattern',
+       ok_prio / CAST(n AS DOUBLE), ok_prio = n FROM base
+UNION ALL SELECT 'min_o_totalprice', min_price,
+       min_price >= 0 FROM base
+UNION ALL SELECT 'max_o_totalprice', max_price,
+       max_price <= 1000000 FROM base
+""",
+)
+def constraint_suite_orders(spark, sf_dir):
+    """Deequ-style declarative data-quality suite: ANALYZER metrics
+    (size, completeness, uniqueness, distinctness, compliance,
+    min/max) plus a pass/fail verdict per constraint — the
+    publish-gate shape (block the table version when `passed` has a
+    false) that quality_report_docs' violation listing does not give.
+
+    One aggregation pass over the table computes every metric
+    (map-side partial aggs; two distinct-counts expand via Spark's
+    native EXPAND, still one scan), then a one-row -> eight-row
+    in-memory unpivot. At 100 TB this is the cheapest full-table
+    audit shape: no joins, no window, one shuffle of partial aggs.
+    Every ratio is a single division of two exact counts, so the
+    doubles are engine-portable.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_custkey").cast("long").alias("n_cust"),
+        F.countDistinct("o_orderkey").cast("long").alias("nd_key"),
+        F.countDistinct("o_orderstatus").cast("long").alias("nd_status"),
+        F.sum(
+            F.col("o_orderstatus").isin("P", "O", "F").cast("long")
+        ).cast("long").alias("ok_status"),
+        F.sum(
+            F.col("o_orderpriority").rlike(_PRIORITY_RE).cast("long")
+        ).cast("long").alias("ok_prio"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    n_d = F.col("n").cast("double")
+    checks = [
+        ("size_min_1", n_d, F.col("n") >= 1),
+        (
+            "completeness_o_custkey",
+            F.col("n_cust") / n_d,
+            F.col("n_cust") == F.col("n"),
+        ),
+        (
+            "uniqueness_o_orderkey",
+            F.col("nd_key") / n_d,
+            F.col("nd_key") == F.col("n"),
+        ),
+        (
+            "distinctness_o_orderstatus",
+            F.col("nd_status") / n_d,
+            F.col("nd_status") <= 10,
+        ),
+        (
+            "compliance_status_domain",
+            F.col("ok_status") / n_d,
+            F.col("ok_status") == F.col("n"),
+        ),
+        (
+            "compliance_priority_pattern",
+            F.col("ok_prio") / n_d,
+            F.col("ok_prio") == F.col("n"),
+        ),
+        (
+            "min_o_totalprice",
+            F.col("min_price"),
+            F.col("min_price") >= 0,
+        ),
+        (
+            "max_o_totalprice",
+            F.col("max_price"),
+            F.col("max_price") <= 1000000,
+        ),
+    ]
+    # one stack() over the single agg row — NOT a union of per-check
+    # selects, which would plan (and at 100 TB, run) the scan+agg once
+    # per constraint
+    stack_args: list[F.Column] = [F.lit(len(checks))]
+    for name, metric, passed in checks:
+        stack_args += [F.lit(name), metric.cast("double"), passed]
+    return base.select(
+        F.stack(*stack_args).alias("constraint", "metric", "passed")
+    )

@@ -760,3 +760,60 @@ def decile_migration_matrix(spark, sf_dir):
         .groupBy("q1", "q2")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# --- correlated LATERAL top-N join ----------------------------------
+
+_LATERAL_K = 2
+
+
+@query(
+    "lateral_topn_join",
+    oracle=f"""
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice, t.rn
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {_LATERAL_K}
+) t ON TRUE
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+)
+def lateral_topn_join(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 3.4+ SQL surface): per
+    customer, the top-{k} orders by price — the for-each-row join
+    shape users reach for before discovering window functions.
+
+    Catalyst DECORRELATES the lateral subquery into the same
+    shuffle+window physical plan as the window formulation (verify
+    with .explain: no nested-loop per-row execution survives), so the
+    declarative per-row semantics cost one hash join + one bounded
+    window at any scale. The outer filter prunes the probe side
+    before the join.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_cust_lateral"
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ord_lateral")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey, t.o_totalprice, t.rn
+        FROM _cust_lateral c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rn
+          FROM _ord_lateral o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT {_LATERAL_K}
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

@@ -184,6 +184,10 @@ EXTENDED = [
     "variant_extract_props",
     "unpivot_event_matrix",
     "collated_ci_join",
+    "cdc_apply_changelog",
+    "weighted_sample_ares",
+    "constraint_suite_orders",
+    "lateral_topn_join",
 ]
 
 

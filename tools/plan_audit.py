@@ -191,6 +191,10 @@ AUDIT = [
     "variant_extract_props",
     "unpivot_event_matrix",
     "collated_ci_join",
+    "cdc_apply_changelog",
+    "weighted_sample_ares",
+    "constraint_suite_orders",
+    "lateral_topn_join",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
