@@ -683,3 +683,209 @@ def allpairs_cosine_blocked(
     return rep.groupBy("_bl", "_bh").applyInPandas(
         score_block_pair, "id_a long, id_b long, cosine double"
     )
+
+
+# --- product quantization (PQ) with asymmetric distance -------------
+
+
+def l2_sq_q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    n_code: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(m, k, sub) sub-centroid rows: codeword ``k`` of subspace ``m``
+    is the m-th subvector of corpus vector ``k`` (k < n_code) — the
+    same deterministic seeding convention as IVF's centroids. A real
+    deployment would kmeans-refine per subspace (kmeans_lloyd_step is
+    the building block); seeding keeps the oracle replayable."""
+    q = corpus.filter(F.col(id_col) < n_code).select(
+        F.col(id_col).alias("k"), quantize(vec_col).alias("q")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice("q", m * sub_dim + 1, sub_dim).alias("sub"),
+            )
+            for m in range(n_sub)
+        ]
+    )
+    return q.select("k", F.explode(subs).alias("e")).select(
+        F.col("e.m").alias("m"), "k", F.col("e.sub").alias("sub")
+    )
+
+
+def _cb_row(codebook: DataFrame):
+    """Collapse the (tiny) codebook to ONE row holding a (m,k)-sorted
+    array<struct> — broadcast-joined, it makes PQ encode/ADC lookup
+    pure map-side column math (no per-(vec,m,k) shuffle ever
+    exists). Within each m the entries sort by k, so list position
+    k+1 IS codeword k."""
+    return codebook.agg(
+        F.array_sort(F.collect_list(F.struct("m", "k", "sub"))).alias("cb")
+    )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode the corpus: (id, codes array<long> of length n_sub).
+
+    At 100 TB this is the point of PQ: 64 floats collapse to n_sub
+    small ints per vector (8 bytes at n_code<=256), so the whole
+    corpus index fits in executor memory. Encoding is one broadcast
+    of the codebook row + per-row HOF argmins — zero shuffle,
+    whole-stage-codegen'd.
+    """
+    base = (
+        corpus.select(F.col(id_col), quantize(vec_col).alias("q"))
+        .crossJoin(F.broadcast(_cb_row(codebook)))
+        .withColumn(
+            "subs",
+            F.array(
+                *[
+                    F.slice("q", m * sub_dim + 1, sub_dim)
+                    for m in range(n_sub)
+                ]
+            ),
+        )
+    )
+
+    def argmin_code(m: int) -> Column:
+        sub = F.col("subs").getItem(m)
+        cbm = F.filter(F.col("cb"), lambda e: e["m"] == F.lit(m))
+        init = F.struct(
+            F.lit(2**62).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("k"),
+        )
+
+        def merge(acc: Column, e: Column) -> Column:
+            d_e = l2_sq_q(sub, e["sub"])
+            # strict < keeps the earlier (smaller-k) codeword on ties:
+            # cb is (m,k)-sorted
+            return F.when(
+                d_e < acc["d"],
+                F.struct(d_e.alias("d"), e["k"].cast("long").alias("k")),
+            ).otherwise(acc)
+
+        return F.aggregate(cbm, init, merge)["k"]
+
+    return base.select(
+        F.col(id_col),
+        F.array(*[argmin_code(m) for m in range(n_sub)]).alias("codes"),
+    )
+
+
+def _dtab_entry(m: int, sub_dim: int) -> Column:
+    """Distance-table column for subspace ``m``: distances from the
+    query's m-th subvector to each codeword of subspace m, in
+    codeword order (cb is (m,k)-sorted)."""
+    return F.transform(
+        F.filter(F.col("cb"), lambda e: e["m"] == F.lit(m)),
+        lambda e: l2_sq_q(F.slice("q", m * sub_dim + 1, sub_dim), e["sub"]),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric distance computation: each query precomputes its
+    per-subspace distance table to every codeword (n_sub x n_code
+    integers), then a candidate's approximate distance is n_sub table
+    LOOKUPS over its codes — no float math per pair. Codes never
+    shuffle; queries (with tables) broadcast. Returns (query_id,
+    neighbor_id, adc_dist, rn)."""
+    codes = pq_codes(
+        corpus, codebook, n_sub=n_sub, sub_dim=sub_dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    qbase = (
+        queries.select(F.col(query_id_col), quantize(vec_col).alias("q"))
+        .crossJoin(F.broadcast(_cb_row(codebook)))
+        .withColumn(
+            "dtab",
+            # NB: single-argument lambdas only — a two-parameter
+            # callable is PySpark's (element, index) variant, which
+            # would silently rebind a default-arg loop capture. The
+            # lambdas run once, eagerly, at expression build, so the
+            # loop-variable closure is safe.
+            F.array(*[_dtab_entry(m, sub_dim) for m in range(n_sub)]),
+        )
+        .select(query_id_col, "dtab")
+    )
+    pairs = codes.crossJoin(F.broadcast(qbase)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at("dtab", m + 1),
+            (F.col("codes").getItem(m) + 1).cast("int"),
+        )
+        for m in range(n_sub)
+    )
+    scored = pairs.withColumn("adc_dist", adc.cast("long"))
+    return top_k_per_key(
+        scored,
+        [query_id_col],
+        [F.col("adc_dist").asc(), F.col(id_col).asc()],
+        k=k,
+        keep_rank=True,
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        "adc_dist",
+        "rn",
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k (self excluded) — PQ's ground truth."""
+    c = corpus.select(F.col(id_col), quantize(vec_col).alias("cq"))
+    q = queries.select(F.col(query_id_col), quantize(vec_col).alias("qq"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("l2_sq", l2_sq_q(F.col("cq"), F.col("qq")))
+    )
+    return top_k_per_key(
+        scored,
+        [query_id_col],
+        [F.col("l2_sq").asc(), F.col(id_col).asc()],
+        k=k,
+    ).select(query_id_col, F.col(id_col).alias("neighbor_id"), "l2_sq")

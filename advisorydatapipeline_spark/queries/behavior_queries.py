@@ -1206,3 +1206,144 @@ def theil_sen_trend(spark, sf_dir):
             "median_slope"
         ),
     )
+
+
+# --- position-based (U-shaped) multi-touch attribution --------------
+
+
+@query(
+    "attribution_position_based",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS p_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100) AS BIGINT) END AS p_cents
+  FROM events WHERE ts IS NOT NULL
+),
+assigned AS (
+  SELECT *,
+         last_value(p_id IGNORE NULLS) OVER w AS purchase_id,
+         last_value(p_cents IGNORE NULLS) OVER w AS cents
+  FROM ev
+  WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY ts DESC,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END ASC,
+             event_id DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d,
+         count(*) OVER (PARTITION BY purchase_id) AS n
+  FROM assigned
+  WHERE event_type <> 'purchase' AND purchase_id IS NOT NULL
+),
+credited AS (
+  SELECT event_type, cents,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN rn_a = 1 THEN 400000
+              WHEN rn_d = 1 THEN 400000
+              ELSE 200000 // (n - 2)
+                   + CASE WHEN rn_a = 2
+                          THEN 200000 - (n - 2) * (200000 // (n - 2))
+                          ELSE 0 END
+         END AS ppm
+  FROM ranked
+)
+SELECT event_type AS channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(ppm) AS BIGINT) AS credit_ppm_total,
+       CAST(sum(cents * ppm) AS BIGINT) AS attributed_micro_cents
+FROM credited GROUP BY 1
+""",
+)
+def attribution_position_based(spark, sf_dir):
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase's value splits 40% to the first touch, 40% to the last,
+    20% across the middles — per-channel credit the last-touch model
+    can't express. Credits are integer parts-per-million (the middle
+    pool divides by floor with the remainder pinned to the earliest
+    middle touch), so every engine computes the identical split —
+    no float credit drift at any scale.
+
+    Plan: one scan; a per-user descending running `last(ignorenulls)`
+    assigns each touch to its NEXT purchase (strictly later — the
+    tie order puts a same-timestamp purchase after the touch in the
+    scan, keeping it invisible); two row_numbers + a partition count
+    rank touches within each purchase; one partial-agg shuffle
+    produces the 4-row channel rollup. Touch rows carry (ids, ts,
+    cents) only — at 100 TB nothing wider ever shuffles.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    is_p = F.col("event_type") == "purchase"
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_p, F.col("event_id")).alias("p_id"),
+        F.when(is_p, F.floor(F.col("value") * 100).cast("long")).alias(
+            "p_cents"
+        ),
+        is_p.cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(), F.col("is_p").asc(), F.col("event_id").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = tagged.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.last("p_id", ignorenulls=True).over(w).alias("purchase_id"),
+        F.last("p_cents", ignorenulls=True).over(w).alias("cents"),
+    ).filter(
+        (F.col("event_type") != "purchase")
+        & F.col("purchase_id").isNotNull()
+    )
+    wp = Window.partitionBy("purchase_id")
+    ranked = assigned.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(wp.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("rn_a"),
+        F.row_number()
+        .over(wp.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    ppm = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(F.col("rn_a") == 1, F.lit(400000))
+        .when(F.col("rn_d") == 1, F.lit(400000))
+        .otherwise(
+            F.expr("200000 DIV (n - 2)")
+            + F.when(
+                F.col("rn_a") == 2,
+                F.lit(200000) - (F.col("n") - 2) * F.expr("200000 DIV (n - 2)"),
+            ).otherwise(F.lit(0))
+        )
+    )
+    return (
+        ranked.withColumn("ppm", ppm.cast("long"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("ppm").cast("long").alias("credit_ppm_total"),
+            F.sum(F.col("cents") * F.col("ppm"))
+            .cast("long")
+            .alias("attributed_micro_cents"),
+        )
+    )

@@ -788,3 +788,245 @@ def centroid_separation(spark, sf_dir):
             ).alias("dist2_milli")
         )
     )
+
+
+# --- product quantization (PQ / ADC) --------------------------------
+
+PQ_M, PQ_D, PQ_NCODE = 8, 8, 16  # 64-dim -> 8 subspaces, 16 codewords
+
+
+def _pq_adc_body() -> str:
+    """CTE body shared by the standalone PQ oracle and the recall
+    eval: encode the corpus against the deterministic codebook, build
+    per-query distance tables, rank by summed table lookups."""
+    return f"""
+c AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+subm AS (
+  SELECT c.vec_id, t.range AS m,
+         c.v[(t.range * {PQ_D} + 1):((t.range + 1) * {PQ_D})] AS sub
+  FROM c, range({PQ_M}) t
+),
+cb AS (
+  SELECT m, vec_id AS k, sub FROM subm WHERE vec_id < {PQ_NCODE}
+),
+assign AS (
+  SELECT s.vec_id, s.m, cb.k,
+         list_dot_product(s.sub, s.sub) + list_dot_product(cb.sub, cb.sub)
+           - 2 * list_dot_product(s.sub, cb.sub) AS d
+  FROM subm s JOIN cb ON cb.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d ASC, k ASC
+    ) AS rn FROM assign
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, m, sub FROM subm
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+dtab AS (
+  SELECT qs.query_id, qs.m, cb.k,
+         list_dot_product(qs.sub, qs.sub)
+           + list_dot_product(cb.sub, cb.sub)
+           - 2 * list_dot_product(qs.sub, cb.sub) AS d
+  FROM qsub qs JOIN cb ON cb.m = qs.m
+),
+adc AS (
+  SELECT dt.query_id, ct.vec_id AS neighbor_id,
+         CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+  FROM codes ct
+  JOIN dtab dt ON dt.m = ct.m AND dt.k = ct.code
+  WHERE ct.vec_id <> dt.query_id
+  GROUP BY 1, 2
+),
+pq_ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+         ) AS INT) AS rn
+  FROM adc
+)"""
+
+
+_PQ_ORACLE = f"""
+WITH {_pq_adc_body()}
+SELECT query_id, neighbor_id, adc_dist, rn
+FROM pq_ranked WHERE rn <= {K}
+"""
+
+
+@query("pq_adc_topk", oracle=_PQ_ORACLE)
+def pq_adc_topk_query(spark, sf_dir):
+    """Product-quantization ANN: vectors collapse to {PQ_M} codebook
+    indices (the RAM-resident compressed index — at 100 TB the
+    embeddings themselves never rejoin the search), queries rank
+    candidates by summed distance-table lookups (ADC, Jegou et al.
+    2011). Encode is zero-shuffle HOF math over a broadcast codebook;
+    the only shuffle is the per-query top-k."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, n_sub=PQ_M, sub_dim=PQ_D, n_code=PQ_NCODE)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(
+        emb, queries, cb, K, n_sub=PQ_M, sub_dim=PQ_D
+    )
+
+
+PQ_SHORTLIST = 8  # rerank shortlist = PQ_SHORTLIST * K candidates
+
+_PQ_EVAL_ORACLE = f"""
+WITH {_pq_adc_body()},
+q AS (
+  SELECT vec_id AS query_id, {_DUCK_QD} AS v FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.v, c.v)
+                        + list_dot_product(q.v, q.v)
+                        - 2 * list_dot_product(c.v, q.v) ASC,
+                      c.vec_id ASC
+           ) AS rn
+    FROM c, q WHERE c.vec_id <> q.query_id
+  ) WHERE rn <= {K}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM pq_ranked WHERE rn <= {K}
+),
+rerank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY list_dot_product(c.v, c.v)
+                        + list_dot_product(q.v, q.v)
+                        - 2 * list_dot_product(c.v, q.v) ASC,
+                      s.neighbor_id ASC
+           ) AS rn
+    FROM (SELECT query_id, neighbor_id FROM pq_ranked
+          WHERE rn <= {K * PQ_SHORTLIST}) s
+    JOIN c ON c.vec_id = s.neighbor_id
+    JOIN q ON q.query_id = s.query_id
+  ) WHERE rn <= {K}
+),
+hits AS (
+  SELECT t.query_id FROM truth t
+  JOIN approx a
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+),
+rhits AS (
+  SELECT t.query_id FROM truth t
+  JOIN rerank r
+    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       CAST((SELECT count(*) FROM hits) * 1000000
+            // GREATEST((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm,
+       (SELECT CAST(count(*) AS BIGINT) FROM rhits) AS n_rerank_hits,
+       CAST((SELECT count(*) FROM rhits) * 1000000
+            // GREATEST((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS rerank_recall_ppm
+"""
+
+
+@query("pq_recall_eval", oracle=_PQ_EVAL_ORACLE)
+def pq_recall_eval(spark, sf_dir):
+    """PQ's recall gauges against exact squared-L2 ground truth — the
+    fourth leg of the recall trio (lsh/rhp/ivf). Two numbers: pure
+    ADC recall (what the compressed index alone ranks — the dial for
+    n_sub/n_code), and shortlist+rerank recall (ADC keeps
+    PQ_SHORTLIST*k candidates, full vectors re-score ONLY those — the
+    production retrieval stack, where the exact pass touches a
+    vanishing fraction of the corpus). The brute truth leg is the
+    labeled O(corpus x queries) ceiling, run on a query sample."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        l2_sq_q,
+        l2_topk,
+        pq_adc_topk,
+        pq_codebook,
+        quantize,
+    )
+    from advisorydatapipeline_spark.operators.window_ops import (
+        top_k_per_key,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, n_sub=PQ_M, sub_dim=PQ_D, n_code=PQ_NCODE)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = l2_topk(emb, queries, K).select("query_id", "neighbor_id")
+    shortlist = pq_adc_topk(
+        emb, queries, cb, K * PQ_SHORTLIST, n_sub=PQ_M, sub_dim=PQ_D
+    ).select("query_id", "neighbor_id", "rn")
+    approx = shortlist.filter(F.col("rn") <= K).drop("rn")
+    rerank = top_k_per_key(
+        shortlist.drop("rn")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                quantize("embedding").alias("cq"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    "query_id", quantize("embedding").alias("qq")
+                )
+            ),
+            "query_id",
+        )
+        .withColumn("l2_sq", l2_sq_q(F.col("cq"), F.col("qq"))),
+        ["query_id"],
+        [F.col("l2_sq").asc(), F.col("neighbor_id").asc()],
+        k=K,
+    ).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"])
+    rhits = truth.join(rerank, ["query_id", "neighbor_id"])
+    one = (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(
+            F.broadcast(
+                approx.agg(F.count("*").cast("long").alias("n_approx"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(hits.agg(F.count("*").cast("long").alias("n_hits")))
+        )
+        .crossJoin(
+            F.broadcast(
+                rhits.agg(
+                    F.count("*").cast("long").alias("n_rerank_hits")
+                )
+            )
+        )
+    )
+    return one.select(
+        "n_true",
+        "n_approx",
+        "n_hits",
+        F.expr("n_hits * 1000000L DIV GREATEST(n_true, 1L)").alias(
+            "recall_ppm"
+        ),
+        "n_rerank_hits",
+        F.expr("n_rerank_hits * 1000000L DIV GREATEST(n_true, 1L)").alias(
+            "rerank_recall_ppm"
+        ),
+    )

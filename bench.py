@@ -188,6 +188,9 @@ EXTENDED = [
     "weighted_sample_ares",
     "constraint_suite_orders",
     "lateral_topn_join",
+    "attribution_position_based",
+    "pq_adc_topk",
+    "pq_recall_eval",
 ]
 
 

@@ -195,6 +195,9 @@ AUDIT = [
     "weighted_sample_ares",
     "constraint_suite_orders",
     "lateral_topn_join",
+    "attribution_position_based",
+    "pq_adc_topk",
+    "pq_recall_eval",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -255,6 +258,10 @@ NESTED_LOOP_OK = {
     "kmv_distinct_sketch",
     # 1-row broadcast (min, max) order-date bounds scalar
     "decile_migration_matrix",
+    # broadcast codebook-row / query-table cross joins (the PQ
+    # encode + ADC plans) — build sides are 1 row and |queries| rows
+    "pq_adc_topk",
+    "pq_recall_eval",
 }
 
 JOIN_PAT = re.compile(

@@ -125,6 +125,8 @@ AUDIT = [
     "variant_extract_props",
     "unpivot_event_matrix",
     "collated_ci_join",
+    "attribution_position_based",
+    "pq_adc_topk",
 ]
 
 
