@@ -1347,3 +1347,257 @@ def attribution_position_based(spark, sf_dir):
             .alias("attributed_micro_cents"),
         )
     )
+
+
+# --- Kaplan-Meier retention curve (right-censored) ------------------
+
+# the synthetic corpus spans ~30 days with near-continuous activity,
+# so the clinically-typical day/14d grid would censor everyone; the
+# ESTIMATOR is granularity-agnostic -- hours + a 24h censor window
+_KM_CENSOR_NS = 24 * 3600 * 1_000_000_000  # active in last 24h => censored
+_KM_DAY_NS = 3600 * 1_000_000_000  # duration bucket: hours
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         (max(epoch_ns(ts)) - min(epoch_ns(ts))) // {_KM_DAY_NS}
+           AS dur_hours,
+         max(epoch_ns(ts)) AS last_ns
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+),
+h AS (SELECT max(epoch_ns(ts)) AS horizon_ns FROM events),
+lab AS (
+  SELECT dur_hours,
+         CASE WHEN h.horizon_ns - last_ns > {_KM_CENSOR_NS}
+              THEN 1 ELSE 0 END AS churned
+  FROM u, h
+),
+per_t AS (
+  SELECT dur_hours, CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(churned) AS BIGINT) AS n_churn
+  FROM lab GROUP BY dur_hours
+),
+risk AS (
+  SELECT dur_hours, n_all, n_churn,
+         (SELECT CAST(count(*) AS BIGINT) FROM lab)
+           - CAST(COALESCE(sum(n_all) OVER (
+               ORDER BY dur_hours ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n_risk
+  FROM per_t
+),
+steps AS (
+  SELECT dur_hours, n_risk, n_churn,
+         CASE WHEN n_risk > n_churn
+              THEN CAST(floor(1000000 * ln(
+                     (n_risk - n_churn) / CAST(n_risk AS DOUBLE)
+                   )) AS BIGINT) END AS step_micro
+  FROM risk WHERE n_churn > 0
+)
+SELECT dur_hours AS t_hours, n_risk, n_churn,
+       CAST(sum(step_micro) OVER (
+         ORDER BY dur_hours ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS logsurv_micro
+FROM steps
+""",
+)
+def kaplan_meier_retention(spark, sf_dir):
+    """Kaplan-Meier product-limit retention curve over user activity
+    lifespans, with RIGHT CENSORING: a user active within 24 hours of
+    the corpus horizon hasn't churned — their lifetime is a lower
+    bound, and naive retention curves that drop them are biased
+    toward early churn. At each churn duration t: n_risk (users
+    surviving >= t), n_churn, and the running log-survival
+    ln S(t) = sum ln((n_i - d_i)/n_i), emitted as an exact
+    floor-quantized integer (micro-nats) so both engines agree
+    bit-for-bit: the per-step ln is one per-row op; only integers
+    are ever summed.
+
+    Plan: one groupBy(user) pass collapses events to (duration,
+    censored) — at 100 TB the only full shuffle; the curve itself
+    lives on |distinct durations| rows (a single-partition window
+    over a tiny rollup, like the other curve queries).
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.expr(f"(max(ts) - min(ts)) DIV {_KM_DAY_NS}").alias("dur_hours"),
+        F.max("ts").alias("last_ns"),
+    )
+    h = ev.agg(F.max("ts").alias("horizon_ns"))
+    lab = u.crossJoin(F.broadcast(h)).select(
+        "dur_hours",
+        (
+            (F.col("horizon_ns") - F.col("last_ns")) > _KM_CENSOR_NS
+        ).cast("long").alias("churned"),
+    )
+    total = lab.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    per_t = lab.groupBy("dur_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("churned").cast("long").alias("n_churn"),
+    )
+    w_prev = (
+        Window.orderBy(F.col("dur_hours").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_users")
+            - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("n_churn") > 0)
+    )
+    step = F.when(
+        F.col("n_risk") > F.col("n_churn"),
+        F.floor(
+            1000000
+            * F.log(
+                (F.col("n_risk") - F.col("n_churn"))
+                / F.col("n_risk").cast("double")
+            )
+        ).cast("long"),
+    )
+    w_cum = (
+        Window.orderBy(F.col("dur_hours").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        risk.withColumn("step_micro", step)
+        .select(
+            F.col("dur_hours").alias("t_hours"),
+            "n_risk",
+            "n_churn",
+            F.sum("step_micro").over(w_cum).cast("long").alias(
+                "logsurv_micro"
+            ),
+        )
+    )
+
+
+# --- apriori frequent 3-itemsets (brand baskets) --------------------
+
+
+@query(
+    "basket_brand_triples",
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS it
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b),
+s AS (SELECT GREATEST(2, (SELECT n FROM nb) // 400) AS minsup),
+fitems AS (
+  SELECT it FROM b GROUP BY it
+  HAVING count(*) >= (SELECT minsup FROM s)
+),
+fb AS (SELECT b.o, b.it FROM b JOIN fitems USING (it)),
+fpairs AS (
+  SELECT a.it AS ia, c.it AS ib, CAST(count(*) AS BIGINT) AS sup
+  FROM fb a JOIN fb c ON a.o = c.o AND a.it < c.it
+  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM s)
+),
+po AS (
+  SELECT a.o, a.it AS ia, c.it AS ib
+  FROM fb a JOIN fb c ON a.o = c.o AND a.it < c.it
+  JOIN fpairs fp ON fp.ia = a.it AND fp.ib = c.it
+),
+tri AS (
+  SELECT po.ia, po.ib, f3.it AS ic, CAST(count(*) AS BIGINT) AS support
+  FROM po
+  JOIN fb f3 ON f3.o = po.o AND f3.it > po.ib
+  JOIN fpairs p2 ON p2.ia = po.ia AND p2.ib = f3.it
+  JOIN fpairs p3 ON p3.ia = po.ib AND p3.ib = f3.it
+  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT minsup FROM s)
+)
+SELECT ia AS brand_a, ib AS brand_b, ic AS brand_c, support,
+       CAST(support * 1000000 // (SELECT n FROM nb) AS BIGINT)
+         AS support_ppm
+FROM tri
+""",
+)
+def basket_brand_triples(spark, sf_dir):
+    """Apriori frequent 3-itemsets over order baskets of part BRANDS
+    (the dim join rolls 200k parts up to 25 brands — itemset mining
+    needs a bounded item vocabulary to mean anything). Full apriori
+    pruning: items below min-support leave first, pair candidates
+    must be frequent, and a triple (a,b,c) is only COUNTED if all
+    three of its 2-subsets survived — at 100 TB this prefilter chain
+    is what keeps the 3-way basket self-join from enumerating the
+    long tail. Min-support derives from the basket count
+    (max(2, n/400)), so the same query is meaningful at every SF.
+
+    Plan: baskets distinct once; self-joins key on the basket id
+    (pairs per basket bounded by per-basket brand count); fpairs and
+    the 1-row stats broadcast into the probe sides.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("it")
+        )
+        .distinct()
+    )
+    b.persist()
+    stats = b.agg(
+        F.countDistinct("o").cast("long").alias("n")
+    ).withColumn("minsup", F.greatest(F.lit(2), F.expr("n DIV 400")))
+    fitems = (
+        b.groupBy("it")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") >= F.col("minsup"))
+        .select("it")
+    )
+    fb = b.join(F.broadcast(fitems), "it").select("o", "it")
+    a1 = fb.select("o", F.col("it").alias("ia"))
+    a2 = fb.select("o", F.col("it").alias("ib"))
+    rawpairs = a1.join(a2, "o").filter(F.col("ia") < F.col("ib"))
+    fpairs = (
+        rawpairs.groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .crossJoin(F.broadcast(stats.select("minsup")))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .select("ia", "ib")
+    )
+    po = rawpairs.join(F.broadcast(fpairs), ["ia", "ib"])
+    f3 = fb.select("o", F.col("it").alias("ic"))
+    tri = (
+        po.join(f3, "o")
+        .filter(F.col("ic") > F.col("ib"))
+        .join(
+            F.broadcast(
+                fpairs.select(
+                    F.col("ia"), F.col("ib").alias("ic")
+                )
+            ),
+            ["ia", "ic"],
+        )
+        .join(
+            F.broadcast(
+                fpairs.select(
+                    F.col("ia").alias("ib"), F.col("ib").alias("ic")
+                )
+            ),
+            ["ib", "ic"],
+        )
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("support") >= F.col("minsup"))
+    )
+    return tri.select(
+        F.col("ia").alias("brand_a"),
+        F.col("ib").alias("brand_b"),
+        F.col("ic").alias("brand_c"),
+        "support",
+        F.expr("support * 1000000 DIV n").alias("support_ppm"),
+    )

@@ -540,3 +540,145 @@ def inverted_index_postings(spark, sf_dir):
         )
         .drop("n_docs")
     )
+
+
+# --- RAKE keyword extraction ----------------------------------------
+
+_RAKE_TOPN = 20
+_RAKE_STOPS = LANG_STOPWORDS["en"]
+
+
+@query(
+    "rake_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS t
+  FROM documents WHERE lang = 'en'
+),
+tok AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS w
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+seg AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN ({", ".join(f"'{w}'" for w in _RAKE_STOPS)})
+              THEN 1 ELSE 0 END AS is_stop
+  FROM tok
+),
+pw AS (
+  SELECT doc_id, pos, w,
+         sum(is_stop) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS phrase_id
+  FROM seg QUALIFY is_stop = 0
+),
+phrases AS (
+  SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+  FROM pw GROUP BY 1, 2
+),
+wordstats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM pw JOIN phrases USING (doc_id, phrase_id)
+  GROUP BY w
+),
+sw AS (
+  SELECT w, deg * 1000000 // freq AS w_score FROM wordstats
+),
+phrase_scores AS (
+  SELECT pw.doc_id, pw.phrase_id,
+         string_agg(pw.w, ' ' ORDER BY pw.pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(sw.w_score) AS BIGINT) AS score_micro
+  FROM pw JOIN sw ON sw.w = pw.w
+  GROUP BY 1, 2
+),
+uniq AS (
+  SELECT phrase, max(n_words) AS n_words,
+         max(score_micro) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM phrase_scores GROUP BY phrase
+)
+SELECT phrase, n_words, score_micro, n_occurrences, rn FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY score_micro DESC, phrase ASC
+  ) AS INT) AS rn FROM uniq
+) WHERE rn <= {_RAKE_TOPN}
+""",
+)
+def rake_keywords(spark, sf_dir):
+    """RAKE (Rose et al. 2010) corpus keywords: candidate phrases are
+    maximal stopword-free token runs; a word scores deg/freq (deg =
+    summed length of every phrase it appears in), a phrase scores the
+    sum of its word scores. Word scores are integer micro-units
+    (deg * 1e6 DIV freq), so phrase sums are exact in both engines.
+
+    Plan at 100 TB: tokenize + stopword-mark are in-row; phrase
+    segmentation is ONE per-doc window cumsum (stopword count) — no
+    self-join; word stats and phrase rollups are partial-agg
+    shuffles keyed on narrow (word) / (doc, phrase) tuples; only the
+    final (tiny, deduped-phrase) table hits the global top-N window.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    seg = tok.withColumn(
+        "is_stop", F.col("w").isin(*_RAKE_STOPS).cast("long")
+    )
+    w_seg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pw = (
+        seg.withColumn("phrase_id", F.sum("is_stop").over(w_seg))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pos", "w", "phrase_id")
+    )
+    phrases = pw.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    wordstats = (
+        pw.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn("w_score", F.expr("deg * 1000000 DIV freq"))
+        .select("w", "w_score")
+    )
+    phrase_scores = (
+        pw.join(wordstats, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_score").cast("long").alias("score_micro"),
+        )
+    )
+    uniq = phrase_scores.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("score_micro").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    w_rank = Window.orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    )
+    return (
+        uniq.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _RAKE_TOPN)
+        .select("phrase", "n_words", "score_micro", "n_occurrences", "rn")
+    )

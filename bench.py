@@ -191,6 +191,9 @@ EXTENDED = [
     "attribution_position_based",
     "pq_adc_topk",
     "pq_recall_eval",
+    "kaplan_meier_retention",
+    "rake_keywords",
+    "basket_brand_triples",
 ]
 
 

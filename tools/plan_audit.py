@@ -198,6 +198,9 @@ AUDIT = [
     "attribution_position_based",
     "pq_adc_topk",
     "pq_recall_eval",
+    "kaplan_meier_retention",
+    "rake_keywords",
+    "basket_brand_triples",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -262,6 +265,10 @@ NESTED_LOOP_OK = {
     # encode + ADC plans) — build sides are 1 row and |queries| rows
     "pq_adc_topk",
     "pq_recall_eval",
+    # 1-row broadcast horizon/total scalars on the user-lifetime rollup
+    "kaplan_meier_retention",
+    # 1-row broadcast (n_baskets, minsup) stats scalar
+    "basket_brand_triples",
 }
 
 JOIN_PAT = re.compile(

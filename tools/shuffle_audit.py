@@ -127,6 +127,8 @@ AUDIT = [
     "collated_ci_join",
     "attribution_position_based",
     "pq_adc_topk",
+    "rake_keywords",
+    "basket_brand_triples",
 ]
 
 
