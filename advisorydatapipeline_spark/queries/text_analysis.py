@@ -682,3 +682,92 @@ def rake_keywords(spark, sf_dir):
         .filter(F.col("rn") <= _RAKE_TOPN)
         .select("phrase", "n_words", "score_micro", "n_occurrences", "rn")
     )
+
+
+# --- char-unigram surprisal (LM-free perplexity proxy) --------------
+
+
+@query(
+    "char_unigram_surprisal",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), 1) AS c
+  FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g')
+               AS t FROM documents),
+       unnest(generate_series(1, length(t))) AS u(i)
+),
+dc AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM ch GROUP BY 1, 2
+),
+gl AS (
+  SELECT c, CAST(sum(cnt) AS BIGINT) AS gcnt FROM dc GROUP BY c
+),
+tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n FROM gl),
+sc AS (
+  SELECT c, CAST(floor(1000000 * ln(
+           (SELECT n FROM tot) / CAST(gcnt AS DOUBLE)
+         )) AS BIGINT) AS s_micro
+  FROM gl
+)
+SELECT dc.doc_id,
+       CAST(sum(dc.cnt) AS BIGINT) AS n_alpha,
+       CAST(sum(dc.cnt * sc.s_micro) AS BIGINT) AS surprisal_micro,
+       CAST(sum(dc.cnt * sc.s_micro) // sum(dc.cnt) AS BIGINT)
+         AS mean_surprisal_micro
+FROM dc JOIN sc ON sc.c = dc.c
+GROUP BY dc.doc_id
+""",
+)
+def char_unigram_surprisal(spark, sf_dir):
+    """Per-document cross-entropy under a corpus-trained character
+    unigram model — the zero-dependency perplexity proxy for quality
+    filtering: gibberish and wrong-charset docs score high surprisal,
+    repetitive boilerplate scores low, without shipping an LM. Each
+    character's -ln p is floor-quantized to integer micro-nats ONCE
+    (26 rows), so every per-doc sum is exact integer arithmetic in
+    both engines.
+
+    Plan at 100 TB: the char explode collapses immediately to
+    (doc, char) counts via map-side partial agg (<= 26 rows per doc
+    survive the shuffle); the 26-row scored-alphabet table broadcasts
+    back; one final per-doc rollup. The model is trained and applied
+    in the same two-pass plan — no driver round-trip.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("t"),
+    )
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"),
+        "t",
+    ).select("doc_id", F.expr("substring(t, i, 1)").alias("c"))
+    dc = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    glob = dc.groupBy("c").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    tot = glob.agg(F.sum("gcnt").cast("long").alias("n"))
+    sc = (
+        glob.crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            F.floor(
+                1000000
+                * F.log(F.col("n") / F.col("gcnt").cast("double"))
+            ).cast("long").alias("s_micro"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(sc), "c")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_alpha"),
+            F.sum(F.col("cnt") * F.col("s_micro")).cast("long").alias(
+                "surprisal_micro"
+            ),
+            F.expr(
+                "CAST(sum(cnt * s_micro) DIV sum(cnt) AS BIGINT)"
+            ).alias("mean_surprisal_micro"),
+        )
+    )

@@ -194,6 +194,8 @@ EXTENDED = [
     "kaplan_meier_retention",
     "rake_keywords",
     "basket_brand_triples",
+    "k_core_suppliers",
+    "char_unigram_surprisal",
 ]
 
 

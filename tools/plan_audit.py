@@ -201,6 +201,8 @@ AUDIT = [
     "kaplan_meier_retention",
     "rake_keywords",
     "basket_brand_triples",
+    "k_core_suppliers",
+    "char_unigram_surprisal",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -269,6 +271,9 @@ NESTED_LOOP_OK = {
     "kaplan_meier_retention",
     # 1-row broadcast (n_baskets, minsup) stats scalar
     "basket_brand_triples",
+    # 1-row broadcast k-threshold / alphabet-total scalars
+    "k_core_suppliers",
+    "char_unigram_surprisal",
 }
 
 JOIN_PAT = re.compile(

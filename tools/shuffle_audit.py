@@ -129,6 +129,8 @@ AUDIT = [
     "pq_adc_topk",
     "rake_keywords",
     "basket_brand_triples",
+    "k_core_suppliers",
+    "char_unigram_surprisal",
 ]
 
 
