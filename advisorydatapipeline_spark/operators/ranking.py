@@ -104,6 +104,55 @@ BM25_IDF_SCALE = 1000  # smaller than IDF_SCALE: leaves BIGINT headroom
                        # for tf * (k1+1)*S * idf at billion-doc N
 
 
+def bm25_scored_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+) -> DataFrame:
+    """Integer-BM25-scored postings (term, doc, tf, dl, df, score)
+    for the query terms — the shared front half of :func:`bm25_topk`
+    (per-term ranking) and :func:`bm25_maxscore_topk` (multi-term
+    disjunctive ranking with dynamic pruning)."""
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("ts"))
+    dl = tokd.select(
+        F.col(id_col), F.size("ts").cast("long").alias("dl")
+    )
+    tf = (
+        tokd.select(F.col(id_col), F.explode("ts").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = df.agg(
+        F.count("*").cast("long").alias("n"),
+    ).crossJoin(
+        dl.agg(F.sum("dl").cast("long").alias("sumdl"))
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl_s", F.expr(f"(sumdl * {BM25_S}) DIV n"))
+        .withColumn("idf", F.expr(f"(n * {BM25_IDF_SCALE}) DIV df"))
+        .withColumn(
+            "lnorm_s",
+            F.expr(
+                f"({BM25_S} - {BM25_B_S})"
+                f" + ({BM25_B_S} * dl * {BM25_S}) DIV avgdl_s"
+            ),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                f"(tf * ({BM25_K1_S} + {BM25_S}) * idf)"
+                f" DIV (tf * {BM25_S} + ({BM25_K1_S} * lnorm_s) DIV {BM25_S})"
+            ),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,
@@ -128,43 +177,7 @@ def bm25_topk(
     the only wide ops are the tf partial-agg and one per-term top-k
     window over already-filtered rows. Document text never shuffles.
     """
-    tokd = df.select(F.col(id_col), tokens(text_col).alias("ts"))
-    dl = tokd.select(
-        F.col(id_col), F.size("ts").cast("long").alias("dl")
-    )
-    tf = (
-        tokd.select(F.col(id_col), F.explode("ts").alias("term"))
-        .filter(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    stats = df.agg(
-        F.count("*").cast("long").alias("n"),
-    ).crossJoin(
-        dl.agg(F.sum("dl").cast("long").alias("sumdl"))
-    )
-    scored = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl_s", F.expr(f"(sumdl * {BM25_S}) DIV n"))
-        .withColumn("idf", F.expr(f"(n * {BM25_IDF_SCALE}) DIV df"))
-        .withColumn(
-            "lnorm_s",
-            F.expr(
-                f"({BM25_S} - {BM25_B_S})"
-                f" + ({BM25_B_S} * dl * {BM25_S}) DIV avgdl_s"
-            ),
-        )
-        .withColumn(
-            "score",
-            F.expr(
-                f"(tf * ({BM25_K1_S} + {BM25_S}) * idf)"
-                f" DIV (tf * {BM25_S} + ({BM25_K1_S} * lnorm_s) DIV {BM25_S})"
-            ),
-        )
-    )
+    scored = bm25_scored_postings(df, id_col, text_col, terms)
     w = Window.partitionBy("term").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -172,4 +185,98 @@ def bm25_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("term", id_col, "tf", "dl", "df", "score", "rn")
+    )
+
+
+def bm25_maxscore_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Multi-term disjunctive BM25 top-k with MaxScore dynamic
+    pruning (Turtle & Flood 1995) — EXACT top-k, without fully
+    scoring every matching document:
+
+    1. full-score only docs containing the highest-impact term;
+       theta = their k-th best total (0 if fewer than k);
+    2. every other doc is admitted only if the sum of its matched
+       terms' per-term score CEILINGS reaches theta — an upper bound
+       on its true score, so nothing in the true top-k is pruned;
+    3. exact top-k over the admitted union.
+
+    At 100 TB this is the difference between scoring |docs matching
+    any term| and |top-term postings| + |bound survivors| — the
+    pruning audit columns (n_matched vs n_scored) measure it.
+    Integer-only arithmetic throughout (theta, bounds, scores), so
+    the result is provably identical to the brute disjunctive
+    ranking AND engine-portable.
+    """
+    # the postings table is consumed by five downstream subtrees
+    # (bounds, full scores, phase-1 ids, phase-2 bounds, audit
+    # counts); persist it or the tokenize+explode front half runs
+    # once per consumer. It holds only query-term postings — tiny
+    # relative to the corpus at any scale.
+    scored = (
+        bm25_scored_postings(df, id_col, text_col, terms)
+        .select(F.col(id_col), "term", "score")
+        .persist()
+    )
+    u = scored.groupBy("term").agg(F.max("score").alias("u"))
+    topterm = (
+        u.orderBy(F.col("u").desc(), F.col("term").asc())
+        .limit(1)
+        .select("term")
+    )
+    full = scored.groupBy(id_col).agg(
+        F.sum("score").cast("long").alias("fscore"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    ).persist()
+    p1_ids = (
+        scored.join(F.broadcast(topterm), "term")
+        .select(id_col)
+        .distinct()
+    )
+    phase1 = full.join(p1_ids, id_col, "left_semi")
+    th = (
+        phase1.orderBy(F.col("fscore").desc(), F.col(id_col).asc())
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("fscore").alias("_m"),
+        )
+        .select(
+            F.when(F.col("_c") >= k, F.col("_m"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("theta")
+        )
+    )
+    others_ub = (
+        scored.join(F.broadcast(u), "term")
+        .join(p1_ids, id_col, "left_anti")
+        .groupBy(id_col)
+        .agg(F.sum("u").cast("long").alias("ub"))
+    )
+    phase2 = (
+        full.join(others_ub, id_col)
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("ub") >= F.col("theta"))
+        .select(id_col, "fscore", "n_terms")
+    )
+    cand = phase1.select(id_col, "fscore", "n_terms").union(phase2)
+    n_matched = full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    n_scored = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored")
+    )
+    w = Window.orderBy(F.col("fscore").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(n_matched))
+        .crossJoin(F.broadcast(n_scored))
+        .select(id_col, "n_terms", "fscore", "rn", "n_matched", "n_scored")
     )

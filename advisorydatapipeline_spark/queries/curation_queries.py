@@ -850,3 +850,70 @@ def weighted_sample_ares(spark, sf_dir):
         )
         .filter(F.col("rn") <= _ARES_K)
     )
+
+
+@query(
+    "cdc_shared_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {_CDC_GH} AS gh
+  FROM toks,
+       unnest(generate_series(1, len(t) - {CDC_GRAM} + 1)) AS u(i)
+  WHERE len(t) >= {CDC_GRAM}
+),
+chunked AS (
+  SELECT doc_id, pos, gh,
+         CAST(sum(CASE WHEN gh % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS INT)
+           AS chunk_idx
+  FROM grams
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(min(gh) AS BIGINT) AS chunk_min_hash
+  FROM chunked GROUP BY 1, 2
+)
+SELECT chunk_min_hash AS chunk_fp, n_grams,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM chunks
+GROUP BY 1, 2
+HAVING count(DISTINCT doc_id) > 1
+""",
+)
+def cdc_shared_chunks(spark, sf_dir):
+    """Cross-document shared-passage detection on CDC fingerprints:
+    chunks whose (min-gram-hash, length) key recurs in MORE THAN ONE
+    document are syndicated/boilerplate passages. This is the payoff
+    of content-defined boundaries (cdc_chunk_stats builds them): the
+    same passage embedded at different offsets in different docs
+    still chunks identically, so a plain GROUP BY finds it — no
+    all-pairs comparison, no positional alignment. The storage-dedup
+    shape: at 100 TB the chunk-fingerprint table IS the dedup index,
+    and this rollup is one partial-agg shuffle of (fp, n_grams,
+    doc_id) triples — text never moves."""
+    from advisorydatapipeline_spark.operators.curation import cdc_chunks
+
+    chunks = cdc_chunks(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        gram=CDC_GRAM,
+        divisor=CDC_DIVISOR,
+    )
+    return (
+        chunks.groupBy(
+            F.col("chunk_min_hash").alias("chunk_fp"), "n_grams"
+        )
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -357,3 +357,102 @@ def bm25_doc_ranking(spark, sf_dir):
         load(spark, sf_dir, "documents"), "doc_id", "text",
         BM25_TERMS, k=BM25_K,
     )
+
+
+def _bm25_maxscore_oracle() -> str:
+    from advisorydatapipeline_spark.operators.ranking import (
+        BM25_B_S,
+        BM25_IDF_SCALE,
+        BM25_K1_S,
+        BM25_S,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS ts FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tokd),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM tokd)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sumdl
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf * ({BM25_K1_S} + {BM25_S})
+            * ((s.n * {BM25_IDF_SCALE}) // d.df))
+         // (tf.tf * {BM25_S}
+             + ({BM25_K1_S} * (({BM25_S} - {BM25_B_S})
+                + ({BM25_B_S} * dl.dl * {BM25_S})
+                  // ((s.sumdl * {BM25_S}) // s.n))) // {BM25_S})
+           AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term), stats s
+),
+u AS (SELECT term, CAST(max(score) AS BIGINT) AS u FROM scored
+      GROUP BY term),
+topterm AS (SELECT term FROM u ORDER BY u DESC, term ASC LIMIT 1),
+facts AS (
+  SELECT doc_id, CAST(sum(score) AS BIGINT) AS fscore,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY doc_id
+),
+p1 AS (
+  SELECT f.* FROM facts f
+  WHERE f.doc_id IN (SELECT doc_id FROM scored
+                     WHERE term = (SELECT term FROM topterm))
+),
+theta AS (
+  SELECT CASE WHEN count(*) >= {BM25_MAXSCORE_K}
+              THEN CAST(min(fscore) AS BIGINT) ELSE 0 END AS th
+  FROM (SELECT fscore FROM p1
+        ORDER BY fscore DESC, doc_id ASC LIMIT {BM25_MAXSCORE_K})
+),
+p2 AS (
+  SELECT f.* FROM facts f
+  JOIN (
+    SELECT s.doc_id, CAST(sum(u.u) AS BIGINT) AS ub
+    FROM scored s JOIN u USING (term)
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM p1)
+    GROUP BY s.doc_id
+  ) o ON o.doc_id = f.doc_id
+  WHERE o.ub >= (SELECT th FROM theta)
+),
+cand AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+SELECT doc_id, n_terms, fscore, CAST(rn AS INT) AS rn,
+       (SELECT CAST(count(*) AS BIGINT) FROM facts) AS n_matched,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_scored
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY fscore DESC, doc_id ASC
+  ) AS rn FROM cand
+) WHERE rn <= {BM25_MAXSCORE_K}
+"""
+
+
+BM25_MAXSCORE_K = 10
+
+
+@query("bm25_maxscore_topk", oracle=_bm25_maxscore_oracle())
+def bm25_maxscore_topk_query(spark, sf_dir):
+    """Disjunctive multi-term BM25 search with MaxScore dynamic
+    pruning — exact top-k while fully scoring only the top-impact
+    term's postings plus the docs whose per-term score ceilings could
+    still reach the running threshold. The n_matched/n_scored audit
+    columns quantify the pruning; at web-corpus scale this bound is
+    what makes disjunctive search tractable (operators/ranking
+    docstring has the invariant proof sketch)."""
+    from advisorydatapipeline_spark.operators.ranking import (
+        bm25_maxscore_topk,
+    )
+
+    return bm25_maxscore_topk(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        BM25_TERMS, k=BM25_MAXSCORE_K,
+    )

@@ -196,6 +196,8 @@ EXTENDED = [
     "basket_brand_triples",
     "k_core_suppliers",
     "char_unigram_surprisal",
+    "cdc_shared_chunks",
+    "bm25_maxscore_topk",
 ]
 
 

@@ -203,6 +203,8 @@ AUDIT = [
     "basket_brand_triples",
     "k_core_suppliers",
     "char_unigram_surprisal",
+    "cdc_shared_chunks",
+    "bm25_maxscore_topk",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -274,6 +276,8 @@ NESTED_LOOP_OK = {
     # 1-row broadcast k-threshold / alphabet-total scalars
     "k_core_suppliers",
     "char_unigram_surprisal",
+    # 1-row broadcast theta / audit-count scalars (MaxScore pruning)
+    "bm25_maxscore_topk",
 }
 
 JOIN_PAT = re.compile(

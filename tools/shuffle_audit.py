@@ -131,6 +131,8 @@ AUDIT = [
     "basket_brand_triples",
     "k_core_suppliers",
     "char_unigram_surprisal",
+    "cdc_shared_chunks",
+    "bm25_maxscore_topk",
 ]
 
 
