@@ -705,14 +705,18 @@ def pq_codebook(
     n_code: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> DataFrame:
     """(m, k, sub) sub-centroid rows: codeword ``k`` of subspace ``m``
     is the m-th subvector of corpus vector ``k`` (k < n_code) — the
     same deterministic seeding convention as IVF's centroids. A real
     deployment would kmeans-refine per subspace (kmeans_lloyd_step is
-    the building block); seeding keeps the oracle replayable."""
+    the building block); seeding keeps the oracle replayable.
+    ``quantized=True`` means ``vec_col`` already holds exact integer
+    vectors (e.g. IVF residuals) and must not be re-quantized."""
+    vq = F.col(vec_col) if quantized else quantize(vec_col)
     q = corpus.filter(F.col(id_col) < n_code).select(
-        F.col(id_col).alias("k"), quantize(vec_col).alias("q")
+        F.col(id_col).alias("k"), vq.alias("q")
     )
     subs = F.array(
         *[
@@ -747,8 +751,11 @@ def pq_codes(
     sub_dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """PQ-encode the corpus: (id, codes array<long> of length n_sub).
+    """PQ-encode the corpus: (id, *extra_cols, codes array<long> of
+    length n_sub).
 
     At 100 TB this is the point of PQ: 64 floats collapse to n_sub
     small ints per vector (8 bytes at n_code<=256), so the whole
@@ -756,8 +763,12 @@ def pq_codes(
     of the codebook row + per-row HOF argmins — zero shuffle,
     whole-stage-codegen'd.
     """
+    vq = F.col(vec_col) if quantized else quantize(vec_col)
     base = (
-        corpus.select(F.col(id_col), quantize(vec_col).alias("q"))
+        corpus.select(
+            F.col(id_col), *[F.col(c) for c in extra_cols],
+            vq.alias("q"),
+        )
         .crossJoin(F.broadcast(_cb_row(codebook)))
         .withColumn(
             "subs",
@@ -791,6 +802,7 @@ def pq_codes(
 
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.array(*[argmin_code(m) for m in range(n_sub)]).alias("codes"),
     )
 
@@ -889,3 +901,110 @@ def l2_topk(
         [F.col("l2_sq").asc(), F.col(id_col).asc()],
         k=k,
     ).select(query_id_col, F.col(id_col).alias("neighbor_id"), "l2_sq")
+
+
+def _sub_q(a: Column, b: Column) -> Column:
+    """Element-wise integer difference of two quantized vectors."""
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    *,
+    nprobe: int,
+    n_sub: int,
+    sub_dim: int,
+    n_code: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF+PQ composed index (the FAISS IVFPQ shape) with RESIDUAL
+    encoding — the canonical billion-vector layout:
+
+    - coarse: each vector joins its nearest centroid's inverted list
+      (ivf_assign); queries probe only ``nprobe`` lists;
+    - fine: the vector's RESIDUAL (x - centroid, exact integer
+      subtraction of quantized vectors) is PQ-encoded, so codewords
+      spend their precision on the within-cell distribution instead
+      of re-describing the cell location;
+    - search: per (query, probed cell) an ADC distance table over the
+      residual codebook; candidates rank by summed lookups.
+
+    Scale shape: the index is (centroid_id, codes) — bytes per
+    vector; the candidate join is an EQUI-join on centroid_id
+    (partition-pruned probe), never a cross join; distance tables
+    broadcast (|queries| x nprobe rows).
+    """
+    cent_q = centroids.select(
+        F.col("centroid_id"), quantize(vec_col).alias("kq")
+    )
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    resid = (
+        assigned.join(F.broadcast(cent_q), "centroid_id")
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            _sub_q(quantize(vec_col), F.col("kq")).alias("rq"),
+        )
+    )
+    cb = pq_codebook(
+        resid, n_sub=n_sub, sub_dim=sub_dim, n_code=n_code,
+        id_col=id_col, vec_col="rq", quantized=True,
+    )
+    codes = pq_codes(
+        resid, cb, n_sub=n_sub, sub_dim=sub_dim,
+        id_col=id_col, vec_col="rq", quantized=True,
+        extra_cols=("centroid_id",),
+    )
+    probes = ivf_probe_lists(
+        queries, centroids, nprobe,
+        vec_col=vec_col, query_id_col=query_id_col,
+    )
+    qresid = (
+        queries.select(F.col(query_id_col), quantize(vec_col).alias("qq"))
+        .join(probes, query_id_col)
+        .join(F.broadcast(cent_q), "centroid_id")
+        .select(
+            query_id_col,
+            "centroid_id",
+            _sub_q(F.col("qq"), F.col("kq")).alias("q"),
+        )
+    )
+    qtab = (
+        qresid.crossJoin(F.broadcast(_cb_row(cb)))
+        .withColumn(
+            "dtab",
+            F.array(*[_dtab_entry(m, sub_dim) for m in range(n_sub)]),
+        )
+        .select(query_id_col, "centroid_id", "dtab")
+    )
+    pairs = codes.join(
+        F.broadcast(qtab), "centroid_id"
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    adc = sum(
+        F.element_at(
+            F.element_at("dtab", m + 1),
+            (F.col("codes").getItem(m) + 1).cast("int"),
+        )
+        for m in range(n_sub)
+    )
+    scored = pairs.withColumn("adc_dist", adc.cast("long"))
+    return top_k_per_key(
+        scored,
+        [query_id_col],
+        [F.col("adc_dist").asc(), F.col(id_col).asc()],
+        k=k,
+        keep_rank=True,
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        "centroid_id",
+        "adc_dist",
+        "rn",
+    )

@@ -1030,3 +1030,136 @@ def pq_recall_eval(spark, sf_dir):
             "rerank_recall_ppm"
         ),
     )
+
+
+# --- IVF + PQ composed index (residual encoding) --------------------
+
+
+def _ivfpq_oracle() -> str:
+    sub = (
+        "list_transform(generate_series(1, len({a})), "
+        "i -> {a}[i] - {b}[i])"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, {_DUCK_QD} AS v FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assign_scored AS (
+  SELECT c.vec_id, cent.centroid_id,
+         list_dot_product(c.v, c.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(c.v, cent.v) AS dist_sq
+  FROM c, cent
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist_sq ASC, centroid_id ASC
+    ) AS rn FROM assign_scored
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.centroid_id,
+         CAST({sub.format(a='c.v', b='cent.v')} AS DOUBLE[]) AS rq
+  FROM assigned a
+  JOIN c ON c.vec_id = a.vec_id
+  JOIN cent ON cent.centroid_id = a.centroid_id
+),
+rsub AS (
+  SELECT r.vec_id, r.centroid_id, t.range AS m,
+         r.rq[(t.range * {PQ_D} + 1):((t.range + 1) * {PQ_D})] AS sub
+  FROM resid r, range({PQ_M}) t
+),
+cb AS (
+  SELECT m, vec_id AS k, sub FROM rsub WHERE vec_id < {PQ_NCODE}
+),
+code_scored AS (
+  SELECT s.vec_id, s.centroid_id, s.m, cb.k,
+         list_dot_product(s.sub, s.sub) + list_dot_product(cb.sub, cb.sub)
+           - 2 * list_dot_product(s.sub, cb.sub) AS d
+  FROM rsub s JOIN cb ON cb.m = s.m
+),
+codes AS (
+  SELECT vec_id, centroid_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d ASC, k ASC
+    ) AS rn FROM code_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v FROM c WHERE vec_id % {QUERY_MOD} = 0
+),
+probe_scored AS (
+  SELECT q.query_id, cent.centroid_id,
+         list_dot_product(q.v, q.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(q.v, cent.v) AS dist_sq
+  FROM q, cent
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY dist_sq ASC, centroid_id ASC
+    ) AS rn FROM probe_scored
+  ) WHERE rn <= {NPROBE}
+),
+qresid AS (
+  SELECT p.query_id, p.centroid_id, t.range AS m,
+         (CAST({sub.format(a='q.v', b='cent.v')} AS DOUBLE[])
+         )[(t.range * {PQ_D} + 1):((t.range + 1) * {PQ_D})] AS sub
+  FROM probes p
+  JOIN q ON q.query_id = p.query_id
+  JOIN cent ON cent.centroid_id = p.centroid_id,
+       range({PQ_M}) t
+),
+dtab AS (
+  SELECT qs.query_id, qs.centroid_id, qs.m, cb.k,
+         list_dot_product(qs.sub, qs.sub)
+           + list_dot_product(cb.sub, cb.sub)
+           - 2 * list_dot_product(qs.sub, cb.sub) AS d
+  FROM qresid qs JOIN cb ON cb.m = qs.m
+),
+adc AS (
+  SELECT dt.query_id, ct.vec_id AS neighbor_id, ct.centroid_id,
+         CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+  FROM codes ct
+  JOIN dtab dt ON dt.centroid_id = ct.centroid_id
+             AND dt.m = ct.m AND dt.k = ct.code
+  WHERE ct.vec_id <> dt.query_id
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, neighbor_id, centroid_id, adc_dist, rn FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+  ) AS INT) AS rn FROM adc
+) WHERE rn <= {K}
+"""
+
+
+@query("ivf_pq_topk", oracle=_ivfpq_oracle())
+def ivf_pq_topk_query(spark, sf_dir):
+    """IVF+PQ composed ANN (the FAISS IVFPQ layout): coarse inverted
+    lists via centroid assignment, fine ranking by ADC over
+    RESIDUAL-encoded PQ codes — codewords describe the within-cell
+    distribution, not the cell location. Candidates come from an
+    EQUI-join on the probed centroid id (the partition-pruned
+    inverted-list read), never a cross join; per-(query, cell)
+    distance tables broadcast. The index the search touches is bytes
+    per vector."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        emb, queries, centroids, K,
+        nprobe=NPROBE, n_sub=PQ_M, sub_dim=PQ_D, n_code=PQ_NCODE,
+    )

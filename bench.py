@@ -198,6 +198,7 @@ EXTENDED = [
     "char_unigram_surprisal",
     "cdc_shared_chunks",
     "bm25_maxscore_topk",
+    "ivf_pq_topk",
 ]
 
 

@@ -205,6 +205,7 @@ AUDIT = [
     "char_unigram_surprisal",
     "cdc_shared_chunks",
     "bm25_maxscore_topk",
+    "ivf_pq_topk",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -278,6 +279,10 @@ NESTED_LOOP_OK = {
     "char_unigram_surprisal",
     # 1-row broadcast theta / audit-count scalars (MaxScore pruning)
     "bm25_maxscore_topk",
+    # broadcast centroid/codebook-row cross joins (coarse assign +
+    # residual encode + per-(query,cell) tables) — constant-size
+    # build sides; the candidate join itself is an equi-join
+    "ivf_pq_topk",
 }
 
 JOIN_PAT = re.compile(

@@ -133,6 +133,7 @@ AUDIT = [
     "char_unigram_surprisal",
     "cdc_shared_chunks",
     "bm25_maxscore_topk",
+    "ivf_pq_topk",
 ]
 
 
