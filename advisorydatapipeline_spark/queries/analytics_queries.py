@@ -1102,3 +1102,206 @@ def winsorized_revenue(spark, sf_dir):
         F.sum("cents").alias("winsorized_cents"),
         F.expr("sum(cents) DIV count(*)").alias("winsorized_mean_cents"),
     )
+
+
+# --- incremental SCD2 apply (equivalence-gated vs full rebuild) -----
+
+# change batches arrive after this cutoff; everything before it is
+# the "existing" dimension snapshot
+_SCD2_CUTOFF_US = 1_705_708_800_000_000  # 2024-01-20T00:00:00Z
+
+
+@query(
+    "scd2_apply_changes",
+    oracle="""
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       event_id,
+       value,
+       lead(epoch_us(ts)) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
+       ) AS valid_to_us,
+       CAST(lead(epoch_us(ts)) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
+       ) IS NULL AS BOOLEAN) AS is_current
+FROM events
+WHERE ts IS NOT NULL
+""",
+)
+def scd2_apply_changes(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance: apply a change batch (events
+    after the cutoff) to an existing dimension snapshot (intervals
+    built from events before it) — untouched keys pass through
+    verbatim via an anti-join; only touched keys' histories are
+    rebuilt (their dim rows re-expand to change records, union the
+    batch, one lead() window re-derives validity). The oracle is the
+    FULL batch rebuild over all events: the gate therefore proves
+    incremental apply == rebuild, the invariant every warehouse
+    dimension job owes its consumers.
+
+    At 100 TB the anti/semi split is the whole point: a daily batch
+    touches a sliver of keys, so the rewrite (and with partitioned
+    storage, the I/O) is proportional to the CHANGES, not the
+    dimension. The surrogate event_id rides along so same-timestamp
+    changes re-order identically in both paths.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    change_cols = [
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("valid_from_us"),
+        "event_id",
+        "value",
+    ]
+    pre = ev.filter(
+        F.expr(f"ts DIV 1000 < {_SCD2_CUTOFF_US}")
+    ).select(*change_cols)
+    batch = ev.filter(
+        F.expr(f"ts DIV 1000 >= {_SCD2_CUTOFF_US}")
+    ).select(*change_cols)
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "valid_from_us", "event_id"
+    )
+
+    def intervals(changes: DataFrame) -> DataFrame:
+        nxt = F.lead("valid_from_us").over(w)
+        return changes.select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            "event_id",
+            "value",
+            nxt.alias("valid_to_us"),
+            nxt.isNull().alias("is_current"),
+        )
+
+    dim = intervals(pre)  # the existing SCD2 snapshot
+    touched = batch.select("user_id", "event_type").distinct()
+
+    untouched = dim.join(
+        touched, ["user_id", "event_type"], "left_anti"
+    )
+    # touched histories: dim rows re-expand to their change records
+    # (valid_from/event_id/value are exactly the original events),
+    # union the new batch, re-derive intervals
+    touched_changes = dim.join(
+        touched, ["user_id", "event_type"], "left_semi"
+    ).select(
+        "user_id", "event_type", "valid_from_us", "event_id", "value"
+    ).unionByName(batch)
+    return untouched.unionByName(intervals(touched_changes))
+
+
+# --- CUSUM changepoint on the daily revenue series ------------------
+
+
+@query(
+    "cusum_changepoint_revenue",
+    oracle="""
+WITH d AS (
+  SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total
+  FROM d
+),
+c AS (
+  SELECT d.day, d.cents,
+         CAST(row_number() OVER (ORDER BY d.day) AS BIGINT) AS t,
+         CAST(sum(s.n * d.cents) OVER (
+           ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_scaled,
+         s.n, s.total
+  FROM d, s
+),
+scored AS (
+  SELECT day, t, n, total,
+         cum_scaled - t * total AS s_stat,
+         abs(cum_scaled - t * total) AS abs_s,
+         CAST(sum(cents) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cents
+  FROM c
+),
+best AS (
+  SELECT * FROM scored
+  ORDER BY abs_s DESC, day ASC LIMIT 1
+)
+SELECT day AS split_day, CAST(t AS BIGINT) AS t,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(abs_s AS BIGINT) AS max_abs_s_scaled,
+       CAST(cum_cents // t AS BIGINT) AS pre_mean_cents,
+       CAST((total - cum_cents) // (n - t) AS BIGINT)
+         AS post_mean_cents
+FROM best WHERE t < n
+""",
+)
+def cusum_changepoint_revenue(spark, sf_dir):
+    """CUSUM mean-shift changepoint over the daily revenue series:
+    the split day maximizing |cumulative deviation from the global
+    mean| — the standard single-changepoint detector, here in EXACT
+    integer form (the statistic is scaled by n: S'_t = n*cumsum(x) -
+    t*total, avoiding the mean's division entirely), so both engines
+    agree bit-for-bit with zero float risk. Reports the split plus
+    pre/post-segment mean cents — the before/after evidence.
+
+    Plan: one partial-agg shuffle to the ~30-row daily rollup;
+    everything after (scalars, windows, argmax) lives on that tiny
+    series. At 100 TB the heavy lifting is the first groupBy; the
+    detector itself is O(days).
+    """
+    o = load(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.date_format("o_orderdate", "yyyyMMdd")
+            .cast("long")
+            .alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+                "_c"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").cast("long").alias("cents"))
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        d.crossJoin(F.broadcast(s))
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .withColumn(
+            "cum_scaled",
+            F.sum(F.col("n") * F.col("cents")).over(w).cast("long"),
+        )
+        .withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .withColumn(
+            "abs_s", F.abs(F.col("cum_scaled") - F.col("t") * F.col("total"))
+        )
+    )
+    return (
+        c.filter(F.col("t") < F.col("n"))
+        .orderBy(F.col("abs_s").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            "t",
+            F.col("n").alias("n_days"),
+            F.col("abs_s").alias("max_abs_s_scaled"),
+            F.expr("cum_cents DIV t").alias("pre_mean_cents"),
+            F.expr("(total - cum_cents) DIV (n - t)").alias(
+                "post_mean_cents"
+            ),
+        )
+    )

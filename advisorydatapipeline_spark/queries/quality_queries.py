@@ -757,3 +757,81 @@ def constraint_suite_orders(spark, sf_dir):
     return base.select(
         F.stack(*stack_args).alias("constraint", "metric", "passed")
     )
+
+
+# --- l-diversity audit (sensitive-attribute diversity) --------------
+
+L_DIVERSITY = 3
+_BAND_SQL = (
+    "CASE WHEN c_acctbal < 0 THEN 'debt' "
+    "WHEN c_acctbal < 3000 THEN 'low' "
+    "WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END"
+)
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+WITH s AS (
+  SELECT c_mktsegment, c_nationkey, {_BAND_SQL} AS band
+  FROM customer
+),
+per_band AS (
+  SELECT c_mktsegment, c_nationkey, band,
+         CAST(count(*) AS BIGINT) AS band_n
+  FROM s GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(sum(band_n) AS BIGINT) AS grp_n,
+         CAST(count(*) AS BIGINT) AS n_bands,
+         CAST(max(band_n) AS BIGINT) AS max_band_n
+  FROM per_band GROUP BY 1, 2
+)
+SELECT c_mktsegment, c_nationkey, grp_n, n_bands,
+       CAST(max_band_n * 1000000 // grp_n AS BIGINT)
+         AS worst_share_ppm,
+       n_bands >= {L_DIVERSITY} AS passes
+FROM g
+""",
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit over the same quasi-identifier groups as
+    k_anonymity_audit: a group can be large enough for k-anonymity
+    yet still leak — if nearly everyone in (segment, nation) shares
+    one balance band, membership alone discloses it. Per group:
+    distinct sensitive values (must reach l), and the dominant
+    value's share in ppm (the homogeneity-attack signal). Two
+    stacked partial-agg shuffles, quasi-identifier keys only —
+    sensitive values aggregate away before anything leaves the
+    executors."""
+    c = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    per_band = (
+        c.select("c_mktsegment", "c_nationkey", band.alias("band"))
+        .groupBy("c_mktsegment", "c_nationkey", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("band_n"))
+    )
+    return (
+        per_band.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.sum("band_n").cast("long").alias("grp_n"),
+            F.count(F.lit(1)).cast("long").alias("n_bands"),
+            F.max("band_n").cast("long").alias("max_band_n"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "grp_n",
+            "n_bands",
+            F.expr("max_band_n * 1000000 DIV grp_n").alias(
+                "worst_share_ppm"
+            ),
+            (F.col("n_bands") >= L_DIVERSITY).alias("passes"),
+        )
+    )

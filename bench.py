@@ -199,6 +199,9 @@ EXTENDED = [
     "cdc_shared_chunks",
     "bm25_maxscore_topk",
     "ivf_pq_topk",
+    "scd2_apply_changes",
+    "l_diversity_audit",
+    "cusum_changepoint_revenue",
 ]
 
 

@@ -206,6 +206,9 @@ AUDIT = [
     "cdc_shared_chunks",
     "bm25_maxscore_topk",
     "ivf_pq_topk",
+    "scd2_apply_changes",
+    "l_diversity_audit",
+    "cusum_changepoint_revenue",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -283,6 +286,8 @@ NESTED_LOOP_OK = {
     # residual encode + per-(query,cell) tables) — constant-size
     # build sides; the candidate join itself is an equi-join
     "ivf_pq_topk",
+    # 1-row broadcast (n, total) scalar onto the ~30-row daily rollup
+    "cusum_changepoint_revenue",
 }
 
 JOIN_PAT = re.compile(

@@ -134,6 +134,7 @@ AUDIT = [
     "cdc_shared_chunks",
     "bm25_maxscore_topk",
     "ivf_pq_topk",
+    "scd2_apply_changes",
 ]
 
 
