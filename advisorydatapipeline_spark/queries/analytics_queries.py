@@ -1305,3 +1305,82 @@ def cusum_changepoint_revenue(spark, sf_dir):
             ),
         )
     )
+
+
+# --- weighted median (quantity-weighted unit price) -----------------
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+c AS (
+  SELECT flag, cents, w,
+         CAST(sum(w) OVER (
+           PARTITION BY flag
+           ORDER BY cents, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cumw,
+         CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS total_w,
+         l_orderkey, l_linenumber
+  FROM x
+)
+SELECT flag, total_w,
+       cents AS weighted_median_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY flag ORDER BY cents, l_orderkey, l_linenumber
+  ) AS rn
+  FROM c WHERE cumw * 2 >= total_w
+) WHERE rn = 1
+""",
+)
+def weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median line price per return flag — the
+    robust 'typical unit sold' price (an unweighted median
+    over-represents small orders). Lower weighted median: smallest
+    value whose cumulative weight reaches half the total, fully
+    deterministic (integer cents/weights, composite tiebreak), no
+    percentile_approx sketch variance.
+
+    One window pass per group ordered by value (at 100 TB: a range
+    repartition + local sort, same cost class as any exact grouped
+    quantile); the first row at cumw*2 >= W wins via one more
+    bounded window."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = x.withColumn("cumw", F.sum("w").over(wcum).cast("long")).withColumn(
+        "total_w",
+        F.sum("w").over(Window.partitionBy("flag")).cast("long"),
+    )
+    first = Window.partitionBy("flag").orderBy(*order)
+    return (
+        c.filter(F.col("cumw") * 2 >= F.col("total_w"))
+        .withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            "total_w",
+            F.col("cents").alias("weighted_median_cents"),
+        )
+    )

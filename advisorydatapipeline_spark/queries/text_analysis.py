@@ -771,3 +771,176 @@ def char_unigram_surprisal(spark, sf_dir):
             ).alias("mean_surprisal_micro"),
         )
     )
+
+
+# --- tokenizer fertility by language --------------------------------
+
+
+@query(
+    "tokenizer_fertility_lang",
+    oracle=f"""
+WITH d AS (
+  SELECT lang,
+         CAST(len({DUCK_TOKENS.format(x='text')}) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) * 1000 // GREATEST(sum(n_tok), 1) AS BIGINT)
+         AS chars_per_token_milli,
+       CAST(sum(n_tok) * 1000000 // sum(n_chars) AS BIGINT)
+         AS tokens_per_char_ppm
+FROM d GROUP BY lang
+""",
+)
+def tokenizer_fertility_lang(spark, sf_dir):
+    """Tokenizer fertility per language — chars/token (milli) and
+    tokens/char (ppm): THE budget number for multilingual training
+    mixes (a language whose tokenizer is 2x as fertile eats 2x the
+    context window per character, so byte-balanced corpora are not
+    token-balanced). In-row tokenize + one partial-agg shuffle of
+    (lang, counts); exact integer ratios."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(
+            "CAST(sum(n_chars) * 1000 DIV GREATEST(sum(n_tok), 1)"
+            " AS BIGINT)"
+        ).alias("chars_per_token_milli"),
+        F.expr(
+            "CAST(sum(n_tok) * 1000000 DIV sum(n_chars) AS BIGINT)"
+        ).alias("tokens_per_char_ppm"),
+    )
+
+
+# --- code-switching / language-mixing detection ---------------------
+
+_CS_CHUNK_TOKS = 25
+
+
+def _cs_oracle() -> str:
+    toks = "ck"  # per-chunk token list
+    scores = {
+        lg: (
+            f"len(list_intersect(list_distinct({toks}),"
+            f" {_duck_stop_list(lg)}))"
+        )
+        for lg in sorted(LANG_STOPWORDS)
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    arms = " ".join(
+        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in sorted(scores)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_T} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang, CAST(i AS INT) AS chunk_idx,
+         t[(i * {_CS_CHUNK_TOKS} + 1):((i + 1) * {_CS_CHUNK_TOKS})] AS ck
+  FROM toks,
+       unnest(generate_series(0,
+         (len(t) - 1) // {_CS_CHUNK_TOKS})) AS u(i)
+  WHERE len(t) > 0
+),
+cl AS (
+  SELECT doc_id, lang, chunk_idx,
+         CASE WHEN {best} > 0
+              THEN CASE {arms} ELSE 'und' END
+              ELSE 'und' END AS chunk_lang
+  FROM chunks
+),
+seq AS (
+  SELECT doc_id, lang, chunk_lang,
+         lag(chunk_lang) OVER (
+           PARTITION BY doc_id ORDER BY chunk_idx
+         ) AS prev_lang
+  FROM cl
+)
+SELECT doc_id, lang AS labeled_lang,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk_lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN prev_lang IS NOT NULL
+                      AND chunk_lang <> prev_lang
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+FROM seq GROUP BY 1, 2
+"""
+
+
+@query("code_switch_chunks", oracle=_cs_oracle())
+def code_switch_chunks(spark, sf_dir):
+    """Code-switching / language-mixing detection: the document is
+    re-language-identified in {n}-token windows, then per doc the
+    chunk-language sequence yields (n distinct languages, n adjacent
+    switches) — the corpus-QA signal a whole-document lang_id hides
+    (a half-en/half-de doc gets one confident whole-doc label and
+    pollutes both language buckets in a training mix).
+
+    Plan: tokenize + chunk-slice are in-row (no explode of tokens —
+    chunks slice the token ARRAY); the chunk lang scores are the
+    same codegen'd stopword-intersect expressions as text_lang_id;
+    one per-doc window orders the chunk sequence and one partial-agg
+    rollup finishes. Chunk token lists never shuffle — only (doc,
+    chunk_lang) labels do.
+    """
+    from advisorydatapipeline_spark.functions.text import lang_id
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("t")
+    ).filter(F.size("t") > 0)
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"(size(t) - 1) DIV {_CS_CHUNK_TOKS}"),
+                ),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.slice(
+                        "t",
+                        i * _CS_CHUNK_TOKS + 1,
+                        _CS_CHUNK_TOKS,
+                    ).alias("ck"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("e.chunk_idx").alias("chunk_idx"),
+        F.concat_ws(" ", F.col("e.ck")).alias("chunk_text"),
+    )
+    cl = chunks.withColumn("chunk_lang", lang_id("chunk_text"))
+    from pyspark.sql.window import Window
+
+    seq = cl.withColumn(
+        "prev_lang",
+        F.lag("chunk_lang").over(
+            Window.partitionBy("doc_id").orderBy("chunk_idx")
+        ),
+    )
+    return seq.groupBy(
+        "doc_id", F.col("lang").alias("labeled_lang")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("chunk_lang").cast("long").alias("n_langs"),
+        F.sum(
+            (
+                F.col("prev_lang").isNotNull()
+                & (F.col("chunk_lang") != F.col("prev_lang"))
+            ).cast("long")
+        ).cast("long").alias("n_switches"),
+    )

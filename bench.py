@@ -202,6 +202,9 @@ EXTENDED = [
     "scd2_apply_changes",
     "l_diversity_audit",
     "cusum_changepoint_revenue",
+    "tokenizer_fertility_lang",
+    "weighted_median_price",
+    "code_switch_chunks",
 ]
 
 

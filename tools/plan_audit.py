@@ -209,6 +209,9 @@ AUDIT = [
     "scd2_apply_changes",
     "l_diversity_audit",
     "cusum_changepoint_revenue",
+    "tokenizer_fertility_lang",
+    "weighted_median_price",
+    "code_switch_chunks",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -135,6 +135,8 @@ AUDIT = [
     "bm25_maxscore_topk",
     "ivf_pq_topk",
     "scd2_apply_changes",
+    "weighted_median_price",
+    "code_switch_chunks",
 ]
 
 
