@@ -21,8 +21,10 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 ADVISORY_SCHEMA = "package_name string, cve_id string, fixed_version string"
@@ -49,6 +51,9 @@ class AdvisoryDataSource(DataSource):
 
     def simpleStreamReader(self, schema):  # noqa: ANN001
         return AdvisorySimpleStreamReader(self.options)
+
+    def writer(self, schema, overwrite):  # noqa: ANN001
+        return AdvisoryWriter(self.options)
 
 
 class AdvisoryReader(DataSourceReader):
@@ -118,6 +123,87 @@ class AdvisoryReader(DataSourceReader):
                 ],
                 names=["package_name", "cve_id", "fixed_version"],
             )
+
+
+class _PartFile(WriterCommitMessage):
+    """Per-partition commit message: (temp part path, row count)."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class AdvisoryWriter(DataSourceWriter):
+    """Write side of ``format("advisory")`` — the Spark 4 Python
+    DataSource WRITER protocol: executors each ``write()`` their
+    partition to a private temp part file and return a commit
+    message; the driver's ``commit()`` merges the parts into the
+    single nested-JSON advisory document the READER consumes (so
+    write -> read round-trips through the same format), then removes
+    the parts. A failed/speculated task never publishes: only files
+    named in commit messages are merged, the two-phase shape object
+    stores need."""
+
+    def __init__(self, options):  # noqa: ANN001
+        self.path = options["path"]
+
+    def write(self, iterator):  # noqa: ANN001
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        attempt = TaskContext.get().taskAttemptId()
+        os.makedirs(f"{self.path}.parts", exist_ok=True)
+        part = f"{self.path}.parts/part-{pid:05d}-{attempt}.jsonl"
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        {
+                            "package_name": row.package_name,
+                            "cve_id": row.cve_id,
+                            "fixed_version": row.fixed_version,
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _PartFile(part, n)
+
+    def commit(self, messages):  # noqa: ANN001
+        import os
+
+        merged: dict[str, dict[str, dict[str, str]]] = {}
+        total = 0
+        for m in messages:
+            with open(m.path) as f:
+                for line in f:
+                    r = json.loads(line)
+                    merged.setdefault(r["package_name"], {})[
+                        r["cve_id"]
+                    ] = {"fixed_version": r["fixed_version"]}
+            total += m.n_rows
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, sort_keys=True)
+        os.replace(tmp, self.path)  # atomic publish
+        for m in messages:
+            os.unlink(m.path)
+        try:
+            os.rmdir(self.path + ".parts")
+        except OSError:
+            pass
+
+    def abort(self, messages):  # noqa: ANN001
+        import os
+
+        for m in messages:
+            try:
+                os.unlink(m.path)
+            except OSError:
+                pass
 
 
 def register(spark) -> None:  # noqa: ANN001
