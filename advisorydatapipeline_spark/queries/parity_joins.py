@@ -297,3 +297,157 @@ def null_safe_join(spark, sf_dir):
     return lhs.join(
         dim, F.col("l.k").eqNullSafe(F.col("d.dk"))
     ).select("event_id", F.col("l.k").alias("k"), "grp_n")
+
+
+# --- Bloom-filter join pruning --------------------------------------
+
+
+def _bloom_join_oracle() -> str:
+    from advisorydatapipeline_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+    )
+    from advisorydatapipeline_spark.queries.dedup_queries import (
+        DUCK_HASH64,
+    )
+
+    pos = (
+        f"((h % {BLOOM_M_BITS}) + i * (1 + (h // {BLOOM_M_BITS})"
+        f" % {BLOOM_M_BITS - 1})) % {BLOOM_M_BITS}"
+    )
+    return f"""
+WITH dim AS (
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+),
+ks AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
+dh AS (
+  SELECT {DUCK_HASH64.format(x="CAST(c_custkey AS VARCHAR)")} AS h
+  FROM dim
+),
+bloom AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM (SELECT {pos} AS p FROM dh, ks) GROUP BY 1
+),
+oh AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         {DUCK_HASH64.format(x="CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders
+),
+probe AS (
+  SELECT o_orderkey, {pos} AS p FROM oh, ks
+),
+passed AS (
+  SELECT p.o_orderkey
+  FROM probe p LEFT JOIN bloom b ON b.word_idx = p.p // 32
+  GROUP BY p.o_orderkey
+  HAVING min(CASE WHEN ((b.word >> CAST(p.p % 32 AS INT)) & 1) = 1
+             THEN 1 ELSE 0 END) = 1
+),
+audit AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM oh) AS n_orders_total,
+         (SELECT CAST(count(*) AS BIGINT) FROM passed) AS n_after_bloom
+)
+SELECT d.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o.cents) AS BIGINT) AS revenue_cents,
+       a.n_orders_total, a.n_after_bloom
+FROM oh o
+JOIN passed s ON s.o_orderkey = o.o_orderkey
+JOIN dim d ON d.c_custkey = o.o_custkey
+CROSS JOIN audit a
+GROUP BY d.c_nationkey, a.n_orders_total, a.n_after_bloom
+"""
+
+
+@query("bloom_join_prune", oracle=_bloom_join_oracle())
+def bloom_join_prune(spark, sf_dir):
+    """Bloom-pruned dimension join: the filtered dim's keys collapse
+    to a kilobyte Bloom word table that pre-filters the FACT side
+    before the join — the runtime row-level filter (Spark's own
+    bloom-pushdown / Iceberg bloom index shape) made explicit and
+    measurable. No false negatives, so the post-prune join result
+    PROVABLY equals the plain join (the gate checks it); false
+    positives only cost the audit delta (n_after_bloom vs the true
+    match count). At 100 TB the win is shuffle volume: fact rows that
+    can't match never enter the exchange."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_build,
+        bloom_positions,
+    )
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    bloom = bloom_build(
+        dim.select(F.col("c_custkey").cast("string").alias("k")), "k"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    probe = o.select(
+        "o_orderkey",
+        F.explode(
+            bloom_positions(
+                hash64(F.col("o_custkey").cast("string")),
+                BLOOM_M_BITS,
+                BLOOM_K,
+            )
+        ).alias("p"),
+    )
+    passed = (
+        probe.join(
+            F.broadcast(bloom),
+            F.shiftright(F.col("p"), 5) == F.col("word_idx"),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr(
+                        "((word >> CAST(p % 32 AS INT)) & 1) = 1"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("all_set")
+        )
+        .filter(F.col("all_set") == 1)
+        .select("o_orderkey")
+    )
+    audit = (
+        o.agg(F.count(F.lit(1)).cast("long").alias("n_orders_total"))
+        .crossJoin(
+            F.broadcast(
+                passed.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_after_bloom")
+                )
+            )
+        )
+    )
+    return (
+        o.join(passed, "o_orderkey", "left_semi")
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(audit))
+        .groupBy("c_nationkey", "n_orders_total", "n_after_bloom")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            "c_nationkey",
+            "n_orders",
+            "revenue_cents",
+            "n_orders_total",
+            "n_after_bloom",
+        )
+    )

@@ -205,6 +205,7 @@ EXTENDED = [
     "tokenizer_fertility_lang",
     "weighted_median_price",
     "code_switch_chunks",
+    "bloom_join_prune",
 ]
 
 

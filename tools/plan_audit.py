@@ -212,6 +212,7 @@ AUDIT = [
     "tokenizer_fertility_lang",
     "weighted_median_price",
     "code_switch_chunks",
+    "bloom_join_prune",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -291,6 +292,8 @@ NESTED_LOOP_OK = {
     "ivf_pq_topk",
     # 1-row broadcast (n, total) scalar onto the ~30-row daily rollup
     "cusum_changepoint_revenue",
+    # 1-row broadcast audit-count scalars beside the pruned join
+    "bloom_join_prune",
 }
 
 JOIN_PAT = re.compile(

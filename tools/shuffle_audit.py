@@ -137,6 +137,7 @@ AUDIT = [
     "scd2_apply_changes",
     "weighted_median_price",
     "code_switch_chunks",
+    "bloom_join_prune",
 ]
 
 
