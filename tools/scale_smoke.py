@@ -223,6 +223,36 @@ def run_similarity(spark, path: str) -> dict[str, float]:
     # rhp pairs grow ~R^2 by construction (replicas are exact clones
     # in embedding space); candidate-bounded like the text LSH ops
     out["rhp_lsh"] = timed(rhp)
+
+    def pq():
+        from advisorydatapipeline_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codebook,
+        )
+
+        cb = pq_codebook(emb, n_sub=8, sub_dim=8, n_code=16)
+        noop(pq_adc_topk(emb, queries, cb, 5, n_sub=8, sub_dim=8))
+
+    # PQ ADC scans corpus x queries like brute, but each pair is 8
+    # table lookups instead of a 64-dim dot — the slope should track
+    # ann_brute's R ratio with a much smaller constant
+    out["ann_pq_adc"] = timed(pq)
+
+    def ivfpq():
+        from advisorydatapipeline_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        noop(
+            ivf_pq_topk(
+                emb, queries, centroids, 5,
+                nprobe=2, n_sub=8, sub_dim=8, n_code=16,
+            )
+        )
+
+    # IVF+PQ touches only the probed fraction AND pays lookups per
+    # pair — both levers at once; the ratio should track ann_ivf
+    out["ann_ivf_pq"] = timed(ivfpq)
     return out
 
 
@@ -297,7 +327,11 @@ def main() -> None:
         "only the probe batch scales. rhp_lsh uses rhp_plan_size's "
         "corpus-sized bands (key space grows with n, buckets stay "
         "~constant) and containment (same df-capped index join as "
-        "jaccard) is candidate-bounded like the text LSH rows.\n",
+        "jaccard) is candidate-bounded like the text LSH rows. "
+        "ann_pq_adc scans the same corpus x queries as ann_brute but "
+        "pays 8 table lookups per pair instead of a 64-dim dot (same "
+        "slope, smaller constant); ann_ivf_pq combines the probe "
+        "pruning with the lookup ranking and should track ann_ivf.\n",
         "| op | " + " | ".join(f"x{r} ({counts[r]} docs)" for r in REPLICAS)
         + " | t(x4)/t(x1) vs 4.0 input ratio |",
         "|---|" + "---|" * (len(REPLICAS) + 1),
