@@ -1539,17 +1539,22 @@ def basket_brand_triples(spark, sf_dir):
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # every downstream stage re-reads the basket table, the 1-row
+    # stats scalar, and the pair expansion — persist each once or the
+    # lineitem/part join replans per consumer (13.6s -> ~5s at sf0.1)
     b = (
-        li.join(part, li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(
             F.col("l_orderkey").alias("o"), F.col("p_brand").alias("it")
         )
         .distinct()
+        .persist()
     )
-    b.persist()
     stats = b.agg(
         F.countDistinct("o").cast("long").alias("n")
-    ).withColumn("minsup", F.greatest(F.lit(2), F.expr("n DIV 400")))
+    ).withColumn(
+        "minsup", F.greatest(F.lit(2), F.expr("n DIV 400"))
+    ).persist()
     fitems = (
         b.groupBy("it")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1557,10 +1562,12 @@ def basket_brand_triples(spark, sf_dir):
         .filter(F.col("cnt") >= F.col("minsup"))
         .select("it")
     )
-    fb = b.join(F.broadcast(fitems), "it").select("o", "it")
+    fb = b.join(F.broadcast(fitems), "it").select("o", "it").persist()
     a1 = fb.select("o", F.col("it").alias("ia"))
     a2 = fb.select("o", F.col("it").alias("ib"))
-    rawpairs = a1.join(a2, "o").filter(F.col("ia") < F.col("ib"))
+    rawpairs = (
+        a1.join(a2, "o").filter(F.col("ia") < F.col("ib")).persist()
+    )
     fpairs = (
         rawpairs.groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("long").alias("sup"))
