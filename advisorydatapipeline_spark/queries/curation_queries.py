@@ -917,3 +917,66 @@ def cdc_shared_chunks(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --- temporal train/eval split with leakage audit -------------------
+
+_SPLIT_CUT_NS = 1_705_968_000_000_000_000  # 2024-01-23T00:00:00Z
+
+
+@query(
+    "temporal_split_leakage",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ns FROM events
+  WHERE ts IS NOT NULL
+),
+labeled AS (
+  SELECT *, CASE WHEN ns < {_SPLIT_CUT_NS} THEN 'train' ELSE 'eval'
+            END AS split
+  FROM ev
+),
+per_split AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM labeled GROUP BY split
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_leaky_users
+  FROM (
+    SELECT user_id FROM labeled
+    GROUP BY user_id HAVING count(DISTINCT split) = 2
+  )
+)
+SELECT p.split, p.n_events, p.n_users, l.n_leaky_users
+FROM per_split p CROSS JOIN leak l
+""",
+)
+def temporal_split_leakage(spark, sf_dir):
+    """Temporal train/eval split with the LEAKAGE AUDIT attached: the
+    eval window is strictly later than training (the only split that
+    measures forecasting rather than interpolation), and the audit
+    counts entities that straddle the boundary — the users whose eval
+    rows are contaminated by their own training history. hash-based
+    split_assignment is the IID twin; this is the time-series twin.
+    One scan, one partial-agg per rollup, a 1-row leak scalar
+    broadcast onto two rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    labeled = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("ts") < _SPLIT_CUT_NS, "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+    per_split = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    leak = (
+        labeled.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_users"))
+    )
+    return per_split.crossJoin(F.broadcast(leak))

@@ -835,3 +835,68 @@ def l_diversity_audit(spark, sf_dir):
             (F.col("n_bands") >= L_DIVERSITY).alias("passes"),
         )
     )
+
+
+# --- consistent pseudonymization (referential integrity kept) -------
+
+_PSEUDO_SALT = "pseudo#2024"
+
+
+@query(
+    "pseudonymize_join_consistency",
+    oracle=f"""
+WITH c AS (
+  SELECT md5('{_PSEUDO_SALT}' || CAST(c_custkey AS VARCHAR)) AS token,
+         c_mktsegment
+  FROM customer
+),
+o AS (
+  SELECT md5('{_PSEUDO_SALT}' || CAST(o_custkey AS VARCHAR)) AS token,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT c.c_mktsegment,
+       CAST(count(DISTINCT c.token) AS BIGINT) AS n_tokens,
+       CAST(count(o.token) AS BIGINT) AS n_orders,
+       CAST(COALESCE(sum(o.cents), 0) AS BIGINT) AS revenue_cents
+FROM c LEFT JOIN o ON o.token = c.token
+GROUP BY 1
+""",
+)
+def pseudonymize_join_consistency(spark, sf_dir):
+    """Deterministic salted-hash pseudonymization applied to BOTH
+    sides of a foreign key, then joined on the tokens — the release
+    pattern where raw ids never leave the trust boundary but
+    referential analytics still work (same salt => same token =>
+    joins survive; rotate the salt per release to kill cross-release
+    linkability). The segment rollup proves the token join produces
+    the same aggregate as the raw-key join would. Tokenization is
+    in-row md5 (codegen); the join keys just got longer, nothing
+    else changed shape."""
+    c = load(spark, sf_dir, "customer").select(
+        F.md5(
+            F.concat(
+                F.lit(_PSEUDO_SALT), F.col("c_custkey").cast("string")
+            )
+        ).alias("token"),
+        "c_mktsegment",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.md5(
+            F.concat(
+                F.lit(_PSEUDO_SALT), F.col("o_custkey").cast("string")
+            )
+        ).alias("token"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        c.join(o, "token", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("token").cast("long").alias("n_tokens"),
+            F.count("cents").cast("long").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

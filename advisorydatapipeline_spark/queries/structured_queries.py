@@ -817,3 +817,97 @@ def lateral_topn_join(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+# --- leave-one-out target encoding ----------------------------------
+
+_TE_PRIOR_W = 10  # smoothing pseudo-count toward the global mean
+
+
+@query(
+    "target_encode_segment",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(COALESCE(sum(o.cents), 0) AS BIGINT) AS own_cents,
+         CAST(count(o.cents) AS BIGINT) AS own_n
+  FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT c_mktsegment,
+         CAST(sum(own_cents) AS BIGINT) AS seg_cents,
+         CAST(sum(own_n) AS BIGINT) AS seg_n
+  FROM per_cust GROUP BY 1
+),
+g AS (
+  SELECT CAST(sum(seg_cents) AS BIGINT) AS tot_cents,
+         CAST(sum(seg_n) AS BIGINT) AS tot_n
+  FROM seg
+)
+SELECT p.c_custkey, p.c_mktsegment, p.own_n,
+       CAST((s.seg_cents - p.own_cents
+              + {_TE_PRIOR_W} * (g.tot_cents // g.tot_n)) * 1000
+            // (s.seg_n - p.own_n + {_TE_PRIOR_W}) AS BIGINT)
+         AS enc_milli_cents
+FROM per_cust p
+JOIN seg s ON s.c_mktsegment = p.c_mktsegment
+CROSS JOIN g
+""",
+)
+def target_encode_segment(spark, sf_dir):
+    """Leave-one-out target encoding of the segment category against
+    order value: each customer's encoding is their segment's mean
+    EXCLUDING their own orders, smoothed toward the global mean with
+    a pseudo-count prior — the ML feature-engineering op where naive
+    (non-LOO) encoding leaks the row's own target into its feature.
+    Exact integer arithmetic end to end (milli-cents, floor
+    division), so the encoding is reproducible across engines and
+    retrains.
+
+    Plan: one fact rollup to per-customer sums, a segment rollup on
+    its back (~5 rows, broadcast), a 1-row global scalar; the
+    encode itself is per-row math on the join."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("own_cents"),
+            F.count("cents").cast("long").alias("own_n"),
+        )
+    )
+    seg = per_cust.groupBy("c_mktsegment").agg(
+        F.sum("own_cents").cast("long").alias("seg_cents"),
+        F.sum("own_n").cast("long").alias("seg_n"),
+    )
+    g = seg.agg(
+        F.sum("seg_cents").cast("long").alias("tot_cents"),
+        F.sum("seg_n").cast("long").alias("tot_n"),
+    )
+    return (
+        per_cust.join(F.broadcast(seg), "c_mktsegment")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "own_n",
+            F.expr(
+                f"CAST((seg_cents - own_cents"
+                f" + {_TE_PRIOR_W} * (tot_cents DIV tot_n)) * 1000"
+                f" DIV (seg_n - own_n + {_TE_PRIOR_W}) AS BIGINT)"
+            ).alias("enc_milli_cents"),
+        )
+    )

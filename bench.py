@@ -206,6 +206,9 @@ EXTENDED = [
     "weighted_median_price",
     "code_switch_chunks",
     "bloom_join_prune",
+    "temporal_split_leakage",
+    "pseudonymize_join_consistency",
+    "target_encode_segment",
 ]
 
 

@@ -213,6 +213,9 @@ AUDIT = [
     "weighted_median_price",
     "code_switch_chunks",
     "bloom_join_prune",
+    "temporal_split_leakage",
+    "pseudonymize_join_consistency",
+    "target_encode_segment",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -294,6 +297,9 @@ NESTED_LOOP_OK = {
     "cusum_changepoint_revenue",
     # 1-row broadcast audit-count scalars beside the pruned join
     "bloom_join_prune",
+    # 1-row broadcast leak-count / global-mean scalars
+    "temporal_split_leakage",
+    "target_encode_segment",
 }
 
 JOIN_PAT = re.compile(
