@@ -944,3 +944,93 @@ def code_switch_chunks(spark, sf_dir):
             ).cast("long")
         ).cast("long").alias("n_switches"),
     )
+
+
+# --- Zipf slope of the token frequency distribution -----------------
+
+
+@query(
+    "zipf_slope_tokens",
+    oracle=f"""
+WITH tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_T}) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT CAST(floor(1000 * ln(
+           row_number() OVER (ORDER BY freq DESC, term ASC)
+         )) AS BIGINT) AS x,
+         CAST(floor(1000 * ln(freq)) AS BIGINT) AS y
+  FROM tf
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM ranked
+)
+SELECT n AS n_terms,
+       CAST((n * sxy - sx * sy) * 1000
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+       CAST((sy - ((n * sxy - sx * sy) * 1000
+                   // (n * sxx - sx * sx)) * sx // 1000)
+            // n AS BIGINT) AS intercept_log_milli
+FROM s
+""",
+)
+def zipf_slope_tokens(spark, sf_dir):
+    """Zipf-law fit over the corpus token distribution: OLS slope of
+    ln(freq) against ln(rank) — natural language sits near -1, and a
+    corpus whose slope drifts (template spam flattens the head,
+    truncated vocab cuts the tail) is a curation red flag. Both logs
+    are floor-quantized to milli-nats ONCE per term, so every moment
+    (sums, products, the slope itself) is exact BIGINT arithmetic —
+    an OLS both engines reproduce bit-for-bit.
+
+    Plan: tokenize+explode collapses map-side to the term-frequency
+    table; one global rank window over |vocab| rows (tens of
+    thousands — fine single-partition); one scalar reduce.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked = tf.select(
+        F.floor(
+            1000
+            * F.log(
+                F.row_number()
+                .over(Window.orderBy(F.col("freq").desc(), F.col("term")))
+                .cast("double")
+            )
+        ).cast("long").alias("x"),
+        F.floor(1000 * F.log(F.col("freq").cast("double")))
+        .cast("long")
+        .alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_milli"),
+        F.expr(
+            "CAST((sy - ((n * sxy - sx * sy) * 1000"
+            " DIV (n * sxx - sx * sx)) * sx DIV 1000)"
+            " DIV n AS BIGINT)"
+        ).alias("intercept_log_milli"),
+    )

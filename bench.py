@@ -209,6 +209,7 @@ EXTENDED = [
     "temporal_split_leakage",
     "pseudonymize_join_consistency",
     "target_encode_segment",
+    "zipf_slope_tokens",
 ]
 
 

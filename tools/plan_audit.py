@@ -216,6 +216,7 @@ AUDIT = [
     "temporal_split_leakage",
     "pseudonymize_join_consistency",
     "target_encode_segment",
+    "zipf_slope_tokens",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -138,6 +138,7 @@ AUDIT = [
     "weighted_median_price",
     "code_switch_chunks",
     "bloom_join_prune",
+    "zipf_slope_tokens",
 ]
 
 
