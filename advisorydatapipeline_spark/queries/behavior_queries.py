@@ -1608,3 +1608,262 @@ def basket_brand_triples(spark, sf_dir):
         "support",
         F.expr("support * 1000000 DIV n").alias("support_ppm"),
     )
+
+
+# --- Markov removal-effect attribution ------------------------------
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+_MK_ITERS = 12
+
+
+def _markov_oracle() -> str:
+    variants = ", ".join(f"('{v}')" for v in ["base"] + _MK_CHANNELS)
+    iters = []
+    prev = "p0"
+    for k in range(1, _MK_ITERS + 1):
+        iters.append(f"""
+p{k} AS (
+  SELECT v.variant, c.src AS state, c.tot,
+         CASE WHEN c.src = v.variant THEN 0 ELSE
+           CAST(sum(c.cnt * CASE WHEN c.dst = 'conv' THEN 1000000
+                WHEN c.dst = 'null' THEN 0
+                WHEN c.dst = v.variant THEN 0
+                ELSE COALESCE(pp.p, 0) END) // c.tot AS BIGINT)
+         END AS p
+  FROM counts c
+  CROSS JOIN variants v
+  LEFT JOIN {prev} pp ON pp.variant = v.variant AND pp.state = c.dst
+  GROUP BY v.variant, c.src, c.tot
+)""")
+        prev = f"p{k}"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE ts IS NOT NULL
+),
+fp AS (
+  SELECT user_id, min(ts) AS pts FROM ev
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+pre AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+  WHERE (fp.pts IS NULL OR e.ts < fp.pts)
+    AND e.event_type <> 'purchase'
+),
+usr AS (
+  SELECT e.user_id,
+         CAST(max(CASE WHEN fp.pts IS NULL THEN 0 ELSE 1 END) AS INT)
+           AS converted
+  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+  GROUP BY 1
+),
+seq AS (
+  SELECT p.user_id, p.event_type,
+         lead(p.event_type) OVER (
+           PARTITION BY p.user_id ORDER BY p.ts, p.event_id
+         ) AS nxt,
+         row_number() OVER (
+           PARTITION BY p.user_id ORDER BY p.ts, p.event_id
+         ) AS rn
+  FROM pre p
+),
+t_mid AS (
+  SELECT s.event_type AS src,
+         COALESCE(s.nxt,
+           CASE WHEN u.converted = 1 THEN 'conv' ELSE 'null' END) AS dst
+  FROM seq s JOIN usr u USING (user_id)
+),
+t_start AS (
+  SELECT 'start' AS src, s.event_type AS dst
+  FROM seq s WHERE s.rn = 1
+  UNION ALL
+  SELECT 'start',
+         CASE WHEN u.converted = 1 THEN 'conv' ELSE 'null' END
+  FROM usr u
+  WHERE NOT EXISTS (SELECT 1 FROM pre p WHERE p.user_id = u.user_id)
+),
+raw AS (SELECT * FROM t_mid UNION ALL SELECT * FROM t_start),
+cnts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM raw GROUP BY 1, 2
+),
+counts AS (
+  SELECT c.src, c.dst, c.cnt,
+         CAST(sum(c.cnt) OVER (PARTITION BY c.src) AS BIGINT) AS tot
+  FROM cnts c
+),
+variants(variant) AS (VALUES {variants}),
+p0 AS (
+  SELECT v.variant, c.src AS state, CAST(0 AS BIGINT) AS p
+  FROM (SELECT DISTINCT src FROM counts) c CROSS JOIN variants v
+),
+{",".join(iters)},
+base AS (
+  SELECT p AS p_base FROM p{_MK_ITERS}
+  WHERE variant = 'base' AND state = 'start'
+),
+eff AS (
+  SELECT variant AS channel, p AS p_removed,
+         (SELECT p_base FROM base) AS p_base,
+         ((SELECT p_base FROM base) - p) * 1000000
+           // GREATEST((SELECT p_base FROM base), 1) AS removal_ppm
+  FROM p{_MK_ITERS}
+  WHERE variant <> 'base' AND state = 'start'
+)
+SELECT channel, p_base, p_removed,
+       CAST(removal_ppm AS BIGINT) AS removal_ppm,
+       CAST(removal_ppm * 1000000
+            // GREATEST((SELECT CAST(sum(removal_ppm) AS BIGINT)
+                         FROM eff), 1) AS BIGINT) AS share_ppm
+FROM eff
+"""
+
+
+@query("markov_attribution_removal", oracle=_markov_oracle())
+def markov_attribution_removal(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al.): model user
+    journeys as a first-order chain over channels with conv/null
+    absorbers; a channel's credit is how much the start-state
+    absorption probability DROPS when journeys touching it are
+    killed — the data-driven alternative to positional heuristics
+    (attribution_position_based is the heuristic twin). Absorption
+    probabilities are K={k}-step truncated power iterations in exact
+    integer ppm (floor per step), so every engine lands on identical
+    values; all 5 chain variants (base + 4 removals) iterate
+    TOGETHER as one variant-keyed table — one tiny join+agg per
+    step, not one pass per channel.
+
+    Plan: the event log collapses to the (src,dst) transition-count
+    table in one window+agg pass; everything after runs on ~30 rows
+    x 5 variants with lineage cuts every few steps.
+    """
+    from advisorydatapipeline_spark.operators.graph import _cut_lineage
+
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    evp = ev.join(F.broadcast(fp), "user_id", "left")
+    pre = evp.filter(
+        (F.col("pts").isNull() | (F.col("ts") < F.col("pts")))
+        & (F.col("event_type") != "purchase")
+    ).select("user_id", "event_type", "ts", "event_id")
+    usr = evp.groupBy("user_id").agg(
+        F.max(F.col("pts").isNotNull().cast("int")).alias("converted")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pre.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    t_mid = seq.join(usr, "user_id").select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.col("nxt"),
+            F.when(F.col("converted") == 1, "conv").otherwise("null"),
+        ).alias("dst"),
+    )
+    t_start = seq.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("event_type").alias("dst")
+    ).unionByName(
+        usr.join(pre.select("user_id").distinct(), "user_id", "left_anti")
+        .select(
+            F.lit("start").alias("src"),
+            F.when(F.col("converted") == 1, "conv")
+            .otherwise("null")
+            .alias("dst"),
+        )
+    )
+    cnts = (
+        t_mid.unionByName(t_start)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    counts = _cut_lineage(
+        cnts.withColumn(
+            "tot",
+            F.sum("cnt").over(Window.partitionBy("src")).cast("long"),
+        ),
+        False,
+    )
+    variants = counts.sparkSession.createDataFrame(
+        [(v,) for v in ["base"] + _MK_CHANNELS], "variant string"
+    )
+    # pre-expand transitions x variants ONCE (<= |trans| x 5 rows) and
+    # keep the whole iterating state single-partition: the model is a
+    # handful of rows, so 32-way shuffles would be pure scheduler tax
+    vcounts = _cut_lineage(
+        counts.crossJoin(variants).coalesce(1), False
+    )
+    p = (
+        vcounts.select("variant", F.col("src").alias("state"))
+        .distinct()
+        .withColumn("p", F.lit(0).cast("long"))
+    )
+    for k in range(1, _MK_ITERS + 1):
+        joined = vcounts.join(
+            p.select(
+                F.col("variant").alias("pv"),
+                F.col("state").alias("ps"),
+                F.col("p").alias("pp"),
+            ),
+            (F.col("variant") == F.col("pv"))
+            & (F.col("dst") == F.col("ps")),
+            "left",
+        )
+        val = (
+            F.when(F.col("dst") == "conv", F.lit(1000000))
+            .when(F.col("dst") == "null", F.lit(0))
+            .when(F.col("dst") == F.col("variant"), F.lit(0))
+            .otherwise(F.coalesce(F.col("pp"), F.lit(0)))
+        )
+        p = (
+            joined.groupBy("variant", F.col("src").alias("state"), "tot")
+            .agg(F.sum(F.col("cnt") * val).alias("acc"))
+            .select(
+                "variant",
+                "state",
+                F.when(F.col("state") == F.col("variant"), F.lit(0))
+                .otherwise(F.expr("acc DIV tot"))
+                .cast("long")
+                .alias("p"),
+            )
+            .coalesce(1)
+        )
+        if k % 3 == 0:
+            p = _cut_lineage(p, False)
+    start = p.filter(F.col("state") == "start")
+    base = start.filter(F.col("variant") == "base").select(
+        F.col("p").alias("p_base")
+    )
+    eff = (
+        start.filter(F.col("variant") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("variant").alias("channel"),
+            "p_base",
+            F.col("p").alias("p_removed"),
+            F.expr(
+                "CAST((p_base - p) * 1000000"
+                " DIV GREATEST(p_base, 1) AS BIGINT)"
+            ).alias("removal_ppm"),
+        )
+    )
+    tot_eff = eff.agg(
+        F.sum("removal_ppm").cast("long").alias("sum_removal")
+    )
+    return eff.crossJoin(F.broadcast(tot_eff)).select(
+        "channel",
+        "p_base",
+        "p_removed",
+        "removal_ppm",
+        F.expr(
+            "CAST(removal_ppm * 1000000"
+            " DIV GREATEST(sum_removal, 1) AS BIGINT)"
+        ).alias("share_ppm"),
+    )

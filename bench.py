@@ -210,6 +210,7 @@ EXTENDED = [
     "pseudonymize_join_consistency",
     "target_encode_segment",
     "zipf_slope_tokens",
+    "markov_attribution_removal",
 ]
 
 

@@ -217,6 +217,7 @@ AUDIT = [
     "pseudonymize_join_consistency",
     "target_encode_segment",
     "zipf_slope_tokens",
+    "markov_attribution_removal",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -301,6 +302,9 @@ NESTED_LOOP_OK = {
     # 1-row broadcast leak-count / global-mean scalars
     "temporal_split_leakage",
     "target_encode_segment",
+    # tiny variant-expansion cross join (5 constant rows) + 1-row
+    # base/total scalars around the ~30-row chain model
+    "markov_attribution_removal",
 }
 
 JOIN_PAT = re.compile(

@@ -139,6 +139,7 @@ AUDIT = [
     "code_switch_chunks",
     "bloom_join_prune",
     "zipf_slope_tokens",
+    "markov_attribution_removal",
 ]
 
 
