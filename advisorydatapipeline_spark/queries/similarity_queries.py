@@ -1163,3 +1163,103 @@ def ivf_pq_topk_query(spark, sf_dir):
         emb, queries, centroids, K,
         nprobe=NPROBE, n_sub=PQ_M, sub_dim=PQ_D, n_code=PQ_NCODE,
     )
+
+
+# --- kNN label probe (embedding-quality eval) -----------------------
+
+
+_KNN_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, label, {_DUCK_QD} AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, label AS true_label, {_DUCK_QD} AS v
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+topk AS (
+  SELECT query_id, true_label, neighbor_label FROM (
+    SELECT q.query_id, q.true_label, c.label AS neighbor_label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.v, q.v)
+                      / sqrt(list_dot_product(c.v, c.v)
+                             * list_dot_product(q.v, q.v)) DESC,
+                      c.vec_id ASC
+           ) AS rn
+    FROM c, q WHERE c.vec_id <> q.query_id
+  ) WHERE rn <= {K}
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label,
+         CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, true_label, neighbor_label AS pred_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY n_votes DESC, neighbor_label ASC
+    ) AS rn FROM votes
+  ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+FROM pred
+"""
+
+
+@query("knn_label_eval", oracle=_KNN_ORACLE)
+def knn_label_eval(spark, sf_dir):
+    """kNN label probe — the standard embedding-quality eval: predict
+    each held-out vector's label by majority vote of its k nearest
+    neighbors (cosine, exact); accuracy in integer ppm. A space whose
+    neighbors don't share labels isn't ready for retrieval or
+    clustering, whatever its loss curve said. Reuses the brute top-k
+    plan (labeled ground-truth ceiling — at scale the probe runs on
+    a query sample, or swap in ivf_pq_topk for the approximate
+    probe); majority vote is one partial-agg + top-1 window,
+    alphabetical-label tiebreak."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        "embedding",
+    )
+    topk = cosine_topk(
+        emb, queries.select("query_id", "embedding"), K
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(queries.select("query_id", "true_label")), "query_id"
+    )
+    votes = topk.groupBy(
+        "query_id", "true_label", "neighbor_label"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label",
+                F.col("neighbor_label").alias("pred_label"))
+    )
+    return pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(
+            (F.col("pred_label") == F.col("true_label")).cast("long")
+        ).cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0"
+            " END) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )

@@ -1034,3 +1034,82 @@ def zipf_slope_tokens(spark, sf_dir):
             " DIV n AS BIGINT)"
         ).alias("intercept_log_milli"),
     )
+
+
+# --- language-ID confusion matrix eval ------------------------------
+
+
+def _langid_eval_oracle() -> str:
+    scores = {
+        lg: f"len(list_intersect(list_distinct({_T}), {_duck_stop_list(lg)}))"
+        for lg in sorted(LANG_STOPWORDS)
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    arms = " ".join(
+        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in sorted(scores)
+    )
+    return f"""
+WITH pred AS (
+  SELECT lang AS true_lang,
+         CASE WHEN {best} > 0 THEN CASE {arms} ELSE 'und' END
+              ELSE 'und' END AS pred_lang
+  FROM documents
+),
+cm AS (
+  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+per_true AS (
+  SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY 1
+),
+per_pred AS (
+  SELECT pred_lang, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1
+)
+SELECT cm.true_lang, cm.pred_lang, cm.n,
+       CAST(cm.n * 1000000 // t.n_true AS BIGINT) AS recall_ppm,
+       CAST(cm.n * 1000000 // p.n_pred AS BIGINT) AS precision_ppm
+FROM cm
+JOIN per_true t ON t.true_lang = cm.true_lang
+JOIN per_pred p ON p.pred_lang = cm.pred_lang
+"""
+
+
+@query("langid_confusion_eval", oracle=_langid_eval_oracle())
+def langid_confusion_eval(spark, sf_dir):
+    """Classifier-eval harness over the stopword lang-id heuristic:
+    the full confusion matrix with per-cell recall (share of the true
+    language's docs landing in this prediction) and precision (share
+    of this prediction that is actually that language), integer ppm.
+    The eval shape every heuristic in the curation stack should ship
+    with — text_lang_id gives per-doc predictions; this is the
+    aggregate report card (e.g. which languages leak into 'und', and
+    whether zh — which has no stopword list — is honestly
+    unclassifiable rather than misclassified). Two stacked
+    partial-agg shuffles on (true, pred) labels."""
+    from advisorydatapipeline_spark.functions.text import lang_id
+
+    pred = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("true_lang"),
+        lang_id("text").alias("pred_lang"),
+    )
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    n_true = F.sum("n").over(Window.partitionBy("true_lang")).cast("long")
+    n_pred = F.sum("n").over(Window.partitionBy("pred_lang")).cast("long")
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        (F.col("n") * 1000000).cast("long").alias("_num"),
+        n_true.alias("_nt"),
+        n_pred.alias("_np"),
+    ).select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr("_num DIV _nt").alias("recall_ppm"),
+        F.expr("_num DIV _np").alias("precision_ppm"),
+    )

@@ -211,6 +211,8 @@ EXTENDED = [
     "target_encode_segment",
     "zipf_slope_tokens",
     "markov_attribution_removal",
+    "knn_label_eval",
+    "langid_confusion_eval",
 ]
 
 

@@ -218,6 +218,8 @@ AUDIT = [
     "target_encode_segment",
     "zipf_slope_tokens",
     "markov_attribution_removal",
+    "knn_label_eval",
+    "langid_confusion_eval",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -305,6 +307,9 @@ NESTED_LOOP_OK = {
     # tiny variant-expansion cross join (5 constant rows) + 1-row
     # base/total scalars around the ~30-row chain model
     "markov_attribution_removal",
+    # broadcast query set scored against the corpus scan (the
+    # ann_cosine_topk ground-truth plan) + tiny label joins
+    "knn_label_eval",
 }
 
 JOIN_PAT = re.compile(
