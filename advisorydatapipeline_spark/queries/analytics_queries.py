@@ -1384,3 +1384,124 @@ def weighted_median_price(spark, sf_dir):
             F.col("cents").alias("weighted_median_cents"),
         )
     )
+
+
+# --- cluster-jackknife SE for a ratio metric ------------------------
+
+
+@query(
+    "jackknife_ratio_se",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS t_i,
+         CAST(count(*) AS BIGINT) AS n_i
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT c_mktsegment,
+         CAST(sum(t_i) AS BIGINT) AS big_t,
+         CAST(sum(n_i) AS BIGINT) AS big_n,
+         CAST(count(*) AS BIGINT) AS g
+  FROM per_cust GROUP BY 1
+),
+loo AS (
+  SELECT p.c_mktsegment, s.big_t, s.big_n, s.g,
+         (s.big_t - p.t_i) // (s.big_n - p.n_i) AS r_i
+  FROM per_cust p JOIN seg s USING (c_mktsegment)
+  WHERE s.big_n > p.n_i
+),
+m AS (
+  SELECT c_mktsegment, big_t, big_n, g,
+         CAST(sum(r_i) // count(*) AS BIGINT) AS mean_jack
+  FROM loo GROUP BY 1, 2, 3, 4
+)
+SELECT l.c_mktsegment,
+       m.g AS n_clusters,
+       m.big_n AS n_orders,
+       CAST(m.big_t // m.big_n AS BIGINT) AS ratio_cents,
+       CAST(floor(sqrt(CAST(
+         (m.g - 1) * sum((l.r_i - m.mean_jack) * (l.r_i - m.mean_jack))
+           // m.g AS DOUBLE))) AS BIGINT) AS jack_se_cents
+FROM loo l JOIN m USING (c_mktsegment)
+GROUP BY 1, 2, 3, 4
+""",
+)
+def jackknife_ratio_se(spark, sf_dir):
+    """Cluster-jackknife standard error for revenue-per-order by
+    segment: orders cluster within customers (correlated!), so the
+    naive iid SE understates uncertainty — the delete-one-CLUSTER
+    jackknife is the standard fix, and unlike a bootstrap it is
+    fully deterministic (no resampling RNG to reconcile across
+    engines or retries). Leave-one-customer-out ratios are integer
+    floor divisions; the variance sum is exact (deviations around
+    the floored jack mean stay small, ~1e6 cents, so squares fit
+    BIGINT with orders of magnitude to spare); only the final
+    sqrt is a single correctly-rounded IEEE op.
+
+    Plan: one fact rollup to per-customer sums; segment scalars
+    broadcast back; the LOO 'loop' is per-row arithmetic — there is
+    no g-fold recomputation anywhere."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum("cents").cast("long").alias("t_i"),
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+        )
+    )
+    seg = per_cust.groupBy("c_mktsegment").agg(
+        F.sum("t_i").cast("long").alias("big_t"),
+        F.sum("n_i").cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    loo = (
+        per_cust.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("big_n") > F.col("n_i"))
+        .select(
+            "c_mktsegment",
+            "big_t",
+            "big_n",
+            "g",
+            F.expr("(big_t - t_i) DIV (big_n - n_i)").alias("r_i"),
+        )
+    )
+    m = loo.groupBy("c_mktsegment", "big_t", "big_n", "g").agg(
+        F.expr("CAST(sum(r_i) DIV count(*) AS BIGINT)").alias(
+            "mean_jack"
+        )
+    )
+    return (
+        loo.join(
+            F.broadcast(m.select("c_mktsegment", "mean_jack")),
+            "c_mktsegment",
+        )
+        .groupBy("c_mktsegment", "g", "big_t", "big_n")
+        .agg(
+            F.sum(
+                (F.col("r_i") - F.col("mean_jack"))
+                * (F.col("r_i") - F.col("mean_jack"))
+            ).alias("ssd")
+        )
+        .select(
+            "c_mktsegment",
+            F.col("g").alias("n_clusters"),
+            F.col("big_n").alias("n_orders"),
+            F.expr("CAST(big_t DIV big_n AS BIGINT)").alias(
+                "ratio_cents"
+            ),
+            F.expr(
+                "CAST(floor(sqrt(CAST((g - 1) * ssd DIV g AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("jack_se_cents"),
+        )
+    )

@@ -911,3 +911,86 @@ def target_encode_segment(spark, sf_dir):
             ).alias("enc_milli_cents"),
         )
     )
+
+
+# --- quantile normalization across groups ---------------------------
+
+_QN_TILES = 20
+
+
+@query(
+    "quantile_normalize_balance",
+    oracle=f"""
+WITH t AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+         ntile({_QN_TILES}) OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey
+         ) AS tile
+  FROM customer
+),
+pooled AS (
+  SELECT tile,
+         CAST(sum(cents) AS BIGINT) AS pool_cents,
+         CAST(count(*) AS BIGINT) AS pool_n
+  FROM t GROUP BY tile
+)
+SELECT t.c_mktsegment, t.tile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(t.cents) // count(*) AS BIGINT) AS raw_mean_cents,
+       CAST(p.pool_cents // p.pool_n AS BIGINT) AS normalized_cents
+FROM t JOIN pooled p ON p.tile = t.tile
+GROUP BY t.c_mktsegment, t.tile, p.pool_cents, p.pool_n
+""",
+)
+def quantile_normalize_balance(spark, sf_dir):
+    """Quantile normalization (the genomics/batch-correction move)
+    across segments: rank every row within its group into
+    {_QN_TILES} tiles, then replace each tile's value with the
+    POOLED cross-group tile mean — after which every group has an
+    identical distribution and only rank information survives. The
+    raw-vs-normalized mean columns per (segment, tile) show exactly
+    what the transform removed. Batch-effect correction for features
+    computed per source/shard before a joint model sees them.
+
+    Plan: one ntile window per group (range-partition + local sort,
+    the exact-quantile cost class), a {_QN_TILES}-row pooled rollup
+    broadcast back, one final rollup. Integer cents + floor DIV —
+    engine-exact."""
+    from pyspark.sql.window import Window
+
+    t = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.ntile(_QN_TILES)
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                "c_acctbal", "c_custkey"
+            )
+        )
+        .alias("tile"),
+    )
+    pooled = t.groupBy("tile").agg(
+        F.sum("cents").cast("long").alias("pool_cents"),
+        F.count(F.lit(1)).cast("long").alias("pool_n"),
+    )
+    return (
+        t.join(F.broadcast(pooled), "tile")
+        .groupBy("c_mktsegment", "tile", "pool_cents", "pool_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias(
+                "raw_mean_cents"
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "tile",
+            "n_rows",
+            "raw_mean_cents",
+            F.expr("CAST(pool_cents DIV pool_n AS BIGINT)").alias(
+                "normalized_cents"
+            ),
+        )
+    )

@@ -213,6 +213,8 @@ EXTENDED = [
     "markov_attribution_removal",
     "knn_label_eval",
     "langid_confusion_eval",
+    "quantile_normalize_balance",
+    "jackknife_ratio_se",
 ]
 
 

@@ -220,6 +220,8 @@ AUDIT = [
     "markov_attribution_removal",
     "knn_label_eval",
     "langid_confusion_eval",
+    "quantile_normalize_balance",
+    "jackknife_ratio_se",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
