@@ -241,3 +241,63 @@ def cdc_apply_changelog(spark, sf_dir):
         .alias("src"),
         F.coalesce(net["n_ops"], F.lit(0)).cast("long").alias("n_ops"),
     )
+
+
+# --- incremental view maintenance: join delta identity --------------
+
+_IVM_CUT = "2001-01-01"  # old view ~92% of rows, deltas the sliver
+
+
+@query(
+    "ivm_join_delta",
+    oracle=f"""
+SELECT o.o_orderkey, c.c_custkey, c.c_nationkey,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def ivm_join_delta(spark, sf_dir):
+    """Incremental view maintenance for a JOIN view, the textbook
+    delta identity: with base snapshots A,B and deltas dA,dB,
+
+        (A+dA) JOIN (B+dB) = A JOIN B          (the materialized view)
+                           + dA JOIN B
+                           + A  JOIN dB
+                           + dA JOIN dB        (the term people forget)
+
+    Here dA = orders after a cutoff date and dB = a late-arriving
+    customer slice (custkey % 10 == 0); the query materializes the
+    old view and the three delta terms and unions them — the ORACLE
+    is the full recompute, so the gate proves the identity holds on
+    real data. At 100 TB this is the difference between joining two
+    deltas against snapshots and re-joining two snapshots: the delta
+    terms are each proportional to the CHANGES (dA JOIN B broadcast
+    or DPP-pruned), and the view updates in place.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cut = F.lit(_IVM_CUT).cast("timestamp_ntz")
+    a_old = o.filter(F.col("o_orderdate") < cut)
+    da = o.filter(F.col("o_orderdate") >= cut)
+    b_old = c.filter(F.col("c_custkey") % 10 != 0)
+    db = c.filter(F.col("c_custkey") % 10 == 0)
+
+    def j(left, right):
+        return left.join(
+            right, left.o_custkey == right.c_custkey
+        ).select("o_orderkey", "c_custkey", "c_nationkey", "cents")
+
+    view_old = j(a_old, b_old)  # the materialized view
+    delta = (
+        j(da, b_old)
+        .unionByName(j(a_old, db))
+        .unionByName(j(da, db))
+    )
+    return view_old.unionByName(delta)

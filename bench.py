@@ -215,6 +215,7 @@ EXTENDED = [
     "langid_confusion_eval",
     "quantile_normalize_balance",
     "jackknife_ratio_se",
+    "ivm_join_delta",
 ]
 
 

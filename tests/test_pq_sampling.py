@@ -273,3 +273,85 @@ def test_rake_phrase_segmentation(spark):
         "deep learning": (2, 4_000_000),
         "deep networks": (2, 4_000_000),
     }
+
+
+def test_markov_attribution_matches_python_reference(spark):
+    """The registered Markov removal-effect query must equal a pure
+    Python implementation of the same truncated power iteration over
+    the same journey model."""
+    import collections
+
+    import duckdb
+
+    from advisorydatapipeline_spark.queries.behavior_queries import (
+        _MK_CHANNELS,
+        _MK_ITERS,
+    )
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    got = {
+        r["channel"]: (r["p_base"], r["p_removed"], r["removal_ppm"])
+        for r in QUERIES["markov_attribution_removal"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+
+    rows = duckdb.connect().execute(
+        """
+        WITH ev AS (SELECT user_id, event_id, ts, event_type
+                    FROM '/root/testdata/sf0.001/events.parquet'
+                    WHERE ts IS NOT NULL),
+        fp AS (SELECT user_id, min(ts) AS pts FROM ev
+               WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT e.user_id, e.event_type, e.ts, e.event_id, fp.pts
+        FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+        ORDER BY e.user_id, e.ts, e.event_id
+        """
+    ).fetchall()
+    journeys = collections.defaultdict(list)
+    conv: dict = {}
+    for u, et, ts, eid, pts in rows:
+        conv.setdefault(u, pts is not None)
+        if pts is not None and ts >= pts:
+            continue
+        if et != "purchase":
+            journeys[u].append(et)
+    trans: collections.Counter = collections.Counter()
+    for u in conv:
+        prev = "start"
+        for s in journeys.get(u, []):
+            trans[(prev, s)] += 1
+            prev = s
+        trans[(prev, "conv" if conv[u] else "null")] += 1
+    tot: collections.Counter = collections.Counter()
+    for (s, _), cnt in trans.items():
+        tot[s] += cnt
+
+    def absorb(removed=None):
+        p = {s: 0 for s in ["start"] + _MK_CHANNELS}
+        for _ in range(_MK_ITERS):
+            np_ = {}
+            for s in p:
+                if s == removed:
+                    np_[s] = 0
+                    continue
+                acc = 0
+                for t in _MK_CHANNELS + ["conv", "null"]:
+                    cnt = trans.get((s, t), 0)
+                    if not cnt:
+                        continue
+                    v = (
+                        1_000_000
+                        if t == "conv"
+                        else (0 if t in ("null", removed) else p[t])
+                    )
+                    acc += cnt * v
+                np_[s] = acc // tot[s] if tot[s] else 0
+            p = np_
+        return p["start"]
+
+    base = absorb()
+    for ch in _MK_CHANNELS:
+        pr = absorb(ch)
+        want = (base, pr, (base - pr) * 1_000_000 // max(base, 1))
+        assert got[ch] == want, f"{ch}: {got[ch]} != {want}"

@@ -222,6 +222,7 @@ AUDIT = [
     "langid_confusion_eval",
     "quantile_normalize_balance",
     "jackknife_ratio_se",
+    "ivm_join_delta",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

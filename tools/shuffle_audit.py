@@ -140,6 +140,7 @@ AUDIT = [
     "bloom_join_prune",
     "zipf_slope_tokens",
     "markov_attribution_removal",
+    "ivm_join_delta",
 ]
 
 
