@@ -1263,3 +1263,133 @@ def knn_label_eval(spark, sf_dir):
             " END) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+# --- geometric median of embeddings (Weiszfeld) ---------------------
+
+GM_ITERS = 2
+_GM_W = 10**9  # weight scale: w_i = floor(1e9 / ||x_i - m||)
+
+
+def _gm_oracle() -> str:
+    # m0: per-dim floor-mean; then GM_ITERS Weiszfeld steps, all
+    # integer except one correctly-rounded sqrt per (vector, step)
+    steps = []
+    prev = "m0"
+    for t in range(1, GM_ITERS + 1):
+        steps.append(f"""
+d{t} AS (
+  SELECT e.label, e.vec_id,
+         CAST(sum((e.x - m.m) * (e.x - m.m)) AS BIGINT) AS d2
+  FROM ex e JOIN {prev} m ON m.label = e.label AND m.pos = e.pos
+  GROUP BY 1, 2
+),
+w{t} AS (
+  SELECT label, vec_id,
+         CAST(floor({_GM_W} / sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS w
+  FROM d{t} WHERE d2 > 0
+),
+m{t} AS (
+  SELECT e.label, e.pos,
+         CAST(sum(w.w * e.x) // sum(w.w) AS BIGINT) AS m
+  FROM ex e JOIN w{t} w ON w.label = e.label AND w.vec_id = e.vec_id
+  GROUP BY 1, 2
+)""")
+        prev = f"m{t}"
+    return f"""
+WITH ex AS (
+  SELECT label, vec_id, CAST(i - 1 AS INT) AS pos,
+         CAST(v[i] AS BIGINT) AS x
+  FROM (SELECT label, vec_id,
+               list_transform(embedding,
+                 y -> CAST(floor(CAST(y AS DOUBLE) * 1000) AS BIGINT))
+                 AS v
+        FROM embeddings),
+       unnest(generate_series(1, len(v))) AS u(i)
+),
+m0 AS (
+  SELECT label, pos, CAST(sum(x) // count(*) AS BIGINT) AS m
+  FROM ex GROUP BY 1, 2
+),
+{",".join(steps)}
+SELECT m.label, m.pos, m.m AS gm_milli, m0.m AS centroid_milli,
+       CAST(n.n AS BIGINT) AS n_vecs
+FROM m{GM_ITERS} m
+JOIN m0 ON m0.label = m.label AND m0.pos = m.pos
+JOIN (SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      FROM ex GROUP BY 1) n ON n.label = m.label
+"""
+
+
+@query("geometric_median_embeddings", oracle=_gm_oracle())
+def geometric_median_embeddings(spark, sf_dir):
+    """Per-label GEOMETRIC median of the embedding cloud via
+    Weiszfeld iteration — the robust prototype: unlike the
+    arithmetic centroid (embedding_centroids), a handful of outlier
+    vectors can't drag it, which is what you want for class anchors
+    and contamination-resistant cluster seeds. Fixed {n} iterations,
+    identical in both engines: distances are exact integer sums, the
+    per-(vector, step) weight is one correctly-rounded sqrt + floor
+    div, and the weighted re-center is exact integer DIV. The
+    centroid column rides along so the robust-vs-mean shift is
+    visible per dimension.
+
+    Plan: the exploded (label, vec, pos, x) table persists once; each
+    step is two partial-agg shuffles against a broadcast ~320-row
+    center table. Vectors never move between executors.
+    """
+    from advisorydatapipeline_spark.operators.similarity import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(quantize("embedding")).alias("pos", "x"),
+    ).persist()
+    m = ex.groupBy("label", "pos").agg(
+        F.expr("CAST(sum(x) DIV count(*) AS BIGINT)").alias("m")
+    )
+    m0 = m
+    for _ in range(GM_ITERS):
+        d = (
+            ex.join(F.broadcast(m), ["label", "pos"])
+            .groupBy("label", "vec_id")
+            .agg(
+                F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        w = d.filter(F.col("d2") > 0).select(
+            "label",
+            "vec_id",
+            F.floor(_GM_W / F.sqrt(F.col("d2").cast("double")))
+            .cast("long")
+            .alias("w"),
+        )
+        m = (
+            ex.join(F.broadcast(w), ["label", "vec_id"])
+            .groupBy("label", "pos")
+            .agg(
+                F.expr(
+                    "CAST(sum(w * x) DIV sum(w) AS BIGINT)"
+                ).alias("m")
+            )
+        )
+    n = ex.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_vecs")
+    )
+    return (
+        m.join(
+            m0.select("label", "pos", F.col("m").alias("centroid_milli")),
+            ["label", "pos"],
+        )
+        .join(F.broadcast(n), "label")
+        .select(
+            "label",
+            "pos",
+            F.col("m").alias("gm_milli"),
+            "centroid_milli",
+            "n_vecs",
+        )
+    )

@@ -216,6 +216,7 @@ EXTENDED = [
     "quantile_normalize_balance",
     "jackknife_ratio_se",
     "ivm_join_delta",
+    "geometric_median_embeddings",
 ]
 
 

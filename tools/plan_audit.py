@@ -223,6 +223,7 @@ AUDIT = [
     "quantile_normalize_balance",
     "jackknife_ratio_se",
     "ivm_join_delta",
+    "geometric_median_embeddings",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
