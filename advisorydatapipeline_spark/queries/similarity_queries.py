@@ -1393,3 +1393,83 @@ def geometric_median_embeddings(spark, sf_dir):
             "n_vecs",
         )
     )
+
+
+# --- hubness audit (k-occurrence distribution) ----------------------
+
+
+_HUB_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+topk AS (
+  SELECT neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(c.v, q.v)
+                      / sqrt(list_dot_product(c.v, c.v)
+                             * list_dot_product(q.v, q.v)) DESC,
+                      c.vec_id ASC
+           ) AS rn
+    FROM c, c q
+    WHERE c.vec_id <> q.vec_id AND q.vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {K}
+),
+kocc AS (
+  SELECT neighbor_id, CAST(count(*) AS BIGINT) AS k_occ
+  FROM topk GROUP BY 1
+),
+hist AS (
+  SELECT k_occ, CAST(count(*) AS BIGINT) AS n_points
+  FROM kocc GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(k_occ * n_points) AS BIGINT) AS total_occ,
+         CAST(max(k_occ) AS BIGINT) AS max_k_occ,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM hist
+)
+SELECT h.k_occ, h.n_points, s.max_k_occ,
+       CAST(h.k_occ * h.n_points * 1000000 // s.total_occ AS BIGINT)
+         AS occ_share_ppm
+FROM hist h CROSS JOIN s
+"""
+
+
+@query("ann_hubness_audit", oracle=_HUB_ORACLE)
+def ann_hubness_audit(spark, sf_dir):
+    """Hubness audit — the high-dimensional ANN pathology gauge: the
+    k-occurrence distribution (how many query top-k lists each point
+    appears in). In a healthy space it concentrates near k x
+    |queries| / |corpus|; a heavy tail means hub points dominate
+    every result list, recall evals flatter themselves, and
+    neighbor-vote labels (knn_label_eval) skew. One groupBy over the
+    (already per-query-bounded) top-k lists plus a tiny histogram —
+    the audit costs nothing beyond the search it audits."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kocc = (
+        cosine_topk(emb, queries, K)
+        .groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k_occ"))
+    )
+    hist = kocc.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    s = hist.agg(
+        F.sum(F.col("k_occ") * F.col("n_points"))
+        .cast("long")
+        .alias("total_occ"),
+        F.max("k_occ").cast("long").alias("max_k_occ"),
+    )
+    return hist.crossJoin(F.broadcast(s)).select(
+        "k_occ",
+        "n_points",
+        "max_k_occ",
+        F.expr(
+            "CAST(k_occ * n_points * 1000000 DIV total_occ AS BIGINT)"
+        ).alias("occ_share_ppm"),
+    )

@@ -1113,3 +1113,90 @@ def langid_confusion_eval(spark, sf_dir):
         F.expr("_num DIV _nt").alias("recall_ppm"),
         F.expr("_num DIV _np").alias("precision_ppm"),
     )
+
+
+# --- Spearman rank correlation (length vs stopword hits) ------------
+
+
+@query(
+    "spearman_rank_corr",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS a,
+         CAST(len(list_filter({_T},
+              t -> list_contains({_duck_stop_list('en')}, t)))
+              AS BIGINT) AS b
+  FROM documents
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY a, doc_id) AS BIGINT) AS rx,
+         CAST(row_number() OVER (ORDER BY b, doc_id) AS BIGINT) AS ry
+  FROM m
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx,
+         CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy
+  FROM r
+)
+SELECT n AS n_docs,
+       CAST(floor((n * sxy - sx * sy) * 1000000.0
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         AS spearman_ppm
+FROM s
+""",
+)
+def spearman_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between document length and English
+    stopword hits — the monotone-association gauge that survives the
+    heavy-tailed, outlier-ridden distributions corpus metrics live in
+    (Pearson on raw values does not). Deterministic rank variant:
+    row_number with the doc-id tiebreak instead of averaged tie
+    ranks, so both engines rank identically; all moments are exact
+    BIGINT, and the final correlation is one deterministic
+    double-sqrt-divide rounded to ppm.
+
+    Plan: two global rank windows over the doc-metric table (range
+    partition + sort; at 100 TB rank one metric at a time or sample)
+    and a scalar reduce."""
+    from pyspark.sql.window import Window
+
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    m = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("a"),
+        F.size(
+            F.filter(tokens("text"), lambda t: F.array_contains(stop, t))
+        ).cast("long").alias("b"),
+    )
+    r = m.select(
+        F.row_number()
+        .over(Window.orderBy("a", "doc_id"))
+        .cast("long")
+        .alias("rx"),
+        F.row_number()
+        .over(Window.orderBy("b", "doc_id"))
+        .cast("long")
+        .alias("ry"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CAST(floor((n * sxy - sx * sy) * 1000000.0"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+        ).alias("spearman_ppm"),
+    )

@@ -217,6 +217,8 @@ EXTENDED = [
     "jackknife_ratio_se",
     "ivm_join_delta",
     "geometric_median_embeddings",
+    "ann_hubness_audit",
+    "spearman_rank_corr",
 ]
 
 

@@ -224,6 +224,8 @@ AUDIT = [
     "jackknife_ratio_se",
     "ivm_join_delta",
     "geometric_median_embeddings",
+    "ann_hubness_audit",
+    "spearman_rank_corr",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -314,6 +316,8 @@ NESTED_LOOP_OK = {
     # broadcast query set scored against the corpus scan (the
     # ann_cosine_topk ground-truth plan) + tiny label joins
     "knn_label_eval",
+    # same brute-scoring plan + 1-row histogram-total scalar
+    "ann_hubness_audit",
 }
 
 JOIN_PAT = re.compile(
