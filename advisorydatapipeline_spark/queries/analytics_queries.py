@@ -1505,3 +1505,119 @@ def jackknife_ratio_se(spark, sf_dir):
             ).alias("jack_se_cents"),
         )
     )
+
+
+# --- walk-forward forecast backtest (naive vs seasonal-naive) -------
+
+_BT_DAYS = 14
+
+
+@query(
+    "forecast_backtest_mae",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT day, cents,
+         lag(cents, 1) OVER (ORDER BY day) AS pred_naive,
+         lag(cents, 7) OVER (ORDER BY day) AS pred_seasonal,
+         row_number() OVER (ORDER BY day DESC) AS rrn
+  FROM d
+),
+test AS (
+  SELECT * FROM lagged
+  WHERE rrn <= {_BT_DAYS}
+    AND pred_naive IS NOT NULL AND pred_seasonal IS NOT NULL
+),
+scores AS (
+  SELECT 'naive_lag1' AS model,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(abs(cents - pred_naive)) AS BIGINT)
+           AS total_abs_err_cents,
+         CAST(sum(abs(cents - pred_naive)) // count(*) AS BIGINT)
+           AS mae_cents
+  FROM test
+  UNION ALL
+  SELECT 'seasonal_lag7',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(abs(cents - pred_seasonal)) AS BIGINT),
+         CAST(sum(abs(cents - pred_seasonal)) // count(*) AS BIGINT)
+  FROM test
+)
+SELECT model, n_days, total_abs_err_cents, mae_cents,
+       mae_cents = min(mae_cents) OVER () AS is_best
+FROM scores
+""",
+)
+def forecast_backtest_mae(spark, sf_dir):
+    """Walk-forward forecast BACKTEST: replay the last {n} days and
+    score naive (yesterday) vs seasonal-naive (same weekday last
+    week) by MAE in exact cents — the eval harness a forecasting
+    query (forecast_revenue_band) should be judged against before
+    anyone trusts its band. Every prediction uses only data strictly
+    before its target day (lag windows), so there is no lookahead
+    leakage; integer MAE + an is_best verdict.
+
+    Plan: one partial-agg rollup to the daily series; lags, the
+    test-window cut and both scores live on the tiny series (one
+    window sort)."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyyMMdd")
+            .cast("long")
+            .alias("day"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "day",
+        "cents",
+        F.lag("cents", 1).over(w).alias("pred_naive"),
+        F.lag("cents", 7).over(w).alias("pred_seasonal"),
+        F.row_number()
+        .over(Window.orderBy(F.col("day").desc()))
+        .alias("rrn"),
+    )
+    test = lagged.filter(
+        (F.col("rrn") <= _BT_DAYS)
+        & F.col("pred_naive").isNotNull()
+        & F.col("pred_seasonal").isNotNull()
+    )
+    scores = test.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("cents") - F.col("pred_naive")))
+        .cast("long")
+        .alias("err_naive"),
+        F.sum(F.abs(F.col("cents") - F.col("pred_seasonal")))
+        .cast("long")
+        .alias("err_seasonal"),
+    ).select(
+        F.stack(
+            F.lit(2),
+            F.lit("naive_lag1"),
+            F.col("n_days"),
+            F.col("err_naive"),
+            F.expr("CAST(err_naive DIV n_days AS BIGINT)"),
+            F.lit("seasonal_lag7"),
+            F.col("n_days"),
+            F.col("err_seasonal"),
+            F.expr("CAST(err_seasonal DIV n_days AS BIGINT)"),
+        ).alias("model", "n_days", "total_abs_err_cents", "mae_cents")
+    )
+    return scores.withColumn(
+        "is_best",
+        F.col("mae_cents")
+        == F.min("mae_cents").over(Window.partitionBy()),
+    )

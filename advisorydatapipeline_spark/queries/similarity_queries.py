@@ -1473,3 +1473,82 @@ def ann_hubness_audit(spark, sf_dir):
             "CAST(k_occ * n_points * 1000000 DIV total_occ AS BIGINT)"
         ).alias("occ_share_ppm"),
     )
+
+
+# --- kNN-distance outliers (embedding anomaly score) ----------------
+
+OUTLIER_TOPN = 15
+
+
+_KNN_OUT_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+kd AS (
+  SELECT query_id, l2_sq AS knn_dist_sq FROM (
+    SELECT q.vec_id AS query_id,
+           list_dot_product(c.v, c.v) + list_dot_product(q.v, q.v)
+             - 2 * list_dot_product(c.v, q.v) AS l2_sq,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(c.v, c.v)
+                        + list_dot_product(q.v, q.v)
+                        - 2 * list_dot_product(c.v, q.v) ASC,
+                      c.vec_id ASC
+           ) AS rn
+    FROM c, c q WHERE c.vec_id <> q.vec_id
+  ) WHERE rn = {K}
+)
+SELECT query_id AS vec_id, CAST(knn_dist_sq AS BIGINT) AS knn_dist_sq,
+       CAST(rnk AS INT) AS outlier_rank
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY knn_dist_sq DESC, query_id ASC
+  ) AS rnk FROM kd
+) WHERE rnk <= {OUTLIER_TOPN}
+"""
+
+
+@query("knn_distance_outliers", oracle=_KNN_OUT_ORACLE)
+def knn_distance_outliers(spark, sf_dir):
+    """kNN-distance outlier detection on the embedding cloud: a
+    point's anomaly score is the distance to its k-th nearest
+    neighbor (Ramaswamy et al.) — points in dense regions score low,
+    isolated points score high, no distribution assumed. The
+    unsupervised contamination screen for embedding corpora
+    (mis-embedded, corrupted, or off-manifold items), complementing
+    the scalar-feature detectors (zscore/mad). Exact integer
+    distances; the k-th-neighbor extraction is the same bounded
+    top-k plan as the ANN ground truth (run on a sample or swap in
+    the IVF probe at corpus scale)."""
+    from advisorydatapipeline_spark.operators.similarity import l2_topk
+    from advisorydatapipeline_spark.operators.window_ops import (
+        top_k_per_key,
+    )
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    kth = (
+        top_k_per_key(
+            l2_topk(emb, queries, K).select("query_id", "l2_sq"),
+            ["query_id"],
+            [F.col("l2_sq").asc()],
+            k=K,
+            keep_rank=True,
+        )
+        .filter(F.col("rn") == K)
+        .select("query_id", F.col("l2_sq").alias("knn_dist_sq"))
+    )
+    w = Window.orderBy(
+        F.col("knn_dist_sq").desc(), F.col("query_id").asc()
+    )
+    return (
+        kth.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= OUTLIER_TOPN)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "knn_dist_sq",
+            "outlier_rank",
+        )
+    )

@@ -219,6 +219,8 @@ EXTENDED = [
     "geometric_median_embeddings",
     "ann_hubness_audit",
     "spearman_rank_corr",
+    "knn_distance_outliers",
+    "forecast_backtest_mae",
 ]
 
 

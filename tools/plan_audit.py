@@ -226,6 +226,8 @@ AUDIT = [
     "geometric_median_embeddings",
     "ann_hubness_audit",
     "spearman_rank_corr",
+    "knn_distance_outliers",
+    "forecast_backtest_mae",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -318,6 +320,8 @@ NESTED_LOOP_OK = {
     "knn_label_eval",
     # same brute-scoring plan + 1-row histogram-total scalar
     "ann_hubness_audit",
+    # brute k-th-neighbor plan (the labeled ground-truth ceiling)
+    "knn_distance_outliers",
 }
 
 JOIN_PAT = re.compile(
