@@ -1478,6 +1478,10 @@ def ann_hubness_audit(spark, sf_dir):
 # --- kNN-distance outliers (embedding anomaly score) ----------------
 
 OUTLIER_TOPN = 15
+OUTLIER_MOD = 25  # screen scores vec_id % 25 == 0 (a deterministic
+# corpus sample — scoring EVERY point brute-force is corpus^2 and
+# measured 35s at sf0.1; full coverage at scale goes through the
+# bucketed/IVF neighbor path instead)
 
 
 _KNN_OUT_ORACLE = f"""
@@ -1496,7 +1500,8 @@ kd AS (
                         - 2 * list_dot_product(c.v, q.v) ASC,
                       c.vec_id ASC
            ) AS rn
-    FROM c, c q WHERE c.vec_id <> q.vec_id
+    FROM c, c q
+    WHERE c.vec_id <> q.vec_id AND q.vec_id % {OUTLIER_MOD} = 0
   ) WHERE rn = {K}
 )
 SELECT query_id AS vec_id, CAST(knn_dist_sq AS BIGINT) AS knn_dist_sq,
@@ -1528,7 +1533,9 @@ def knn_distance_outliers(spark, sf_dir):
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % OUTLIER_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
     kth = (
         top_k_per_key(
             l2_topk(emb, queries, K).select("query_id", "l2_sq"),
