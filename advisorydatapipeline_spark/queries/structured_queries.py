@@ -994,3 +994,44 @@ def quantile_normalize_balance(spark, sf_dir):
             ),
         )
     )
+
+
+# --- Spark 4 SQL surface: session variables + GROUP/ORDER BY ALL ----
+
+_SQLVAR_MIN_PRICE = 200000.0
+
+
+@query(
+    "sql_session_variables",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+FROM orders WHERE o_totalprice > {_SQLVAR_MIN_PRICE}
+GROUP BY ALL
+""",
+)
+def sql_session_variables(spark, sf_dir):
+    """Spark 4 SQL session variables (DECLARE / SET VARIABLE) driving
+    a GROUP BY ALL aggregate — the parameterized-notebook surface:
+    thresholds live in typed session state instead of string-pasted
+    literals (injection-safe, like parameterized_sql_filter but
+    session-scoped and reusable across statements). The oracle
+    inlines the same value, proving the variable reference is purely
+    a binding mechanism with no semantic drift. DECLARE OR REPLACE
+    keeps the entry idempotent under session reuse."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ord_var")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE min_price DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(f"SET VARIABLE min_price = {_SQLVAR_MIN_PRICE}")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS rev
+        FROM _ord_var WHERE o_totalprice > min_price
+        GROUP BY ALL
+        """
+    )

@@ -221,6 +221,7 @@ EXTENDED = [
     "spearman_rank_corr",
     "knn_distance_outliers",
     "forecast_backtest_mae",
+    "sql_session_variables",
 ]
 
 

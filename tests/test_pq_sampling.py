@@ -355,3 +355,102 @@ def test_markov_attribution_matches_python_reference(spark):
         pr = absorb(ch)
         want = (base, pr, (base - pr) * 1_000_000 // max(base, 1))
         assert got[ch] == want, f"{ch}: {got[ch]} != {want}"
+
+
+def test_jackknife_matches_python_reference(spark):
+    """Delete-one-cluster jackknife SE must equal a direct Python
+    computation over the same per-customer sums."""
+    import duckdb
+    import math
+
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    got = {
+        r["c_mktsegment"]: (
+            r["n_clusters"], r["ratio_cents"], r["jack_se_cents"]
+        )
+        for r in QUERIES["jackknife_ratio_se"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    rows = duckdb.connect().execute(
+        """
+        SELECT c.c_mktsegment, c.c_custkey,
+               sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)),
+               count(*)
+        FROM '/root/testdata/sf0.001/customer.parquet' c
+        JOIN '/root/testdata/sf0.001/orders.parquet' o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    segs: dict = {}
+    for seg, _, t_i, n_i in rows:
+        segs.setdefault(seg, []).append((int(t_i), int(n_i)))
+    for seg, cl in segs.items():
+        big_t = sum(t for t, _ in cl)
+        big_n = sum(n for _, n in cl)
+        g = len(cl)
+        r_loo = [
+            (big_t - t) // (big_n - n) for t, n in cl if big_n > n
+        ]
+        mean_jack = sum(r_loo) // len(r_loo)
+        ssd = sum((r - mean_jack) ** 2 for r in r_loo)
+        want = (
+            g,
+            big_t // big_n,
+            math.floor(math.sqrt((g - 1) * ssd // g)),
+        )
+        assert got[seg] == want, f"{seg}: {got[seg]} != {want}"
+
+
+def test_geometric_median_moves_toward_dense_mass(spark):
+    """Weiszfeld sanity: with a cluster at the origin and one far
+    outlier, the geometric median sits far closer to the cluster
+    than the arithmetic centroid does."""
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    rows = [(i, [0.001 * i] * 4 + [0.0] * 4, 0) for i in range(9)]
+    rows.append((9, [50.0] * 8, 0))  # the outlier
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.createOrReplaceTempView("_gm_toy")
+    # drive the operator directly on the toy frame
+    from advisorydatapipeline_spark.operators.similarity import quantize
+    from pyspark.sql import functions as F2
+
+    ex = df.select(
+        "label", "vec_id",
+        F2.posexplode(quantize("embedding")).alias("pos", "x"),
+    )
+    m0 = ex.groupBy("label", "pos").agg(
+        F2.expr("CAST(sum(x) DIV count(*) AS BIGINT)").alias("m")
+    )
+    m = m0
+    for _ in range(2):
+        d = (
+            ex.join(m, ["label", "pos"])
+            .groupBy("label", "vec_id")
+            .agg(
+                F2.sum((F2.col("x") - F2.col("m")) ** 2)
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        w = d.filter(F2.col("d2") > 0).select(
+            "label", "vec_id",
+            F2.floor(10**9 / F2.sqrt(F2.col("d2").cast("double")))
+            .cast("long").alias("w"),
+        )
+        m = (
+            ex.join(w, ["label", "vec_id"])
+            .groupBy("label", "pos")
+            .agg(F2.expr("CAST(sum(w * x) DIV sum(w) AS BIGINT)").alias("m"))
+        )
+    gm = {r["pos"]: r["m"] for r in m.collect()}
+    cen = {r["pos"]: r["m"] for r in m0.collect()}
+    # centroid dim0 ~ (sum 0..8)*1/10 + 5000 = 5000ish; gm should be
+    # an order of magnitude closer to the cluster (values ~0-8)
+    assert cen[0] > 4000
+    assert gm[0] < cen[0] / 5, (gm[0], cen[0])

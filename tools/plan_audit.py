@@ -228,6 +228,7 @@ AUDIT = [
     "spearman_rank_corr",
     "knn_distance_outliers",
     "forecast_backtest_mae",
+    "sql_session_variables",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
