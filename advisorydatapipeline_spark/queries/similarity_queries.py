@@ -1559,3 +1559,186 @@ def knn_distance_outliers(spark, sf_dir):
             "outlier_rank",
         )
     )
+
+
+# --- DBSCAN-lite: grid-accelerated density clustering ---------------
+
+DB_EPS, DB_MINPTS = 16, 5  # Chebyshev eps = cell width; core bar
+
+# corpus-aware coordinate-space ladder: grid area tracks n so the
+# expected neighbor count (n * (2*eps+1)^2 / grid^2) stays ~4-10 at
+# every SF — a FIXED grid lets density grow with n until uniform
+# points percolate into one giant cluster (observed at sf0.01 with
+# grid=256) and DBSCAN degenerates. Same sizing idea as
+# rhp_plan_size's corpus-aware banding.
+_DB_GRID_SQL = (
+    "CASE WHEN n <= 256 THEN 128 WHEN n <= 1024 THEN 256"
+    " WHEN n <= 4096 THEN 512 WHEN n <= 16384 THEN 2048"
+    " WHEN n <= 65536 THEN 2048 ELSE 4096 END"
+)
+
+
+@query(
+    "dbscan_grid_clusters",
+    oracle=f"""
+WITH RECURSIVE g AS (
+  SELECT {_DB_GRID_SQL} AS grid
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+),
+pts AS (
+  SELECT c_custkey AS id,
+         {_DH.format(x="'dx' || CAST(c_custkey AS VARCHAR)")}
+           % (SELECT grid FROM g) AS x,
+         {_DH.format(x="'dy' || CAST(c_custkey AS VARCHAR)")}
+           % (SELECT grid FROM g) AS y
+  FROM customer
+),
+mp AS (
+  SELECT CAST({DB_MINPTS} AS BIGINT) AS minpts
+),
+pairs AS (
+  SELECT a.id AS a, b.id AS b
+  FROM pts a, pts b
+  WHERE a.id <> b.id
+    AND abs(a.x - b.x) <= {DB_EPS} AND abs(a.y - b.y) <= {DB_EPS}
+),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY a),
+core AS (
+  SELECT a AS id FROM deg WHERE c >= (SELECT minpts FROM mp)
+),
+cedges AS (
+  SELECT p.a, p.b FROM pairs p
+  JOIN core x ON x.id = p.a JOIN core y ON y.id = p.b
+),
+reach AS (
+  SELECT id, id AS r FROM core
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN cedges e ON e.a = reach.id
+),
+lab AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id),
+border AS (
+  SELECT p.a AS id, CAST(min(l.cluster_id) AS BIGINT) AS cluster_id
+  FROM pairs p JOIN lab l ON l.id = p.b
+  WHERE p.a NOT IN (SELECT id FROM core)
+  GROUP BY p.a
+)
+SELECT id AS point_id, 'core' AS role, cluster_id FROM lab
+UNION ALL
+SELECT id, 'border', cluster_id FROM border
+UNION ALL
+SELECT id, 'noise', CAST(NULL AS BIGINT) FROM pts
+WHERE id NOT IN (SELECT id FROM lab)
+  AND id NOT IN (SELECT id FROM border)
+""",
+)
+def dbscan_grid_clusters(spark, sf_dir):
+    """DBSCAN (density-based clustering) with the grid-join
+    acceleration: neighbors within Chebyshev eps come from the 3x3
+    cell equi-join (grid_proximity_join's plan — a constant 9x
+    replication instead of the oracle's quadratic inequality join);
+    points with >= minPts neighbors are CORES, clusters are connected
+    components of the core-core graph (the pointer-jumping CC
+    operator), non-core points with a core neighbor attach as
+    BORDER (min neighboring core label — deterministic), the rest is
+    NOISE. The clustering family kmeans can't cover: no k chosen up
+    front, arbitrary-shape clusters, an explicit noise verdict.
+    minPts derives from n so density is meaningful at every SF; the
+    coordinates are hash-synthetic (the geometry is synthetic, the
+    PLAN is the real thing)."""
+    from advisorydatapipeline_spark.functions.text import hash64
+    from advisorydatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    grid = cust.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.expr(_DB_GRID_SQL).alias("grid")
+    )
+    k = F.col("c_custkey").cast("string")
+    pts = (
+        cust.crossJoin(F.broadcast(grid))
+        .select(
+            F.col("c_custkey").alias("id"),
+            (hash64(F.concat(F.lit("dx"), k)) % F.col("grid")).alias("x"),
+            (hash64(F.concat(F.lit("dy"), k)) % F.col("grid")).alias("y"),
+        )
+        .persist()
+    )
+    mp = grid.select(F.lit(DB_MINPTS).cast("long").alias("minpts"))
+    a = pts.select(
+        F.col("id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.expr(f"x DIV {DB_EPS}").alias("_gx"),
+        F.expr(f"y DIV {DB_EPS}").alias("_gy"),
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    b = (
+        pts.select(
+            F.col("id").alias("b"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+        )
+        .withColumn("_dx", off)
+        .withColumn("_dy", off)
+        .withColumn("_gx", F.expr(f"bx DIV {DB_EPS}") + F.col("_dx"))
+        .withColumn("_gy", F.expr(f"by DIV {DB_EPS}") + F.col("_dy"))
+        .drop("_dx", "_dy")
+    )
+    pairs = (
+        a.join(b, ["_gx", "_gy"])
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= DB_EPS)
+            & (F.abs(F.col("ay") - F.col("by")) <= DB_EPS)
+        )
+        .select("a", "b")
+        # the pair set is ~4n rows at the ladder's target density —
+        # a handful of partitions beats 32-way scheduler tax for
+        # every downstream pass (degree count, CC rounds, border)
+        .coalesce(8)
+        .persist()
+    )
+    deg = pairs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    core = (
+        deg.crossJoin(F.broadcast(mp))
+        .filter(F.col("c") >= F.col("minpts"))
+        .select(F.col("a").alias("id"))
+        .persist()
+    )
+    cedges = (
+        pairs.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+    )
+    cc = connected_components(cedges, "a", "b").select(
+        F.col("node").alias("id"), F.col("component").alias("cluster_id")
+    )
+    # isolated cores (no core neighbor) are their own singleton cluster
+    lab = cc.unionByName(
+        core.join(cc, "id", "left_anti").select(
+            "id", F.col("id").alias("cluster_id")
+        )
+    ).persist()
+    border = (
+        pairs.join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+        .join(
+            lab.select(F.col("id").alias("b"), "cluster_id"), "b"
+        )
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("cluster_id").cast("long").alias("cluster_id"))
+    )
+    assigned = lab.select("id").unionByName(border.select("id"))
+    noise = pts.select("id").join(assigned, "id", "left_anti").select(
+        "id", F.lit(None).cast("long").alias("cluster_id")
+    )
+    return (
+        lab.select("id", F.lit("core").alias("role"), "cluster_id")
+        .unionByName(
+            border.select("id", F.lit("border").alias("role"), "cluster_id")
+        )
+        .unionByName(
+            noise.select("id", F.lit("noise").alias("role"), "cluster_id")
+        )
+        .select(F.col("id").alias("point_id"), "role", "cluster_id")
+    )

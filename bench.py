@@ -222,6 +222,7 @@ EXTENDED = [
     "knn_distance_outliers",
     "forecast_backtest_mae",
     "sql_session_variables",
+    "dbscan_grid_clusters",
 ]
 
 

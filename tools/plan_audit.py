@@ -229,6 +229,7 @@ AUDIT = [
     "knn_distance_outliers",
     "forecast_backtest_mae",
     "sql_session_variables",
+    "dbscan_grid_clusters",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

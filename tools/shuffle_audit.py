@@ -141,6 +141,7 @@ AUDIT = [
     "zipf_slope_tokens",
     "markov_attribution_removal",
     "ivm_join_delta",
+    "dbscan_grid_clusters",
 ]
 
 
