@@ -58,7 +58,7 @@ def connected_components(
     src: str,
     dst: str,
     *,
-    max_iter: int = 25,
+    max_iter: int = 100,
     reliable: bool = False,
 ) -> DataFrame:
     """Components of the undirected graph given by (src, dst) pairs.
@@ -66,6 +66,20 @@ def connected_components(
     Returns (node, component) where component is the minimum node id
     reachable from ``node``; every node appearing in any edge gets a
     row. Deterministic: min-labels are order-independent.
+
+    Convergence is CHECKED, not assumed: the loop runs until the
+    label-sum witness stabilizes and RAISES if ``max_iter`` rounds
+    were not enough — a silent early stop returns plausible but
+    WRONG components (caught by round 5's DBSCAN entry: a
+    long-diameter percolation cluster needed 38 rounds against the
+    old cap of 25, and the truncated labels split one component in
+    two without any error). Each round min-combines neighbor labels
+    then follows the label->label mapping FOUR times (multi-hop
+    pointer jump): extra hops are always safe — a label names a node
+    of the same component, so chasing it can only shrink the label —
+    and each hop is one more broadcast-small join inside the SAME
+    round, far cheaper than another checkpointed round on a
+    long-diameter graph.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -99,26 +113,34 @@ def connected_components(
         merged = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         )
-        # pointer jump: follow label -> label(label) one hop
+        # double pointer jump: follow label -> label(label) twice
         hop = merged.select(
             F.col("node").alias("label"), F.col("label").alias("_l2")
         )
-        obs = Observation(f"cc_witness_{i}")
-        labels = _cut_lineage(
-            merged.join(hop, "label", "left")
-            .select(
+        jumped = merged
+        for _hop in range(4):
+            jumped = jumped.join(hop, "label", "left").select(
                 "node",
-                F.least(F.col("label"), F.coalesce("_l2", "label")).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce("_l2", "label")
+                ).alias("label"),
             )
-            .observe(obs, witness),
-            reliable,
-        )
+        obs = Observation(f"cc_witness_{i}")
+        labels = _cut_lineage(jumped.observe(obs, witness), reliable)
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    else:
+        converged = False
+    if not converged:
+        und.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds — raise max_iter (a truncated run would return "
+            "WRONG component labels, not approximate ones)"
+        )
     und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 

@@ -1572,9 +1572,9 @@ DB_EPS, DB_MINPTS = 16, 5  # Chebyshev eps = cell width; core bar
 # grid=256) and DBSCAN degenerates. Same sizing idea as
 # rhp_plan_size's corpus-aware banding.
 _DB_GRID_SQL = (
-    "CASE WHEN n <= 256 THEN 128 WHEN n <= 1024 THEN 256"
-    " WHEN n <= 4096 THEN 512 WHEN n <= 16384 THEN 2048"
-    " WHEN n <= 65536 THEN 2048 ELSE 4096 END"
+    "CASE WHEN n <= 256 THEN 192 WHEN n <= 1024 THEN 320"
+    " WHEN n <= 4096 THEN 640 WHEN n <= 16384 THEN 2048"
+    " WHEN n <= 65536 THEN 4096 ELSE 8192 END"
 )
 
 
