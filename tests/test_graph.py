@@ -145,3 +145,38 @@ def test_bfs_multi_seed_and_unreachable(spark):
 def test_bfs_cycle_terminates(spark):
     got = _bfs(spark, [(1, 2), (2, 3), (3, 1)], [1], 4)
     assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_connected_components_long_path(spark):
+    """Regression for the round-5 truncation bug: a 60-edge path
+    graph (diameter 60) must collapse to ONE component labeled by its
+    minimum node — the old max_iter=25 silent cap returned a SPLIT
+    component here with no error."""
+    from advisorydatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_connected_components_raises_when_capped(spark):
+    """A cap too small for the diameter must RAISE, never return
+    truncated labels."""
+    import pytest as _pytest
+
+    from advisorydatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "a", "b", max_iter=2).collect()
