@@ -1200,3 +1200,94 @@ def spearman_rank_corr(spark, sf_dir):
             " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
         ).alias("spearman_ppm"),
     )
+
+
+# --- Heaps' law: vocabulary growth curve ----------------------------
+
+_HEAPS_STEP = 50  # emit the curve every N docs
+
+
+@query(
+    "heaps_vocab_growth",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_T}) AS term FROM documents)
+),
+first_occ AS (
+  SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tok
+  GROUP BY term
+),
+news AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_occ GROUP BY 1
+),
+docs AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS k,
+         CAST(sum(COALESCE(n.n_new, 0)) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS vocab,
+         CAST(sum(len({_T})) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS tokens_seen
+  FROM documents d LEFT JOIN news n USING (doc_id)
+)
+SELECT k AS n_docs, doc_id, vocab, tokens_seen
+FROM docs
+WHERE k % {_HEAPS_STEP} = 0 OR doc_id = (SELECT max(doc_id) FROM docs)
+""",
+)
+def heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: distinct vocabulary after
+    the first k documents (in doc-id ingest order), sampled every
+    {n} docs — natural corpora grow ~ tokens^beta with beta ~ 0.5;
+    a curve that PLATEAUS means template text (this synthetic
+    corpus's 31-term vocab saturates almost immediately — the gauge
+    honestly says so), one that stays LINEAR means unbounded noise
+    (OCR garbage, ids in text). The companion to zipf_slope_tokens.
+
+    Plan: a term's first-occurrence doc is one groupBy over the
+    (doc, term) distinct pairs; the cumulative curve is a window
+    over |docs| rows. No quadratic anything — the curve costs two
+    partial-agg shuffles + one ordered window."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).distinct()
+    first_occ = tok.groupBy("term").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    news = first_occ.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        docs.select("doc_id", F.size(tokens("text")).alias("n_tok"))
+        .join(news, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("doc_id")).cast("long")
+            .alias("k"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w)
+            .cast("long").alias("vocab"),
+            F.sum("n_tok").over(w).cast("long").alias("tokens_seen"),
+        )
+    )
+    last = curve.agg(F.max("doc_id").alias("_last"))
+    return (
+        curve.crossJoin(F.broadcast(last))
+        .filter(
+            (F.col("k") % _HEAPS_STEP == 0)
+            | (F.col("doc_id") == F.col("_last"))
+        )
+        .select(
+            F.col("k").alias("n_docs"), "doc_id", "vocab", "tokens_seen"
+        )
+    )

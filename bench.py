@@ -223,6 +223,7 @@ EXTENDED = [
     "forecast_backtest_mae",
     "sql_session_variables",
     "dbscan_grid_clusters",
+    "heaps_vocab_growth",
 ]
 
 

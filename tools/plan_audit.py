@@ -230,6 +230,7 @@ AUDIT = [
     "forecast_backtest_mae",
     "sql_session_variables",
     "dbscan_grid_clusters",
+    "heaps_vocab_growth",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
