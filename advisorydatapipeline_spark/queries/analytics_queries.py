@@ -1621,3 +1621,111 @@ def forecast_backtest_mae(spark, sf_dir):
         F.col("mae_cents")
         == F.min("mae_cents").over(Window.partitionBy()),
     )
+
+
+# --- Holt linear (level+trend) smoothing on the weekly series -------
+# alpha = 3/10, beta = 2/10, applied as exact integer ratios with
+# TRUNCATING division (both engines truncate toward zero; the
+# Python recurrence below emulates the same)
+
+
+@query(
+    "holt_linear_weekly",
+    oracle="""
+WITH RECURSIVE wk AS (
+  SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7
+              AS BIGINT) AS week,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT week, cents,
+         CAST(row_number() OVER (ORDER BY week) AS BIGINT) AS k
+  FROM wk
+),
+holt AS (
+  SELECT k, week, cents, cents AS level_cents,
+         CAST(0 AS BIGINT) AS trend_cents
+  FROM seq WHERE k = 1
+  UNION ALL
+  SELECT s.k, s.week, s.cents,
+         (3 * s.cents + 7 * (h.level_cents + h.trend_cents)) // 10,
+         (2 * ((3 * s.cents + 7 * (h.level_cents + h.trend_cents)) // 10
+               - h.level_cents)
+          + 8 * h.trend_cents) // 10
+  FROM holt h JOIN seq s ON s.k = h.k + 1
+)
+SELECT k, week, cents, level_cents, trend_cents,
+       level_cents + trend_cents AS forecast_next_cents
+FROM holt
+""",
+)
+def holt_linear_weekly(spark, sf_dir):
+    """Holt's linear (double-exponential) smoothing over the weekly
+    revenue series: level and trend recurrences with alpha=0.3,
+    beta=0.2 as exact integer ratios under truncating division, so
+    every state is a reproducible BIGINT and the one-step forecast
+    (level + trend) is judged by forecast_backtest_mae's harness.
+    The recurrence is irreducibly sequential, so it runs where a
+    sequential scan belongs: ONE applyInPandas task over the ~340-row
+    weekly rollup (the heavy lifting — collapsing the fact table —
+    already happened in parallel); the oracle replays it as a
+    recursive CTE.
+
+    NB division: both engines truncate toward zero; Python's // is
+    floor, so the UDF uses an explicit truncating divide — trend
+    goes negative, where the two differ.
+    """
+    d = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "CAST(datediff(o_orderdate, DATE '1970-01-01') DIV 7"
+                " AS BIGINT)"
+            ).alias("week"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("week")
+        .agg(F.sum("_c").cast("long").alias("cents"))
+        .withColumn("_g", F.lit(1))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("week")
+
+        def tdiv(a: int, b: int) -> int:
+            q = abs(a) // b
+            return -q if a < 0 else q
+
+        rows = []
+        level = trend = 0
+        for k, (week, cents) in enumerate(
+            zip(pdf["week"].tolist(), pdf["cents"].tolist()), start=1
+        ):
+            if k == 1:
+                level, trend = cents, 0
+            else:
+                new_level = tdiv(3 * cents + 7 * (level + trend), 10)
+                trend = tdiv(2 * (new_level - level) + 8 * trend, 10)
+                level = new_level
+            rows.append(
+                (k, week, cents, level, trend, level + trend)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "k",
+                "week",
+                "cents",
+                "level_cents",
+                "trend_cents",
+                "forecast_next_cents",
+            ],
+        )
+
+    return d.groupBy("_g").applyInPandas(
+        holt,
+        "k long, week long, cents long, level_cents long, "
+        "trend_cents long, forecast_next_cents long",
+    )

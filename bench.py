@@ -224,6 +224,7 @@ EXTENDED = [
     "sql_session_variables",
     "dbscan_grid_clusters",
     "heaps_vocab_growth",
+    "holt_linear_weekly",
 ]
 
 

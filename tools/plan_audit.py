@@ -231,6 +231,7 @@ AUDIT = [
     "sql_session_variables",
     "dbscan_grid_clusters",
     "heaps_vocab_growth",
+    "holt_linear_weekly",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
