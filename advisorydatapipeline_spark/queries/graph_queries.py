@@ -366,3 +366,116 @@ def k_core_suppliers(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("a").alias("node_id"), "core_degree")
     )
+
+
+# --- label propagation communities (synchronous majority) -----------
+
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+v{i} AS (
+  SELECT e.a, l.lab, CAST(count(*) AS BIGINT) AS votes
+  FROM und e JOIN {prev} l ON l.a = e.b
+  GROUP BY e.a, l.lab
+),
+l{i} AS (
+  SELECT a, lab FROM (
+    SELECT a, lab, row_number() OVER (
+      PARTITION BY a ORDER BY votes DESC, lab ASC
+    ) AS rn FROM v{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey AS src,
+                  l.l_suppkey + {SUPP_OFFSET} AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+und AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0
+),
+l0 AS (SELECT DISTINCT a, a AS lab FROM und),
+{",".join(rounds)}
+SELECT lab AS community_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(a) AS BIGINT) AS min_member,
+       CAST(sum(CASE WHEN a < {SUPP_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_customers
+FROM l{LPA_ROUNDS}
+GROUP BY lab
+"""
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark, sf_dir):
+    """Synchronous label-propagation COMMUNITY detection on the
+    customer<->supplier graph: each round every node adopts the
+    majority label among its neighbors (votes desc, min label on
+    ties — deterministic, unlike classic randomized LPA). Communities
+    are dense neighborhoods, NOT connected components — one giant
+    component typically fragments into many communities, which is
+    what makes LPA a partitioning/locality signal where CC is only a
+    reachability one. Fixed rounds in both engines (synchronous LPA
+    oscillates on bipartite structure rather than converging, so a
+    fixed budget IS the algorithm here; the round-parity labels are
+    deterministic either way).
+
+    Per round: one hash join of the edge list against the label
+    table + one (node, label) vote count + one top-1 window — the
+    same bounded-iteration shape as pagerank/k-core, lineage cut per
+    round."""
+    from advisorydatapipeline_spark.operators.graph import _cut_lineage
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    und = _cut_lineage(
+        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct(),
+        False,
+    )
+    labels = und.select("a").distinct().withColumn("lab", F.col("a"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("a").alias("b"), F.col("lab")
+                ),
+                "b",
+            )
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        )
+        w = Window.partitionBy("a").orderBy(
+            F.col("votes").desc(), F.col("lab").asc()
+        )
+        labels = _cut_lineage(
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("a", "lab"),
+            False,
+        )
+    return labels.groupBy(F.col("lab").alias("community_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("a").cast("long").alias("min_member"),
+        F.sum((F.col("a") < SUPP_OFFSET).cast("long"))
+        .cast("long")
+        .alias("n_customers"),
+    )

@@ -225,6 +225,7 @@ EXTENDED = [
     "dbscan_grid_clusters",
     "heaps_vocab_growth",
     "holt_linear_weekly",
+    "label_propagation_communities",
 ]
 
 

@@ -232,6 +232,7 @@ AUDIT = [
     "dbscan_grid_clusters",
     "heaps_vocab_growth",
     "holt_linear_weekly",
+    "label_propagation_communities",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

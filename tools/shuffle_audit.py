@@ -142,6 +142,7 @@ AUDIT = [
     "markov_attribution_removal",
     "ivm_join_delta",
     "dbscan_grid_clusters",
+    "label_propagation_communities",
 ]
 
 
