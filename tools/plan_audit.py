@@ -327,6 +327,8 @@ NESTED_LOOP_OK = {
     "ann_hubness_audit",
     # brute k-th-neighbor plan (the labeled ground-truth ceiling)
     "knn_distance_outliers",
+    # 1-row broadcast last-doc scalar closing the growth curve
+    "heaps_vocab_growth",
 }
 
 JOIN_PAT = re.compile(
