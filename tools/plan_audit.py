@@ -329,6 +329,8 @@ NESTED_LOOP_OK = {
     "knn_distance_outliers",
     # 1-row broadcast last-doc scalar closing the growth curve
     "heaps_vocab_growth",
+    # 1-row broadcast corpus-sized grid/minpts scalars
+    "dbscan_grid_clusters",
 }
 
 JOIN_PAT = re.compile(
