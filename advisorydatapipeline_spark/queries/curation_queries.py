@@ -980,3 +980,95 @@ def temporal_split_leakage(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_users"))
     )
     return per_split.crossJoin(F.broadcast(leak))
+
+
+@query(
+    "cdc_doc_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {_CDC_GH} AS gh
+  FROM toks,
+       unnest(generate_series(1, len(t) - {CDC_GRAM} + 1)) AS u(i)
+  WHERE len(t) >= {CDC_GRAM}
+),
+chunked AS (
+  SELECT doc_id, pos, gh,
+         CAST(sum(CASE WHEN gh % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS INT)
+           AS chunk_idx
+  FROM grams
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(min(gh) AS BIGINT) AS fp
+  FROM chunked GROUP BY 1, 2
+),
+shared AS (
+  SELECT fp, n_grams FROM chunks
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) > 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(s.fp) AS BIGINT) AS n_shared_chunks,
+       CAST(sum(c.n_grams) AS BIGINT) AS n_grams_total,
+       CAST(COALESCE(sum(CASE WHEN s.fp IS NOT NULL
+                              THEN c.n_grams END), 0) AS BIGINT)
+         AS n_grams_shared,
+       CAST(COALESCE(sum(CASE WHEN s.fp IS NOT NULL
+                              THEN c.n_grams END), 0) * 1000000
+            // sum(c.n_grams) AS BIGINT) AS shared_ppm
+FROM chunks c
+LEFT JOIN shared s ON s.fp = c.fp AND s.n_grams = c.n_grams
+GROUP BY c.doc_id
+""",
+)
+def cdc_doc_coverage(spark, sf_dir):
+    """Per-document SYNDICATION SCORE on the CDC chunk index: the
+    fraction of a doc's content (gram-weighted, in ppm) whose chunks
+    recur in other documents — the doc-level rollup of
+    cdc_shared_chunks' chunk-level listing, and the number a
+    curation policy actually thresholds on ('drop docs more than X%
+    boilerplate'). Same chunk build; the shared-fingerprint set
+    (tiny) broadcast-joins back onto each doc's chunks; one per-doc
+    rollup."""
+    from advisorydatapipeline_spark.operators.curation import cdc_chunks
+
+    chunks = cdc_chunks(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        gram=CDC_GRAM,
+        divisor=CDC_DIVISOR,
+    ).select(
+        "doc_id", "n_grams", F.col("chunk_min_hash").alias("fp")
+    ).persist()
+    shared = (
+        chunks.groupBy("fp", "n_grams")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp", "n_grams", F.lit(1).alias("_shared"))
+    )
+    return (
+        chunks.join(F.broadcast(shared), ["fp", "n_grams"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count("_shared").cast("long").alias("n_shared_chunks"),
+            F.sum("n_grams").cast("long").alias("n_grams_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("_shared").isNotNull(), F.col("n_grams"))),
+                F.lit(0),
+            ).cast("long").alias("n_grams_shared"),
+        )
+        .withColumn(
+            "shared_ppm",
+            F.expr(
+                "CAST(n_grams_shared * 1000000 DIV n_grams_total"
+                " AS BIGINT)"
+            ),
+        )
+    )

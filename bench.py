@@ -226,6 +226,7 @@ EXTENDED = [
     "heaps_vocab_growth",
     "holt_linear_weekly",
     "label_propagation_communities",
+    "cdc_doc_coverage",
 ]
 
 

@@ -233,6 +233,7 @@ AUDIT = [
     "heaps_vocab_growth",
     "holt_linear_weekly",
     "label_propagation_communities",
+    "cdc_doc_coverage",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
