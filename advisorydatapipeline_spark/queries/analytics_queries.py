@@ -1729,3 +1729,94 @@ def holt_linear_weekly(spark, sf_dir):
         "k long, week long, cents long, level_cents long, "
         "trend_cents long, forecast_next_cents long",
     )
+
+
+# --- Gini coefficient of customer revenue by nation -----------------
+
+
+@query(
+    "gini_revenue_nation",
+    oracle="""
+WITH pc AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT c_nationkey, cents,
+         CAST(row_number() OVER (
+           PARTITION BY c_nationkey ORDER BY cents, c_custkey
+         ) AS BIGINT) AS i
+  FROM pc
+),
+s AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS tot,
+         CAST(sum(i * cents) AS BIGINT) AS sic
+  FROM r GROUP BY 1
+)
+SELECT c_nationkey, n AS n_customers, tot AS total_cents,
+       CAST(floor(
+         CAST(2 * sic - (n + 1) * tot AS DOUBLE) * 1000000
+         / CAST(n * tot AS DOUBLE)
+       ) AS BIGINT) AS gini_ppm
+FROM s WHERE tot > 0
+""",
+)
+def gini_revenue_nation(spark, sf_dir):
+    """Gini coefficient of customer revenue per nation — the
+    concentration SCALAR beside lorenz_revenue_deciles' curve
+    (0 = every customer equal, ->1 = one whale): the one-number
+    inequality KPI dashboards track. Rank-formula Gini
+    (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending ranks
+    with a custkey tiebreak; moments are exact BIGINT, the final
+    ratio is one deterministic double divide floored to ppm.
+
+    One fact rollup -> per-nation rank window -> per-nation moment
+    rollup; ranks never leave their nation partition."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    pc = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    r = pc.select(
+        "c_nationkey",
+        "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy(
+                "cents", "c_custkey"
+            )
+        )
+        .cast("long")
+        .alias("i"),
+    )
+    s = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("sic"),
+    )
+    return s.filter(F.col("tot") > 0).select(
+        "c_nationkey",
+        F.col("n").alias("n_customers"),
+        F.col("tot").alias("total_cents"),
+        F.floor(
+            (2 * F.col("sic") - (F.col("n") + 1) * F.col("tot")).cast(
+                "double"
+            )
+            * 1000000
+            / (F.col("n") * F.col("tot")).cast("double")
+        ).cast("long").alias("gini_ppm"),
+    )

@@ -1867,3 +1867,81 @@ def markov_attribution_removal(spark, sf_dir):
             " DIV GREATEST(sum_removal, 1) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+# --- inter-arrival burstiness (bursty vs periodic users) ------------
+
+
+@query(
+    "interarrival_burstiness",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_s
+  FROM events WHERE ts IS NOT NULL
+),
+s AS (
+  SELECT user_id,
+         CAST(count(gap_s) AS BIGINT) AS n,
+         CAST(sum(gap_s) AS BIGINT) AS sx,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS sxx
+  FROM g GROUP BY user_id
+  HAVING count(gap_s) >= 2
+)
+SELECT user_id, n,
+       CAST(sx // n AS BIGINT) AS mean_gap_s,
+       CAST(floor(
+         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) - CAST(sx AS DOUBLE))
+         * 1000000
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) + CAST(sx AS DOUBLE))
+       ) AS BIGINT) AS burstiness_ppm
+FROM s
+""",
+)
+def interarrival_burstiness(spark, sf_dir):
+    """Per-user burstiness of event inter-arrival gaps (Goh-Barabasi
+    B = (sigma - mu)/(sigma + mu), here computed scale-free as
+    (n*sigma' - sx)/(n*sigma' + sx) with sigma' = sqrt(n*sxx - sx^2)
+    so only exact integer moments enter): B -> -1 is a metronome,
+    B ~ 0 is Poisson, B -> +1 is maximally bursty — the
+    temporal-shape feature that separates scripted/bot traffic
+    (periodic) from humans (bursty) when volumes look identical.
+    Gaps are whole SECONDS (microsecond gaps squared overflow
+    BIGINT over a 30-day horizon; event spacing here is minutes, so
+    nothing real is lost). One lag window + one per-user moment
+    rollup; a single correctly-rounded sqrt per user."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.expr("ts DIV 1000000000")
+            - F.lag(F.expr("ts DIV 1000000000")).over(w)
+        ).alias("gap_s"),
+    )
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("long").alias("n"),
+            F.sum("gap_s").cast("long").alias("sx"),
+            F.sum(F.col("gap_s") * F.col("gap_s"))
+            .cast("long")
+            .alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    sig = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    return s.select(
+        "user_id",
+        "n",
+        F.expr("CAST(sx DIV n AS BIGINT)").alias("mean_gap_s"),
+        F.floor(
+            (sig - F.col("sx").cast("double"))
+            * 1000000
+            / (sig + F.col("sx").cast("double"))
+        ).cast("long").alias("burstiness_ppm"),
+    )

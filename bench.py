@@ -227,6 +227,8 @@ EXTENDED = [
     "holt_linear_weekly",
     "label_propagation_communities",
     "cdc_doc_coverage",
+    "interarrival_burstiness",
+    "gini_revenue_nation",
 ]
 
 

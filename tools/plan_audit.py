@@ -234,6 +234,8 @@ AUDIT = [
     "holt_linear_weekly",
     "label_propagation_communities",
     "cdc_doc_coverage",
+    "interarrival_burstiness",
+    "gini_revenue_nation",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
