@@ -113,7 +113,7 @@ def connected_components(
         merged = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         )
-        # double pointer jump: follow label -> label(label) twice
+        # 4-hop pointer jump: follow label -> label(label) four times
         hop = merged.select(
             F.col("node").alias("label"), F.col("label").alias("_l2")
         )

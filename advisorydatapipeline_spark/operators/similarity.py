@@ -737,9 +737,46 @@ def _cb_row(codebook: DataFrame):
     array<struct> — broadcast-joined, it makes PQ encode/ADC lookup
     pure map-side column math (no per-(vec,m,k) shuffle ever
     exists). Within each m the entries sort by k, so list position
-    k+1 IS codeword k."""
-    return codebook.agg(
-        F.array_sort(F.collect_list(F.struct("m", "k", "sub"))).alias("cb")
+    k+1 IS codeword k.
+
+    That positional identity only holds if the (m, k) key space is
+    DENSE and duplicate-free — a corpus with a missing seed id would
+    silently shift every higher codeword's position and mis-score all
+    ADC lookups (and an empty codebook would surface later as an
+    opaque element_at error). So the row carries its own runtime
+    assertion: size == n_distinct(m) * (max_k + 1) == n_distinct(m,k),
+    which is exactly the condition under which position k+1 == k.
+    Sparse id spaces now fail LOUDLY at first materialization."""
+    agg = codebook.agg(
+        F.array_sort(F.collect_list(F.struct("m", "k", "sub"))).alias("cb"),
+        F.count_distinct(F.col("m"), F.col("k")).alias("_nd"),
+        F.count_distinct(F.col("m")).alias("_nm"),
+        F.max("k").alias("_mk"),
+    )
+    dense = (F.col("_mk").isNotNull()) & (
+        F.size("cb") == F.col("_nm") * (F.col("_mk") + F.lit(1))
+    ) & (F.size("cb") == F.col("_nd"))
+    return agg.select(
+        F.when(dense, F.col("cb"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "PQ codebook (m,k) space is sparse or duplicated "
+                        "— positional ADC lookup would mis-score; got "
+                        "size="
+                    ),
+                    F.size("cb").cast("string"),
+                    F.lit(" subspaces="),
+                    F.col("_nm").cast("string"),
+                    F.lit(" max_k="),
+                    F.coalesce(
+                        F.col("_mk").cast("string"), F.lit("null")
+                    ),
+                )
+            )
+        )
+        .alias("cb")
     )
 
 

@@ -247,20 +247,27 @@ def bfs_reachable_hops(spark, sf_dir):
 
 # --- k-core decomposition (iterative peeling) -----------------------
 
-KCORE_ROUNDS = 4
+# Hard cap on peel rounds: Spark loops until the surviving-edge
+# count stops changing (a true fixpoint witness) and RAISES if the
+# cap is hit while still changing — the oracle unrolls exactly
+# KCORE_MAX_ROUNDS rounds, which equals the fixpoint whenever Spark
+# succeeded, because peel rounds past the fixpoint are no-ops.
+KCORE_MAX_ROUNDS = 12
 
 
 def _kcore_oracle() -> str:
     peel = []
     prev = "p0"
-    for i in range(1, KCORE_ROUNDS + 1):
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
         peel.append(f"""
 r{i} AS (
   SELECT e.a, CAST(count(*) AS BIGINT) AS c
   FROM und e JOIN {prev} x ON e.a = x.a JOIN {prev} y ON e.b = y.a
   GROUP BY e.a
 ),
-p{i} AS (SELECT a FROM r{i} WHERE c >= (SELECT k FROM ks))""")
+p{i} AS MATERIALIZED (
+  SELECT a FROM r{i} WHERE c >= (SELECT k FROM ks)
+)""")
         prev = f"p{i}"
     return f"""
 WITH e0 AS (
@@ -268,7 +275,7 @@ WITH e0 AS (
                   l.l_suppkey + {SUPP_OFFSET} AS dst
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT src AS a, dst AS b FROM e0
   UNION
   SELECT dst AS a, src AS b FROM e0
@@ -278,12 +285,12 @@ ks AS (
   SELECT GREATEST(4, CAST(sum(deg) AS BIGINT) // count(*) // 3) AS k
   FROM deg
 ),
-p0 AS (SELECT a FROM deg),
+p0 AS MATERIALIZED (SELECT a FROM deg),
 {",".join(peel)}
 SELECT e.a AS node_id, CAST(count(*) AS BIGINT) AS core_degree
 FROM und e
-JOIN p{KCORE_ROUNDS} x ON e.a = x.a
-JOIN p{KCORE_ROUNDS} y ON e.b = y.a
+JOIN p{KCORE_MAX_ROUNDS} x ON e.a = x.a
+JOIN p{KCORE_MAX_ROUNDS} y ON e.b = y.a
 GROUP BY e.a
 """
 
@@ -300,14 +307,20 @@ def k_core_suppliers(spark, sf_dir):
     dense kernel that survives is where co-purchase structure is
     real rather than incidental.
 
-    Spark runs the same fixed peel rounds the oracle unrolls
-    (extra rounds past the fixpoint are no-ops, so a fixed count is
-    deterministic AND convergent here; a cluster deployment would
-    loop until `changed == 0` with the same per-round plan). Per
-    round: one partial-agg degree count + two hash semi-joins that
-    SHRINK the edge list (the edge set is the iterating, lineage-cut
-    state) — the same bounded-state iteration shape as the
-    CC/BFS/PageRank siblings in operators/graph.
+    Spark loops until a CONVERGENCE WITNESS fires: the surviving-edge
+    count per round, observed via ``observe()`` riding the lineage-cut
+    materialization (zero extra jobs). Edge counts only decrease under
+    peeling, so an unchanged count is a proof of fixpoint; hitting
+    KCORE_MAX_ROUNDS while still changing RAISES rather than returning
+    a silently-too-large "core" (the same converge-or-RAISE contract
+    as connected_components — the oracle unrolls the identical rounds,
+    so the parity gate alone structurally cannot detect truncation).
+    The oracle unrolls exactly KCORE_MAX_ROUNDS rounds; rounds past
+    the fixpoint are idempotent, so whenever Spark succeeds the two
+    agree. Per round: one partial-agg degree count + two hash
+    semi-joins that SHRINK the edge list (the edge set is the
+    iterating, lineage-cut state) — the same bounded-state iteration
+    shape as the CC/BFS/PageRank siblings in operators/graph.
     """
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -323,12 +336,17 @@ def k_core_suppliers(spark, sf_dir):
     )
     # edges are the iterating state; checkpoint once up front so no
     # round re-derives the join+distinct
+    from pyspark.sql import Observation
+
+    obs0 = Observation("kcore_witness_0")
     edges = _cut_lineage(
         e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct(),
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n")),
         False,
     )
+    prev_n = obs0.get["n"]
     deg0 = edges.groupBy("a").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -341,7 +359,8 @@ def k_core_suppliers(spark, sf_dir):
         ),
         False,
     )
-    for _ in range(KCORE_ROUNDS):
+    converged = False
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
         alive = (
             edges.groupBy("a")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -349,6 +368,7 @@ def k_core_suppliers(spark, sf_dir):
             .filter(F.col("c") >= F.col("k"))
             .select("a")
         )
+        obs = Observation(f"kcore_witness_{i}")
         edges = _cut_lineage(
             edges.join(
                 alive.withColumnRenamed("a", "xa"),
@@ -358,8 +378,20 @@ def k_core_suppliers(spark, sf_dir):
                 alive.withColumnRenamed("a", "ya"),
                 F.col("b") == F.col("ya"),
                 "left_semi",
-            ),
+            ).observe(obs, F.count(F.lit(1)).alias("n")),
             False,
+        )
+        new_n = obs.get["n"]
+        if new_n == prev_n:
+            converged = True
+            break
+        prev_n = new_n
+    if not converged:
+        raise RuntimeError(
+            f"k_core peel did not reach a fixpoint within "
+            f"{KCORE_MAX_ROUNDS} rounds — raise KCORE_MAX_ROUNDS (a "
+            "truncated peel returns a too-LARGE core, and the "
+            "round-unrolled oracle cannot catch it)"
         )
     return (
         edges.groupBy("a")

@@ -8,6 +8,15 @@ the driver's compare hashes values after sorting columns by name.
 
 Queries whose semantics are not SQL-expressible (streaming, UDF-only
 surfaces) intentionally have no oracle entry -> rows-only check.
+
+Cache contract: a query MAY ``persist()`` an intermediate that its
+returned (lazy) plan references more than once — the cache computes
+once within the single materializing action. Those blocks stay pinned
+in the CacheManager after the action, so any harness that materializes
+many registry queries in one session MUST ``spark.catalog.clearCache()``
+between queries (bench.py, tools/run_all.py, tools/check_oracle.py all
+do). Unpersisting inside the query before returning would silently
+defeat the cache: the plan is not materialized yet at that point.
 """
 
 from __future__ import annotations

@@ -173,11 +173,18 @@ class AdvisoryWriter(DataSourceWriter):
         return _PartFile(part, n)
 
     def commit(self, messages):  # noqa: ANN001
+        # Per the DataSourceWriter contract `messages` contains None
+        # for tasks that failed before returning a commit message —
+        # only non-None entries are published (that's the two-phase
+        # guarantee), so both phases must skip them.
         import os
+        import shutil
 
         merged: dict[str, dict[str, dict[str, str]]] = {}
         total = 0
         for m in messages:
+            if m is None:
+                continue
             with open(m.path) as f:
                 for line in f:
                     r = json.loads(line)
@@ -189,21 +196,19 @@ class AdvisoryWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             json.dump(merged, f, sort_keys=True)
         os.replace(tmp, self.path)  # atomic publish
-        for m in messages:
-            os.unlink(m.path)
-        try:
-            os.rmdir(self.path + ".parts")
-        except OSError:
-            pass
+        # Remove the whole .parts dir, not just the committed files:
+        # failed/speculated attempts leave orphan part files that a
+        # bare rmdir would silently keep forever.
+        shutil.rmtree(self.path + ".parts", ignore_errors=True)
 
     def abort(self, messages):  # noqa: ANN001
-        import os
+        import shutil
 
-        for m in messages:
-            try:
-                os.unlink(m.path)
-            except OSError:
-                pass
+        # messages may contain None for failed tasks (dereferencing
+        # would mask the original task error with AttributeError);
+        # removing the .parts dir also sweeps orphan attempt files
+        # that never produced a commit message.
+        shutil.rmtree(self.path + ".parts", ignore_errors=True)
 
 
 def register(spark) -> None:  # noqa: ANN001

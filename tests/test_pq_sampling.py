@@ -454,3 +454,27 @@ def test_geometric_median_moves_toward_dense_mass(spark):
     # an order of magnitude closer to the cluster (values ~0-8)
     assert cen[0] > 4000
     assert gm[0] < cen[0] / 5, (gm[0], cen[0])
+
+
+def test_pq_sparse_codebook_raises(spark, emb):
+    """A corpus missing a seed id in [0, n_code) yields a sparse
+    codebook; positional ADC lookup would silently shift every
+    higher codeword — _cb_row's density witness must raise instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    sparse = emb.filter(F.col("vec_id") != 1)  # id 1 < NCODE missing
+    cb = pq_codebook(sparse, n_sub=M, sub_dim=D, n_code=NCODE)
+    with pytest.raises((Py4JJavaError, PySparkException)) as ex:
+        pq_codes(emb, cb, n_sub=M, sub_dim=D).collect()
+    assert "sparse" in str(ex.value)
+
+
+def test_pq_empty_codebook_raises(spark, emb):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    empty = emb.filter(F.col("vec_id") < 0)
+    cb = pq_codebook(empty, n_sub=M, sub_dim=D, n_code=NCODE)
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        pq_codes(emb, cb, n_sub=M, sub_dim=D).collect()

@@ -154,6 +154,11 @@ def main() -> int:
         problems, n_rows = compare_query(
             spark, con, name, fn, oracles.get(name), sf_dir
         )
+        # queries may persist() intermediates referenced several
+        # times inside their (now fully materialized) plan; drop the
+        # pinned blocks so a 297-query gate session doesn't squeeze
+        # executor storage memory query over query
+        spark.catalog.clearCache()
         results[name] = {
             "status": (
                 "fail"
