@@ -326,25 +326,71 @@ def simhash_buckets(
 # --- 64-bit SimHash with banded Hamming near-dup -----------------------------
 
 
-def simhash64_bands(
+def simhash_plan_blocks(
+    n_rows: int,
+    *,
+    max_hamming: int = 3,
+    target_bucket: int = 64,
+    total_bits: int = 64,
+    max_blocks: int = 8,
+) -> list[int]:
+    """Corpus-size-aware SimHash block widths — the rhp_plan_size
+    analogue for a FIXED-length signature (64 bits can't grow, so the
+    key space grows via Manku-style block combinations instead: split
+    the signature into ``b`` blocks; any pair within Hamming
+    ``max_hamming`` agrees on >= ``b - max_hamming`` whole blocks by
+    pigeonhole, so joining on every C(b, b - max_hamming) combination
+    of ``b - max_hamming`` concatenated blocks has EXACT recall with
+    key width ``total_bits * (b - max_hamming) / b`` — 16 bits at
+    b=4, 25 at b=5, 32 at b=6 — instead of a single block's
+    ``total_bits / b``).
+
+    Policy: required key bits ``ceil(log2(n_rows / target_bucket))``
+    (expected random bucket ~target_bucket, as in rhp_plan_size);
+    smallest ``b`` whose combination key is that wide wins. The cost
+    of deeper b is C(b, max_hamming) index entries per doc (4 at b=4,
+    10 at b=5, 20 at b=6) — linear in n, the price of keeping the
+    candidate join off the O(n^2 / 2^bits) random-collision curve.
+    At cluster scale pass the row count from table metadata.
+    """
+    import math
+
+    if max_hamming + 1 > max_blocks:
+        raise ValueError("max_blocks must exceed max_hamming")
+    need = (
+        math.ceil(math.log2(n_rows / target_bucket))
+        if n_rows > target_bucket
+        else 1
+    )
+    b = max_blocks
+    for cand in range(max_hamming + 1, max_blocks + 1):
+        if total_bits * (cand - max_hamming) // cand >= need:
+            b = cand
+            break
+    return [
+        total_bits // b + (1 if i < total_bits % b else 0)
+        for i in range(b)
+    ]
+
+
+def simhash64_blocks(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    *,
-    bands: int = 4,
-    band_bits: int = 16,
+    widths: list[int],
 ) -> DataFrame:
-    """64-bit SimHash kept as ``bands`` separate band values (default
-    4 x 16 bits) instead of one assembled BIGINT — bit 63 would
-    overflow a signed long, and the bands are exactly what both the
-    candidate join and the XOR-popcount verification consume.
+    """64-bit SimHash kept as ``len(widths)`` separate block values
+    (bit ranges of the signature, widths summing to 64) instead of
+    one assembled BIGINT — bit 63 would overflow a signed long, and
+    the blocks are exactly what both the combination-key candidate
+    join and the XOR-popcount verification consume.
 
     Bit sources: the portable md5 hash is 60 bits, so bits 0-31 come
     from ``hash64(tok)`` and bits 32-63 from ``hash64(tok || '#2')``
     (an independent second draw — same trick the DuckDB oracle
     replays). One shuffle: the per-doc vote aggregation (partial-agg
     friendly sums)."""
-    n_bits = bands * band_bits
+    n_bits = sum(widths)
     toked = df.select(
         F.col(id_col), F.array_distinct(tokens(text_col)).alias("_ts")
     )
@@ -394,17 +440,34 @@ def simhash64_bands(
     def lane(b: int) -> str:
         return f"((p_{b // 4} >> {16 * (b % 4)}) & 65535)"
 
-    band_exprs = [
+    starts = [sum(widths[:i]) for i in range(len(widths))]
+    block_exprs = [
         "CAST("
         + " + ".join(
-            f"(CASE WHEN 2 * {lane(bd * band_bits + r)} >= n "
+            f"(CASE WHEN 2 * {lane(s + r)} >= n "
             f"THEN {2**r} ELSE 0 END)"
-            for r in range(band_bits)
+            for r in range(w)
         )
-        + f" AS BIGINT) AS band_{bd}"
-        for bd in range(bands)
+        + f" AS BIGINT) AS block_{bd}"
+        for bd, (s, w) in enumerate(zip(starts, widths))
     ]
-    return agg.selectExpr(id_col, *band_exprs)
+    return agg.selectExpr(id_col, *block_exprs)
+
+
+def simhash64_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Back-compat band view: equal-width blocks renamed band_*."""
+    out = simhash64_blocks(df, id_col, text_col, [band_bits] * bands)
+    return out.select(
+        id_col,
+        *[F.col(f"block_{bd}").alias(f"band_{bd}") for bd in range(bands)],
+    )
 
 
 def simhash64_near_dupes(
@@ -415,64 +478,100 @@ def simhash64_near_dupes(
     bands: int = 4,
     band_bits: int = 16,
     max_hamming: int = 3,
+    plan_rows: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash with banded candidate
-    generation + Hamming verification.
+    """Near-dup pairs by 64-bit SimHash with block-combination
+    candidate generation + inline Hamming verification.
 
-    By pigeonhole, any pair within ``bands - 1`` Hamming distance
-    shares at least one exact band, so with the default 4 bands the
-    candidate equi-join has *exact* recall for distance <= 3 — no
-    all-pairs comparison anywhere. Candidate volume is O(docs x
-    bands); verification is XOR + popcount on the already-joined band
-    values. Output: (id_a, id_b, hamming)."""
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"banding guarantees recall only to hamming {bands - 1}; "
-            f"raise bands for max_hamming={max_hamming}"
-        )
-    sig = simhash64_bands(
-        df, id_col, text_col, bands=bands, band_bits=band_bits
-    ).persist()  # feeds the band explode AND both verification joins
+    The signature splits into ``b`` blocks; by pigeonhole any pair
+    within ``max_hamming`` shares at least one combination of
+    ``b - max_hamming`` whole blocks, so joining on each
+    concatenated-combination key has *exact* recall — no all-pairs
+    comparison anywhere, and the OUTPUT is scheme-independent (it is
+    exactly the hamming<=k pair set), which is why the DuckDB oracle
+    can replay the simplest b=4 banding whatever plan size Spark
+    picks. ``plan_rows`` (pass the corpus row count) engages
+    :func:`simhash_plan_blocks`, growing the candidate key space with
+    the corpus — at b=4 the combination scheme degenerates to the
+    classic one-band-of-16 join; at 10M+ docs it widens to 25/32-bit
+    keys so random collisions stay ~target_bucket-bounded.
+
+    Verification is INLINE: entries carry all block values, so the
+    candidate join computes XOR+popcount directly and filters before
+    the final pair-dedup — no re-join against the signature table and
+    the distinct only ever sees true near-dup pairs (multiplicity
+    <= C(b, k), not the raw candidate stream). Output:
+    (id_a, id_b, hamming)."""
+    from itertools import combinations
+
+    if plan_rows is not None:
+        widths = simhash_plan_blocks(plan_rows, max_hamming=max_hamming)
+    else:
+        if max_hamming > bands - 1:
+            raise ValueError(
+                f"banding guarantees recall only to hamming {bands - 1}; "
+                f"raise bands for max_hamming={max_hamming}"
+            )
+        widths = [band_bits] * bands
+    nb = len(widths)
+    sig = simhash64_blocks(df, id_col, text_col, widths)
+    combos = list(combinations(range(nb), nb - max_hamming))
+    if nb == max_hamming + 1:
+        # classic banding: one block per key
+        combos = [(bd,) for bd in range(nb)]
+
+    def key_expr(combo: tuple[int, ...]) -> Column:
+        k: Column | None = None
+        for bd in combo:
+            blk = F.col(f"block_{bd}")
+            k = blk if k is None else (
+                k * F.lit(2 ** widths[bd]).cast("long") + blk
+            )
+        return k.cast("long")
+
     entries = sig.select(
         F.col(id_col),
+        *[F.col(f"block_{bd}") for bd in range(nb)],
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(bd).alias("band_idx"),
-                        F.col(f"band_{bd}").alias("band_val"),
+                        F.lit(ci).alias("combo_idx"),
+                        key_expr(c).alias("key"),
                     )
-                    for bd in range(bands)
+                    for ci, c in enumerate(combos)
                 ]
             )
-        ).alias("bk"),
-    ).select(id_col, "bk.band_idx", "bk.band_val")
-    a = entries.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
-    b = entries.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
-    cands = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        ).alias("ck"),
+    ).select(
+        id_col,
+        *[f"block_{bd}" for bd in range(nb)],
+        "ck.combo_idx",
+        "ck.key",
     )
-    sa = sig.select(
+    a = entries.select(
         F.col(id_col).alias("id_a"),
-        *[F.col(f"band_{bd}").alias(f"a_{bd}") for bd in range(bands)],
+        *[F.col(f"block_{bd}").alias(f"a_{bd}") for bd in range(nb)],
+        "combo_idx",
+        "key",
     )
-    sb = sig.select(
+    b = entries.select(
         F.col(id_col).alias("id_b"),
-        *[F.col(f"band_{bd}").alias(f"b_{bd}") for bd in range(bands)],
+        *[F.col(f"block_{bd}").alias(f"b_{bd}") for bd in range(nb)],
+        "combo_idx",
+        "key",
     )
     ham = None
-    for bd in range(bands):
+    for bd in range(nb):
         h = F.bit_count(F.col(f"a_{bd}").bitwiseXOR(F.col(f"b_{bd}")))
         ham = h if ham is None else ham + h
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, ["combo_idx", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -332,6 +332,76 @@ def binary_media_files(spark, sf_dir):
     return decode_media_headers(media)
 
 
+@query(
+    "png_decode_stats",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 16 AS INTEGER) AS w,
+         CAST(2 + doc_id % 8 AS INTEGER) AS h,
+         CAST(doc_id % 97 AS INTEGER) AS seed
+  FROM documents
+),
+pix AS (
+  SELECT p.doc_id,
+         SUM((p.seed + 7 * x.i + 13 * y.i + 29 * c.i) % 256) AS ps
+  FROM params p
+  JOIN range(20) x(i) ON x.i < p.w
+  JOIN range(10) y(i) ON y.i < p.h
+  JOIN range(3) c(i) ON true
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id AS media_id,
+       'png' AS container,
+       p.w AS width,
+       p.h AS height,
+       8 AS bit_depth,
+       2 AS color_type,
+       CAST(pix.ps AS BIGINT) AS pixel_sum
+FROM params p JOIN pix ON pix.doc_id = p.doc_id
+""",
+)
+def png_decode_stats(spark, sf_dir):
+    """REAL PNG decode through the whole compression stack, value-
+    gated (round-6 close of the last honestly-closable codec arm):
+    each document becomes an actual PNG — IHDR/IDAT/IEND chunks,
+    CRC32s, zlib-deflated scanlines, and a per-row PNG filter
+    cycling through all five types — then ``decode_png_stats``
+    inflates and REVERSES the filters to reconstruct the raw pixels.
+    The oracle recomputes the gradient pixel sum from doc_id
+    arithmetic, so a wrong Paeth predictor, filter offset, or chunk
+    length shows up as a value mismatch (byte_len is intentionally
+    absent: deflate output size is not arithmetic-expressible).
+
+    Scale shape: encode and decode are narrow Arrow-batched
+    mapInPandas hops — compressed bytes never shuffle, only the 6
+    scalar stat columns leave the operator. The remaining
+    NotImplementedError arms (JPEG/video) genuinely need codec
+    libraries absent from this container."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_png_stats,
+        encode_png,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(
+                            4 + int(d) % 16, 2 + int(d) % 8, int(d) % 97
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return decode_png_stats(media)
+
+
 FPS, SAMPLE_EVERY = 24, 48  # 24 fps, sample every 2 seconds
 
 

@@ -142,3 +142,60 @@ def test_decode_media_headers_mixed(spark):
     )
     assert out[3].container == "unknown" and out[3].width is None
     assert out[4].container == "unknown" and out[4].byte_len == 0
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles the row filter through all five PNG filter
+    types whenever height >= 5 — the decode must reverse each one to
+    land on the analytically-known gradient pixel sum."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for w, h, seed in [(4, 5, 0), (7, 6, 3), (16, 9, 42), (1, 1, 96)]:
+        expect = sum(
+            (seed + 7 * x + 13 * y + 29 * c) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        )
+        got = decode_png(encode_png(w, h, seed))
+        assert got == (w, h, 8, 2, expect), (w, h, seed, got)
+
+
+def test_png_rejects_corrupt_payloads():
+    import pytest as _pytest
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png")
+    good = encode_png(4, 4, 1)
+    # truncated IDAT -> inflate or size-mismatch error
+    with _pytest.raises((ValueError, Exception)):
+        decode_png(good[:40])
+
+
+def test_png_decode_stats_and_header_branch(spark):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_media_headers,
+        decode_png_stats,
+        encode_png,
+    )
+
+    rows = [(1, encode_png(5, 3, 7)), (2, b"junk"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_png_stats(df).collect()}
+    assert out[1].container == "png" and (out[1].width, out[1].height) == (5, 3)
+    assert out[1].pixel_sum == sum(
+        (7 + 7 * x + 13 * y + 29 * c) % 256
+        for x in range(5) for y in range(3) for c in range(3)
+    )
+    assert out[2].container == "unknown" and out[2].pixel_sum is None
+    assert out[3].container == "unknown"
+    hdr = {r.media_id: r for r in decode_media_headers(df).collect()}
+    assert (hdr[1].container, hdr[1].width, hdr[1].height) == ("png", 5, 3)

@@ -637,3 +637,45 @@ def test_rhp_plan_size_policy():
         8 * 10,
         10,
     )
+
+
+def test_simhash_plan_blocks_policy():
+    from advisorydatapipeline_spark.operators.dedup import simhash_plan_blocks
+
+    # tiny corpus: classic 4-block banding (16-bit keys) suffices
+    assert simhash_plan_blocks(20_000) == [16, 16, 16, 16]
+    # 10M docs need ~18-bit keys -> 5 blocks (C(5,2) combos, 25-bit keys)
+    w = simhash_plan_blocks(10_000_000)
+    assert len(w) == 5 and sum(w) == 64
+    # 1B docs need 24-bit keys: b=5's 25-bit combos still cover it
+    assert len(simhash_plan_blocks(1_000_000_000)) == 5
+    # 10B docs -> 6 blocks (32-bit combination keys)
+    w = simhash_plan_blocks(10_000_000_000)
+    assert len(w) == 6 and sum(w) == 64
+
+
+def test_simhash64_combination_scheme_output_invariant(spark):
+    """The block-combination candidate scheme (b>4) must produce the
+    exact same hamming<=3 pair set as classic b=4 banding — recall is
+    exact by pigeonhole under BOTH schemes, so the output is scheme-
+    independent (this is also why the DuckDB oracle replays b=4
+    regardless of the plan size Spark picks)."""
+    docs = [
+        (i, f"tok{i % 7} alpha beta gamma delta w{i} x{i % 3} common words")
+        for i in range(30)
+    ] + [(100, "alpha beta gamma delta common words tok1 x1 w1"),
+         (101, "alpha beta gamma delta common words tok1 x1 w1")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    classic = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash64_near_dupes(df, "doc_id", "text").collect()
+    }
+    # plan_rows large enough to force b=6 (20 combination keys)
+    wide = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash64_near_dupes(
+            df, "doc_id", "text", plan_rows=1_000_000_000
+        ).collect()
+    }
+    assert classic == wide
+    assert (100, 101, 0) in classic

@@ -91,8 +91,17 @@ def run(spark, path: str) -> dict[str, float]:
             )
         )
     )
+    # corpus-sized candidate keys (simhash_plan_blocks): at smoke
+    # scale the policy still picks b=4, but the restructured plan
+    # (inline XOR-popcount verification, no candidate distinct, no
+    # signature re-joins) is what's under test here
+    n_docs = docs.count()
     out["simhash64"] = timed(
-        lambda: noop(simhash64_near_dupes(docs, "doc_id", "text"))
+        lambda: noop(
+            simhash64_near_dupes(
+                docs, "doc_id", "text", plan_rows=n_docs
+            )
+        )
     )
 
     def clusters():
