@@ -865,16 +865,47 @@ def jaccard_pairs_prefix(
     :func:`jaccard_for_pairs` (exact), so the output is
     bit-identical to the ground-truth plan.
 
-    Round 5 adds the POSITIONAL filter (PPJoin proper): candidates
+    Round 5 added the POSITIONAL filter (PPJoin proper): candidates
     whose overlap upper bound (from prefix-token ranks) cannot reach
     the threshold's minimum overlap are dropped BEFORE the verify
     join. Output-identical (the bound is sound; oracle-gated at
-    sf0.001/sf0.01); at sf0.1 it is measurement-neutral (A/B: old
-    [9.8, 5.6, 4.3]s vs new [12.5, 5.1, 5.7]s, inside the ±40% noise
-    band) because the candidate set is small there — its value is at
-    corpus scale, where the verify join (two full-index probes)
-    dominates and candidate pruning is the lever.
+    sf0.001/sf0.01).
+
+    Round 6 MEASURED the scale claim and demoted this plan to
+    reference status (SCALE.md PPJoin section, x1..x8 clone-corpus
+    A/B with candidate counts): ~2.4x fewer candidates than the
+    df-capped plan at every scale, but 14x slower wall time at x8 —
+    on near-dup-heavy corpora the clone cluster shares its rarest
+    prefix token, so prefix join groups grow with cluster size just
+    like the capped plan's, and the window/agg constants dominate.
+    Use when completeness policy forbids the df-cap; prefer
+    :func:`jaccard_pairs` for speed.
     """
+    cand = prefix_candidates(index, id_col, jaccard_num, jaccard_den)
+    p, q = jaccard_num, jaccard_den
+    return (
+        jaccard_for_pairs(index, cand, id_col)
+        .filter(
+            F.col("shared") * q
+            >= (F.col("n_a") + F.col("n_b") - F.col("shared")) * p
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
+def prefix_candidates(
+    index: DataFrame,
+    id_col: str,
+    jaccard_num: int,
+    jaccard_den: int,
+    *,
+    positional: bool = True,
+) -> DataFrame:
+    """The PPJoin candidate stage as its own DataFrame (id_a, id_b) —
+    split out so the scale smoke can COUNT candidates with and
+    without the positional filter against the df-capped plan's
+    candidate volume (tools/scale_smoke.py); ``positional=False``
+    stops after the prefix join + length filter."""
     p, q = jaccard_num, jaccard_den
     key = hash64(F.col("shingle")).alias("_sh")
     idxh = index.select(F.col(id_col), key)
@@ -923,14 +954,18 @@ def jaccard_pairs_prefix(
     ub = F.least("_ia", "_ib") + F.least(
         F.col("_na") - F.col("_ia"), F.col("_nb") - F.col("_ib")
     )
-    cand = (
+    joined = (
         a.join(b, "_sh")
         .filter(F.col("id_a") < F.col("id_b"))
         # J >= p/q  =>  p * max(|A|,|B|) <= q * min(|A|,|B|)
         .filter(F.col("_na") * p <= F.col("_nb") * q)
         .filter(F.col("_nb") * p <= F.col("_na") * q)
         .select("id_a", "id_b", ub.alias("_ub"), "_na", "_nb")
-        .groupBy("id_a", "id_b")
+    )
+    if not positional:
+        return joined.select("id_a", "id_b").distinct()
+    return (
+        joined.groupBy("id_a", "id_b")
         .agg(
             F.min("_ub").alias("_min_ub"),
             F.first("_na").alias("_na"),
@@ -941,12 +976,4 @@ def jaccard_pairs_prefix(
             >= (F.col("_na") + F.col("_nb")) * p
         )
         .select("id_a", "id_b")
-    )
-    return (
-        jaccard_for_pairs(index, cand, id_col)
-        .filter(
-            F.col("shared") * q
-            >= (F.col("n_a") + F.col("n_b") - F.col("shared")) * p
-        )
-        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
     )

@@ -265,3 +265,104 @@ def bfs_hops(
         frontier = nxt
     adj.unpersist()
     return visited
+
+
+def k_core_peel(
+    und: DataFrame,
+    ks: DataFrame,
+    *,
+    max_rounds: int = 12,
+    reliable: bool = False,
+) -> DataFrame:
+    """Simultaneous k-core peeling over an undirected edge list
+    ``(a, b)``: each round recomputes degrees on the surviving
+    subgraph and drops every node below ``k`` (``ks``: one-row
+    DataFrame with column ``k`` — broadcast into the degree filter).
+    Returns the surviving edges.
+
+    Loops until a CONVERGENCE WITNESS fires: the surviving-edge count
+    per round, observed via ``observe()`` riding the lineage-cut
+    materialization (zero extra jobs). Edge counts only decrease
+    under peeling, so an unchanged count proves the fixpoint; hitting
+    ``max_rounds`` while still changing RAISES rather than returning
+    a silently-too-large "core" (the same converge-or-RAISE contract
+    as :func:`connected_components`). Per round: one partial-agg
+    degree count + two hash semi-joins that SHRINK the edge list —
+    bounded-state iteration, lineage cut per round."""
+    from pyspark.sql import Observation
+
+    obs0 = Observation("kcore_peel_0")
+    edges = _cut_lineage(
+        und.observe(obs0, F.count(F.lit(1)).alias("n")), reliable
+    )
+    prev_n = obs0.get["n"]
+    converged = False
+    for i in range(1, max_rounds + 1):
+        alive = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .crossJoin(F.broadcast(ks))
+            .filter(F.col("c") >= F.col("k"))
+            .select("a")
+        )
+        obs = Observation(f"kcore_peel_{i}")
+        edges = _cut_lineage(
+            edges.join(
+                alive.withColumnRenamed("a", "xa"),
+                F.col("a") == F.col("xa"),
+                "left_semi",
+            ).join(
+                alive.withColumnRenamed("a", "ya"),
+                F.col("b") == F.col("ya"),
+                "left_semi",
+            ).observe(obs, F.count(F.lit(1)).alias("n")),
+            reliable,
+        )
+        new_n = obs.get["n"]
+        if new_n == prev_n:
+            converged = True
+            break
+        prev_n = new_n
+    if not converged:
+        raise RuntimeError(
+            f"k_core peel did not reach a fixpoint within {max_rounds} "
+            "rounds — raise max_rounds (a truncated peel returns a "
+            "too-LARGE core, and a round-unrolled oracle cannot catch "
+            "it)"
+        )
+    return edges
+
+
+def label_propagation(
+    und: DataFrame, rounds: int, *, reliable: bool = False
+) -> DataFrame:
+    """Synchronous deterministic label propagation over an undirected
+    edge list ``(a, b)``: each round every node adopts the majority
+    label among its neighbors (votes desc, min label on ties).
+    Returns (a, lab) after exactly ``rounds`` rounds — fixed rounds
+    IS the algorithm (synchronous LPA oscillates on bipartite
+    structure rather than converging; round-parity labels are
+    deterministic either way). Per round: one hash join of the edge
+    list against the label table + one vote count + one top-1
+    window — bounded-state iteration, lineage cut per round."""
+    from pyspark.sql.window import Window
+
+    labels = und.select("a").distinct().withColumn("lab", F.col("a"))
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.select(F.col("a").alias("b"), F.col("lab")), "b"
+            )
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        )
+        w = Window.partitionBy("a").orderBy(
+            F.col("votes").desc(), F.col("lab").asc()
+        )
+        labels = _cut_lineage(
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("a", "lab"),
+            reliable,
+        )
+    return labels

@@ -1045,3 +1045,97 @@ def ivf_pq_topk(
         "adc_dist",
         "rn",
     )
+
+
+def dbscan_chebyshev(pts: DataFrame, eps: int, mp: DataFrame) -> DataFrame:
+    """Grid-accelerated DBSCAN under the Chebyshev (L-inf) metric on
+    integer points ``pts(id, x, y)``: neighbor pairs come from a 3x3
+    grid-cell equi-join (constant 9x replication instead of a
+    quadratic inequality join), points with >= minpts neighbors
+    (``mp``: one-row DataFrame, column ``minpts``) are CORES,
+    clusters are connected components of the core-core graph, a
+    non-core point with a core neighbor attaches as BORDER (min
+    neighboring core label — deterministic), the rest is NOISE.
+    Returns (point_id, role, cluster_id). Split out of the
+    ``dbscan_grid_clusters`` registry entry so the scale smoke can
+    run the identical plan on replicated corpora."""
+    from advisorydatapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    a = pts.select(
+        F.col("id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.expr(f"x DIV {eps}").alias("_gx"),
+        F.expr(f"y DIV {eps}").alias("_gy"),
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    b = (
+        pts.select(
+            F.col("id").alias("b"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+        )
+        .withColumn("_dx", off)
+        .withColumn("_dy", off)
+        .withColumn("_gx", F.expr(f"bx DIV {eps}") + F.col("_dx"))
+        .withColumn("_gy", F.expr(f"by DIV {eps}") + F.col("_dy"))
+        .drop("_dx", "_dy")
+    )
+    pairs = (
+        a.join(b, ["_gx", "_gy"])
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= eps)
+            & (F.abs(F.col("ay") - F.col("by")) <= eps)
+        )
+        .select("a", "b")
+        # the pair set is ~4n rows at the ladder's target density —
+        # a handful of partitions beats 32-way scheduler tax for
+        # every downstream pass (degree count, CC rounds, border)
+        .coalesce(8)
+        .persist()
+    )
+    deg = pairs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    core = (
+        deg.crossJoin(F.broadcast(mp))
+        .filter(F.col("c") >= F.col("minpts"))
+        .select(F.col("a").alias("id"))
+        .persist()
+    )
+    cedges = (
+        pairs.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+    )
+    cc = connected_components(cedges, "a", "b").select(
+        F.col("node").alias("id"), F.col("component").alias("cluster_id")
+    )
+    # isolated cores (no core neighbor) are their own singleton cluster
+    lab = cc.unionByName(
+        core.join(cc, "id", "left_anti").select(
+            "id", F.col("id").alias("cluster_id")
+        )
+    ).persist()
+    border = (
+        pairs.join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+        .join(
+            lab.select(F.col("id").alias("b"), "cluster_id"), "b"
+        )
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("cluster_id").cast("long").alias("cluster_id"))
+    )
+    assigned = lab.select("id").unionByName(border.select("id"))
+    noise = pts.select("id").join(assigned, "id", "left_anti").select(
+        "id", F.lit(None).cast("long").alias("cluster_id")
+    )
+    return (
+        lab.select("id", F.lit("core").alias("role"), "cluster_id")
+        .unionByName(
+            border.select("id", F.lit("border").alias("role"), "cluster_id")
+        )
+        .unionByName(
+            noise.select("id", F.lit("noise").alias("role"), "cluster_id")
+        )
+        .select(F.col("id").alias("point_id"), "role", "cluster_id")
+    )

@@ -861,14 +861,22 @@ def dedup_jaccard_prefix(spark, sf_dir):
     same verification structure the LSH entries use — here both
     sides are exact, so the oracle is shared verbatim.
 
-    Honest trade-off, measured: at sf0.1 this runs ~2-3x SLOWER
-    than the df-capped all-pairs plan (5.3-8.0s vs 2.0-3.2s) — the
-    df/rank window passes dominate a small corpus (already trimmed:
-    df rides a count-over-window, one index shuffle instead of a
-    groupBy + join-back pair). Its value is at the
-    scale where the df-cap is not acceptable policy: prefix
-    filtering bounds the candidate join WITHOUT dropping any shingle
-    (complete exact result), which the capped plan cannot promise.
+    DEMOTED to reference-plan status (round 6, measured): the scale
+    smoke ran both plans head-to-head on clone-replicated corpora to
+    x8 (40k docs) with candidate counts (SCALE.md PPJoin section).
+    PPJoin's candidate set is consistently ~2.4x smaller (18.7M vs
+    45.8M at x8) but wall time DIVERGES instead of crossing: 4.95s vs
+    2.23s at x1, 96.7s vs 6.9s at x8. On a near-dup-heavy corpus the
+    rarest-prefix token of every clone is shared by its whole clone
+    cluster, so prefix join groups grow with cluster size exactly
+    like the capped plan's — no asymptotic candidate win — while the
+    df+rank windows over the full index and the per-candidate min-ub
+    aggregation pay an O(index log index) + O(candidates) constant
+    the capped plan never pays (and the positional filter removed
+    only ~0.1% of prefix candidates here). The plan remains the
+    honest COMPLETENESS option: it bounds the candidate join without
+    dropping any shingle, which the df-cap cannot promise — use it
+    when recall policy forbids the cap, not for speed.
     Keep dedup_ngram_jaccard for capped mining; reach for this when
     completeness is contractual."""
     idx = shingle_index(

@@ -324,7 +324,10 @@ def k_core_suppliers(spark, sf_dir):
     """
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    from advisorydatapipeline_spark.operators.graph import _cut_lineage
+    from advisorydatapipeline_spark.operators.graph import (
+        _cut_lineage,
+        k_core_peel,
+    )
 
     e0 = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
@@ -334,22 +337,16 @@ def k_core_suppliers(spark, sf_dir):
         )
         .distinct()
     )
-    # edges are the iterating state; checkpoint once up front so no
-    # round re-derives the join+distinct
-    from pyspark.sql import Observation
-
-    obs0 = Observation("kcore_witness_0")
-    edges = _cut_lineage(
+    # cut once so neither the k computation nor the peel re-derives
+    # the join+distinct (the peel's own initial cut then reads these
+    # cached blocks, a narrow job)
+    und = _cut_lineage(
         e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
-        .observe(obs0, F.count(F.lit(1)).alias("n")),
+        .distinct(),
         False,
     )
-    prev_n = obs0.get["n"]
-    deg0 = edges.groupBy("a").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+    deg0 = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c"))
     ks = _cut_lineage(
         deg0.agg(
             F.greatest(
@@ -359,40 +356,7 @@ def k_core_suppliers(spark, sf_dir):
         ),
         False,
     )
-    converged = False
-    for i in range(1, KCORE_MAX_ROUNDS + 1):
-        alive = (
-            edges.groupBy("a")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .crossJoin(F.broadcast(ks))
-            .filter(F.col("c") >= F.col("k"))
-            .select("a")
-        )
-        obs = Observation(f"kcore_witness_{i}")
-        edges = _cut_lineage(
-            edges.join(
-                alive.withColumnRenamed("a", "xa"),
-                F.col("a") == F.col("xa"),
-                "left_semi",
-            ).join(
-                alive.withColumnRenamed("a", "ya"),
-                F.col("b") == F.col("ya"),
-                "left_semi",
-            ).observe(obs, F.count(F.lit(1)).alias("n")),
-            False,
-        )
-        new_n = obs.get["n"]
-        if new_n == prev_n:
-            converged = True
-            break
-        prev_n = new_n
-    if not converged:
-        raise RuntimeError(
-            f"k_core peel did not reach a fixpoint within "
-            f"{KCORE_MAX_ROUNDS} rounds — raise KCORE_MAX_ROUNDS (a "
-            "truncated peel returns a too-LARGE core, and the "
-            "round-unrolled oracle cannot catch it)"
-        )
+    edges = k_core_peel(und, ks, max_rounds=KCORE_MAX_ROUNDS)
     return (
         edges.groupBy("a")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
@@ -464,8 +428,10 @@ def label_propagation_communities(spark, sf_dir):
     table + one (node, label) vote count + one top-1 window — the
     same bounded-iteration shape as pagerank/k-core, lineage cut per
     round."""
-    from advisorydatapipeline_spark.operators.graph import _cut_lineage
-    from pyspark.sql.window import Window
+    from advisorydatapipeline_spark.operators.graph import (
+        _cut_lineage,
+        label_propagation,
+    )
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -483,27 +449,7 @@ def label_propagation_communities(spark, sf_dir):
         .distinct(),
         False,
     )
-    labels = und.select("a").distinct().withColumn("lab", F.col("a"))
-    for _ in range(LPA_ROUNDS):
-        votes = (
-            und.join(
-                labels.select(
-                    F.col("a").alias("b"), F.col("lab")
-                ),
-                "b",
-            )
-            .groupBy("a", "lab")
-            .agg(F.count(F.lit(1)).cast("long").alias("votes"))
-        )
-        w = Window.partitionBy("a").orderBy(
-            F.col("votes").desc(), F.col("lab").asc()
-        )
-        labels = _cut_lineage(
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("a", "lab"),
-            False,
-        )
+    labels = label_propagation(und, LPA_ROUNDS)
     return labels.groupBy(F.col("lab").alias("community_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("a").cast("long").alias("min_member"),

@@ -1647,9 +1647,6 @@ def dbscan_grid_clusters(spark, sf_dir):
     coordinates are hash-synthetic (the geometry is synthetic, the
     PLAN is the real thing)."""
     from advisorydatapipeline_spark.functions.text import hash64
-    from advisorydatapipeline_spark.operators.graph import (
-        connected_components,
-    )
 
     cust = load(spark, sf_dir, "customer")
     grid = cust.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
@@ -1666,79 +1663,8 @@ def dbscan_grid_clusters(spark, sf_dir):
         .persist()
     )
     mp = grid.select(F.lit(DB_MINPTS).cast("long").alias("minpts"))
-    a = pts.select(
-        F.col("id").alias("a"),
-        F.col("x").alias("ax"),
-        F.col("y").alias("ay"),
-        F.expr(f"x DIV {DB_EPS}").alias("_gx"),
-        F.expr(f"y DIV {DB_EPS}").alias("_gy"),
+    from advisorydatapipeline_spark.operators.similarity import (
+        dbscan_chebyshev,
     )
-    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
-    b = (
-        pts.select(
-            F.col("id").alias("b"),
-            F.col("x").alias("bx"),
-            F.col("y").alias("by"),
-        )
-        .withColumn("_dx", off)
-        .withColumn("_dy", off)
-        .withColumn("_gx", F.expr(f"bx DIV {DB_EPS}") + F.col("_dx"))
-        .withColumn("_gy", F.expr(f"by DIV {DB_EPS}") + F.col("_dy"))
-        .drop("_dx", "_dy")
-    )
-    pairs = (
-        a.join(b, ["_gx", "_gy"])
-        .filter(
-            (F.col("a") != F.col("b"))
-            & (F.abs(F.col("ax") - F.col("bx")) <= DB_EPS)
-            & (F.abs(F.col("ay") - F.col("by")) <= DB_EPS)
-        )
-        .select("a", "b")
-        # the pair set is ~4n rows at the ladder's target density —
-        # a handful of partitions beats 32-way scheduler tax for
-        # every downstream pass (degree count, CC rounds, border)
-        .coalesce(8)
-        .persist()
-    )
-    deg = pairs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    core = (
-        deg.crossJoin(F.broadcast(mp))
-        .filter(F.col("c") >= F.col("minpts"))
-        .select(F.col("a").alias("id"))
-        .persist()
-    )
-    cedges = (
-        pairs.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
-        .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
-    )
-    cc = connected_components(cedges, "a", "b").select(
-        F.col("node").alias("id"), F.col("component").alias("cluster_id")
-    )
-    # isolated cores (no core neighbor) are their own singleton cluster
-    lab = cc.unionByName(
-        core.join(cc, "id", "left_anti").select(
-            "id", F.col("id").alias("cluster_id")
-        )
-    ).persist()
-    border = (
-        pairs.join(core.withColumnRenamed("id", "a"), "a", "left_anti")
-        .join(
-            lab.select(F.col("id").alias("b"), "cluster_id"), "b"
-        )
-        .groupBy(F.col("a").alias("id"))
-        .agg(F.min("cluster_id").cast("long").alias("cluster_id"))
-    )
-    assigned = lab.select("id").unionByName(border.select("id"))
-    noise = pts.select("id").join(assigned, "id", "left_anti").select(
-        "id", F.lit(None).cast("long").alias("cluster_id")
-    )
-    return (
-        lab.select("id", F.lit("core").alias("role"), "cluster_id")
-        .unionByName(
-            border.select("id", F.lit("border").alias("role"), "cluster_id")
-        )
-        .unionByName(
-            noise.select("id", F.lit("noise").alias("role"), "cluster_id")
-        )
-        .select(F.col("id").alias("point_id"), "role", "cluster_id")
-    )
+
+    return dbscan_chebyshev(pts, DB_EPS, mp)

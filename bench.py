@@ -177,6 +177,7 @@ EXTENDED = [
     "decile_migration_matrix",
     "shuffle_skew_whatif",
     "media_decode_stats",
+    "png_decode_stats",
     "bpe_encode_tokens",
     "join_cardinality_whatif",
     "cdc_chunk_stats",

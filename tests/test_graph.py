@@ -180,3 +180,49 @@ def test_connected_components_raises_when_capped(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, "a", "b", max_iter=2).collect()
+
+
+def test_k_core_peel_converges_and_raises(spark):
+    from advisorydatapipeline_spark.operators.graph import k_core_peel
+
+    # path graph 1-2-3-4-5 with k=2: peeling strips endpoints one
+    # round at a time until nothing survives (needs several rounds)
+    edges = [(i, i + 1) for i in range(1, 5)]
+    und = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "a long, b long"
+    )
+    ks = spark.createDataFrame([(2,)], "k long")
+    surviving = k_core_peel(und, ks, max_rounds=10)
+    assert surviving.count() == 0  # no 2-core in a path
+    # triangle + pendant: the triangle IS the 2-core
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    und2 = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "a long, b long"
+    )
+    core = k_core_peel(und2, ks, max_rounds=10)
+    nodes = {r.a for r in core.select("a").distinct().collect()}
+    assert nodes == {1, 2, 3}
+    # max_rounds too small for the path peel -> loud failure
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core_peel(und, ks, max_rounds=1).count()
+
+
+def test_label_propagation_two_cliques(spark):
+    from advisorydatapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [
+            (a, b) for a in ids for b in ids if a != b
+        ]
+
+    # two 4-cliques joined by one bridge edge: LPA should settle each
+    # clique on its min label
+    e = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (10, 4)]
+    und = spark.createDataFrame(e, "a long, b long")
+    labs = {r.a: r.lab for r in label_propagation(und, 4).collect()}
+    assert labs[1] == labs[2] == labs[3] == 1
+    assert labs[11] == labs[12] == labs[13] == 10

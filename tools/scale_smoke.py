@@ -265,9 +265,226 @@ def run_similarity(spark, path: str) -> dict[str, float]:
     return out
 
 
+GRAPH_SUPP_OFFSET = 10_000_000  # graph_queries.SUPP_OFFSET
+
+
+def edge_corpus(spark, sf_dir: str, r: int, base: str) -> str:
+    """Replicate the customer<->supplier edge list r times as DISJOINT
+    copies (node ids offset per replica): the honest scaling for the
+    iterative graph family — structure is preserved, per-round
+    shuffle volume grows r-fold, and iteration counts stay put (a
+    denser graph would instead change the algorithmic work)."""
+    path = f"{base}/edges_x{r}"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + GRAPH_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    big = e0.select(
+        F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_r"),
+        "src",
+        "dst",
+    ).select(
+        (F.col("src") + F.col("_r") * 100_000_000).alias("src"),
+        (F.col("dst") + F.col("_r") * 100_000_000).alias("dst"),
+    )
+    big.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _shuffle_write_bytes(spark) -> int | None:
+    """Cumulative shuffle-write bytes from the executor summaries
+    (UI REST) — diffing this around an op gives its per-run shuffle
+    volume. The per-stage listing is NOT usable for this: it retains
+    a bounded window (spark.ui.retainedStages) and evictions make the
+    sum non-monotonic; executor totals are lifetime-cumulative."""
+    import json as _json
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{ui}/api/v1/applications/{app}/executors"
+        with urllib.request.urlopen(url, timeout=10) as rsp:
+            execs = _json.loads(rsp.read())
+        return sum(e.get("totalShuffleWrite", 0) for e in execs)
+    except Exception:
+        return None
+
+
+def run_graph(spark, path: str):
+    """The iterative graph family on the replicated edge corpus:
+    wall time AND shuffle-write bytes per op (iteration shuffles are
+    the 100 TB cost driver; times alone hide a super-linear shuffle
+    behind executor parallelism headroom)."""
+    from advisorydatapipeline_spark.operators.graph import (
+        _cut_lineage,
+        bfs_hops,
+        k_core_peel,
+        label_propagation,
+        pagerank_quantized,
+    )
+    from advisorydatapipeline_spark.operators.similarity import (
+        dbscan_chebyshev,
+    )
+    from advisorydatapipeline_spark.functions.text import hash64
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        DB_EPS,
+        DB_MINPTS,
+    )
+
+    edges = spark.read.parquet(path)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    shuffles: dict[str, float | None] = {}
+
+    def run_op(name: str, fn) -> None:
+        b0 = _shuffle_write_bytes(spark)
+        times[name] = timed(fn)
+        b1 = _shuffle_write_bytes(spark)
+        shuffles[name] = (
+            round((b1 - b0) / 1e6, 1)
+            if b0 is not None and b1 is not None
+            else None
+        )
+        spark.catalog.clearCache()
+
+    run_op(
+        "connected_components",
+        lambda: noop(connected_components(edges, "src", "dst")),
+    )
+    run_op(
+        "pagerank",
+        lambda: noop(pagerank_quantized(edges, "src", "dst", iters=3)),
+    )
+    seeds = edges.agg(F.min("src").alias("node"))
+    run_op("bfs_hops", lambda: noop(bfs_hops(und, seeds, 4)))
+
+    def kcore():
+        u = _cut_lineage(und, False)
+        deg0 = u.groupBy("a").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        ks = _cut_lineage(
+            deg0.agg(
+                F.greatest(
+                    F.lit(4).cast("long"),
+                    F.expr("CAST(sum(c) AS BIGINT) DIV count(*) DIV 3"),
+                ).alias("k")
+            ),
+            False,
+        )
+        noop(
+            k_core_peel(u, ks)
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        )
+
+    run_op("k_core", kcore)
+    run_op(
+        "lpa",
+        lambda: noop(label_propagation(_cut_lineage(und, False), 4)),
+    )
+
+    def dbscan():
+        ids = und.select(F.col("a").alias("id")).distinct()
+        # SMOOTH density policy for the smoke (grid area ~ 273*n, the
+        # registry ladder's density at its sf0.01 operating point):
+        # the stepwise _DB_GRID_SQL ladder is oracle-tied and jumps
+        # density up to ~4x at its thresholds, which makes cross-scale
+        # timing ratios meaningless — holding expected neighbor count
+        # constant is the comparable-load contract here
+        grid = ids.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.greatest(
+                F.lit(96), F.ceil(F.lit(16.5) * F.sqrt("n")).cast("long")
+            ).alias("grid")
+        )
+        k = F.col("id").cast("string")
+        pts = ids.crossJoin(F.broadcast(grid)).select(
+            "id",
+            (hash64(F.concat(F.lit("dx"), k)) % F.col("grid")).alias("x"),
+            (hash64(F.concat(F.lit("dy"), k)) % F.col("grid")).alias("y"),
+        )
+        mp = grid.select(F.lit(DB_MINPTS).cast("long").alias("minpts"))
+        noop(dbscan_chebyshev(pts, DB_EPS, mp))
+
+    run_op("dbscan", dbscan)
+    return times, shuffles
+
+
+def run_ppjoin(spark, path: str):
+    """PPJoin (prefix+positional) vs the df-capped all-pairs plan,
+    measured head to head on the identical capped index: wall time
+    AND candidate-pair counts (the df-capped plan's hash-join
+    candidates vs PPJoin's prefix candidates before/after the
+    positional filter). The PPJoin claim is that its candidate curve
+    grows slower than the capped plan's as clone clusters multiply —
+    count it, don't argue it."""
+    from advisorydatapipeline_spark.functions.text import hash64
+    from advisorydatapipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        prefix_candidates,
+    )
+
+    docs = spark.read.parquet(path)
+    idx = shingle_index(
+        docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
+    ).persist()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float | int] = {}
+    out["t_capped"] = timed(
+        lambda: noop(jaccard_pairs(idx, "doc_id", MIN_JACCARD))
+    )
+    out["t_ppjoin"] = timed(
+        lambda: noop(jaccard_pairs_prefix(idx, "doc_id", 2, 5))
+    )
+    # candidate volumes (counts are measurement, not the hot path)
+    key = hash64(F.col("shingle")).alias("_sh")
+    a = idx.select(F.col("doc_id").alias("id_a"), key)
+    b = idx.select(F.col("doc_id").alias("id_b"), key)
+    out["cand_capped"] = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    out["cand_prefix"] = prefix_candidates(
+        idx, "doc_id", 2, 5, positional=False
+    ).count()
+    out["cand_positional"] = prefix_candidates(
+        idx, "doc_id", 2, 5, positional=True
+    ).count()
+    idx.unpersist()
+    spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("scale-smoke")
+    spark = get_spark(
+        "scale-smoke", extra_conf={"spark.ui.enabled": "true"}
+    )
     base = tempfile.mkdtemp(prefix="adp_scale_")
     results: dict[int, dict[str, float]] = {}
     counts: dict[int, int] = {}
@@ -314,6 +531,33 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
             rhp_times[r] = round(time.time() - t0, 2)
     print(f"rhp x8 extension: {rhp_times} band_bits={rhp_bits}", flush=True)
+
+    # iterative graph family on disjoint-replicated edge corpora,
+    # with per-op shuffle-write bytes (the scale currency)
+    graph_times: dict[int, dict[str, float]] = {}
+    graph_shuf: dict[int, dict[str, float | None]] = {}
+    graph_edges: dict[int, int] = {}
+    for r in REPLICAS:
+        gpath = edge_corpus(spark, sf_dir, r, base)
+        graph_edges[r] = spark.read.parquet(gpath).count()
+        if r == REPLICAS[0]:
+            run_graph(spark, gpath)  # JIT warm-up
+        graph_times[r], graph_shuf[r] = run_graph(spark, gpath)
+        print(
+            f"graph x{r} ({graph_edges[r]} edges): {graph_times[r]} "
+            f"shuffleMB={graph_shuf[r]}",
+            flush=True,
+        )
+
+    # PPJoin vs df-capped all-pairs, times + candidate counts, to x8
+    pp_rs = REPLICAS + [8]
+    pp: dict[int, dict[str, float | int]] = {}
+    for r in pp_rs:
+        dpath = f"{base}/docs_x{r}"
+        if r == 8:
+            dpath = corpus(spark, sf_dir, 8, base)
+        pp[r] = run_ppjoin(spark, dpath)
+        print(f"ppjoin x{r}: {pp[r]}", flush=True)
 
     ops = list(results[REPLICAS[0]].keys())
     lines = [
@@ -370,6 +614,66 @@ def main() -> None:
         + " | ".join(f"{rhp_times[r]}s" for r in rhp_rs)
         + f" | {round(rhp_times[8] / rhp_times[1], 2) if rhp_times[1] else float('nan')} |",
     ]
+    g_ops = list(graph_times[REPLICAS[0]].keys())
+    lines += [
+        "",
+        "## Iterative graph family (disjoint-replicated edge corpus)",
+        "",
+        "Edges replicate as DISJOINT copies (structure preserved, "
+        "iteration counts unchanged), so the honest expectation is "
+        "~linear time AND ~linear shuffle-write. Shuffle MB per run "
+        "comes from the UI REST stage metrics — a super-linear "
+        "shuffle row is a blowup even when executor headroom hides "
+        "it from wall time. dbscan here runs on hash-synthetic "
+        "points derived from the corpus node ids with the "
+        "corpus-aware grid ladder (density held ~constant).",
+        "",
+        "| op | "
+        + " | ".join(
+            f"x{r} ({graph_edges[r]} edges)" for r in REPLICAS
+        )
+        + " | t(x4)/t(x1) | shufMB "
+        + "/".join(f"x{r}" for r in REPLICAS)
+        + " | shuf(x4)/shuf(x1) |",
+        "|---|" + "---|" * (len(REPLICAS) + 3),
+    ]
+    for op in g_ops:
+        ts = [graph_times[r][op] for r in REPLICAS]
+        ratio = round(ts[-1] / ts[0], 2) if ts[0] else float("nan")
+        sws = [graph_shuf[r][op] for r in REPLICAS]
+        if all(s is not None for s in sws) and sws[0]:
+            sratio = round(sws[-1] / sws[0], 2)
+            stxt = "/".join(str(s) for s in sws)
+        else:
+            sratio, stxt = "n/a", "n/a"
+        lines.append(
+            f"| {op} | "
+            + " | ".join(f"{t}s" for t in ts)
+            + f" | {ratio} | {stxt} | {sratio} |"
+        )
+    lines += [
+        "",
+        "## PPJoin (prefix+positional) vs df-capped all-pairs",
+        "",
+        "Same capped index, output-identical plans. `cand_capped` is "
+        "the df-capped hash self-join's distinct candidate pairs; "
+        "`cand_prefix` is PPJoin's after the prefix join + length "
+        "filter; `cand_positional` after the positional upper-bound "
+        "prune. The PPJoin case rests on its candidate curve growing "
+        "slower than the capped plan's as clone clusters multiply — "
+        "these are the measured counts.",
+        "",
+        "| x | t_capped | t_ppjoin | cand_capped | cand_prefix | "
+        "cand_positional |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in pp_rs:
+        d = pp[r]
+        lines.append(
+            f"| x{r} | {d['t_capped']}s | {d['t_ppjoin']}s | "
+            f"{d['cand_capped']} | {d['cand_prefix']} | "
+            f"{d['cand_positional']} |"
+        )
     with open("SCALE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("SCALE.md written")
