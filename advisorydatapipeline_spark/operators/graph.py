@@ -6,14 +6,16 @@ unit of deduplication is its connected component (keep one doc per
 component). The reference has no graph code at all; this is the
 operator a 100 TB curation pipeline needs right after pair mining.
 
-Algorithm: iterative min-label propagation with pointer jumping
-(label <- label-of-label each round), a Pregel-style loop expressed
-as DataFrame joins. Per iteration: one edge-join shuffle + one
-aggregation + one label-join — all hash joins on the node id, partial
-aggregation applies, and document payloads never enter the graph
-(nodes are bare ids). Pointer jumping makes long chains collapse in
-O(log diameter) rounds instead of O(diameter); near-dup components
-are shallow in practice, so typical convergence is 2-4 rounds.
+Algorithm: iterative min-label propagation with a light pointer jump
+(label <- label-of-label, ``jump_hops`` times per round), a
+Pregel-style loop expressed as DataFrame joins. Per iteration: one
+edge-join shuffle + one aggregation + one label-join per hop — all
+hash joins on the node id, partial aggregation applies, and document
+payloads never enter the graph (nodes are bare ids). Min-label
+percolation spreads breadth-first from every local minimum, so label
+chains stay short in practice (measured: hops beyond 1 buy no
+rounds, see connected_components) — near-dup components converge in
+2-4 rounds, the worst percolation graph in the registry in ~9-12.
 ``localCheckpoint`` truncates lineage each round — without it the
 plan doubles per iteration and the driver, not the cluster, becomes
 the bottleneck. The driver loop only tests a scalar convergence
@@ -60,6 +62,7 @@ def connected_components(
     *,
     max_iter: int = 100,
     reliable: bool = False,
+    jump_hops: int = 1,
 ) -> DataFrame:
     """Components of the undirected graph given by (src, dst) pairs.
 
@@ -71,15 +74,25 @@ def connected_components(
     label-sum witness stabilizes and RAISES if ``max_iter`` rounds
     were not enough — a silent early stop returns plausible but
     WRONG components (caught by round 5's DBSCAN entry: a
-    long-diameter percolation cluster needed 38 rounds against the
-    old cap of 25, and the truncated labels split one component in
-    two without any error). Each round min-combines neighbor labels
-    then follows the label->label mapping FOUR times (multi-hop
-    pointer jump): extra hops are always safe — a label names a node
-    of the same component, so chasing it can only shrink the label —
-    and each hop is one more broadcast-small join inside the SAME
-    round, far cheaper than another checkpointed round on a
-    long-diameter graph.
+    long-diameter percolation cluster was silently truncated by the
+    old fixed cap, splitting one component in two without any
+    error). Each round min-combines neighbor labels then follows the
+    label->label mapping ``jump_hops`` times (pointer jump): extra
+    hops are always safe — a label names a node of the same
+    component, so chasing it can only shrink the label.
+
+    ``jump_hops`` was TUNED EMPIRICALLY in round 6 on the worst CC
+    consumer (dbscan's percolation graph, solo sf0.1): hops 0/1/2/
+    3/4/8 -> 5.4-6.8 / 6.9-8.2 / 9.8-10.1 / 10.7-11.7 / 11.8-14.3 /
+    21-22s, with round counts 12 / 9 / 9 / 9 / 9 / 9. Min-label
+    percolation spreads breadth-first from every local minimum, so
+    label CHAINS stay short and extra hops buy almost no rounds —
+    they only deepen each round's checkpointed plan. Default 1 keeps
+    cheap insurance against longer chains; graphs with genuinely
+    deep label forests can raise it. (True pointer DOUBLING —
+    map o map per step — was also measured and rejected: lazy
+    re-evaluation makes each doubling level recompute the previous
+    one twice, 12s -> 49-66s.)
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -113,12 +126,14 @@ def connected_components(
         merged = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         )
-        # 4-hop pointer jump: follow label -> label(label) four times
+        # pointer jump against the STATIC per-round map, jump_hops
+        # times (computed once, reused by every hop join) — see the
+        # docstring for the measured hops/rounds/time trade-off
         hop = merged.select(
             F.col("node").alias("label"), F.col("label").alias("_l2")
         )
         jumped = merged
-        for _hop in range(4):
+        for _hop in range(jump_hops):
             jumped = jumped.join(hop, "label", "left").select(
                 "node",
                 F.least(
@@ -142,6 +157,8 @@ def connected_components(
             "WRONG component labels, not approximate ones)"
         )
     und.unpersist()
+    if os.environ.get("ADP_CC_DEBUG"):
+        print(f"[cc] converged after {i + 1} rounds", flush=True)
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -1058,7 +1058,16 @@ def dbscan_chebyshev(pts: DataFrame, eps: int, mp: DataFrame) -> DataFrame:
     neighboring core label — deterministic), the rest is NOISE.
     Returns (point_id, role, cluster_id). Split out of the
     ``dbscan_grid_clusters`` registry entry so the scale smoke can
-    run the identical plan on replicated corpora."""
+    run the identical plan on replicated corpora.
+
+    Cell-contracting the CC input (supernode per core cell — sound,
+    since same-cell cores form a clique at cell width = eps) was
+    built and A/B-measured in round 6 and REJECTED: point-graph label
+    hops already advance eps geometric units per round, so the
+    contraction does not reduce the hop diameter that bounds CC
+    rounds — it only shrinks node count while adding four joins and
+    a distinct (solo sf0.1: 20.6-22.3s contracted vs 11.8-14.3s
+    direct). CC stays on the core-core point graph."""
     from advisorydatapipeline_spark.operators.graph import (
         connected_components,
     )
