@@ -196,19 +196,28 @@ def pagerank_quantized(
     convergence collect) keeps the job graph static — the driver
     never inspects data.
     """
+    from pyspark.sql.window import Window
+
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
     # loop-invariant hoist: (edge, source-degree) never changes, so
-    # join it ONCE and persist — each iteration then needs a single
-    # join (adj x ranks) + one partial-agg shuffle, instead of
-    # re-aggregating degrees and joining twice per round
-    adj = und.join(deg, "a").repartition("a").persist()
+    # compute it ONCE and persist. deg rides a count-over-window on
+    # the "a" partitioning — ONE shuffle builds the partitioned,
+    # degree-annotated adjacency in place (the former
+    # groupBy + join + repartition shape re-derived the un-persisted
+    # union+distinct twice and paid three extra exchanges)
+    adj = und.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("a")).cast("long")
+    ).persist()
     base = (1 * PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
-    ranks = deg.select("a", F.lit(PR_SCALE).cast("long").alias("rank"))
+    # adj is already hash-partitioned by "a", so this distinct adds
+    # no exchange
+    ranks = adj.select("a").distinct().select(
+        "a", F.lit(PR_SCALE).cast("long").alias("rank")
+    )
     for i in range(iters):
         contrib = adj.join(ranks, "a").select(
             F.col("b").alias("node"),
@@ -360,26 +369,29 @@ def label_propagation(
     IS the algorithm (synchronous LPA oscillates on bipartite
     structure rather than converging; round-parity labels are
     deterministic either way). Per round: one hash join of the edge
-    list against the label table + one vote count + one top-1
-    window — bounded-state iteration, lineage cut per round."""
-    from pyspark.sql.window import Window
-
-    labels = und.select("a").distinct().withColumn("lab", F.col("a"))
+    list against the label table (the edge side is pre-partitioned
+    on the join key ONCE and persisted, so only the small label side
+    shuffles per round) + one vote count + a ``max_by`` top-1
+    aggregate (votes desc, min lab on ties via struct ordering) —
+    partial-agg friendly, no per-round window sort. Bounded-state
+    iteration, lineage cut per round."""
+    undp = und.repartition("b").persist()
+    labels = undp.select("a").distinct().withColumn("lab", F.col("a"))
     for _ in range(rounds):
         votes = (
-            und.join(
+            undp.join(
                 labels.select(F.col("a").alias("b"), F.col("lab")), "b"
             )
             .groupBy("a", "lab")
             .agg(F.count(F.lit(1)).cast("long").alias("votes"))
         )
-        w = Window.partitionBy("a").orderBy(
-            F.col("votes").desc(), F.col("lab").asc()
-        )
         labels = _cut_lineage(
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("a", "lab"),
+            votes.groupBy("a").agg(
+                F.expr(
+                    "max_by(lab, named_struct('v', votes, 'l', -lab))"
+                ).alias("lab")
+            ),
             reliable,
         )
+    undp.unpersist()
     return labels
