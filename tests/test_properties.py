@@ -280,3 +280,57 @@ def test_prefix_jaccard_equivalence(spark, docs, num):
         for r in jaccard_pairs_prefix(idx, "doc_id", p, q).collect()
     }
     assert got == truth
+
+
+@given(
+    n=st.integers(1, 10**13),
+    k=st.integers(1, 4),
+    target=st.integers(16, 1024),
+)
+@settings(deadline=None, max_examples=200)
+def test_simhash_plan_blocks_invariants(n, k, target):
+    """Policy invariants for any corpus size: widths partition the
+    64-bit signature; block count stays in [k+1, 8] (pigeonhole
+    recall floor, C(8,k) index-entry ceiling); and whenever the
+    policy did NOT hit the cap, the combination key is at least as
+    wide as the required random-bucket bound."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        simhash_plan_blocks,
+    )
+    import math
+
+    w = simhash_plan_blocks(n, max_hamming=k, target_bucket=target)
+    assert sum(w) == 64
+    assert k + 1 <= len(w) <= 8
+    assert max(w) - min(w) <= 1  # near-equal widths
+    need = (
+        math.ceil(math.log2(n / target)) if n > target else 1
+    )
+    b = len(w)
+    key_bits = 64 * (b - k) // b
+    if b < 8:
+        assert key_bits >= need
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 300),
+)
+@settings(deadline=None, max_examples=60)
+def test_png_roundtrip_property(w, h, seed):
+    """encode_png -> decode_png reproduces the analytic pixel sum for
+    arbitrary sizes/seeds (covers every filter-type phase and both
+    width<bpp edge behaviors)."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    expect = sum(
+        (seed + 7 * x + 13 * y + 29 * c) % 256
+        for x in range(w)
+        for y in range(h)
+        for c in range(3)
+    )
+    assert decode_png(encode_png(w, h, seed)) == (w, h, 8, 2, expect)
