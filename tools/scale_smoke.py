@@ -634,8 +634,8 @@ def main() -> None:
         )
         + " | t(x4)/t(x1) | shufMB "
         + "/".join(f"x{r}" for r in REPLICAS)
-        + " | shuf(x4)/shuf(x1) |",
-        "|---|" + "---|" * (len(REPLICAS) + 3),
+        + " | shuf(x4)/shuf(x1) | shuf(x4)/shuf(x2) steady |",
+        "|---|" + "---|" * (len(REPLICAS) + 4),
     ]
     for op in g_ops:
         ts = [graph_times[r][op] for r in REPLICAS]
@@ -644,12 +644,16 @@ def main() -> None:
         if all(s is not None for s in sws) and sws[0]:
             sratio = round(sws[-1] / sws[0], 2)
             stxt = "/".join(str(s) for s in sws)
+            # x2->x4 is the broadcast-free steady-state slope: at x1
+            # small iterating sides often broadcast (no shuffle
+            # write), making the x1-based ratio look super-linear
+            steady = round(sws[-1] / sws[1], 2) if sws[1] else "n/a"
         else:
-            sratio, stxt = "n/a", "n/a"
+            sratio, stxt, steady = "n/a", "n/a", "n/a"
         lines.append(
             f"| {op} | "
             + " | ".join(f"{t}s" for t in ts)
-            + f" | {ratio} | {stxt} | {sratio} |"
+            + f" | {ratio} | {stxt} | {sratio} | {steady} |"
         )
     lines += [
         "",
