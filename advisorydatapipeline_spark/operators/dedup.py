@@ -514,7 +514,13 @@ def simhash64_near_dupes(
             )
         widths = [band_bits] * bands
     nb = len(widths)
-    sig = simhash64_blocks(df, id_col, text_col, widths)
+    # persist: the self-join's a/b sides project DIFFERENT columns
+    # off the exploded entries, so exchange reuse is not guaranteed
+    # and without the cache the tokenize + 16-lane vote aggregation
+    # can run twice (ADVICE r6). Unpersisted per the registry cache
+    # contract: the plan is materialized by the caller's one action;
+    # harnesses clearCache between queries.
+    sig = simhash64_blocks(df, id_col, text_col, widths).persist()
     combos = list(combinations(range(nb), nb - max_hamming))
     if nb == max_hamming + 1:
         # classic banding: one block per key

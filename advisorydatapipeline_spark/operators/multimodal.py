@@ -244,6 +244,22 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def parse_png_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from the fixed-offset
+    IHDR chunk ALONE — the cheap header arm. The PNG spec requires
+    IHDR to be the first chunk at byte 8, so this is signature check
+    + 17 fixed-offset bytes: no inflate, no filter reversal, O(1)
+    regardless of image size. Raises ValueError on anything that is
+    not a PNG with a well-formed IHDR."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    if len(payload) < 26 or payload[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR chunk")
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    return width, height, payload[24], payload[25]
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     """(width, height, bit_depth, color_type, pixel_sum) from a real
     PNG byte stream — full stdlib-only decode: chunk walk with IDAT
@@ -253,10 +269,23 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     the integer sum of every reconstructed RGB byte, so any filter or
     offset mistake shifts the value. 8-bit non-interlaced RGB only —
     other PNG variants raise (palette/16-bit/interlace need no codec
-    lib either, just more spec; out of scope here)."""
+    lib either, just more spec; out of scope here).
+
+    EVERY corruption failure surfaces as ValueError — a valid PNG
+    signature with a truncated IHDR (struct/IndexError) or corrupt
+    IDAT (zlib.error) must hit the same skip path the mapInPandas
+    handlers use for non-PNG bytes, so one bad object can't kill a
+    100 TB scan."""
     import struct
     import zlib
 
+    try:
+        return _decode_png_checked(payload, struct, zlib)
+    except (zlib.error, struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG payload: {exc}") from exc
+
+
+def _decode_png_checked(payload: bytes, struct, zlib):
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -393,7 +422,10 @@ def decode_media_headers(media_df: DataFrame) -> DataFrame:
                             container="wav", sample_rate=sr, n_samples=n
                         )
                     elif b[:8] == _PNG_SIG:
-                        w, h, _bd, _ct, _ps = decode_png(b)
+                        # header arm stays O(1): IHDR fixed-offset
+                        # parse only — full pixel decode is
+                        # decode_png_stats' job
+                        w, h, _bd, _ct = parse_png_header(b)
                         rec.update(container="png", width=w, height=h)
                 except ValueError:
                     pass

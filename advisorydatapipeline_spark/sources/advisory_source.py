@@ -173,18 +173,26 @@ class AdvisoryWriter(DataSourceWriter):
         return _PartFile(part, n)
 
     def commit(self, messages):  # noqa: ANN001
-        # Per the DataSourceWriter contract `messages` contains None
-        # for tasks that failed before returning a commit message —
-        # only non-None entries are published (that's the two-phase
-        # guarantee), so both phases must skip them.
+        # The two-phase guarantee means commit() runs only after
+        # EVERY task succeeded and returned a commit message — a None
+        # here is a broken invariant (Spark should have failed the
+        # job or called abort()), and skipping it would silently drop
+        # a partition's rows from an atomically-published
+        # "successful" output. Raise instead; None-skipping belongs
+        # only in abort(), where failed tasks are expected.
         import os
         import shutil
 
+        none_idx = [i for i, m in enumerate(messages) if m is None]
+        if none_idx:
+            raise RuntimeError(
+                "commit() received None commit message(s) for task(s) "
+                f"{none_idx}: a failed task reached the publish phase; "
+                "refusing to publish a partial result"
+            )
         merged: dict[str, dict[str, dict[str, str]]] = {}
         total = 0
         for m in messages:
-            if m is None:
-                continue
             with open(m.path) as f:
                 for line in f:
                     r = json.loads(line)

@@ -56,3 +56,38 @@ def test_writer_empty_partitions_ok(spark, tmp_path):
     ).save()
     merged = json.load(open(path))
     assert merged == {"pkg-a": {"CVE-2024-0001": {"fixed_version": "1.2.3"}}}
+
+
+def test_commit_refuses_none_messages(tmp_path):
+    """ADVICE r6: commit() only runs after every task succeeded, so a
+    None commit message there is a broken invariant — publishing
+    around it would silently drop a partition. It must raise; only
+    abort() may skip Nones (failed tasks are expected there)."""
+    import pytest
+
+    from advisorydatapipeline_spark.sources.advisory_source import (
+        AdvisoryWriter,
+        _PartFile,
+    )
+
+    path = str(tmp_path / "out.json")
+    w = AdvisoryWriter({"path": path})
+    os.makedirs(path + ".parts", exist_ok=True)
+    part = path + ".parts/part-00000-0.jsonl"
+    with open(part, "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "package_name": "pkg-a",
+                    "cve_id": "CVE-2024-0001",
+                    "fixed_version": "1.2.3",
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(RuntimeError, match="None commit message"):
+        w.commit([_PartFile(part, 1), None])
+    assert not os.path.exists(path)  # nothing published
+    # abort() tolerates Nones and sweeps the parts dir
+    w.abort([_PartFile(part, 1), None])
+    assert not os.path.exists(path + ".parts")

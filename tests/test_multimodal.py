@@ -175,9 +175,19 @@ def test_png_rejects_corrupt_payloads():
     with _pytest.raises(ValueError):
         decode_png(b"not a png")
     good = encode_png(4, 4, 1)
-    # truncated IDAT -> inflate or size-mismatch error
-    with _pytest.raises((ValueError, Exception)):
-        decode_png(good[:40])
+    # EVERY corrupt-body failure must surface as ValueError — the
+    # mapInPandas skip handlers catch exactly that, so a broader
+    # exception class here would mean one bad object kills the scan.
+    with _pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated IDAT -> zlib.error inside
+    with _pytest.raises(ValueError):
+        decode_png(good[:20])  # short IHDR -> struct/IndexError inside
+    with _pytest.raises(ValueError):
+        # valid signature + good IHDR + corrupted deflate stream
+        # (byte 45 is inside the IDAT data) -> zlib.error inside
+        corrupt = bytearray(good)
+        corrupt[45] ^= 0xFF
+        decode_png(bytes(corrupt))
 
 
 def test_png_decode_stats_and_header_branch(spark):
@@ -199,3 +209,58 @@ def test_png_decode_stats_and_header_branch(spark):
     assert out[3].container == "unknown"
     hdr = {r.media_id: r for r in decode_media_headers(df).collect()}
     assert (hdr[1].container, hdr[1].width, hdr[1].height) == ("png", 5, 3)
+
+
+def test_parse_png_header_fixed_offset():
+    """The header arm reads IHDR at its spec-mandated fixed offset —
+    O(1), no inflate — and agrees with the full decode."""
+    import pytest as _pytest
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        parse_png_header,
+    )
+
+    png = encode_png(9, 4, 11)
+    assert parse_png_header(png) == decode_png(png)[:4] == (9, 4, 8, 2)
+    with _pytest.raises(ValueError):
+        parse_png_header(b"not a png")
+    with _pytest.raises(ValueError):
+        parse_png_header(png[:12] + b"XXXX" + png[16:])  # IHDR not first
+    with _pytest.raises(ValueError):
+        parse_png_header(png[:20])  # truncated IHDR
+
+
+def test_corrupt_png_body_yields_null_row_not_crash(spark):
+    """ADVICE r6 (medium): a payload with a VALID PNG signature but a
+    corrupt body (truncated IDAT / short IHDR / garbage deflate) must
+    produce a NULL-stat row in both mapInPandas handlers, not kill
+    the scan."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_media_headers,
+        decode_png_stats,
+        encode_png,
+    )
+
+    good = encode_png(4, 4, 1)
+    corrupt_idat = bytearray(good)
+    corrupt_idat[45] ^= 0xFF
+    rows = [
+        (1, good),
+        (2, good[:40]),            # truncated mid-chunk
+        (3, good[:20]),            # short IHDR
+        (4, bytes(corrupt_idat)),  # garbage deflate behind good IHDR
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_png_stats(df).collect()}
+    assert out[1].container == "png" and out[1].pixel_sum is not None
+    for mid in (2, 3, 4):
+        assert out[mid].container == "unknown", mid
+        assert out[mid].pixel_sum is None, mid
+    hdr = {r.media_id: r for r in decode_media_headers(df).collect()}
+    assert hdr[1].container == "png"
+    # 2 and 4 still carry a complete fixed-offset IHDR, so the cheap
+    # header arm legitimately reports dimensions; 3's truncated IHDR
+    # must fall through to the unknown row, not raise.
+    assert hdr[3].container == "unknown" and hdr[3].width is None
