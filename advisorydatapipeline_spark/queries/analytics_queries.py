@@ -774,20 +774,38 @@ def freq_sketch_merge(spark, sf_dir):
 ER_MAX_DIST = 2
 
 _ER_ORACLE = f"""
-WITH RECURSIVE c AS (
+WITH RECURSIVE c AS MATERIALIZED (
   SELECT p_partkey, lower(p_name) AS nm,
          split_part(lower(p_name), ' ', 1) AS blk
   FROM part
 ),
+names AS MATERIALIZED (
+  -- distinct-then-expand, same as the engine (r6 VERDICT: the naive
+  -- raw-pair replay cost 200s at sf0.1 — quadratic in identical-name
+  -- copies). Provably equivalent to the raw-pair graph: identical
+  -- names are dist-0 matches (a clique containing their min-key
+  -- rep), and levenshtein is a function of the NAME, so a raw edge
+  -- between two name groups exists iff the rep edge exists; raw
+  -- components are therefore exactly the expanded rep components,
+  -- and min node id = min rep = min partkey (each rep is its
+  -- group's min).
+  SELECT nm, blk, min(p_partkey) AS rep,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM c GROUP BY nm, blk
+),
 pairs AS (
-  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
-  FROM c a JOIN c b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  SELECT a.rep AS id_a, b.rep AS id_b
+  FROM names a JOIN names b ON a.blk = b.blk AND a.rep < b.rep
   WHERE levenshtein(a.nm, b.nm) <= {ER_MAX_DIST}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b, id_a FROM pairs
+  UNION ALL
+  -- multi-member groups surface even with no fuzzy neighbor: their
+  -- dist-0 twins are matches (self-edge keeps the rep in the graph)
+  SELECT rep, rep FROM names WHERE n_members >= 2
 ),
 nodes AS (SELECT DISTINCT a AS id FROM edges),
 reach(id, r) AS (
@@ -795,14 +813,14 @@ reach(id, r) AS (
   UNION
   SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
 ),
-cl AS (
-  SELECT id AS entity_id, min(r) AS cluster_id FROM reach GROUP BY id
+cl AS MATERIALIZED (
+  SELECT id AS rep, min(r) AS cluster_id FROM reach GROUP BY id
 )
-SELECT entity_id, cluster_id,
-       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+SELECT c.p_partkey AS entity_id, cl.cluster_id,
+       CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT)
          AS cluster_size,
-       CAST(cluster_id = entity_id AS BOOLEAN) AS is_canonical
-FROM cl
+       CAST(cl.cluster_id = c.p_partkey AS BOOLEAN) AS is_canonical
+FROM c JOIN names USING (nm) JOIN cl ON cl.rep = names.rep
 """
 
 

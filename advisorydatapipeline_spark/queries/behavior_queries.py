@@ -1487,26 +1487,38 @@ def kaplan_meier_retention(spark, sf_dir):
 @query(
     "basket_brand_triples",
     oracle="""
-WITH b AS (
+WITH b AS MATERIALIZED (
   SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS it
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 ),
-nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b),
-s AS (SELECT GREATEST(2, (SELECT n FROM nb) // 400) AS minsup),
+nb AS MATERIALIZED (
+  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b
+),
+s AS MATERIALIZED (
+  SELECT GREATEST(2, (SELECT n FROM nb) // 400) AS minsup
+),
 fitems AS (
   SELECT it FROM b GROUP BY it
   HAVING count(*) >= (SELECT minsup FROM s)
 ),
-fb AS (SELECT b.o, b.it FROM b JOIN fitems USING (it)),
-fpairs AS (
-  SELECT a.it AS ia, c.it AS ib, CAST(count(*) AS BIGINT) AS sup
+fb AS MATERIALIZED (SELECT b.o, b.it FROM b JOIN fitems USING (it)),
+-- the o-keyed pair expansion is the expensive stage; build it ONCE
+-- (MATERIALIZED) and let both the support count and the probe side
+-- read it, instead of re-running the fb self-join (r6 gate: 76s at
+-- sf0.1 from re-inlined expansions)
+rawpairs AS MATERIALIZED (
+  SELECT a.o, a.it AS ia, c.it AS ib
   FROM fb a JOIN fb c ON a.o = c.o AND a.it < c.it
+),
+fpairs AS MATERIALIZED (
+  SELECT ia, ib, CAST(count(*) AS BIGINT) AS sup
+  FROM rawpairs
   GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM s)
 ),
 po AS (
-  SELECT a.o, a.it AS ia, c.it AS ib
-  FROM fb a JOIN fb c ON a.o = c.o AND a.it < c.it
-  JOIN fpairs fp ON fp.ia = a.it AND fp.ib = c.it
+  SELECT r.o, r.ia, r.ib
+  FROM rawpairs r
+  JOIN fpairs fp ON fp.ia = r.ia AND fp.ib = r.ib
 ),
 tri AS (
   SELECT po.ia, po.ib, f3.it AS ic, CAST(count(*) AS BIGINT) AS support
@@ -1620,9 +1632,14 @@ def _markov_oracle() -> str:
     variants = ", ".join(f"('{v}')" for v in ["base"] + _MK_CHANNELS)
     iters = []
     prev = "p0"
+    # AS MATERIALIZED everywhere: without it DuckDB inlines the
+    # single-reference CTE chain, re-planning counts' whole upstream
+    # (events window functions) once per unrolled iteration — the
+    # r6 gate measured 97s at sf0.1 for what is a tiny fixpoint over
+    # states x variants once the chain is pinned.
     for k in range(1, _MK_ITERS + 1):
         iters.append(f"""
-p{k} AS (
+p{k} AS MATERIALIZED (
   SELECT v.variant, c.src AS state, c.tot,
          CASE WHEN c.src = v.variant THEN 0 ELSE
            CAST(sum(c.cnt * CASE WHEN c.dst = 'conv' THEN 1000000
@@ -1637,28 +1654,28 @@ p{k} AS (
 )""")
         prev = f"p{k}"
     return f"""
-WITH ev AS (
+WITH ev AS MATERIALIZED (
   SELECT user_id, event_id, ts, event_type FROM events
   WHERE ts IS NOT NULL
 ),
-fp AS (
+fp AS MATERIALIZED (
   SELECT user_id, min(ts) AS pts FROM ev
   WHERE event_type = 'purchase' GROUP BY 1
 ),
-pre AS (
+pre AS MATERIALIZED (
   SELECT e.user_id, e.event_type, e.ts, e.event_id
   FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
   WHERE (fp.pts IS NULL OR e.ts < fp.pts)
     AND e.event_type <> 'purchase'
 ),
-usr AS (
+usr AS MATERIALIZED (
   SELECT e.user_id,
          CAST(max(CASE WHEN fp.pts IS NULL THEN 0 ELSE 1 END) AS INT)
            AS converted
   FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
   GROUP BY 1
 ),
-seq AS (
+seq AS MATERIALIZED (
   SELECT p.user_id, p.event_type,
          lead(p.event_type) OVER (
            PARTITION BY p.user_id ORDER BY p.ts, p.event_id
@@ -1688,7 +1705,7 @@ cnts AS (
   SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
   FROM raw GROUP BY 1, 2
 ),
-counts AS (
+counts AS MATERIALIZED (
   SELECT c.src, c.dst, c.cnt,
          CAST(sum(c.cnt) OVER (PARTITION BY c.src) AS BIGINT) AS tot
   FROM cnts c
@@ -1703,7 +1720,7 @@ base AS (
   SELECT p AS p_base FROM p{_MK_ITERS}
   WHERE variant = 'base' AND state = 'start'
 ),
-eff AS (
+eff AS MATERIALIZED (
   SELECT variant AS channel, p AS p_removed,
          (SELECT p_base FROM base) AS p_base,
          ((SELECT p_base FROM base) - p) * 1000000

@@ -1585,7 +1585,7 @@ WITH RECURSIVE g AS (
   SELECT {_DB_GRID_SQL} AS grid
   FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
 ),
-pts AS (
+pts AS MATERIALIZED (
   SELECT c_custkey AS id,
          {_DH.format(x="'dx' || CAST(c_custkey AS VARCHAR)")}
            % (SELECT grid FROM g) AS x,
@@ -1596,17 +1596,32 @@ pts AS (
 mp AS (
   SELECT CAST({DB_MINPTS} AS BIGINT) AS minpts
 ),
-pairs AS (
+-- 3x3 cell equi-join instead of the quadratic inequality join (r6
+-- gate: 61s at sf0.1, recomputed for each of its three consumers).
+-- Equivalent by construction: with cell width = eps, any pair with
+-- Chebyshev distance <= eps lies in the same or an adjacent cell
+-- (|x_a - x_b| <= eps bounds the cell index delta to 1; x,y are
+-- non-negative), and each qualifying pair is found exactly once
+-- because the (dx, dy) offset to b's cell is unique.
+cells AS MATERIALIZED (
+  SELECT id, x, y, x // {DB_EPS} AS cx, y // {DB_EPS} AS cy FROM pts
+),
+pairs AS MATERIALIZED (
   SELECT a.id AS a, b.id AS b
-  FROM pts a, pts b
+  FROM (
+    SELECT c.id, c.x, c.y, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+    FROM cells c,
+         (VALUES (-1), (0), (1)) dx(d),
+         (VALUES (-1), (0), (1)) dy(d)
+  ) a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
   WHERE a.id <> b.id
     AND abs(a.x - b.x) <= {DB_EPS} AND abs(a.y - b.y) <= {DB_EPS}
 ),
 deg AS (SELECT a, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY a),
-core AS (
+core AS MATERIALIZED (
   SELECT a AS id FROM deg WHERE c >= (SELECT minpts FROM mp)
 ),
-cedges AS (
+cedges AS MATERIALIZED (
   SELECT p.a, p.b FROM pairs p
   JOIN core x ON x.id = p.a JOIN core y ON y.id = p.b
 ),
@@ -1615,8 +1630,9 @@ reach AS (
   UNION
   SELECT e.b, reach.r FROM reach JOIN cedges e ON e.a = reach.id
 ),
-lab AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY id),
+lab AS MATERIALIZED (
+  SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY id),
 border AS (
   SELECT p.a AS id, CAST(min(l.cluster_id) AS BIGINT) AS cluster_id
   FROM pairs p JOIN lab l ON l.id = p.b
