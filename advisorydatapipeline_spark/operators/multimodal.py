@@ -253,8 +253,15 @@ def parse_png_header(payload: bytes) -> tuple[int, int, int, int]:
     not a PNG with a well-formed IHDR."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    if len(payload) < 26 or payload[12:16] != b"IHDR":
-        raise ValueError("PNG missing IHDR chunk")
+    # the IHDR payload is exactly 13 bytes by spec — a signature +
+    # "IHDR" tag with a bogus declared length would otherwise let
+    # dimensions be read from arbitrary following bytes
+    if (
+        len(payload) < 26
+        or payload[8:12] != (13).to_bytes(4, "big")
+        or payload[12:16] != b"IHDR"
+    ):
+        raise ValueError("PNG missing well-formed IHDR chunk")
     width = int.from_bytes(payload[16:20], "big")
     height = int.from_bytes(payload[20:24], "big")
     return width, height, payload[24], payload[25]

@@ -173,18 +173,24 @@ class AdvisoryWriter(DataSourceWriter):
         return _PartFile(part, n)
 
     def commit(self, messages):  # noqa: ANN001
-        # The two-phase guarantee means commit() runs only after
-        # EVERY task succeeded and returned a commit message — a None
-        # here is a broken invariant (Spark should have failed the
-        # job or called abort()), and skipping it would silently drop
-        # a partition's rows from an atomically-published
-        # "successful" output. Raise instead; None-skipping belongs
-        # only in abort(), where failed tasks are expected.
+        # The upstream DataSourceWriter contract types ``messages``
+        # as List[Optional[WriterCommitMessage]] and notes a failed
+        # task's message "will be None" — but it also states commit()
+        # is "invoked on the driver when all tasks run successfully",
+        # so inside commit() a None is a broken invariant (Spark
+        # should have failed the job or called abort()), and skipping
+        # it would silently drop a partition's rows from an
+        # atomically-published "successful" output. We deliberately
+        # diverge from the permissive typing and raise; None-skipping
+        # belongs only in abort(), where failed tasks are expected.
+        # The .parts staging dir is removed before raising so an
+        # aborted publish leaves no stragglers for a retry to merge.
         import os
         import shutil
 
         none_idx = [i for i, m in enumerate(messages) if m is None]
         if none_idx:
+            shutil.rmtree(self.path + ".parts", ignore_errors=True)
             raise RuntimeError(
                 "commit() received None commit message(s) for task(s) "
                 f"{none_idx}: a failed task reached the publish phase; "
