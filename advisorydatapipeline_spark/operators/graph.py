@@ -30,6 +30,39 @@ import tempfile
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Broadcast-pin bound for the per-iteration small side (rank/label/
+#: alive/frontier tables — all provably <= node count). Two-long rows
+#: cost ~50 B each in a broadcast HashedRelation, so the default 4M
+#: rows is a ~200 MB broadcast — comfortably inside a normal
+#: executor and far above the 10 MB autoBroadcastJoinThreshold whose
+#: size-ESTIMATE misses on a mid-plan aggregate are what caused the
+#: measured x1->x2 shuffle cliff (k-core 14.9 -> 106.7 MB: AQE flips
+#: broadcast -> sort-merge and every round starts paying a label-side
+#: exchange + a sort). Above the bound (billion-node graphs at
+#: 100 TB, where a broadcast would OOM every executor) the fallback
+#: is an EXPLICIT shuffle_hash hint: the loop-invariant edge side is
+#: already persisted pre-partitioned on the join key so it never
+#: re-exchanges, and the small side shuffles linearly — sort-merge
+#: (which would also SORT both sides every round) is never the plan.
+GRAPH_BROADCAST_MAX_ROWS = int(
+    os.environ.get("ADP_GRAPH_BROADCAST_MAX_ROWS", "4000000")
+)
+
+
+def _iter_side(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Pin the join strategy for a per-iteration small side.
+
+    ``n_rows`` is a driver-side scalar UPPER BOUND on the side's row
+    count (node count, or the cheaper edge count where the node count
+    isn't already known) — measured once per operator call, never per
+    round. Within :data:`GRAPH_BROADCAST_MAX_ROWS` the side is pinned
+    ``F.broadcast`` (zero shuffle per round); beyond it, or when the
+    bound is unknown, ``shuffle_hash`` keeps the hash-join family
+    without sorting the big persisted side."""
+    if n_rows is not None and n_rows <= GRAPH_BROADCAST_MAX_ROWS:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
 
 def _cut_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     """Truncate plan lineage between iterations.
@@ -118,10 +151,12 @@ def connected_components(
     # checkpoint materialization via observe(), costing ZERO extra
     # jobs (a separate agg would re-scan the labels every round)
     witness = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(witness).first()[0]
+    first = labels.agg(witness, F.count(F.lit(1)).alias("n")).first()
+    prev_sum, n_nodes = first[0], first[1]
     for i in range(max_iter):
         nbr = und.join(
-            labels.withColumnRenamed("node", "b"), "b"
+            _iter_side(labels.withColumnRenamed("node", "b"), n_nodes),
+            "b",
         ).select(F.col("a").alias("node"), "label")
         merged = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
@@ -134,7 +169,7 @@ def connected_components(
         )
         jumped = merged
         for _hop in range(jump_hops):
-            jumped = jumped.join(hop, "label", "left").select(
+            jumped = jumped.join(_iter_side(hop, n_nodes), "label", "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("_l2", "label")
@@ -218,8 +253,13 @@ def pagerank_quantized(
     ranks = adj.select("a").distinct().select(
         "a", F.lit(PR_SCALE).cast("long").alias("rank")
     )
+    # node count measured ONCE (the count also warms the adj persist
+    # that iteration 1 would otherwise pay): the rank table holds
+    # exactly n_nodes rows every round, so one scalar pins the
+    # per-iteration join strategy for the whole loop
+    n_nodes = ranks.count()
     for i in range(iters):
-        contrib = adj.join(ranks, "a").select(
+        contrib = adj.join(_iter_side(ranks, n_nodes), "a").select(
             F.col("b").alias("node"),
             F.expr(
                 f"({PR_DAMP_NUM} * rank) DIV ({PR_DAMP_DEN} * deg)"
@@ -272,6 +312,13 @@ def bfs_hops(
     cheaper than a per-round barrier.
     """
     adj = edges.repartition("a").persist()
+    # node count measured once (the job also warms the adj persist):
+    # frontier and visited are both <= node count, so one scalar pins
+    # the per-hop join strategy — see _iter_side. approx + 1.1x
+    # margin, same policy as k_core_peel
+    node_bound = int(
+        adj.agg(F.approx_count_distinct("a").alias("n")).first()[0] * 1.1
+    )
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
         F.lit(0).cast("int").alias("hops"),
@@ -279,10 +326,15 @@ def bfs_hops(
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
-            frontier.join(adj, frontier["node"] == adj["a"])
+            _iter_side(frontier, node_bound)
+            .join(adj, frontier["node"] == adj["a"])
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                _iter_side(visited.select("node"), node_bound),
+                "node",
+                "left_anti",
+            )
             .withColumn("hops", F.lit(h).cast("int"))
         )
         visited = visited.unionByName(nxt)
@@ -319,9 +371,22 @@ def k_core_peel(
 
     obs0 = Observation("kcore_peel_0")
     edges = _cut_lineage(
-        und.observe(obs0, F.count(F.lit(1)).alias("n")), reliable
+        und.observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("a").alias("nodes"),
+        ),
+        reliable,
     )
     prev_n = obs0.get["n"]
+    # the alive side only ever SHRINKS (peeling is monotone), so the
+    # initial node count bounds every round's broadcast decision. It
+    # rides the SAME observation as the edge count (zero extra jobs);
+    # approx_count_distinct's ~5% rsd gets a 1.1x safety margin —
+    # fine for a strategy threshold with 2x headroom, and far
+    # tighter than the edge-count proxy (measured: the proxy blocked
+    # the broadcast at x4 and cost a 16.7x shuffle ratio)
+    alive_bound = int(obs0.get["nodes"] * 1.1)
     converged = False
     for i in range(1, max_rounds + 1):
         alive = (
@@ -334,11 +399,11 @@ def k_core_peel(
         obs = Observation(f"kcore_peel_{i}")
         edges = _cut_lineage(
             edges.join(
-                alive.withColumnRenamed("a", "xa"),
+                _iter_side(alive.withColumnRenamed("a", "xa"), alive_bound),
                 F.col("a") == F.col("xa"),
                 "left_semi",
             ).join(
-                alive.withColumnRenamed("a", "ya"),
+                _iter_side(alive.withColumnRenamed("a", "ya"), alive_bound),
                 F.col("b") == F.col("ya"),
                 "left_semi",
             ).observe(obs, F.count(F.lit(1)).alias("n")),
@@ -377,10 +442,17 @@ def label_propagation(
     iteration, lineage cut per round."""
     undp = und.repartition("b").persist()
     labels = undp.select("a").distinct().withColumn("lab", F.col("a"))
+    # node count measured once (warms the undp persist); the label
+    # table holds exactly n_nodes rows every round
+    n_nodes = labels.count()
     for _ in range(rounds):
         votes = (
             undp.join(
-                labels.select(F.col("a").alias("b"), F.col("lab")), "b"
+                _iter_side(
+                    labels.select(F.col("a").alias("b"), F.col("lab")),
+                    n_nodes,
+                ),
+                "b",
             )
             .groupBy("a", "lab")
             .agg(F.count(F.lit(1)).cast("long").alias("votes"))

@@ -390,6 +390,329 @@ def decode_png_stats(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(op, schema)
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW compress (public spec, GIF89a appendix F):
+    greedy longest-match dictionary coding with variable-width codes
+    packed LSB-first. A REAL encoder (not literal-only emission) so
+    the decoder's dictionary-hit paths — including the deferred
+    ``code == next_free`` cScSc case — are exercised by round-trips.
+
+    Width bookkeeping mirrors the decoder exactly: the decoder adds
+    its entry one code BEHIND the encoder, so the encoder bumps the
+    code width when ``next_free - 1`` (the decoder's table size at
+    read time) reaches ``1 << width``. At the 12-bit table cap a
+    clear code resets both sides."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            mcs + 1,
+        )
+
+    table, next_free, width = fresh()
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_free < 4096:
+            table[wk] = next_free
+            next_free += 1
+            if next_free - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_free, width = fresh()
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes:
+    """Inverse of :func:`_gif_lzw_encode`; returns exactly
+    ``n_pixels`` palette indices or raises ValueError (truncated
+    stream, bad code, missing EOI — same corruption contract as the
+    PNG arm)."""
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"bad GIF LZW min code size {mcs}")
+    clear = 1 << mcs
+    eoi = clear + 1
+    pos = 0  # bit cursor
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > len(data) * 8:
+            raise ValueError("truncated GIF LZW stream")
+        byte0, bit0 = divmod(pos, 8)
+        acc = int.from_bytes(
+            data[byte0 : byte0 + (bit0 + width + 7) // 8], "little"
+        )
+        pos += width
+        return (acc >> bit0) & ((1 << width) - 1)
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = mcs + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW literal expected after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+        if len(out) >= n_pixels:
+            # spec: EOI must follow; tolerate its absence only at the
+            # exact pixel count (some writers omit the trailing EOI)
+            break
+    if len(out) != n_pixels:
+        raise ValueError(
+            f"GIF pixel count mismatch: {len(out)} != {n_pixels}"
+        )
+    return bytes(out)
+
+
+GIF_N_COLORS = 16  # fixture palette size (mcs 4)
+
+
+def _gif_palette(seed: int) -> list[tuple[int, int, int]]:
+    """Deterministic fixture palette: arithmetic-expressible so a SQL
+    oracle can recompute the exact pixel sum (mirrors encode_png's
+    gradient contract)."""
+    return [
+        (
+            (i * 17 + seed) % 256,
+            (i * 29 + 2 * seed + 5) % 256,
+            (i * 43 + 3 * seed + 11) % 256,
+        )
+        for i in range(GIF_N_COLORS)
+    ]
+
+
+def encode_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid GIF89a, stdlib-only: logical screen descriptor,
+    16-entry global color table, one non-interlaced image, REAL LZW
+    compression in ≤255-byte sub-blocks. Pixel indices are the
+    deterministic gradient ``(seed + 7x + 13y) % 16`` over the
+    :func:`_gif_palette` colors, so the decoded RGB pixel sum is
+    pure doc-id arithmetic an oracle can replay."""
+    mcs = 4
+    pal = b"".join(bytes(c) for c in _gif_palette(seed))
+    indices = bytes(
+        (seed + 7 * x + 13 * y) % GIF_N_COLORS
+        for y in range(height)
+        for x in range(width)
+    )
+    lzw = _gif_lzw_encode(indices, mcs)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        # GCT present, color resolution 8, GCT size 2^(3+1)=16
+        + bytes([0b1_111_0_011, 0, 0])
+        + pal
+        + b"\x2c"  # image descriptor
+        + (0).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"  # no LCT, not interlaced
+        + bytes([mcs])
+        + blocks
+        + b"\x00"  # block terminator
+        + b"\x3b"  # trailer
+    )
+
+
+def parse_gif_header(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the fixed-offset logical screen
+    descriptor ALONE — the O(1) header arm (GIF twin of
+    :func:`parse_png_header`): signature + 4 bytes, no LZW, no
+    palette walk. Raises ValueError on non-GIF bytes. Like the PNG
+    header arm, this does NOT validate the pixel stream."""
+    if payload[:6] not in _GIF_SIGS or len(payload) < 13:
+        raise ValueError("not a GIF payload")
+    return (
+        int.from_bytes(payload[6:8], "little"),
+        int.from_bytes(payload[8:10], "little"),
+    )
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_colors, pixel_sum) from a real GIF byte
+    stream — full stdlib-only decode: logical screen + global color
+    table parse, extension-block skip, image descriptor, sub-block
+    reassembly, variable-width LSB-first LZW decompression, and
+    palette mapping. ``pixel_sum`` is the integer sum of every
+    mapped RGB byte, so a wrong code width, sub-block seam, or
+    palette offset shifts the value. First image frame only;
+    interlaced or local-color-table images raise (more spec, no
+    codec lib — out of scope like PNG's palette/16-bit variants).
+
+    EVERY corruption failure surfaces as ValueError — same skip-path
+    contract as :func:`decode_png`, so one bad object can't kill a
+    100 TB scan."""
+    try:
+        return _decode_gif_checked(payload)
+    except IndexError as exc:  # pragma: no cover - defensive
+        raise ValueError(f"corrupt GIF payload: {exc}") from exc
+
+
+def _decode_gif_checked(payload: bytes) -> tuple[int, int, int, int]:
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("GIF without global color table unsupported")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    pal = payload[pos : pos + 3 * n_colors]
+    if len(pal) < 3 * n_colors:
+        raise ValueError("truncated GIF color table")
+    pos += 3 * n_colors
+    # walk extension blocks to the first image descriptor
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF missing image descriptor")
+        b = payload[pos]
+        if b == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            break
+        elif b == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if pos + 10 > len(payload):
+        raise ValueError("truncated GIF image descriptor")
+    iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+    ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+    ipacked = payload[pos + 9]
+    if ipacked & 0x80:
+        raise ValueError("GIF local color table unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    pos += 10
+    if pos >= len(payload):
+        raise ValueError("GIF missing LZW min code size")
+    mcs = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while pos < len(payload) and payload[pos] != 0:
+        n = payload[pos]
+        chunk = payload[pos + 1 : pos + 1 + n]
+        if len(chunk) < n:
+            raise ValueError("truncated GIF data sub-block")
+        lzw += chunk
+        pos += 1 + n
+    indices = _gif_lzw_decode(bytes(lzw), mcs, iw * ih)
+    if any(i >= n_colors for i in indices):
+        raise ValueError("GIF pixel index beyond color table")
+    # palette-map and sum without materializing w*h RGB rows:
+    # count occurrences per index, dot with per-entry RGB sums
+    counts = [0] * n_colors
+    for i in indices:
+        counts[i] += 1
+    pal_sums = [
+        pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2]
+        for i in range(n_colors)
+    ]
+    total = sum(c * s for c, s in zip(counts, pal_sums))
+    return iw, ih, n_colors, total
+
+
+def decode_gif_stats(media_df: DataFrame) -> DataFrame:
+    """Full GIF decode as a narrow Arrow-batched hop (GIF twin of
+    :func:`decode_png_stats`): payloads in, 5 scalar stat columns
+    out (bytes never shuffle). Non-GIF or corrupt payloads yield a
+    NULL-stat row instead of raising."""
+    schema = (
+        "media_id long, container string, width int, height int, "
+        "n_colors int, pixel_sum long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"]) if row["payload"] is not None else b""
+                rec = {
+                    "media_id": row["media_id"],
+                    "container": "unknown",
+                    "width": None,
+                    "height": None,
+                    "n_colors": None,
+                    "pixel_sum": None,
+                }
+                try:
+                    w, h, nc, ps = decode_gif(b)
+                    rec.update(
+                        container="gif",
+                        width=w,
+                        height=h,
+                        n_colors=nc,
+                        pixel_sum=ps,
+                    )
+                except ValueError:
+                    pass
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(op, schema)
+
+
 def decode_media_headers(media_df: DataFrame) -> DataFrame:
     """REAL media decode for codec-free container formats (round-5
     upgrade of the all-stub arm): BMP and PCM-WAV headers are fixed
@@ -434,6 +757,11 @@ def decode_media_headers(media_df: DataFrame) -> DataFrame:
                         # decode_png_stats' job
                         w, h, _bd, _ct = parse_png_header(b)
                         rec.update(container="png", width=w, height=h)
+                    elif b[:6] in _GIF_SIGS:
+                        # O(1) logical-screen parse — full LZW decode
+                        # is decode_gif_stats' job
+                        w, h = parse_gif_header(b)
+                        rec.update(container="gif", width=w, height=h)
                 except ValueError:
                     pass
                 out.append(rec)

@@ -402,6 +402,77 @@ def png_decode_stats(spark, sf_dir):
     return decode_png_stats(media)
 
 
+@query(
+    "gif_decode_stats",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 16 AS INTEGER) AS w,
+         CAST(2 + doc_id % 8 AS INTEGER) AS h,
+         CAST(doc_id % 97 AS INTEGER) AS seed
+  FROM documents
+),
+pix AS (
+  SELECT p.doc_id,
+         SUM(  (((p.seed + 7 * x.i + 13 * y.i) % 16) * 17 + p.seed) % 256
+             + (((p.seed + 7 * x.i + 13 * y.i) % 16) * 29 + 2 * p.seed + 5) % 256
+             + (((p.seed + 7 * x.i + 13 * y.i) % 16) * 43 + 3 * p.seed + 11) % 256
+         ) AS ps
+  FROM params p
+  JOIN range(20) x(i) ON x.i < p.w
+  JOIN range(10) y(i) ON y.i < p.h
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id AS media_id,
+       'gif' AS container,
+       p.w AS width,
+       p.h AS height,
+       16 AS n_colors,
+       CAST(pix.ps AS BIGINT) AS pixel_sum
+FROM params p JOIN pix ON pix.doc_id = p.doc_id
+""",
+)
+def gif_decode_stats(spark, sf_dir):
+    """REAL GIF decode through the whole compression stack, value-
+    gated (round-8 close of the last stdlib-closable codec arm):
+    each document becomes an actual GIF89a — logical screen
+    descriptor, 16-color global color table, image descriptor,
+    sub-blocked variable-width LZW pixel data — then
+    ``decode_gif_stats`` reassembles the sub-blocks, LZW-decompresses
+    with GIF's LSB-first growing code widths, and maps indices
+    through the palette. The oracle recomputes the palette-mapped
+    gradient pixel sum from doc_id arithmetic, so a wrong code-width
+    transition, sub-block seam, or palette offset is a value
+    mismatch. After this, ``NotImplementedError`` covers only the
+    genuinely lib-bound JPEG/video arms.
+
+    Scale shape: encode and decode are narrow Arrow-batched
+    mapInPandas hops — compressed bytes never shuffle, only the 5
+    scalar stat columns leave the operator."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_gif_stats,
+        encode_gif,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_gif(
+                            4 + int(d) % 16, 2 + int(d) % 8, int(d) % 97
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return decode_gif_stats(media)
+
+
 FPS, SAMPLE_EVERY = 24, 48  # 24 fps, sample every 2 seconds
 
 

@@ -264,3 +264,102 @@ def test_corrupt_png_body_yields_null_row_not_crash(spark):
     # header arm legitimately reports dimensions; 3's truncated IHDR
     # must fall through to the unknown row, not raise.
     assert hdr[3].container == "unknown" and hdr[3].width is None
+
+
+def test_gif_roundtrip_and_header():
+    """encode_gif -> decode_gif reproduces the palette-mapped gradient
+    pixel sum; the O(1) header arm agrees with the full decode."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        GIF_N_COLORS,
+        _gif_palette,
+        decode_gif,
+        encode_gif,
+        parse_gif_header,
+    )
+
+    for w, h, seed in [(4, 5, 0), (7, 6, 3), (19, 9, 96), (1, 1, 42)]:
+        pal = _gif_palette(seed)
+        expect = sum(
+            sum(pal[(seed + 7 * x + 13 * y) % GIF_N_COLORS])
+            for y in range(h)
+            for x in range(w)
+        )
+        gif = encode_gif(w, h, seed)
+        assert decode_gif(gif) == (w, h, GIF_N_COLORS, expect)
+        assert parse_gif_header(gif) == (w, h)
+
+
+def test_gif_rejects_corrupt_payloads():
+    """Every corrupt-body failure surfaces as ValueError (the
+    mapInPandas skip contract — same as the PNG arm)."""
+    import pytest as _pytest
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        parse_gif_header,
+    )
+
+    good = encode_gif(6, 4, 9)
+    with _pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    with _pytest.raises(ValueError):
+        parse_gif_header(b"GIF89")  # truncated signature
+    # every single-byte mutation and every truncation must either
+    # decode (mutation landed in slack bits) or raise ValueError —
+    # never any other exception class
+    for i in range(len(good)):
+        bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+        try:
+            decode_gif(bad)
+        except ValueError:
+            pass
+    for cut in range(len(good)):
+        try:
+            decode_gif(good[:cut])
+        except ValueError:
+            pass
+
+
+def test_gif_decode_stats_and_header_branch(spark):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        GIF_N_COLORS,
+        _gif_palette,
+        decode_gif_stats,
+        decode_media_headers,
+        encode_gif,
+    )
+
+    rows = [(1, encode_gif(5, 3, 7)), (2, b"junk"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_gif_stats(df).collect()}
+    pal = _gif_palette(7)
+    assert out[1].container == "gif" and (out[1].width, out[1].height) == (5, 3)
+    assert out[1].n_colors == GIF_N_COLORS
+    assert out[1].pixel_sum == sum(
+        sum(pal[(7 + 7 * x + 13 * y) % GIF_N_COLORS])
+        for y in range(3)
+        for x in range(5)
+    )
+    assert out[2].container == "unknown" and out[2].pixel_sum is None
+    assert out[3].container == "unknown"
+    hdr = {r.media_id: r for r in decode_media_headers(df).collect()}
+    assert (hdr[1].container, hdr[1].width, hdr[1].height) == ("gif", 5, 3)
+
+
+def test_gif_lzw_dictionary_paths():
+    """The LZW decoder's dictionary-hit paths: the deferred
+    code==next_free (cScSc) case fires on constant-color runs, and
+    long streams force code-width growth and the 4096-entry clear."""
+    import random
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    flat = bytes([3]) * 5000  # immediate cScSc + width growth
+    assert _gif_lzw_decode(_gif_lzw_encode(flat, 4), 4, 5000) == flat
+    rnd = random.Random(11)
+    noisy = bytes(rnd.randrange(16) for _ in range(60000))  # 4096 cap
+    assert _gif_lzw_decode(_gif_lzw_encode(noisy, 4), 4, 60000) == noisy

@@ -334,3 +334,49 @@ def test_png_roundtrip_property(w, h, seed):
         for c in range(3)
     )
     assert decode_png(encode_png(w, h, seed)) == (w, h, 8, 2, expect)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 300),
+)
+@settings(deadline=None, max_examples=60)
+def test_gif_roundtrip_property(w, h, seed):
+    """encode_gif -> decode_gif reproduces the analytic palette-mapped
+    pixel sum for arbitrary sizes/seeds (GIF twin of the PNG
+    round-trip property)."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        GIF_N_COLORS,
+        _gif_palette,
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = _gif_palette(seed)
+    expect = sum(
+        sum(pal[(seed + 7 * x + 13 * y) % GIF_N_COLORS])
+        for y in range(h)
+        for x in range(w)
+    )
+    assert decode_gif(encode_gif(w, h, seed)) == (
+        w, h, GIF_N_COLORS, expect,
+    )
+
+
+@given(
+    data=st.binary(min_size=1, max_size=600).map(
+        lambda b: bytes(x % 16 for x in b)
+    ),
+)
+@settings(deadline=None, max_examples=80)
+def test_gif_lzw_roundtrip_property(data):
+    """LZW encode->decode is the identity on arbitrary 16-color index
+    streams (exercises dictionary hits, the deferred cScSc case, and
+    width transitions that a fixed gradient fixture cannot)."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 4), 4, len(data)) == data

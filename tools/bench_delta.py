@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-over-round per-query bench delta.
+"""Round-over-round per-query bench delta, reps/spread-aware.
 
 Usage: python tools/bench_delta.py PREV CURR
 
@@ -8,10 +8,19 @@ PREV: a driver BENCH_r{N}.json (its ``tail`` fragment is scanned for
 committed BENCH_LOCAL_r{N}.json (full per-query dicts).
 CURR: a BENCH_LOCAL_r{N}.json.
 
-Prints a markdown table of every query visible in BOTH files with the
-time ratio, flagging >=1.5x moves in either direction. Ratios at
-sf0.1 swing ±40% run-to-run (AQE + gc) — treat single-round flags as
-re-baseline candidates, not verdicts.
+Flagging policy (r7 verdict item 8 / ADVICE r7):
+
+- When PREV carries a per-query ``spread`` envelope (bench.py
+  --reps >= 2 records [min, max] across reps), a query is flagged
+  only when CURR's median falls OUTSIDE prev's envelope widened by
+  ENVELOPE_SLACK — the box's measured noise adjudicates the drift,
+  not a fixed ratio.
+- Otherwise the coarse 1.5x ratio flag applies (sf0.1 singles swing
+  ±40% run-to-run from AQE + gc; treat single-round flags as
+  re-baseline candidates, not verdicts).
+- Artifacts with DIFFERENT recorded reps mix cold (reps=1) and warm
+  (median-of-N) measurements; the comparison still prints but every
+  flag is downgraded to informational and the header says so.
 """
 
 from __future__ import annotations
@@ -20,53 +29,84 @@ import json
 import re
 import sys
 
+ENVELOPE_SLACK = 1.15  # widen prev's [min,max] by ±15% box noise
 
-def load_timings(path: str) -> dict[str, float]:
+
+def load_artifact(path: str) -> tuple[dict[str, float], dict, int | None]:
+    """(timings, spread, reps) from any known bench artifact shape."""
     with open(path) as f:
         d = json.load(f)
     out: dict[str, float] = {}
     if "core" in d or "extended" in d:  # BENCH_LOCAL format
         out.update(d.get("core", {}))
         out.update(d.get("extended", {}))
-        return out
+        return out, d.get("spread", {}), d.get("reps")
     if isinstance(d.get("parsed"), dict):
         q = d["parsed"].get("queries")
         if isinstance(q, dict):
-            return dict(q)
+            return dict(q), {}, d["parsed"].get("reps")
     if isinstance(d.get("queries"), dict):
-        return dict(d["queries"])
+        return dict(d["queries"]), {}, d.get("reps")
     # driver tail fragment: regex out complete "name": float pairs
     tail = d.get("tail", "")
     for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail):
         name, val = m.group(1), float(m.group(2))
         if name not in ("sf", "value"):
             out[name] = val
-    return out
+    return out, {}, None
 
 
 def main() -> int:
     prev_path, curr_path = sys.argv[1], sys.argv[2]
-    prev, curr = load_timings(prev_path), load_timings(curr_path)
+    prev, prev_spread, prev_reps = load_artifact(prev_path)
+    curr, _, curr_reps = load_artifact(curr_path)
     shared = sorted(set(prev) & set(curr))
     if not shared:
         print(f"no shared queries between {prev_path} and {curr_path}")
         return 1
+    mixed = (
+        prev_reps is not None
+        and curr_reps is not None
+        and prev_reps != curr_reps
+    )
     rows, flagged = [], []
     for n in shared:
         a, b = prev[n], curr[n]
         ratio = round(b / a, 2) if a else float("inf")
-        flag = "" if 1 / 1.5 <= (ratio or 1) <= 1.5 else " ⚠"
-        if flag:
+        if n in prev_spread:
+            lo, hi = prev_spread[n]
+            inside = lo / ENVELOPE_SLACK <= b <= hi * ENVELOPE_SLACK
+            flag = "" if inside else " ⚠ outside-envelope"
+            env = f"[{lo},{hi}]"
+        else:
+            flag = "" if 1 / 1.5 <= (ratio or 1) <= 1.5 else " ⚠"
+            env = "—"
+        if flag and mixed:
+            flag = " (info: mixed reps)"
+        if flag.startswith(" ⚠"):
             flagged.append(n)
-        rows.append(f"| {n} | {a} | {b} | {ratio}{flag} |")
+        rows.append(f"| {n} | {a} | {env} | {b} | {ratio}{flag} |")
     print(f"### Bench delta: {prev_path} → {curr_path}")
+    if mixed:
+        print(
+            f"**MIXED REPS ({prev_reps} vs {curr_reps}): cold single-shot "
+            "and warm median-of-N measurements are not comparable — all "
+            "flags downgraded to informational. Re-run one side with "
+            "matching --reps to adjudicate.**"
+        )
     print(
         f"{len(shared)} shared queries; prev-total {round(sum(prev[n] for n in shared), 1)}s"
         f" → curr-total {round(sum(curr[n] for n in shared), 1)}s;"
-        f" {len(flagged)} outside 1.5x: {flagged or '—'}"
+        f" {len(flagged)} flagged: {flagged or '—'}"
+        + (
+            " (envelope rule: curr median outside prev [min,max]"
+            f"±{round((ENVELOPE_SLACK - 1) * 100)}%)"
+            if prev_spread
+            else " (coarse 1.5x rule — prev has no spread envelope)"
+        )
     )
-    print("\n| query | prev s | curr s | ratio |")
-    print("|---|---|---|---|")
+    print("\n| query | prev s | prev envelope | curr s | ratio |")
+    print("|---|---|---|---|---|")
     print("\n".join(rows))
     return 0
 

@@ -429,6 +429,123 @@ def run_graph(spark, path: str):
     return times, shuffles
 
 
+STREAM_N_FILES = 6
+
+
+def event_stream_corpus(spark, sf_dir: str, r: int, base: str) -> str:
+    """Replicate the events table r times with DISJOINT user ids
+    (event times unchanged) as STREAM_N_FILES time-ordered parquet
+    files: windows stay put while per-window state rows grow r-fold —
+    the honest scaling for watermarked streaming state. Files are
+    written in event-time order (FileStreamSource schedules by mtime)
+    so watermark advancement matches a live in-order feed."""
+    import glob
+    import os
+    import shutil as _sh
+
+    path = f"{base}/stream_x{r}"
+    os.makedirs(path, exist_ok=True)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("ts").isNotNull())
+    )
+    big = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_r"), ev["*"]
+    ).select(
+        (F.col("event_id") + F.col("_r") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("_r") * 10_000_000).alias("user_id"),
+        "event_type",
+        "ts",
+        "value",
+    )
+    bounds = big.select("ts").approxQuantile(
+        "ts", [i / STREAM_N_FILES for i in range(1, STREAM_N_FILES)], 0.001
+    )
+    lo = [None] + bounds
+    hi = bounds + [None]
+    for i in range(STREAM_N_FILES):
+        part = big
+        if lo[i] is not None:
+            part = part.filter(F.col("ts") >= lo[i])
+        if hi[i] is not None:
+            part = part.filter(F.col("ts") < hi[i])
+        tmp = f"{path}/_tmp_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+            _sh.move(f, f"{path}/{i:02d}_{j}.parquet")
+        _sh.rmtree(tmp)
+    return path
+
+
+def run_streaming(spark, path: str) -> dict[str, dict]:
+    """The stateful streaming family on the replicated event stream:
+    drain wall time, micro-batch count, MAX per-batch latency, and
+    MAX state-store rows per query (state rows and batch latency are
+    the streaming scale currencies — wall time alone hides state
+    blowups behind executor headroom)."""
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        read_event_stream,
+        running_transitions,
+        windowed_event_counts,
+    )
+
+    def drain(stream_df, mode: str) -> dict:
+        t0 = time.time()
+        q = (
+            stream_df.writeStream.format("noop")
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = round(time.time() - t0, 2)
+        import json as _json
+
+        progresses = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in (q.recentProgress or [])
+        ]
+        q.stop()
+        batches = [p for p in progresses if p.get("numInputRows", 0) > 0]
+        lat = [
+            p.get("durationMs", {}).get("triggerExecution", 0)
+            for p in batches
+        ]
+        state = [
+            s.get("numRowsTotal", 0)
+            for p in batches
+            for s in (p.get("stateOperators") or [])
+        ]
+        return {
+            "wall": wall,
+            "batches": len(batches),
+            "max_batch_ms": max(lat) if lat else 0,
+            "max_state_rows": max(state) if state else 0,
+        }
+
+    out: dict[str, dict] = {}
+    ev = read_event_stream(spark, path, max_files_per_trigger=1)
+    out["hourly_counts"] = drain(windowed_event_counts(ev), "update")
+    ev = read_event_stream(spark, path, max_files_per_trigger=1)
+    sliding = (
+        ev.withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("win"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    out["sliding_distinct"] = drain(sliding, "update")
+    ev = read_event_stream(spark, path, max_files_per_trigger=1)
+    out["transitions"] = drain(
+        running_transitions(
+            ev.select("user_id", "event_id", "ts", "event_type")
+        ),
+        "update",
+    )
+    return out
+
+
 def run_ppjoin(spark, path: str):
     """PPJoin (prefix+positional) vs the df-capped all-pairs plan,
     measured head to head on the identical capped index: wall time
@@ -549,6 +666,15 @@ def main() -> None:
             flush=True,
         )
 
+    # stateful streaming family on time-ordered replicated streams
+    stream_res: dict[int, dict[str, dict]] = {}
+    for r in REPLICAS:
+        spath = event_stream_corpus(spark, sf_dir, r, base)
+        if r == REPLICAS[0]:
+            run_streaming(spark, spath)  # JIT/stream-init warm-up
+        stream_res[r] = run_streaming(spark, spath)
+        print(f"streaming x{r}: {stream_res[r]}", flush=True)
+
     # PPJoin vs df-capped all-pairs, times + candidate counts, to x8
     pp_rs = REPLICAS + [8]
     pp: dict[int, dict[str, float | int]] = {}
@@ -655,6 +781,43 @@ def main() -> None:
             + " | ".join(f"{t}s" for t in ts)
             + f" | {ratio} | {stxt} | {sratio} | {steady} |"
         )
+    s_ops = list(stream_res[REPLICAS[0]].keys())
+    lines += [
+        "",
+        "## Stateful streaming family (time-ordered replicated stream)",
+        "",
+        "Events replicate with DISJOINT user ids and unchanged event "
+        "times, split into time-ordered files drained availableNow at "
+        "1 file/micro-batch: per-window state rows should grow "
+        "~linearly with r (state is per (window,user) / per user, "
+        "never per event) and MAX per-batch latency should track the "
+        "per-batch input, not the total stream — a super-linear "
+        "max_state_rows row means watermark eviction is broken; a "
+        "super-linear max_batch_ms means a batch is re-scanning "
+        "accumulated state.",
+        "",
+        "| query | "
+        + " | ".join(f"x{r}" for r in REPLICAS)
+        + " | state(x4)/state(x1) | maxbatch(x4)/maxbatch(x1) |",
+        "|---|" + "---|" * (len(REPLICAS) + 2),
+    ]
+    for op in s_ops:
+        cells = [
+            (
+                f"{stream_res[r][op]['wall']}s/"
+                f"{stream_res[r][op]['batches']}b/"
+                f"{stream_res[r][op]['max_batch_ms']}ms/"
+                f"{stream_res[r][op]['max_state_rows']}rows"
+            )
+            for r in REPLICAS
+        ]
+        s1 = stream_res[REPLICAS[0]][op]["max_state_rows"]
+        s4 = stream_res[REPLICAS[-1]][op]["max_state_rows"]
+        l1 = stream_res[REPLICAS[0]][op]["max_batch_ms"]
+        l4 = stream_res[REPLICAS[-1]][op]["max_batch_ms"]
+        sr = round(s4 / s1, 2) if s1 else "n/a"
+        lr = round(l4 / l1, 2) if l1 else "n/a"
+        lines.append(f"| {op} | " + " | ".join(cells) + f" | {sr} | {lr} |")
     lines += [
         "",
         "## PPJoin (prefix+positional) vs df-capped all-pairs",

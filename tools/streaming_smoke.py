@@ -1,0 +1,58 @@
+"""Streaming-family-only scale smoke (x1/x2/x4), reusing
+tools/scale_smoke.py's corpus builder and measurement protocol —
+exists so the streaming state/latency scaling can be re-measured in
+minutes without the full dedup/ANN/graph smoke.
+
+Usage: python tools/streaming_smoke.py [sf_dir]
+Prints per-query rows; does NOT rewrite SCALE.md (scale_smoke.py
+owns that file).
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+from scale_smoke import REPLICAS, event_stream_corpus, run_streaming  # noqa: E402
+
+from advisorydatapipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("streaming-smoke")
+    base = tempfile.mkdtemp(prefix="adp_ssmoke_")
+    res: dict[int, dict[str, dict]] = {}
+    for r in REPLICAS:
+        spath = event_stream_corpus(spark, sf_dir, r, base)
+        if r == REPLICAS[0]:
+            run_streaming(spark, spath)  # warm-up
+        res[r] = run_streaming(spark, spath)
+        print(f"streaming x{r}: {res[r]}", flush=True)
+    ops = list(res[REPLICAS[0]].keys())
+    print("\n| query | " + " | ".join(f"x{r}" for r in REPLICAS)
+          + " | state ratio | maxbatch ratio |")
+    print("|---|" + "---|" * (len(REPLICAS) + 2))
+    for op in ops:
+        cells = [
+            f"{res[r][op]['wall']}s/{res[r][op]['batches']}b/"
+            f"{res[r][op]['max_batch_ms']}ms/"
+            f"{res[r][op]['max_state_rows']}rows"
+            for r in REPLICAS
+        ]
+        s1 = res[REPLICAS[0]][op]["max_state_rows"]
+        s4 = res[REPLICAS[-1]][op]["max_state_rows"]
+        l1 = res[REPLICAS[0]][op]["max_batch_ms"]
+        l4 = res[REPLICAS[-1]][op]["max_batch_ms"]
+        print(
+            f"| {op} | " + " | ".join(cells)
+            + f" | {round(s4 / s1, 2) if s1 else 'n/a'}"
+            + f" | {round(l4 / l1, 2) if l1 else 'n/a'} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
