@@ -312,26 +312,28 @@ def bfs_hops(
     cheaper than a per-round barrier.
     """
     adj = edges.repartition("a").persist()
-    # node count measured once (the job also warms the adj persist):
-    # frontier and visited are both <= node count, so one scalar pins
-    # the per-hop join strategy — see _iter_side. approx + 1.1x
-    # margin, same policy as k_core_peel
-    node_bound = int(
-        adj.agg(F.approx_count_distinct("a").alias("n")).first()[0] * 1.1
-    )
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
         F.lit(0).cast("int").alias("hops"),
     )
     frontier = visited
     for h in range(1, max_hops + 1):
+        # deliberately NOT _iter_side/broadcast: unlike the other
+        # iterative ops, frontier/visited are not lineage-cut every
+        # hop (checkpoint_interval batches the cuts), and broadcasting
+        # an uncut growing plan re-executes its whole lineage as a
+        # collect job per hop, losing shuffle-stage reuse (measured
+        # A/B at x4: broadcast 391 MB / 14-20 s vs pinned
+        # shuffle_hash 258 MB / ~10 s). The shuffle_hash hint still
+        # keeps the hash-join family — the persisted adj side is
+        # never re-exchanged or sorted
         nxt = (
-            _iter_side(frontier, node_bound)
+            frontier.hint("shuffle_hash")
             .join(adj, frontier["node"] == adj["a"])
             .select(F.col("b").alias("node"))
             .distinct()
             .join(
-                _iter_side(visited.select("node"), node_bound),
+                visited.select("node").hint("shuffle_hash"),
                 "node",
                 "left_anti",
             )
@@ -389,6 +391,9 @@ def k_core_peel(
     alive_bound = int(obs0.get["nodes"] * 1.1)
     converged = False
     for i in range(1, max_rounds + 1):
+        # the degree-agg subtree appears in BOTH semi-joins of one
+        # plan; exchange reuse dedupes it (verified: persisting alive
+        # changed shuffle bytes by zero), so no cache is needed
         alive = (
             edges.groupBy("a")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
