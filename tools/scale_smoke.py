@@ -458,17 +458,26 @@ def event_stream_corpus(spark, sf_dir: str, r: int, base: str) -> str:
         "ts",
         "value",
     )
-    bounds = big.select("ts").approxQuantile(
-        "ts", [i / STREAM_N_FILES for i in range(1, STREAM_N_FILES)], 0.001
+    # approxQuantile does not support TIMESTAMP/TIMESTAMP_NTZ columns
+    # (the physical type of events.ts since driver round 2), so the
+    # time-split bounds are computed on an epoch-seconds long view and
+    # the per-file filters compare the same cast — ordering identical.
+    # (TIMESTAMP_NTZ has no direct long cast; TIMESTAMP does)
+    big = big.withColumn(
+        "_ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    bounds = big.select("_ts_s").approxQuantile(
+        "_ts_s", [i / STREAM_N_FILES for i in range(1, STREAM_N_FILES)], 0.001
     )
     lo = [None] + bounds
     hi = bounds + [None]
     for i in range(STREAM_N_FILES):
         part = big
         if lo[i] is not None:
-            part = part.filter(F.col("ts") >= lo[i])
+            part = part.filter(F.col("_ts_s") >= lo[i])
         if hi[i] is not None:
-            part = part.filter(F.col("ts") < hi[i])
+            part = part.filter(F.col("_ts_s") < hi[i])
+        part = part.drop("_ts_s")
         tmp = f"{path}/_tmp_{i}"
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
         for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
