@@ -721,6 +721,12 @@ def decode_media_headers(media_df: DataFrame) -> DataFrame:
     row (``container = 'unknown'``) instead of raising, so one bad
     object can't kill a 100 TB scan.
 
+    The PNG/GIF arms are HEADER-ONLY: a well-formed header yields
+    its container tag and dimensions without validating the pixel
+    stream, so ``container = 'png'`` does not imply the body is
+    decodable — use ``decode_png_stats`` / ``decode_gif_stats`` for
+    that guarantee.
+
     mapInPandas, narrow, Arrow-batched: payload bytes never shuffle.
     """
     schema = (
