@@ -64,11 +64,10 @@ def main() -> int:
     if not shared:
         print(f"no shared queries between {prev_path} and {curr_path}")
         return 1
-    mixed = (
-        prev_reps is not None
-        and curr_reps is not None
-        and prev_reps != curr_reps
-    )
+    # artifacts predating the --reps flag (no "reps" key) are single
+    # cold shots — treat absent as 1 so the cold-vs-warm downgrade
+    # fires against them too
+    mixed = (prev_reps or 1) != (curr_reps or 1)
     rows, flagged = [], []
     for n in shared:
         a, b = prev[n], curr[n]
@@ -89,7 +88,7 @@ def main() -> int:
     print(f"### Bench delta: {prev_path} → {curr_path}")
     if mixed:
         print(
-            f"**MIXED REPS ({prev_reps} vs {curr_reps}): cold single-shot "
+            f"**MIXED REPS ({prev_reps or 1} vs {curr_reps or 1}): cold single-shot "
             "and warm median-of-N measurements are not comparable — all "
             "flags downgraded to informational. Re-run one side with "
             "matching --reps to adjudicate.**"
