@@ -158,12 +158,32 @@ def connected_components(
             _iter_side(labels.withColumnRenamed("node", "b"), n_nodes),
             "b",
         ).select(F.col("a").alias("node"), "label")
-        merged = (
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        obs = Observation(f"cc_witness_{i}")
+        # lineage cut + witness land on MERGED, before the jump: the
+        # hop joins broadcast a merged-derived map, and broadcasting
+        # an unmaterialized mid-plan executes it as a separate
+        # collect job while the main job recomputes it for the left
+        # side — the round paid the edge join + agg TWICE (measured
+        # on the worst consumer, dbscan's percolation graph at
+        # sf0.1: 9.0-11.1s; cutting merged first: 7.3-7.5s,
+        # identical labels). Witness-on-merged stops one round later
+        # than witness-on-jumped (merged lags the jump) but remains
+        # exact: merged_i <= labels_{i-1} <= merged_{i-1} pointwise,
+        # so a stable sum means a stable merged, and then the jump
+        # (a pure function of merged) is a no-op too.
+        merged = _cut_lineage(
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .observe(obs, witness),
+            reliable,
         )
         # pointer jump against the STATIC per-round map, jump_hops
         # times (computed once, reused by every hop join) — see the
-        # docstring for the measured hops/rounds/time trade-off
+        # docstring for the measured hops/rounds/time trade-off.
+        # jumped stays a LAZY 1-join-deep plan over the merged cut:
+        # a second per-round materialization measurably costs more
+        # than re-running the broadcast hop join where it's consumed
         hop = merged.select(
             F.col("node").alias("label"), F.col("label").alias("_l2")
         )
@@ -175,8 +195,7 @@ def connected_components(
                     F.col("label"), F.coalesce("_l2", "label")
                 ).alias("label"),
             )
-        obs = Observation(f"cc_witness_{i}")
-        labels = _cut_lineage(jumped.observe(obs, witness), reliable)
+        labels = jumped
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
             converged = True
