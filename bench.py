@@ -325,6 +325,20 @@ def main() -> None:
     local_path = os.path.join(
         repo_dir, f"BENCH_LOCAL_r{local['round']:02d}.json"
     )
+    # never clobber a HIGHER-reps artifact with a lower-reps run: the
+    # committed median+spread record is the round's drift-adjudication
+    # evidence, and the driver's own per-round invocation defaults to
+    # reps=1 — that run lands in a reps-suffixed side file instead
+    try:
+        with open(local_path) as f:
+            existing_reps = json.load(f).get("reps", 1) or 1
+    except (OSError, ValueError):
+        existing_reps = 0
+    if existing_reps > reps:
+        local_path = os.path.join(
+            repo_dir,
+            f"BENCH_LOCAL_r{local['round']:02d}_reps{reps}.json",
+        )
     with open(local_path, "w") as f:
         json.dump(local, f, indent=1, sort_keys=False)
         f.write("\n")
