@@ -178,6 +178,7 @@ EXTENDED = [
     "shuffle_skew_whatif",
     "media_decode_stats",
     "png_decode_stats",
+    "gif_decode_stats",
     "bpe_encode_tokens",
     "join_cardinality_whatif",
     "cdc_chunk_stats",
