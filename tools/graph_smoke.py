@@ -4,7 +4,7 @@ same measurement protocol. Exists so the broadcast-pin policy in
 operators/graph.py (GRAPH_BROADCAST_MAX_ROWS / _iter_side) can be
 re-measured in minutes without paying the full dedup/ANN smoke.
 
-Usage: python tools/graph_smoke.py [sf_dir] [--x8]
+Usage: python tools/graph_smoke.py [sf_dir] [--x8] [--x16]
 Prints per-op markdown rows; does NOT rewrite SCALE.md (the full
 scale_smoke.py owns that file).
 """
@@ -23,9 +23,13 @@ from advisorydatapipeline_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--x8"]
+    argv = [a for a in sys.argv[1:] if a not in ("--x8", "--x16")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
-    reps = [1, 2, 4] + ([8] if "--x8" in sys.argv else [])
+    reps = (
+        [1, 2, 4]
+        + ([8] if "--x8" in sys.argv else [])
+        + ([16] if "--x16" in sys.argv else [])
+    )
     spark = get_spark(
         "graph-smoke", extra_conf={"spark.ui.enabled": "true"}
     )
