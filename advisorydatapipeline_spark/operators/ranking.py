@@ -265,7 +265,18 @@ def bm25_maxscore_topk(
         .filter(F.col("ub") >= F.col("theta"))
         .select(id_col, "fscore", "n_terms")
     )
-    cand = phase1.select(id_col, "fscore", "n_terms").union(phase2)
+    # cand is consumed twice — the n_scored audit broadcast (a
+    # separate collect job) and the final ranking — and its plan
+    # joins several subtrees over the persisted bases; without a
+    # persist the whole admitted-set derivation runs twice (measured
+    # sf0.1 solo, interleaved A/B x3: 5.5-5.6s -> 4.0-4.1s). The
+    # admitted set is small BY THE ALGORITHM'S DESIGN (top-term
+    # postings + bound survivors — the pruning exists to keep it far
+    # under |docs matching any term|), so the cache is bounded at any
+    # corpus scale.
+    cand = (
+        phase1.select(id_col, "fscore", "n_terms").union(phase2).persist()
+    )
     n_matched = full.agg(
         F.count(F.lit(1)).cast("long").alias("n_matched")
     )
