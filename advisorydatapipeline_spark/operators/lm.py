@@ -1,0 +1,198 @@
+"""Interpolated n-gram language-model perplexity scoring
+(beyond-reference; north-star text analysis).
+
+The standard LLM-corpus quality filter (CCNet / Gopher / RedPajama
+style): train a word-level n-gram LM on the corpus, score each
+document by its cross-entropy under that model, and gate on the
+score — gibberish and wrong-charset text scores high surprisal,
+boilerplate scores low. This module trains and applies the model in
+ONE distributed plan: a Jelinek-Mercer-interpolated trigram model
+
+    p(w3 | w1 w2) = 0.5 * C(w1w2w3)/C(w1w2)      (trigram ML)
+                  + 0.3 * C(w2w3)/C(w2)          (bigram backoff)
+                  + 0.2 * C(w3)/N                (unigram backoff)
+
+with counts taken from the corpus being scored, so every n-gram in a
+document has nonzero ML probability and no smoothing floor is needed.
+
+Oracle-exactness (the reason for the integer staging): each ML
+component is quantized ONCE per distinct trigram type to integer
+parts-per-billion via BIGINT ``DIV`` (``(C_num * 1e9) DIV C_den``),
+the interpolation is exact integer arithmetic
+(``(5*p3 + 3*p2 + 2*p1) DIV 10``), and only then does a single
+``floor(1e6 * ln(1e9 / p_ppb))`` convert the rational probability to
+integer micro-nats — the same discipline as
+``char_unigram_surprisal`` (queries/text_analysis.py), so every
+per-document sum is exact BIGINT arithmetic that DuckDB replays
+bit-identically. Perplexity = exp(mean_surprisal_micro / 1e6); the
+exp is left to the consumer to keep the gated columns integral.
+
+Scale design (100 TB):
+- Trigrams are built by a map-side ``transform`` over each doc's own
+  token array — no window, no per-doc shuffle. The only shuffles are
+  hash partial-aggregations on n-gram keys (<= 3 small string cols;
+  document text never moves) and the score join on the trigram key.
+- The scored-trigram table is corpus-sized (distinct trigram types),
+  so the apply join is a shuffle hash join on (w1,w2,w3) — NOT a
+  broadcast. Unigram/bigram denominators join the trigram table on
+  term keys the same way; N joins as a broadcast 1-row aggregate.
+- The tokenized corpus is persisted once and read by the four count
+  branches + the final doc rollup within the single materializing
+  action (registry cache contract, registry.py:12).
+- ppb quantization bounds: ``C * 1e9`` overflows BIGINT at
+  C > ~9.2e9 token occurrences for one n-gram type; a 100 TB corpus
+  needs the scale dropped to 1e6 (ppm) or counts pre-bucketed. The
+  interpolation weights and plan shape are unchanged by the scale
+  constant.
+
+Reference twin: none — the reference (Idanconley123/advisoryDataPipeline)
+has no text-statistics code; this is north-star LLM-pipeline surface
+(SURVEY.md §2 beyond-reference block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.functions.text import tokens
+
+PPB = 1_000_000_000  # probability quantum: parts-per-billion
+MICRO = 1_000_000  # surprisal quantum: micro-nats
+
+# Jelinek-Mercer interpolation weights (tri, bi, uni) in tenths:
+# exact integer mix  (5*p3 + 3*p2 + 2*p1) DIV 10.
+LAMBDA_TENTHS = (5, 3, 2)
+
+
+def _ngram_rows(tk: DataFrame, n: int, names: tuple[str, ...]) -> DataFrame:
+    """Explode each doc's token array into its order-n n-grams.
+
+    Pure map-side (``transform`` over the array index range) — the
+    per-doc sliding window never becomes a window function or a
+    shuffle. Docs shorter than ``n`` tokens contribute nothing.
+    """
+    fields = ", ".join(
+        f"tk[i+{j}] AS {name}" for j, name in enumerate(names)
+    )
+    grams = F.expr(
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(0, size(tk)-{n}), i -> struct({fields})) "
+        f"ELSE array() END"
+    )
+    return tk.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.*"
+    )
+
+
+def ngram_lm_doc_scores(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document interpolated-trigram-LM surprisal, integer-exact.
+
+    Returns one row per input document:
+      doc_id, n_tokens, n_trigrams,
+      surprisal_micro       (sum of per-occurrence micro-nats),
+      mean_surprisal_micro  (integer DIV; log-perplexity in micro-nats;
+                             NULL when the doc has < 3 tokens).
+    """
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
+    )
+    # Read by 4 count branches + the final rollup in one action.
+    tk = tk.persist()
+
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").cast("long").alias("n"))
+    bi = _ngram_rows(tk, 2, ("w1", "w2")).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    tri_doc = (
+        _ngram_rows(tk, 3, ("w1", "w2", "w3"))
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # Doc-trigram counts feed both the corpus trigram table and the
+    # apply join below.
+    tri_doc = tri_doc.persist()
+    tri = tri_doc.groupBy("w1", "w2", "w3").agg(
+        F.sum("cnt").cast("long").alias("ct")
+    )
+
+    # Score each distinct trigram TYPE once: integer-ppb components,
+    # integer interpolation, one float ln at the very end.
+    sc = (
+        tri.join(
+            bi.select(
+                F.col("w1"), F.col("w2"), F.col("cb").alias("cb12")
+            ),
+            ["w1", "w2"],
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("cb").alias("cb23"),
+            ),
+            ["w2", "w3"],
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")),
+            "w2",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("cu").alias("cu3")),
+            "w3",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.expr(
+                f"CAST((({LAMBDA_TENTHS[0]} * ((ct * {PPB}) DIV cb12)"
+                f" + {LAMBDA_TENTHS[1]} * ((cb23 * {PPB}) DIV cu2)"
+                f" + {LAMBDA_TENTHS[2]} * ((cu3 * {PPB}) DIV n))"
+                f" DIV 10) AS BIGINT)"
+            ).alias("p_ppb"),
+        )
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.floor(
+                MICRO * F.log(F.lit(float(PPB)) / F.col("p_ppb"))
+            ).cast("long").alias("s_micro"),
+        )
+    )
+
+    agg = (
+        tri_doc.join(sc, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_trigrams"),
+            F.sum(F.col("cnt") * F.col("s_micro")).cast("long").alias(
+                "surprisal_micro"
+            ),
+            F.expr(
+                "CAST(sum(cnt * s_micro) DIV sum(cnt) AS BIGINT)"
+            ).alias("mean_surprisal_micro"),
+        )
+    )
+    return (
+        tk.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_trigrams"), F.lit(0).cast("long")).alias(
+                "n_trigrams"
+            ),
+            "surprisal_micro",
+            "mean_surprisal_micro",
+        )
+    )

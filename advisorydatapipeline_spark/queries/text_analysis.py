@@ -22,6 +22,7 @@ from advisorydatapipeline_spark.queries.dedup_queries import (
     DUCK_HASH64,
     DUCK_TOKENS,
 )
+from advisorydatapipeline_spark.operators.lm import ngram_lm_doc_scores
 from advisorydatapipeline_spark.queries.helpers import load
 from advisorydatapipeline_spark.registry import query
 
@@ -1291,3 +1292,78 @@ def heaps_vocab_growth(spark, sf_dir):
             F.col("k").alias("n_docs"), "doc_id", "vocab", "tokens_seen"
         )
     )
+
+
+# --- interpolated n-gram LM perplexity (the standard corpus filter) --
+
+
+@query(
+    "lm_perplexity_scores",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {_T} AS tk FROM documents
+),
+tri_doc AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tk, unnest(generate_series(1, len(tk)-2)) AS u(i)
+  WHERE len(tk) >= 3
+  GROUP BY 1, 2, 3, 4
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w
+),
+tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT tk[i] AS w1, tk[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
+  FROM tk, unnest(generate_series(1, len(tk)-1)) AS u(i)
+  WHERE len(tk) >= 2
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT w1, w2, w3, CAST(sum(cnt) AS BIGINT) AS ct
+  FROM tri_doc GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT t.w1, t.w2, t.w3,
+         CAST(floor(1000000 * ln(1000000000.0 / (
+           (5 * ((t.ct * 1000000000) // b12.cb)
+            + 3 * ((b23.cb * 1000000000) // u2.cu)
+            + 2 * ((u3.cu * 1000000000) // (SELECT n FROM tot)))
+           // 10
+         ))) AS BIGINT) AS s_micro
+  FROM tri t
+  JOIN bi b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+  JOIN bi b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+  JOIN uni u2 ON u2.w = t.w2
+  JOIN uni u3 ON u3.w = t.w3
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(sum(d.cnt) AS BIGINT) AS n_trigrams,
+         CAST(sum(d.cnt * s.s_micro) AS BIGINT) AS surprisal_micro,
+         CAST(sum(d.cnt * s.s_micro) // sum(d.cnt) AS BIGINT)
+           AS mean_surprisal_micro
+  FROM tri_doc d
+  JOIN sc s ON s.w1 = d.w1 AND s.w2 = d.w2 AND s.w3 = d.w3
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_trigrams, 0) AS n_trigrams,
+       a.surprisal_micro,
+       a.mean_surprisal_micro
+FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+)
+def lm_perplexity_scores(spark, sf_dir):
+    """Per-document perplexity under a corpus-trained interpolated
+    trigram LM (Jelinek-Mercer 0.5/0.3/0.2) — the standard LLM-corpus
+    quality filter (CCNet-style). Trains and applies in one plan;
+    integer-ppb probabilities + micro-nat surprisal make every doc sum
+    exact BIGINT arithmetic (operators/lm.py for the full scale note).
+    mean_surprisal_micro is log-perplexity in micro-nats
+    (ppl = exp(mean/1e6)); NULL for docs with < 3 tokens.
+    """
+    return ngram_lm_doc_scores(load(spark, sf_dir, "documents"))

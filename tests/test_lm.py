@@ -1,0 +1,105 @@
+"""Interpolated n-gram LM perplexity scorer (operators/lm.py).
+
+Checks the integer-exact spec against a pure-Python reference model
+on a hand-sized corpus, plus the short-doc and ordering contracts.
+The full-corpus value gate is the registry entry
+``lm_perplexity_scores`` (tests/test_full_registry_gate.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from advisorydatapipeline_spark.operators.lm import (
+    LAMBDA_TENTHS,
+    MICRO,
+    PPB,
+    ngram_lm_doc_scores,
+)
+
+DOCS = [
+    (1, "a b c a b c"),
+    (2, "x y"),  # < 3 tokens: no trigrams
+    (3, ""),  # empty text
+    (4, "the quick brown fox jumps over the lazy dog"),
+    (5, "the the the the the"),  # repetitive: low surprisal
+]
+
+
+def _tok(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _reference_scores(docs):
+    """Same integer spec as operators/lm.py, in plain Python."""
+    toks = {i: _tok(t) for i, t in docs}
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    tri: Counter = Counter()
+    tri_doc: dict[int, Counter] = {}
+    for i, ws in toks.items():
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        tri_doc[i] = Counter(zip(ws, ws[1:], ws[2:]))
+        tri.update(tri_doc[i])
+    n = sum(uni.values())
+    l3, l2, l1 = LAMBDA_TENTHS
+
+    def s_micro(g):
+        w1, w2, w3 = g
+        p3 = (tri[g] * PPB) // bi[(w1, w2)]
+        p2 = (bi[(w2, w3)] * PPB) // uni[w2]
+        p1 = (uni[w3] * PPB) // n
+        p_ppb = (l3 * p3 + l2 * p2 + l1 * p1) // 10
+        return math.floor(MICRO * math.log(float(PPB) / p_ppb))
+
+    out = {}
+    for i, ws in toks.items():
+        grams = tri_doc[i]
+        n_tri = sum(grams.values())
+        if n_tri:
+            tot = sum(c * s_micro(g) for g, c in grams.items())
+            out[i] = (len(ws), n_tri, tot, tot // n_tri)
+        else:
+            out[i] = (len(ws), 0, None, None)
+    return out
+
+
+def test_matches_reference_model(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_trigrams"],
+            r["surprisal_micro"],
+            r["mean_surprisal_micro"],
+        )
+        for r in ngram_lm_doc_scores(df).collect()
+    }
+    assert got == _reference_scores(DOCS)
+
+
+def test_short_and_empty_docs_present_with_null_scores(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in ngram_lm_doc_scores(df).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for short_id in (2, 3):
+        r = rows[short_id]
+        assert r["n_trigrams"] == 0
+        assert r["surprisal_micro"] is None
+        assert r["mean_surprisal_micro"] is None
+
+
+def test_rare_continuation_scores_above_frequent(spark):
+    # Three docs establish (u,v) -> w as the dominant continuation;
+    # the outlier continues (u,v) with q. Under the interpolated model
+    # the outlier doc must score strictly higher mean surprisal.
+    corpus = [(i, "u v w u v w u v w") for i in (1, 2, 3)]
+    corpus.append((9, "u v q"))
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in ngram_lm_doc_scores(df).collect()}
+    assert (
+        rows[9]["mean_surprisal_micro"] > rows[1]["mean_surprisal_micro"]
+    )
