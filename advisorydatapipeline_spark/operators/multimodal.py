@@ -713,6 +713,148 @@ def decode_gif_stats(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(op, schema)
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+_JPEG_SOF_PROGRESSIVE = (0xC2, 0xC6, 0xCA, 0xCE)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+) -> bytes:
+    """Structurally valid JPEG marker stream (SOI / APP0-JFIF / DQT /
+    SOFn / DHT / SOS + non-0xFF filler entropy bytes + EOI), pure
+    Python from the public JFIF/ITU-T.81 segment layout. Only the
+    marker/segment FRAMING is meaningful — the entropy data is a
+    fixed filler, so this is a fixture for the header arm, not a
+    decodable image (JPEG pixel decode stays lib-bound,
+    operators/multimodal.py decode_media)."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+        )
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0]) + bytes((3 + 7 * i) % 255 + 1 for i in range(64)))
+    sof_body = (
+        bytes([8])
+        + int(height).to_bytes(2, "big")
+        + int(width).to_bytes(2, "big")
+        + bytes([n_components])
+        + b"".join(bytes([c + 1, 0x11, 0]) for c in range(n_components))
+    )
+    sof = seg(0xC2 if progressive else 0xC0, sof_body)
+    dht = seg(0xC4, bytes([0x00]) + bytes(16))
+    sos_body = (
+        bytes([n_components])
+        + b"".join(bytes([c + 1, 0]) for c in range(n_components))
+        + bytes([0, 63, 0])
+    )
+    sos = seg(0xDA, sos_body)
+    entropy = bytes([0x5A]) * 64
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+def parse_jpeg_header(payload: bytes) -> tuple[int, int, int, bool]:
+    """(width, height, n_components, progressive) from a JPEG's SOF
+    frame header — the O(1)-per-segment header arm (JPEG twin of
+    :func:`parse_png_header`): a marker-segment scan from SOI to the
+    first SOFn marker (SOF0..SOF15 minus DHT/JPG/DAC), reading the
+    ITU-T.81 frame header (precision, lines, samples/line,
+    components). The scan never enters entropy-coded data: a legal
+    stream puts SOF before SOS, so hitting SOS or EOI first means no
+    frame header exists. Raises ValueError on anything that is not a
+    JPEG with a well-formed SOF — same skip-path contract as the
+    PNG/GIF arms, so one bad object can't kill a 100 TB scan."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG truncated before SOF marker")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        pos += 1
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1  # spec-legal 0xFF fill bytes before the marker
+        if pos >= len(payload):
+            raise ValueError("JPEG truncated in marker")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone marker: no length field
+        if marker in (0x00, 0xD8):
+            raise ValueError("JPEG marker desync")
+        if marker in (0xD9, 0xDA):
+            raise ValueError("JPEG has no SOF before SOS/EOI")
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG truncated in segment length")
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("JPEG segment overruns payload")
+        if marker in _JPEG_SOF_MARKERS:
+            if seg_len < 8:
+                raise ValueError("JPEG SOF segment too short")
+            height = int.from_bytes(payload[pos + 3 : pos + 5], "big")
+            width = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            ncomp = payload[pos + 7]
+            if seg_len != 8 + 3 * ncomp:
+                raise ValueError("JPEG SOF length/component mismatch")
+            if not (height and width and ncomp):
+                raise ValueError("JPEG SOF declares empty frame")
+            return width, height, ncomp, marker in _JPEG_SOF_PROGRESSIVE
+        pos += seg_len
+
+
+def decode_jpeg_header_stats(media_df: DataFrame) -> DataFrame:
+    """Per-payload JPEG frame-header stats via
+    :func:`parse_jpeg_header`. Non-JPEG / corrupt payloads yield a
+    NULL row (``container = 'unknown'``) instead of raising.
+
+    mapInPandas, narrow, Arrow-batched: payload bytes never shuffle —
+    only 7 scalar columns leave the operator."""
+    schema = (
+        "media_id long, container string, width int, height int, "
+        "n_components int, progressive boolean, byte_len long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"]) if row["payload"] is not None else b""
+                rec = {
+                    "media_id": row["media_id"],
+                    "container": "unknown",
+                    "width": None,
+                    "height": None,
+                    "n_components": None,
+                    "progressive": None,
+                    "byte_len": len(b),
+                }
+                try:
+                    w, h, nc, prog = parse_jpeg_header(b)
+                    rec.update(
+                        container="jpeg",
+                        width=w,
+                        height=h,
+                        n_components=nc,
+                        progressive=prog,
+                    )
+                except ValueError:
+                    pass
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(op, schema)
+
+
 def decode_media_headers(media_df: DataFrame) -> DataFrame:
     """REAL media decode for codec-free container formats (round-5
     upgrade of the all-stub arm): BMP and PCM-WAV headers are fixed
@@ -721,11 +863,12 @@ def decode_media_headers(media_df: DataFrame) -> DataFrame:
     row (``container = 'unknown'``) instead of raising, so one bad
     object can't kill a 100 TB scan.
 
-    The PNG/GIF arms are HEADER-ONLY: a well-formed header yields
-    its container tag and dimensions without validating the pixel
-    stream, so ``container = 'png'`` does not imply the body is
+    The PNG/GIF/JPEG arms are HEADER-ONLY: a well-formed header
+    yields its container tag and dimensions without validating the
+    pixel stream, so ``container = 'png'`` does not imply the body is
     decodable — use ``decode_png_stats`` / ``decode_gif_stats`` for
-    that guarantee.
+    that guarantee (JPEG has no full-decode twin: pixel decode is
+    lib-bound, see :func:`decode_media`).
 
     mapInPandas, narrow, Arrow-batched: payload bytes never shuffle.
     """
@@ -768,6 +911,10 @@ def decode_media_headers(media_df: DataFrame) -> DataFrame:
                         # is decode_gif_stats' job
                         w, h = parse_gif_header(b)
                         rec.update(container="gif", width=w, height=h)
+                    elif b[:2] == b"\xff\xd8":
+                        # marker-segment scan to the SOF frame header
+                        w, h, _nc, _prog = parse_jpeg_header(b)
+                        rec.update(container="jpeg", width=w, height=h)
                 except ValueError:
                     pass
                 out.append(rec)

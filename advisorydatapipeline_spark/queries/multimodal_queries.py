@@ -473,6 +473,63 @@ def gif_decode_stats(spark, sf_dir):
     return decode_gif_stats(media)
 
 
+@query(
+    "jpeg_header_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       'jpeg' AS container,
+       CAST(16 + doc_id % 240 AS INTEGER) AS width,
+       CAST(16 + doc_id % 120 AS INTEGER) AS height,
+       CAST(1 + 2 * (doc_id % 2) AS INTEGER) AS n_components,
+       (doc_id % 3 = 0) AS progressive,
+       CAST(194 + 5 * (1 + 2 * (doc_id % 2)) AS BIGINT) AS byte_len
+FROM documents
+""",
+)
+def jpeg_header_stats(spark, sf_dir):
+    """REAL JPEG frame-header decode, value-gated (round-9 close of
+    the last stdlib-feasible header arm): each document becomes a
+    structurally valid JPEG marker stream — SOI/APP0/DQT/SOFn/DHT/SOS
+    segments with doc_id-derived dimensions, component count
+    (grayscale vs YCbCr), and baseline-vs-progressive SOF marker —
+    then ``decode_jpeg_header_stats`` marker-scans to the SOF and
+    reads the ITU-T.81 frame header. The oracle recomputes every
+    column (including total byte length, which pins the segment
+    framing arithmetic) from doc_id, so a wrong length field, marker
+    code, or offset is a value mismatch. Pixel decode stays
+    lib-bound (``decode_media``) — this closes the header-only
+    contract of ``decode_media_headers`` for BMP/WAV/PNG/GIF/JPEG.
+
+    Scale shape: encode and decode are narrow Arrow-batched
+    mapInPandas hops — payload bytes never shuffle, only the 7
+    scalar stat columns leave the operator."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_jpeg_header_stats,
+        encode_jpeg,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg(
+                            16 + int(d) % 240,
+                            16 + int(d) % 120,
+                            1 + 2 * (int(d) % 2),
+                            int(d) % 3 == 0,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return decode_jpeg_header_stats(media)
+
+
 FPS, SAMPLE_EVERY = 24, 48  # 24 fps, sample every 2 seconds
 
 

@@ -363,3 +363,65 @@ def test_gif_lzw_dictionary_paths():
     rnd = random.Random(11)
     noisy = bytes(rnd.randrange(16) for _ in range(60000))  # 4096 cap
     assert _gif_lzw_decode(_gif_lzw_encode(noisy, 4), 4, 60000) == noisy
+
+
+def test_jpeg_rejects_corrupt_payloads():
+    """Every corrupt-payload failure surfaces as ValueError (the
+    mapInPandas skip contract — same fuzz as the PNG/GIF arms)."""
+    import pytest as _pytest
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg_header,
+    )
+
+    good = encode_jpeg(6, 4, 3)
+    with _pytest.raises(ValueError):
+        parse_jpeg_header(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        parse_jpeg_header(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+    # every single-byte mutation and every truncation must either
+    # decode or raise ValueError — never any other exception class
+    for i in range(len(good)):
+        bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+        try:
+            parse_jpeg_header(bad)
+        except ValueError:
+            pass
+    for cut in range(len(good)):
+        try:
+            parse_jpeg_header(good[:cut])
+        except ValueError:
+            pass
+
+
+def test_jpeg_header_stats_and_header_branch(spark):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_jpeg_header_stats,
+        decode_media_headers,
+        encode_jpeg,
+        parse_jpeg_header,
+    )
+
+    # baseline color, progressive grayscale, junk, NULL
+    rows = [
+        (1, encode_jpeg(320, 200, 3, False)),
+        (2, encode_jpeg(64, 48, 1, True)),
+        (3, b"junk"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_jpeg_header_stats(df).collect()}
+    assert (out[1].container, out[1].width, out[1].height) == ("jpeg", 320, 200)
+    assert (out[1].n_components, out[1].progressive) == (3, False)
+    assert (out[2].n_components, out[2].progressive) == (1, True)
+    assert out[3].container == "unknown" and out[3].width is None
+    assert out[4].container == "unknown" and out[4].byte_len == 0
+
+    hdr = {r.media_id: r for r in decode_media_headers(df).collect()}
+    assert (hdr[1].container, hdr[1].width, hdr[1].height) == ("jpeg", 320, 200)
+    assert hdr[3].container == "unknown"
+
+    # fill bytes before a marker are spec-legal: inject 0xFF padding
+    padded = b"\xff\xd8" + b"\xff" + encode_jpeg(10, 20, 1)[2:]
+    assert parse_jpeg_header(padded) == (10, 20, 1, False)
