@@ -1148,3 +1148,142 @@ def dbscan_chebyshev(pts: DataFrame, eps: int, mp: DataFrame) -> DataFrame:
         )
         .select(F.col("id").alias("point_id"), "role", "cluster_id")
     )
+
+
+# --- SemDeDup: cluster-blocked semantic dedup with keep-one ----------
+
+
+def lloyd_refined_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """One Lloyd refinement of the seed centroids, kept in EXACT
+    integer space: each refined dimension is ``floor(qsum / n)`` of
+    the members' quantized values, so the refined centroid is a
+    BIGINT vector both engines reproduce bit-identically (a float
+    mean would drift with summation order across partitionings).
+    Returns (centroid_id, kq: array<long>)."""
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    per_dim = assigned.select(
+        centroid_id_col, F.posexplode(quantize(vec_col)).alias("pos", "qv")
+    )
+    dims = per_dim.groupBy(centroid_id_col, "pos").agg(
+        # floor (not DIV): Spark DIV truncates toward zero but DuckDB
+        # // floors, and qsum can be negative — floor(double div) is
+        # the one form both engines agree on (exact here: |qsum| and
+        # n are far inside 2^53)
+        F.floor(F.sum("qv").cast("double") / F.count("*")).cast("long")
+        .alias("qc")
+    )
+    return dims.groupBy(centroid_id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "qc"))),
+            lambda s: s["qc"],
+        ).alias("kq")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 style): k-means-cluster the
+    embedding space, call same-cluster pairs with cosine >= tau
+    semantic duplicates, and keep ONE representative per duplicate
+    group — the greedy min-id rule (drop x iff some same-cluster
+    duplicate y has y.id < x.id), which keeps exactly one doc per
+    duplicate chain without a connected-components pass.
+
+    Composes the existing pieces: ivf_assign seeding ->
+    lloyd_refined_centroids -> per-cluster blocked pair join (the
+    same cluster-then-pair bound as embedding_near_dupes: the pair
+    count is sum over clusters of |c|^2/2, never corpus^2/2) ->
+    integer-exact threshold. The cosine test is evaluated WITHOUT
+    floats: cos(a,b) >= num/den  <=>  dot > 0 AND
+    den^2*dot^2 >= num^2*|a|^2*|b|^2 — all BIGINT (64-dim quantized
+    vectors keep den^2*dot^2 < 2^53), so the dup set is replayable.
+
+    Returns (vec_id, centroid_id, n_dup_neighbors, kept).
+
+    Scale (100 TB): centroids broadcast twice (seed + refined); the
+    only wide ops are the (centroid,pos) partial agg, the two top-1
+    assignments, and the bucket equi-join — vectors shuffle once on
+    centroid_id. Skewed clusters bound the pair blow-up at |c|^2; a
+    production run splits oversized clusters (recurse the same plan)
+    rather than widening the join.
+    """
+    ref = lloyd_refined_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    ).select(
+        centroid_id_col, "kq", norm_sq_q(F.col("kq")).alias("kn")
+    )
+    c = corpus.select(
+        F.col(id_col), quantize(vec_col).alias("vq"),
+        norm_sq_q(quantize(vec_col)).alias("vn"),
+    )
+    scored = c.crossJoin(F.broadcast(ref)).withColumn(
+        "dist_sq",
+        F.col("vn") + F.col("kn") - 2 * dot_q(F.col("vq"), F.col("kq")),
+    )
+    assigned = top_k_per_key(
+        scored, [id_col],
+        [F.col("dist_sq").asc(), F.col(centroid_id_col).asc()], k=1,
+    ).select(id_col, centroid_id_col, "vq", "vn")
+
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(centroid_id_col),
+        F.col("vq").alias("aq"), F.col("vn").alias("an"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(centroid_id_col),
+        F.col("vq").alias("bq"), F.col("vn").alias("bn"),
+    )
+    d = dot_q(F.col("aq"), F.col("bq"))
+    pairs = (
+        a.join(b, centroid_id_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("d", d)
+        .filter(
+            (F.col("d") > 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("d") * F.col("d")
+                >= F.lit(tau_num * tau_num) * F.col("an") * F.col("bn")
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    both = pairs.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("other")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("other"))
+    )
+    nbrs = both.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
+        F.min("other").alias("mn"),
+    )
+    return (
+        assigned.select(id_col, centroid_id_col)
+        .join(nbrs, id_col, "left")
+        .select(
+            id_col,
+            centroid_id_col,
+            F.coalesce(F.col("n_dup_neighbors"), F.lit(0).cast("long"))
+            .alias("n_dup_neighbors"),
+            (F.col("mn").isNull() | (F.col("mn") > F.col(id_col)))
+            .alias("kept"),
+        )
+    )

@@ -1684,3 +1684,102 @@ def dbscan_grid_clusters(spark, sf_dir):
     )
 
     return dbscan_chebyshev(pts, DB_EPS, mp)
+
+
+# --- SemDeDup: semantic dedup with keep-one representative ----------
+
+SEM_TAU_NUM, SEM_TAU_DEN = 2, 5  # cosine threshold 0.4, exact rational
+
+_SEMDEDUP_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, {_DUCK_Q} AS q, {_DUCK_QD} AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, {_DUCK_QD} AS v FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+seed_assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cent.centroid_id, ROW_NUMBER() OVER (
+      PARTITION BY c.vec_id ORDER BY
+        list_dot_product(c.v, c.v) + list_dot_product(cent.v, cent.v)
+          - 2 * list_dot_product(c.v, cent.v) ASC,
+        cent.centroid_id ASC
+    ) AS rn FROM c, cent
+  ) WHERE rn = 1
+),
+rdim AS (
+  SELECT s.centroid_id, u.i AS i,
+         CAST(floor(sum(c.q[u.i]) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+           AS qc
+  FROM seed_assigned s
+  JOIN c ON c.vec_id = s.vec_id,
+       unnest(generate_series(1, len(c.q))) AS u(i)
+  GROUP BY 1, 2
+),
+ref AS (
+  SELECT centroid_id,
+         CAST(list(qc ORDER BY i) AS DOUBLE[]) AS kv
+  FROM rdim GROUP BY 1
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, ref.centroid_id, ROW_NUMBER() OVER (
+      PARTITION BY c.vec_id ORDER BY
+        list_dot_product(c.v, c.v) + list_dot_product(ref.kv, ref.kv)
+          - 2 * list_dot_product(c.v, ref.kv) ASC,
+        ref.centroid_id ASC
+    ) AS rn FROM c, ref
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN c ca ON ca.vec_id = a.vec_id
+  JOIN c cb ON cb.vec_id = b.vec_id
+  WHERE CAST(list_dot_product(ca.v, cb.v) AS BIGINT) > 0
+    AND {SEM_TAU_DEN * SEM_TAU_DEN}
+          * CAST(list_dot_product(ca.v, cb.v) AS BIGINT)
+          * CAST(list_dot_product(ca.v, cb.v) AS BIGINT)
+        >= {SEM_TAU_NUM * SEM_TAU_NUM}
+          * CAST(list_dot_product(ca.v, ca.v) AS BIGINT)
+          * CAST(list_dot_product(cb.v, cb.v) AS BIGINT)
+),
+dirs AS (
+  SELECT id_a AS vec_id, id_b AS other FROM pairs
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS other FROM pairs
+),
+nb AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_neighbors,
+         min(other) AS mn
+  FROM dirs GROUP BY 1
+)
+SELECT a.vec_id, a.centroid_id,
+       COALESCE(nb.n_dup_neighbors, 0) AS n_dup_neighbors,
+       (nb.vec_id IS NULL OR nb.mn > a.vec_id) AS kept
+FROM assigned a LEFT JOIN nb ON nb.vec_id = a.vec_id
+"""
+
+
+@query("semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup capstone composing the existing pieces: ivf_assign
+    seeding -> one integer-exact Lloyd refinement
+    (lloyd_refined_centroids) -> per-cluster blocked cosine pairs at
+    tau = 0.4 (evaluated as the exact rational 25*dot^2 >= 4*|a||b| —
+    no float compare) -> greedy min-id keep-one. Per-cluster blocking
+    bounds the pair count at sum(|cluster|^2)/2, the same bound
+    SCALE.md measures for dedup_embedding_cosine; the keep decision
+    needs no connected-components pass (operators/similarity.py
+    semantic_dedup for the full scale note)."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        semantic_dedup as _semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return _semantic_dedup(emb, centroids, SEM_TAU_NUM, SEM_TAU_DEN)

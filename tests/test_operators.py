@@ -679,3 +679,38 @@ def test_simhash64_combination_scheme_output_invariant(spark):
     }
     assert classic == wide
     assert (100, 101, 0) in classic
+
+
+def test_semantic_dedup_keep_one(spark):
+    """Greedy min-id keep-one: exactly one survivor per duplicate
+    chain, non-duplicates untouched, counts symmetric."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.90, 0.01, 0.00, 0.00]),  # dup chain in cluster 0
+            (11, [0.90, 0.01, 0.00, 0.00]),
+            (12, [0.89, 0.02, 0.00, 0.00]),
+            (20, [0.10, 0.00, 0.90, 0.00]),  # cluster 0, not a dup
+            (30, [0.05, 0.80, 0.10, 0.00]),  # dup pair in cluster 1
+            (31, [0.04, 0.82, 0.12, 0.00]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(corpus, centroids, 2, 5).collect()
+    }
+    assert set(out) == {10, 11, 12, 20, 30, 31}
+    assert [out[i].kept for i in (10, 11, 12)] == [True, False, False]
+    assert out[10].n_dup_neighbors == 2
+    assert out[20].kept and out[20].n_dup_neighbors == 0
+    assert (out[30].kept, out[31].kept) == (True, False)
+    # one survivor per chain, every non-dup survives
+    assert sum(r.kept for r in out.values()) == 3
