@@ -494,8 +494,13 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
+            # deferred-clear semantics: at the 4096-entry cap the
+            # encoder stops defining codes but may keep emitting
+            # without a clear — freeze the table to stay in sync
+            # (matches _gif_lzw_encode's next_free < 4096 guard)
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
             entry = prev + prev[:1]
             table.append(entry)
         else:

@@ -212,6 +212,17 @@ def bm25_maxscore_topk(
     Integer-only arithmetic throughout (theta, bounds, scores), so
     the result is provably identical to the brute disjunctive
     ranking AND engine-portable.
+
+    Cache lifecycle: the returned plan references persisted
+    intermediates (postings, full-score, admitted-candidate set) that
+    stay pinned after the caller materializes it — by design, per the
+    registry cache contract (registry.py:12): unpersisting inside
+    this function would run BEFORE the action and defeat the cache.
+    Long-lived sessions invoking this repeatedly must
+    ``spark.catalog.clearCache()`` between queries (bench.py and the
+    scale smokes do) or rely on LRU eviction; the pinned blocks are
+    small by construction (scored postings for |terms| terms, the
+    pruned admitted set), not corpus-sized.
     """
     # the postings table is consumed by five downstream subtrees
     # (bounds, full scores, phase-1 ids, phase-2 bounds, audit

@@ -425,3 +425,58 @@ def test_jpeg_header_stats_and_header_branch(spark):
     # fill bytes before a marker are spec-legal: inject 0xFF padding
     padded = b"\xff\xd8" + b"\xff" + encode_jpeg(10, 20, 1)[2:]
     assert parse_jpeg_header(padded) == (10, 20, 1, False)
+
+
+def test_gif_lzw_deferred_clear_decodes():
+    """Spec-legal 'deferred clear' streams (encoder freezes the table
+    at 4096 entries and keeps emitting without a clear code) must
+    decode — third-party encoders commonly do this even though
+    encode_gif itself resets at the cap."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    mcs = 4
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def encode_deferred(indices: bytes) -> bytes:
+        out, acc, nbits = bytearray(), 0, 0
+
+        def emit(code, width):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_free, width = eoi + 1, mcs + 1
+        emit(clear, width)
+        w = b""
+        for b in indices:
+            wk = w + bytes([b])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], width)
+            if next_free < 4096:
+                table[wk] = next_free
+                next_free += 1
+                if next_free - 1 == (1 << width) and width < 12:
+                    width += 1
+            # else: table frozen, NO clear emitted (deferred clear)
+            w = bytes([b])
+        if w:
+            emit(table[w], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # enough low-entropy pseudo-random data to overflow 4096 table
+    # entries and then keep hitting the frozen table for a long tail
+    indices = bytes((i * 2654435761 >> 7) % 16 for i in range(30000))
+    stream = encode_deferred(indices)
+    assert _gif_lzw_decode(stream, mcs, len(indices)) == indices

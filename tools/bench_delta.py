@@ -57,6 +57,14 @@ def load_artifact(path: str) -> tuple[dict[str, float], dict, int | None]:
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(
+            "usage: python tools/bench_delta.py PREV_BENCH.json "
+            "CURR_BENCH.json\n"
+            "Compares per-query times between two bench artifacts "
+            "and flags regressions outside the noise envelope."
+        )
+        return 2
     prev_path, curr_path = sys.argv[1], sys.argv[2]
     prev, prev_spread, prev_reps = load_artifact(prev_path)
     curr, _, curr_reps = load_artifact(curr_path)
