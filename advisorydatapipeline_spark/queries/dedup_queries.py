@@ -873,12 +873,19 @@ def dedup_jaccard_prefix(spark, sf_dir):
     df+rank windows over the full index and the per-candidate min-ub
     aggregation pay an O(index log index) + O(candidates) constant
     the capped plan never pays (and the positional filter removed
-    only ~0.1% of prefix candidates here). The plan remains the
-    honest COMPLETENESS option: it bounds the candidate join without
-    dropping any shingle, which the df-cap cannot promise — use it
-    when recall policy forbids the cap, not for speed.
-    Keep dedup_ngram_jaccard for capped mining; reach for this when
-    completeness is contractual."""
+    only ~0.1% of prefix candidates here). Round-9 x16 point: the
+    gap narrows to 2.3x (14.0s vs 6.1s) only because clone-shingle
+    dfs cross the cap and leave the index — not a PPJoin win
+    (SCALE.md PPJoin x16 section).
+
+    Completeness, precisely: the OPERATOR
+    (operators/dedup.jaccard_pairs_prefix) drops no shingle of the
+    index it is given — that recall guarantee is why it exists. THIS
+    ENTRY feeds it the same df-capped index as dedup_ngram_jaccard,
+    deliberately, so both physical plans compute identical capped
+    semantics and share one oracle verbatim. A recall-contractual
+    deployment passes max_doc_freq=None to shingle_index and accepts
+    the hot-end join cost the cap exists to avoid."""
     idx = shingle_index(
         load(spark, sf_dir, "documents"),
         "doc_id",

@@ -1367,3 +1367,254 @@ def lm_perplexity_scores(spark, sf_dir):
     (ppl = exp(mean/1e6)); NULL for docs with < 3 tokens.
     """
     return ngram_lm_doc_scores(load(spark, sf_dir, "documents"))
+
+
+# --- Gopher quality rules (Rae et al. 2021 §A1.1) --------------------
+
+# the fixed Gopher stop list ("must contain >= 2 of"): a presence
+# gate, unlike LANG_STOPWORDS which scores density
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_G_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + "]"
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_T} AS ts FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_words,
+         CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(list_distinct(ts),
+                x -> list_contains({_G_STOPS_SQL}, x))) AS BIGINT)
+           AS n_stop_hits,
+         CAST(list_sum(list_transform(ts, x -> length(x)))
+              AS BIGINT) AS n_token_chars,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols
+  FROM t
+)
+SELECT doc_id, n_words, n_alpha_words, n_stop_hits,
+       (n_words BETWEEN 50 AND 100000) AS flag_word_count,
+       (n_token_chars >= 3 * n_words AND n_token_chars <= 10 * n_words)
+         AS flag_mean_word_len,
+       (5 * n_alpha_words >= 4 * n_words) AS flag_alpha_ratio,
+       (n_stop_hits >= 2) AS flag_stopwords,
+       (10 * n_symbols <= n_words) AS flag_symbol_ratio,
+       ((n_words BETWEEN 50 AND 100000)
+        AND n_token_chars >= 3 * n_words AND n_token_chars <= 10 * n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_hits >= 2
+        AND 10 * n_symbols <= n_words) AS passes_gopher
+FROM m
+""",
+)
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher rule-based quality gate (Rae et al. 2021, appendix
+    A1.1) — the standard pre-filter real LLM pipelines apply before
+    model-based scoring: word-count bounds, mean word length in
+    [3,10], >= 80% of words containing an alphabetic character,
+    >= 2 of the fixed 8-word stop list present, bounded symbol
+    (#/ellipsis) rate. Every threshold compares INTEGERS (mean word
+    length as 3n <= chars <= 10n, ratios cross-multiplied), so the
+    boolean gate is bit-identical in any engine — no float compare
+    anywhere. The line-level rules (bullet/ellipsis line fractions)
+    are omitted: this corpus is single-line by construction.
+
+    Plan: one narrow pass (tokenize + size/filter aggregates per
+    row), zero shuffles — the filter is embarrassingly parallel at
+    any scale."""
+    d = load(spark, sf_dir, "documents")
+    ts = tokens("text")
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPS])
+    m = d.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_words"),
+        F.size(
+            F.filter(ts, lambda x: x.rlike("[a-z]"))
+        ).cast("long").alias("n_alpha_words"),
+        F.size(
+            F.filter(
+                F.array_distinct(ts),
+                lambda x: F.array_contains(stops, x),
+            )
+        ).cast("long").alias("n_stop_hits"),
+        F.aggregate(
+            F.transform(ts, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_token_chars"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + F.expr(
+                "CAST((length(text) - length(replace(text, '...', '')))"
+                " DIV 3 AS BIGINT)"
+            )
+        ).cast("long").alias("n_symbols"),
+    )
+    wc = F.col("n_words").between(50, 100000)
+    mwl = (F.col("n_token_chars") >= 3 * F.col("n_words")) & (
+        F.col("n_token_chars") <= 10 * F.col("n_words")
+    )
+    alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    stop = F.col("n_stop_hits") >= 2
+    sym = 10 * F.col("n_symbols") <= F.col("n_words")
+    return m.select(
+        "doc_id", "n_words", "n_alpha_words", "n_stop_hits",
+        wc.alias("flag_word_count"),
+        mwl.alias("flag_mean_word_len"),
+        alpha.alias("flag_alpha_ratio"),
+        stop.alias("flag_stopwords"),
+        sym.alias("flag_symbol_ratio"),
+        (wc & mwl & alpha & stop & sym).alias("passes_gopher"),
+    )
+
+
+# --- DSIR importance weights (Xie et al. 2023) ------------------------
+
+DSIR_BUCKETS = 256  # hashed bigram feature space
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, (lang = 'en') AS is_target, {_T} AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, is_target,
+         ({DUCK_HASH64.format(x="ts[i] || ' ' || ts[i+1]")})
+           % {DSIR_BUCKETS} AS bucket
+  FROM tk, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2
+),
+dbc AS (
+  SELECT doc_id, is_target, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY 1, 2, 3
+),
+lam AS (
+  SELECT bucket,
+         CAST(COALESCE(sum(cnt) FILTER (is_target), 0) AS BIGINT) AS ct,
+         CAST(COALESCE(sum(cnt) FILTER (NOT is_target), 0) AS BIGINT) AS cs
+  FROM dbc GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns
+  FROM lam
+),
+sc AS (
+  SELECT bucket,
+         CAST(floor(1000000 * ln(
+           CAST((ct + 1) * (SELECT ns + {DSIR_BUCKETS} FROM tot) AS DOUBLE)
+           / CAST((cs + 1) * (SELECT nt + {DSIR_BUCKETS} FROM tot) AS DOUBLE)
+         )) AS BIGINT) AS s_micro
+  FROM lam
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(d.cnt * s.s_micro) AS BIGINT) AS weight_micro
+  FROM dbc d JOIN sc s ON s.bucket = d.bucket
+  GROUP BY 1
+)
+SELECT t.doc_id, t.is_target,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       a.weight_micro
+FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight log(p_target/p_source) under hashed-bigram unigram models
+    with Laplace smoothing — the standard recipe for selecting
+    pretraining data that matches a target domain (here: the 'en'
+    slice as target, everything else as source, both estimated from
+    the corpus itself in the same plan). Each of the {B} feature
+    buckets gets ONE floor-quantized micro-nat log-ratio computed
+    from exact integer counts (the smoothed ratio is an integer/
+    integer division evaluated identically in both engines), so
+    every per-doc weight is an exact BIGINT sum. Docs with < 2
+    tokens carry NULL weight.
+
+    Plan at 100 TB: bigrams collapse map-side to (doc, bucket)
+    counts; the lambda table is AT MOST {B} rows regardless of
+    corpus size, so the apply join is always a broadcast — the only
+    corpus-proportional shuffle is the (doc, bucket) partial agg.
+    Portable hash64 bucketing (md5-based) keeps bucket assignment
+    engine-identical."""
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        tokens("text").alias("ts"),
+    )
+    bg = tk.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(ts)-2),"
+                    " i -> concat(ts[i], ' ', ts[i+1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (hash64(F.col("bigram")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    dbc = bg.groupBy("doc_id", "is_target", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    lam = dbc.groupBy("bucket").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_target"), F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("ct"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_target"), F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("cs"),
+    )
+    tot = lam.agg(
+        (F.sum("ct") + DSIR_BUCKETS).cast("long").alias("nt_b"),
+        (F.sum("cs") + DSIR_BUCKETS).cast("long").alias("ns_b"),
+    )
+    sc = lam.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            1000000
+            * F.log(
+                ((F.col("ct") + 1) * F.col("ns_b")).cast("double")
+                / ((F.col("cs") + 1) * F.col("nt_b")).cast("double")
+            )
+        ).cast("long").alias("s_micro"),
+    )
+    agg = (
+        dbc.join(F.broadcast(sc), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("s_micro")).cast("long").alias(
+                "weight_micro"
+            ),
+        )
+    )
+    return (
+        tk.select("doc_id", "is_target")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "weight_micro",
+        )
+    )

@@ -231,6 +231,11 @@ EXTENDED = [
     "cdc_doc_coverage",
     "interarrival_burstiness",
     "gini_revenue_nation",
+    "lm_perplexity_scores",
+    "jpeg_header_stats",
+    "semantic_dedup",
+    "gopher_quality_flags",
+    "dsir_importance_weights",
 ]
 
 

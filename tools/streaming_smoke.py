@@ -23,30 +23,35 @@ from advisorydatapipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicas = (
+        [int(x) for x in sys.argv[2].split(",")]
+        if len(sys.argv) > 2
+        else list(REPLICAS)
+    )
     spark = get_spark("streaming-smoke")
     base = tempfile.mkdtemp(prefix="adp_ssmoke_")
     res: dict[int, dict[str, dict]] = {}
-    for r in REPLICAS:
+    for r in replicas:
         spath = event_stream_corpus(spark, sf_dir, r, base)
-        if r == REPLICAS[0]:
+        if r == replicas[0]:
             run_streaming(spark, spath)  # warm-up
         res[r] = run_streaming(spark, spath)
         print(f"streaming x{r}: {res[r]}", flush=True)
-    ops = list(res[REPLICAS[0]].keys())
-    print("\n| query | " + " | ".join(f"x{r}" for r in REPLICAS)
+    ops = list(res[replicas[0]].keys())
+    print("\n| query | " + " | ".join(f"x{r}" for r in replicas)
           + " | state ratio | maxbatch ratio |")
-    print("|---|" + "---|" * (len(REPLICAS) + 2))
+    print("|---|" + "---|" * (len(replicas) + 2))
     for op in ops:
         cells = [
             f"{res[r][op]['wall']}s/{res[r][op]['batches']}b/"
             f"{res[r][op]['max_batch_ms']}ms/"
             f"{res[r][op]['max_state_rows']}rows"
-            for r in REPLICAS
+            for r in replicas
         ]
-        s1 = res[REPLICAS[0]][op]["max_state_rows"]
-        s4 = res[REPLICAS[-1]][op]["max_state_rows"]
-        l1 = res[REPLICAS[0]][op]["max_batch_ms"]
-        l4 = res[REPLICAS[-1]][op]["max_batch_ms"]
+        s1 = res[replicas[0]][op]["max_state_rows"]
+        s4 = res[replicas[-1]][op]["max_state_rows"]
+        l1 = res[replicas[0]][op]["max_batch_ms"]
+        l4 = res[replicas[-1]][op]["max_batch_ms"]
         print(
             f"| {op} | " + " | ".join(cells)
             + f" | {round(s4 / s1, 2) if s1 else 'n/a'}"
