@@ -1243,6 +1243,13 @@ def semantic_dedup(
         scored, [id_col],
         [F.col("dist_sq").asc(), F.col(centroid_id_col).asc()], k=1,
     ).select(id_col, centroid_id_col, "vq", "vn")
+    # assigned feeds three subtrees (both pair-join sides + the final
+    # output spine); without the persist the crossJoin+window top-1
+    # over the whole corpus re-executes per subtree (measured sf0.1
+    # solo, interleaved A/B x3: 4.4s -> 1.9s). Corpus-sized cache —
+    # default MEMORY_AND_DISK spills rather than evicts at scale;
+    # callers clearCache between queries per the registry contract.
+    assigned = assigned.persist()
 
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(centroid_id_col),
