@@ -1533,7 +1533,7 @@ def dsir_importance_weights(spark, sf_dir):
     with Laplace smoothing — the standard recipe for selecting
     pretraining data that matches a target domain (here: the 'en'
     slice as target, everything else as source, both estimated from
-    the corpus itself in the same plan). Each of the {B} feature
+    the corpus itself in the same plan). Each of the 256 feature
     buckets gets ONE floor-quantized micro-nat log-ratio computed
     from exact integer counts (the smoothed ratio is an integer/
     integer division evaluated identically in both engines), so
@@ -1541,7 +1541,7 @@ def dsir_importance_weights(spark, sf_dir):
     tokens carry NULL weight.
 
     Plan at 100 TB: bigrams collapse map-side to (doc, bucket)
-    counts; the lambda table is AT MOST {B} rows regardless of
+    counts; the lambda table is AT MOST 256 rows regardless of
     corpus size, so the apply join is always a broadcast — the only
     corpus-proportional shuffle is the (doc, bucket) partial agg.
     Portable hash64 bucketing (md5-based) keeps bucket assignment
@@ -1616,5 +1616,124 @@ def dsir_importance_weights(spark, sf_dir):
                 "n_bigrams"
             ),
             "weight_micro",
+        )
+    )
+
+
+# --- batch perceptron step (distributed supervised training) ---------
+
+PERC_BUCKETS = 256  # hashed bigram feature space (binary presence)
+
+
+@query(
+    "perceptron_lang_step",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         {_T} AS ts
+  FROM documents
+),
+feats AS (
+  SELECT DISTINCT doc_id, y,
+         ({DUCK_HASH64.format(x="ts[i] || ' ' || ts[i+1]")})
+           % {PERC_BUCKETS} AS bucket
+  FROM tk, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2
+),
+w1 AS (
+  -- epoch 1 from w0 = 0: margin y*(w0.x) = 0 <= 0 for every doc, so
+  -- the update sums y over ALL docs containing the bucket
+  SELECT bucket, CAST(sum(y) AS BIGINT) AS w1 FROM feats GROUP BY 1
+),
+margin AS (
+  SELECT f.doc_id, f.y, CAST(sum(f.y * w1.w1) AS BIGINT) AS m
+  FROM feats f JOIN w1 ON w1.bucket = f.bucket
+  GROUP BY 1, 2
+),
+upd AS (
+  SELECT f.bucket, CAST(sum(f.y) AS BIGINT) AS du
+  FROM feats f JOIN margin mg ON mg.doc_id = f.doc_id
+  WHERE mg.m <= 0
+  GROUP BY 1
+)
+SELECT w1.bucket, w1.w1,
+       w1.w1 + COALESCE(upd.du, 0) AS w2
+FROM w1 LEFT JOIN upd ON upd.bucket = w1.bucket
+""",
+)
+def perceptron_lang_step(spark, sf_dir):
+    """TWO batch-perceptron epochs over hashed-bigram presence
+    features as one DataFrame plan — distributed supervised training
+    with an exactly replayable result (the supervised twin of
+    kmeans_lloyd_step): labels y = +-1 ('en' vs rest), w0 = 0 so
+    epoch 1's update is the signed class-presence sum per bucket;
+    epoch 2 re-scores every doc against w1 (broadcast, <= 256 rows),
+    takes the margin-<=0 misclassified set, and adds its signed
+    feature sum. All-integer weights and margins — no learning-rate
+    float, no tie-breaking ambiguity — so a training ITERATION, not
+    just inference, is bit-identical across engines and
+    partitionings.
+
+    Plan at 100 TB: features collapse map-side to distinct
+    (doc, bucket) presence pairs; the weight vector is bounded at
+    256 buckets so both scoring joins broadcast; the only
+    corpus-proportional shuffles are the two per-doc margin
+    aggregations. Chaining epochs = chaining the same plan — the
+    driver never sees an example."""
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        tokens("text").alias("ts"),
+    )
+    feats = (
+        tk.select(
+            "doc_id",
+            "y",
+            F.explode(
+                F.when(
+                    F.size("ts") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(ts)-2),"
+                        " i -> concat(ts[i], ' ', ts[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            (hash64(F.col("bigram")) % PERC_BUCKETS).alias("bucket"),
+        )
+        .distinct()
+    )
+    # feats feeds epoch-1 weights, the margin scoring, and the
+    # epoch-2 update: cache the distinct presence pairs once
+    feats = feats.persist()
+    w1 = feats.groupBy("bucket").agg(
+        F.sum("y").cast("long").alias("w1")
+    )
+    margin = (
+        feats.join(F.broadcast(w1), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("y") * F.col("w1")).cast("long").alias("m"))
+    )
+    mis = margin.filter(F.col("m") <= 0).select("doc_id")
+    upd = (
+        feats.join(mis, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum("y").cast("long").alias("du"))
+    )
+    return (
+        w1.join(F.broadcast(upd), "bucket", "left")
+        .select(
+            "bucket",
+            "w1",
+            (F.col("w1") + F.coalesce(F.col("du"), F.lit(0))).cast(
+                "long"
+            ).alias("w2"),
         )
     )

@@ -236,6 +236,7 @@ EXTENDED = [
     "semantic_dedup",
     "gopher_quality_flags",
     "dsir_importance_weights",
+    "perceptron_lang_step",
 ]
 
 
