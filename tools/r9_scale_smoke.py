@@ -150,6 +150,42 @@ def sem_section(spark, sf_dir: str, base: str) -> None:
         print(f"| x{r} | {k} | {n} | {t}s | {cand} | {allp} | {ratio} | {dp} |")
 
 
+def filters_section(spark, sf_dir: str, base: str) -> None:
+    """Gopher / DSIR / perceptron x1-x4 on the replicated doc corpus."""
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    print("\n## quality-filter family x1/x2/x4 (replicated near-dup docs)")
+    print("| op | x1 | x2 | x4 | t(x4)/t(x1) vs 4.0 |")
+    print("|---|---|---|---|---|")
+    ops = (
+        "gopher_quality_flags",
+        "dsir_importance_weights",
+        "perceptron_lang_step",
+    )
+    results = {op: [] for op in ops}
+    for r in (1, 2, 4):
+        path = corpus(spark, sf_dir, r, base)
+        # registry entries read {dir}/documents.parquet: stage the
+        # replicated corpus under that name
+        docs_dir = f"{base}/as_sf_x{r}"
+        spark.read.parquet(path).write.mode("overwrite").parquet(
+            f"{docs_dir}/documents.parquet"
+        )
+        for op in ops:
+            fn = QUERIES[op]
+            if r == 1:
+                noop(fn(spark, docs_dir))  # warm-up
+            spark.catalog.clearCache()
+            results[op].append(timed(lambda: noop(fn(spark, docs_dir))))
+            spark.catalog.clearCache()
+    for op in ops:
+        ts = results[op]
+        print(
+            f"| {op} | {ts[0]}s | {ts[1]}s | {ts[2]}s |"
+            f" {round(ts[2] / ts[0], 2)} |"
+        )
+
+
 def ppjoin_section(spark, sf_dir: str, base: str) -> None:
     print("\n## ppjoin (jaccard_pairs_prefix) x8/x16 extension")
     print("| op | " + " | ".join(f"x{r}" for r in (1, 8, 16)) + " | t(x16)/t(x1) vs 16.0 |")
@@ -187,7 +223,7 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"lm", "sem", "ppjoin"}
+        else {"lm", "sem", "ppjoin", "filters"}
     )
     spark = get_spark("r9-scale-smoke")
     base = tempfile.mkdtemp(prefix="adp_r9smoke_")
@@ -195,6 +231,8 @@ def main() -> None:
         lm_section(spark, sf_dir, base)
     if "sem" in sections:
         sem_section(spark, sf_dir, base)
+    if "filters" in sections:
+        filters_section(spark, sf_dir, base)
     if "ppjoin" in sections:
         ppjoin_section(spark, sf_dir, base)
 
