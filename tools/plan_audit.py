@@ -236,6 +236,12 @@ AUDIT = [
     "cdc_doc_coverage",
     "interarrival_burstiness",
     "gini_revenue_nation",
+    "lm_perplexity_scores",
+    "jpeg_header_stats",
+    "semantic_dedup",
+    "gopher_quality_flags",
+    "dsir_importance_weights",
+    "perceptron_lang_step",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -286,6 +292,13 @@ NESTED_LOOP_OK = {
     "daily_autocorr_moments",
     # 1-row broadcast basket-total scalar
     "basket_pair_lift",
+    # 1-row broadcast corpus-token-total scalar (interpolation p1 arm)
+    "lm_perplexity_scores",
+    # 1-row broadcast (Nt, Ns) smoothing-denominator scalar
+    "dsir_importance_weights",
+    # broadcast-centroid assignment cross joins (seed + refined) —
+    # the same IVF-assign plan shape as kmeans_lloyd_step
+    "semantic_dedup",
     # 4-row broadcast banding-config constant x 19-row grid (the
     # whole query is constant-size; no data-scale side exists)
     "lsh_s_curve",

@@ -143,6 +143,10 @@ AUDIT = [
     "ivm_join_delta",
     "dbscan_grid_clusters",
     "label_propagation_communities",
+    "lm_perplexity_scores",
+    "semantic_dedup",
+    "dsir_importance_weights",
+    "perceptron_lang_step",
 ]
 
 
