@@ -380,3 +380,152 @@ def test_gif_lzw_roundtrip_property(data):
     )
 
     assert _gif_lzw_decode(_gif_lzw_encode(data, 4), 4, len(data)) == data
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=300))
+def test_jpeg_header_never_raises_non_valueerror(payload):
+    """parse_jpeg_header's mapInPandas skip contract on arbitrary
+    bytes: decode or ValueError, never any other exception."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        parse_jpeg_header,
+    )
+
+    try:
+        w, h, nc, prog = parse_jpeg_header(b"\xff\xd8" + payload)
+        assert w > 0 and h > 0 and nc > 0 and isinstance(prog, bool)
+    except ValueError:
+        pass
+    try:
+        parse_jpeg_header(payload)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    nc=st.integers(1, 4),
+    prog=st.booleans(),
+)
+def test_jpeg_header_roundtrip_property(w, h, nc, prog):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg_header,
+    )
+
+    assert parse_jpeg_header(encode_jpeg(w, h, nc, prog)) == (w, h, nc, prog)
+
+
+@_slow
+@given(texts=texts)
+def test_lm_surprisal_invariants(spark, texts):
+    """Self-trained interpolated LM: every per-occurrence surprisal is
+    >= 0 (mixture probability <= 1 by construction), totals are
+    consistent with means, and short docs carry NULLs."""
+    from advisorydatapipeline_spark.operators.lm import (
+        ngram_lm_doc_scores,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = ngram_lm_doc_scores(df).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        if r.n_trigrams == 0:
+            assert r.surprisal_micro is None
+            assert r.mean_surprisal_micro is None
+        else:
+            assert r.surprisal_micro >= 0
+            assert (
+                r.mean_surprisal_micro
+                == r.surprisal_micro // r.n_trigrams
+            )
+
+
+@_slow
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(-5, 5).map(lambda v: v / 5.0),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_semantic_dedup_vs_bruteforce(spark, vecs):
+    """semantic_dedup's dup set and greedy keep-one match a plain
+    Python replay of the same integer spec (quantize -> seed assign
+    -> floor-mean refine -> reassign -> rational-threshold pairs ->
+    min-id keep)."""
+    import math
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    ids = list(range(len(vecs)))
+    corpus = spark.createDataFrame(
+        list(zip(ids, vecs)), "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, vecs[0]), (1, vecs[-1])],
+        "centroid_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r for r in semantic_dedup(corpus, cents, 2, 5).collect()
+    }
+
+    # python replay (float32 cast first, like Spark's array<float>)
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = {
+        i: [math.floor(f32(x) * 1000) for x in v]
+        for i, v in zip(ids, vecs)
+    }
+    seeds = {0: q[0], 1: q[ids[-1]]}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def assign(table):
+        return {
+            i: min(table, key=lambda c: (d2(q[i], table[c]), c))
+            for i in ids
+        }
+
+    a0 = assign(seeds)
+    ref = {}
+    for c in seeds:
+        members = [q[i] for i in ids if a0[i] == c]
+        if members:
+            ref[c] = [
+                math.floor(sum(col) / len(members))
+                for col in zip(*members)
+            ]
+        else:
+            ref[c] = None
+    ref = {c: v for c, v in ref.items() if v is not None}
+    a1 = assign(ref)
+    dups = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j and a1[i] == a1[j]:
+                dot = sum(x * y for x, y in zip(q[i], q[j]))
+                if dot > 0 and 25 * dot * dot >= 4 * d2(q[i], [0] * 3) * d2(
+                    q[j], [0] * 3
+                ):
+                    dups[i].add(j)
+                    dups[j].add(i)
+    for i in ids:
+        assert got[i].centroid_id == a1[i], (i, vecs)
+        assert got[i].n_dup_neighbors == len(dups[i])
+        expected_kept = not dups[i] or min(dups[i]) > i
+        assert got[i].kept == expected_kept
