@@ -576,6 +576,192 @@ def encode_gif(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def encode_gif_animated(
+    width: int, height: int, seed: int = 0, n_frames: int = 2
+) -> bytes:
+    """Multi-frame GIF89a, stdlib-only: logical screen + global color
+    table, then per frame a Graphic Control Extension (fixed 4/100 s
+    delay) + image descriptor + REAL LZW pixel data. Frame ``f``'s
+    indices are the deterministic gradient
+    ``(seed + 7x + 13y + 31f) % 16``, so every frame's decoded RGB
+    pixel sum stays pure doc-id arithmetic an oracle can replay."""
+    mcs = 4
+    pal = b"".join(bytes(c) for c in _gif_palette(seed))
+    out = bytearray(
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0b1_111_0_011, 0, 0])
+        + pal
+    )
+    for f in range(n_frames):
+        indices = bytes(
+            (seed + 7 * x + 13 * y + 31 * f) % GIF_N_COLORS
+            for y in range(height)
+            for x in range(width)
+        )
+        lzw = _gif_lzw_encode(indices, mcs)
+        blocks = b"".join(
+            bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        out += (
+            b"\x21\xf9\x04"  # graphic control extension, block size 4
+            + bytes([0])  # no disposal, no transparency
+            + (4).to_bytes(2, "little")  # delay 4/100 s
+            + bytes([0, 0])  # transparent idx, terminator
+            + b"\x2c"
+            + (0).to_bytes(2, "little")
+            + (0).to_bytes(2, "little")
+            + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little")
+            + b"\x00"
+            + bytes([mcs])
+            + blocks
+            + b"\x00"
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes, every_n: int = 1
+) -> tuple[int, int, int, int, list[tuple[int, int]]]:
+    """(width, height, n_colors, n_frames, [(frame_idx, pixel_sum)])
+    from a (possibly multi-frame) GIF — REAL frame sampling: only
+    frames with ``idx % every_n == 0`` are LZW-decoded; the others'
+    data sub-blocks are length-SKIPPED without decompression, which
+    is the entire point of frame sampling at scale (cost tracks
+    sampled frames, not stream length). Same ValueError-only
+    corruption contract and format exclusions as :func:`decode_gif`.
+    """
+    try:
+        return _decode_gif_frames_checked(payload, every_n)
+    except IndexError as exc:  # pragma: no cover - defensive
+        raise ValueError(f"corrupt GIF payload: {exc}") from exc
+
+
+def _decode_gif_frames_checked(
+    payload: bytes, every_n: int
+) -> tuple[int, int, int, int, list[tuple[int, int]]]:
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("GIF without global color table unsupported")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    pal = payload[pos : pos + 3 * n_colors]
+    if len(pal) < 3 * n_colors:
+        raise ValueError("truncated GIF color table")
+    pos += 3 * n_colors
+    frames: list[tuple[int, int]] = []
+    frame_idx = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF missing trailer")
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x3B:
+            break
+        elif b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        else:
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            if ipacked & 0x80:
+                raise ValueError("GIF local color table unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            pos += 10
+            if pos >= len(payload):
+                raise ValueError("GIF missing LZW min code size")
+            mcs = payload[pos]
+            pos += 1
+            sampled = frame_idx % every_n == 0
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                chunk = payload[pos + 1 : pos + 1 + n]
+                if len(chunk) < n:
+                    raise ValueError("truncated GIF data sub-block")
+                if sampled:
+                    lzw += chunk
+                pos += 1 + n
+            if pos >= len(payload):
+                raise ValueError("GIF missing sub-block terminator")
+            pos += 1
+            if sampled:
+                idxs = _gif_lzw_decode(bytes(lzw), mcs, iw * ih)
+                psum = sum(
+                    pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2]
+                    for i in idxs
+                )
+                frames.append((frame_idx, psum))
+            frame_idx += 1
+    if frame_idx == 0:
+        raise ValueError("GIF trailer before any image")
+    return width, height, n_colors, frame_idx, frames
+
+
+def sample_gif_frames(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over animated-GIF payloads (1 -> N row
+    expansion): one output row per SAMPLED frame with its decoded
+    pixel sum; unsampled frames are sub-block-skipped, never
+    decompressed. Corrupt / non-GIF payloads contribute zero rows
+    (the mapInPandas skip contract).
+
+    mapInPandas, narrow, Arrow-batched — payload bytes never
+    shuffle; only 5 scalar columns per sampled frame leave."""
+    schema = (
+        "media_id long, frame_idx int, n_frames int, "
+        "width int, height int, pixel_sum long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"]) if row["payload"] is not None else b""
+                try:
+                    w, h, _nc, nf, frames = decode_gif_frames(b, every_n)
+                except ValueError:
+                    continue
+                for fi, ps in frames:
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": fi,
+                            "n_frames": nf,
+                            "width": w,
+                            "height": h,
+                            "pixel_sum": ps,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "n_frames",
+                    "width", "height", "pixel_sum",
+                ],
+            )
+
+    return media_df.mapInPandas(op, schema)
+
+
 def parse_gif_header(payload: bytes) -> tuple[int, int]:
     """(width, height) from the fixed-offset logical screen
     descriptor ALONE — the O(1) header arm (GIF twin of

@@ -474,6 +474,85 @@ def gif_decode_stats(spark, sf_dir):
 
 
 @query(
+    "gif_frame_sampling",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 16 AS INTEGER) AS w,
+         CAST(2 + doc_id % 8 AS INTEGER) AS h,
+         CAST(doc_id % 97 AS INTEGER) AS seed,
+         CAST(2 + doc_id % 5 AS INTEGER) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT p.*, CAST(f.i AS INTEGER) AS frame_idx
+  FROM params p JOIN range(6) f(i) ON f.i < p.nf AND f.i % 2 = 0
+),
+pix AS (
+  SELECT fr.doc_id, fr.frame_idx,
+         SUM(  (((fr.seed + 7 * x.i + 13 * y.i + 31 * fr.frame_idx) % 16) * 17 + fr.seed) % 256
+             + (((fr.seed + 7 * x.i + 13 * y.i + 31 * fr.frame_idx) % 16) * 29 + 2 * fr.seed + 5) % 256
+             + (((fr.seed + 7 * x.i + 13 * y.i + 31 * fr.frame_idx) % 16) * 43 + 3 * fr.seed + 11) % 256
+         ) AS ps
+  FROM fr
+  JOIN range(20) x(i) ON x.i < fr.w
+  JOIN range(10) y(i) ON y.i < fr.h
+  GROUP BY 1, 2
+)
+SELECT fr.doc_id AS media_id,
+       fr.frame_idx,
+       fr.nf AS n_frames,
+       fr.w AS width,
+       fr.h AS height,
+       CAST(pix.ps AS BIGINT) AS pixel_sum
+FROM fr JOIN pix
+  ON pix.doc_id = fr.doc_id AND pix.frame_idx = fr.frame_idx
+""",
+)
+def gif_frame_sampling(spark, sf_dir):
+    """REAL video-style frame sampling on a real container (round-9
+    upgrade of the plan-only media_frame_sampling): each document
+    becomes a multi-frame animated GIF89a (2-6 frames, per-frame
+    Graphic Control Extensions, real LZW per frame), then
+    ``sample_gif_frames`` walks the block structure, LZW-decodes
+    ONLY every 2nd frame, and length-skips the rest without
+    decompression — the 1 -> N expansion and skip-unsampled cost
+    model an actual video sampler has. The oracle recomputes every
+    sampled frame's palette-mapped pixel sum from doc_id arithmetic,
+    so a wrong frame boundary, GCE skip, or sub-block seam is a
+    value mismatch.
+
+    Scale shape: encode and decode are narrow Arrow-batched
+    mapInPandas hops; only the 6 scalar columns per SAMPLED frame
+    leave the operator."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_gif_animated,
+        sample_gif_frames,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_gif_animated(
+                            4 + int(d) % 16,
+                            2 + int(d) % 8,
+                            int(d) % 97,
+                            2 + int(d) % 5,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return sample_gif_frames(media, every_n=2)
+
+
+@query(
     "jpeg_header_stats",
     oracle="""
 SELECT doc_id AS media_id,

@@ -237,6 +237,7 @@ EXTENDED = [
     "gopher_quality_flags",
     "dsir_importance_weights",
     "perceptron_lang_step",
+    "gif_frame_sampling",
 ]
 
 

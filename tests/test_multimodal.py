@@ -480,3 +480,64 @@ def test_gif_lzw_deferred_clear_decodes():
     indices = bytes((i * 2654435761 >> 7) % 16 for i in range(30000))
     stream = encode_deferred(indices)
     assert _gif_lzw_decode(stream, mcs, len(indices)) == indices
+
+
+def test_gif_animated_frame_sampling(spark):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+        sample_gif_frames,
+    )
+
+    b = encode_gif_animated(6, 4, 9, 5)
+    w, h, nc, nf, frames = decode_gif_frames(b, 2)
+    assert (w, h, nc, nf) == (6, 4, 16, 5)
+    assert [f for f, _ in frames] == [0, 2, 4]
+    pal = _gif_palette(9)
+    for f, ps in frames:
+        assert ps == sum(
+            sum(pal[(9 + 7 * x + 13 * y + 31 * f) % 16])
+            for y in range(4)
+            for x in range(6)
+        )
+    # decode_gif (single-frame arm) still reads frame 0
+    assert decode_gif(b)[3] == frames[0][1]
+
+    rows = sample_gif_frames(
+        spark.createDataFrame(
+            [(1, b), (2, b"junk"), (3, None)],
+            "media_id long, payload binary",
+        ),
+        every_n=2,
+    ).collect()
+    assert {r.media_id for r in rows} == {1}  # corrupt rows skipped
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+    assert all(r.n_frames == 5 for r in rows)
+
+
+def test_gif_animated_rejects_corrupt_payloads():
+    import pytest as _pytest
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    good = encode_gif_animated(5, 3, 7, 3)
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b"GIF89a", 1)
+    with _pytest.raises(ValueError):
+        decode_gif_frames(good, 0)  # every_n < 1
+    for i in range(len(good)):
+        bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+        try:
+            decode_gif_frames(bad, 2)
+        except ValueError:
+            pass
+    for cut in range(len(good)):
+        try:
+            decode_gif_frames(good[:cut], 2)
+        except ValueError:
+            pass
