@@ -149,6 +149,102 @@ def encode_wav(
     return header + sample * n_samples
 
 
+def encode_wav_pattern(
+    sample_rate: int, n_samples: int, seed: int = 0
+) -> bytes:
+    """PCM WAV fixture with DETERMINISTIC varying samples
+    ``s_i = ((seed + 11*i) % 2001) - 1000`` — unlike
+    :func:`encode_wav`'s constant amplitude, this produces nonzero
+    framewise energy and sign changes, so feature extraction over it
+    is oracle-replayable doc-id arithmetic."""
+    import struct
+
+    header = encode_wav(sample_rate, 0)  # 44-byte header, 0 data
+    data = b"".join(
+        struct.pack("<h", ((seed + 11 * i) % 2001) - 1000)
+        for i in range(n_samples)
+    )
+    # patch RIFF + data chunk sizes for the real payload
+    out = bytearray(header + data)
+    out[4:8] = (36 + len(data)).to_bytes(4, "little")
+    out[40:44] = len(data).to_bytes(4, "little")
+    return bytes(out)
+
+
+def wav_frame_features(
+    media_df: DataFrame, frame_len: int = 100
+) -> DataFrame:
+    """REAL audio feature extraction over PCM-WAV payloads (the audio
+    twin of the GIF frame sampler): parses the RIFF container and the
+    16-bit little-endian sample stream with stdlib ``struct``, then
+    emits per-frame energy (sum of squared samples — exact BIGINT)
+    and zero-crossing count (sign flips within the frame), the two
+    canonical framewise audio features. 1 -> N row expansion; the
+    final (partial) frame is kept with its true sample count.
+    Corrupt / non-WAV payloads contribute zero rows.
+
+    mapInPandas, narrow, Arrow-batched — payload bytes never shuffle;
+    only 5 scalar columns per frame leave the operator."""
+    import struct
+
+    schema = (
+        "media_id long, frame_idx int, n_in_frame int, "
+        "energy long, zero_crossings int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"]) if row["payload"] is not None else b""
+                try:
+                    _sr, n, bits = decode_wav(b)
+                    if bits != 16:
+                        raise ValueError("only 16-bit PCM supported")
+                except ValueError:
+                    continue
+                # data chunk location: re-walk RIFF for the offset
+                pos, data_off = 12, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                    if cid == b"data":
+                        data_off = pos + 8
+                        break
+                    pos += 8 + csize + (csize % 2)
+                if data_off is None:
+                    continue
+                raw = b[data_off : data_off + 2 * n]
+                samples = [
+                    s for (s,) in struct.iter_unpack("<h", raw)
+                ]
+                for fi in range(0, (len(samples) + frame_len - 1) // frame_len):
+                    fr = samples[fi * frame_len : (fi + 1) * frame_len]
+                    zc = sum(
+                        1
+                        for a, c in zip(fr, fr[1:])
+                        if (a < 0) != (c < 0)
+                    )
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": fi,
+                            "n_in_frame": len(fr),
+                            "energy": sum(s * s for s in fr),
+                            "zero_crossings": zc,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "n_in_frame",
+                    "energy", "zero_crossings",
+                ],
+            )
+
+    return media_df.mapInPandas(op, schema)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int]:
     """(sample_rate, n_samples, bits) from a PCM WAV header; raises
     on non-WAV. Walks RIFF chunks rather than assuming fixed offsets

@@ -553,6 +553,73 @@ def gif_frame_sampling(spark, sf_dir):
 
 
 @query(
+    "wav_frame_energy",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 AS INTEGER) AS seed,
+         CAST(200 + doc_id % 300 AS INTEGER) AS n
+  FROM documents
+),
+s AS (
+  SELECT p.doc_id, CAST(i.i AS INTEGER) AS i,
+         ((p.seed + 11 * i.i) % 2001) - 1000 AS v
+  FROM params p JOIN range(500) i(i) ON i.i < p.n
+),
+fr AS (
+  SELECT doc_id, CAST(i // 100 AS INTEGER) AS frame_idx, i, v,
+         lead(v) OVER (PARTITION BY doc_id, i // 100 ORDER BY i) AS nv
+  FROM s
+)
+SELECT doc_id AS media_id, frame_idx,
+       CAST(count(*) AS INTEGER) AS n_in_frame,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(COALESCE(sum(CASE WHEN nv IS NOT NULL
+                               AND ((v < 0) <> (nv < 0))
+                          THEN 1 END), 0) AS INTEGER)
+         AS zero_crossings
+FROM fr GROUP BY 1, 2
+""",
+)
+def wav_frame_energy(spark, sf_dir):
+    """REAL audio feature extraction (round-9 audio twin of the GIF
+    frame sampler): each document becomes a PCM WAV whose 16-bit
+    samples follow deterministic doc_id arithmetic
+    (``((seed + 11i) % 2001) - 1000``), then ``wav_frame_features``
+    parses the RIFF container + sample stream with stdlib struct and
+    emits per-100-sample-frame energy (exact BIGINT sum of squares)
+    and zero-crossing counts — the canonical framewise audio
+    features. The oracle replays the sample formula and windowing in
+    SQL, so a wrong chunk offset, endianness, or frame boundary is a
+    value mismatch. 1 -> N expansion with a true partial last frame.
+
+    Scale shape: encode and decode are narrow Arrow-batched
+    mapInPandas hops; payload bytes never shuffle."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_wav_pattern,
+        wav_frame_features,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_pattern(
+                            16000, 200 + int(d) % 300, int(d) % 97
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return wav_frame_features(media, frame_len=100)
+
+
+@query(
     "jpeg_header_stats",
     oracle="""
 SELECT doc_id AS media_id,

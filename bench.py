@@ -238,6 +238,7 @@ EXTENDED = [
     "dsir_importance_weights",
     "perceptron_lang_step",
     "gif_frame_sampling",
+    "wav_frame_energy",
 ]
 
 

@@ -541,3 +541,30 @@ def test_gif_animated_rejects_corrupt_payloads():
             decode_gif_frames(good[:cut], 2)
         except ValueError:
             pass
+
+
+def test_wav_frame_features(spark):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_wav_pattern,
+        wav_frame_features,
+    )
+
+    b = encode_wav_pattern(16000, 250, 9)
+    samples = [((9 + 11 * i) % 2001) - 1000 for i in range(250)]
+    rows = wav_frame_features(
+        spark.createDataFrame(
+            [(1, b), (2, b"junk"), (3, None)],
+            "media_id long, payload binary",
+        ),
+        frame_len=100,
+    ).collect()
+    assert {r.media_id for r in rows} == {1}
+    got = {r.frame_idx: r for r in rows}
+    assert sorted(got) == [0, 1, 2]
+    for fi in got:
+        fr = samples[fi * 100 : (fi + 1) * 100]
+        assert got[fi].n_in_frame == len(fr)
+        assert got[fi].energy == sum(s * s for s in fr)
+        assert got[fi].zero_crossings == sum(
+            1 for a, c in zip(fr, fr[1:]) if (a < 0) != (c < 0)
+        )
