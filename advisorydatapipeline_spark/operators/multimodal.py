@@ -123,6 +123,112 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int]:
     return width, height, bpp
 
 
+def encode_bmp_gradient(width: int, height: int, seed: int = 0) -> bytes:
+    """24-bpp BMP whose pixel (x, y, channel) bytes follow the
+    deterministic gradient ``(seed + 7x + 13y + 29c) % 256`` (same
+    formula as :func:`encode_png`), bottom-up row order as the
+    positive-height BMP spec requires — so the decoded pixel sum is
+    doc-id arithmetic an oracle can replay."""
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    data_size = row_bytes * height
+    header = (
+        b"BM"
+        + int(54 + data_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + int(width).to_bytes(4, "little", signed=True)
+        + int(height).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + data_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            # BMP stores BGR: channel c=0 blue, 1 green, 2 red —
+            # keep the logical (R,G,B)=(c 0,1,2) gradient and write
+            # reversed so decode maps back to the same sum
+            r = (seed + 7 * x + 13 * y) % 256
+            g = (seed + 7 * x + 13 * y + 29) % 256
+            bch = (seed + 7 * x + 13 * y + 58) % 256
+            row += bytes([bch, g, r])
+        row += b"\x00" * (row_bytes - width * 3)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, pixel_sum) from a 24-bpp uncompressed BMP —
+    full pixel decode (round-9 completion of the BMP arm, matching
+    PNG/GIF): honours the pixel-data offset field, 4-byte row
+    padding, bottom-up (positive height) AND top-down (negative
+    height) row order. pixel_sum is the sum of every R+G+B byte, so
+    a wrong offset, padding, or row-order bug shifts the value.
+    ValueError-only corruption contract like every codec arm."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BMP header too small")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    raw_h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bpp BMP supported")
+    if width <= 0 or raw_h == 0:
+        raise ValueError("BMP declares empty image")
+    height = abs(raw_h)
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    need = data_off + row_bytes * height
+    if data_off < 54 or need > len(payload):
+        raise ValueError("BMP pixel data overruns payload")
+    total = 0
+    for r in range(height):
+        start = data_off + r * row_bytes
+        total += sum(payload[start : start + width * 3])
+    return width, height, total
+
+
+def decode_bmp_stats(media_df: DataFrame) -> DataFrame:
+    """Per-payload full BMP pixel decode via
+    :func:`decode_bmp_pixels`; corrupt / non-BMP payloads yield a
+    NULL row (``container = 'unknown'``). mapInPandas, narrow."""
+    schema = (
+        "media_id long, container string, width int, height int, "
+        "pixel_sum long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"]) if row["payload"] is not None else b""
+                rec = {
+                    "media_id": row["media_id"],
+                    "container": "unknown",
+                    "width": None,
+                    "height": None,
+                    "pixel_sum": None,
+                }
+                try:
+                    w, h, ps = decode_bmp_pixels(b)
+                    rec.update(
+                        container="bmp", width=w, height=h, pixel_sum=ps
+                    )
+                except ValueError:
+                    pass
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(op, schema)
+
+
 def encode_wav(
     sample_rate: int, n_samples: int, amplitude: int = 0
 ) -> bytes:

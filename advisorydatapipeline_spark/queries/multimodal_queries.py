@@ -553,6 +553,68 @@ def gif_frame_sampling(spark, sf_dir):
 
 
 @query(
+    "bmp_pixel_stats",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 16 AS INTEGER) AS w,
+         CAST(2 + doc_id % 8 AS INTEGER) AS h,
+         CAST(doc_id % 97 AS INTEGER) AS seed
+  FROM documents
+),
+pix AS (
+  SELECT p.doc_id,
+         SUM((p.seed + 7 * x.i + 13 * y.i + 29 * c.i) % 256) AS ps
+  FROM params p
+  JOIN range(20) x(i) ON x.i < p.w
+  JOIN range(10) y(i) ON y.i < p.h
+  JOIN range(3) c(i) ON true
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id AS media_id,
+       'bmp' AS container,
+       p.w AS width,
+       p.h AS height,
+       CAST(pix.ps AS BIGINT) AS pixel_sum
+FROM params p JOIN pix ON pix.doc_id = p.doc_id
+""",
+)
+def bmp_pixel_stats(spark, sf_dir):
+    """FULL BMP pixel decode, value-gated (round-9 completion of the
+    last header-only codec-free arm): each document becomes a 24-bpp
+    BMP with the same gradient pixels as the PNG entry, stored
+    bottom-up with 4-byte row padding per the spec, then
+    ``decode_bmp_pixels`` honours the data-offset field, padding,
+    and row order (both bottom-up and top-down are supported and
+    unit-tested). The oracle is the SAME pixel arithmetic as
+    png_decode_stats — the two entries now pin the identical image
+    through two different containers, so a container-specific
+    offset/padding/row-order bug separates them."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_bmp_stats,
+        encode_bmp_gradient,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp_gradient(
+                            4 + int(d) % 16, 2 + int(d) % 8, int(d) % 97
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return decode_bmp_stats(media)
+
+
+@query(
     "wav_frame_energy",
     oracle="""
 WITH params AS (

@@ -239,6 +239,7 @@ EXTENDED = [
     "perceptron_lang_step",
     "gif_frame_sampling",
     "wav_frame_energy",
+    "bmp_pixel_stats",
 ]
 
 

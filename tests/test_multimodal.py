@@ -568,3 +568,52 @@ def test_wav_frame_features(spark):
         assert got[fi].zero_crossings == sum(
             1 for a, c in zip(fr, fr[1:]) if (a < 0) != (c < 0)
         )
+
+
+def test_bmp_pixel_decode_and_row_orders(spark):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_bmp_stats,
+        encode_bmp_gradient,
+    )
+
+    b = encode_bmp_gradient(7, 5, 9)
+    exp = sum(
+        (9 + 7 * x + 13 * y + 29 * c) % 256
+        for y in range(5)
+        for x in range(7)
+        for c in range(3)
+    )
+    assert decode_bmp_pixels(b) == (7, 5, exp)
+    # top-down variant (negative height): same pixels, flipped rows
+    row_bytes = ((7 * 3 + 3) // 4) * 4
+    rows = [
+        bytes(b[54 + r * row_bytes : 54 + (r + 1) * row_bytes])
+        for r in range(5)
+    ]
+    td = bytearray(b)
+    td[22:26] = (-5).to_bytes(4, "little", signed=True)
+    td[54:] = b"".join(reversed(rows))
+    assert decode_bmp_pixels(bytes(td)) == (7, 5, exp)
+    # corruption: every mutation/truncation is decode-or-ValueError
+    for i in range(len(b)):
+        bad = b[:i] + bytes([b[i] ^ 0xFF]) + b[i + 1 :]
+        try:
+            decode_bmp_pixels(bad)
+        except ValueError:
+            pass
+    for cut in range(len(b)):
+        try:
+            decode_bmp_pixels(b[:cut])
+        except ValueError:
+            pass
+
+    rows2 = decode_bmp_stats(
+        spark.createDataFrame(
+            [(1, b), (2, b"junk"), (3, None)],
+            "media_id long, payload binary",
+        )
+    ).collect()
+    got = {r.media_id: r for r in rows2}
+    assert got[1].pixel_sum == exp and got[1].container == "bmp"
+    assert got[2].container == "unknown" and got[2].pixel_sum is None
