@@ -3,12 +3,26 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata (schemas.MEDIA_SCHEMA). The Spark-side plumbing — schema,
 partitioning, Arrow batch shape, ``mapInPandas`` operator signatures —
-is real and tested; the actual codec work is STUBBED because the
-image/audio libraries are not in this container:
+is real and tested, and every codec-free container format has a REAL
+stdlib-only decode arm:
 
-- :func:`decode_media` raises ``NotImplementedError`` unless the
-  optional codec import succeeds (import-try gate), or runs a
-  clearly-marked deterministic fake when ``fake=True``.
+- BMP: header (:func:`decode_bmp`) + full pixel decode
+  (:func:`decode_bmp_pixels` — offset/padding/row-order aware);
+- WAV: header (:func:`decode_wav`) + framewise energy/zero-crossing
+  features over the parsed sample stream (:func:`wav_frame_features`);
+- PNG: full decode through zlib + all-5-filter reversal
+  (:func:`decode_png`);
+- GIF: full LZW decode (:func:`decode_gif`, deferred-clear aware) +
+  animated frame SAMPLING that skips unsampled frames
+  (:func:`decode_gif_frames` / :func:`sample_gif_frames`);
+- JPEG: frame-header decode via ITU-T.81 marker scan
+  (:func:`parse_jpeg_header`).
+
+Only the genuinely library-bound arms remain stubbed:
+:func:`decode_media` (JPEG pixel / general video) raises
+``NotImplementedError`` unless the optional codec import succeeds
+(import-try gate), or runs a clearly-marked deterministic fake when
+``fake=True``.
 
 Scale design (100 TB of media): payloads never shuffle — every
 operator here is ``mapInPandas`` (narrow, per-partition, Arrow-
@@ -1329,8 +1343,10 @@ def decode_media(media_df: DataFrame, *, fake: bool = False) -> DataFrame:
     if not fake and not _HAS_PIL:
         raise NotImplementedError(
             "general media decoding requires codec libraries (PIL/av) "
-            "that are not installed; use decode_media_headers for "
-            "codec-free BMP/WAV, or pass fake=True for the "
+            "that are not installed; codec-free full decodes exist for "
+            "BMP (decode_bmp_pixels), WAV (wav_frame_features), PNG "
+            "(decode_png), GIF incl. animated (decode_gif_frames), and "
+            "JPEG headers (parse_jpeg_header); pass fake=True for the "
             "deterministic stub"
         )
 

@@ -242,6 +242,9 @@ AUDIT = [
     "gopher_quality_flags",
     "dsir_importance_weights",
     "perceptron_lang_step",
+    "gif_frame_sampling",
+    "wav_frame_energy",
+    "bmp_pixel_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -147,6 +147,9 @@ AUDIT = [
     "semantic_dedup",
     "dsir_importance_weights",
     "perceptron_lang_step",
+    "gif_frame_sampling",
+    "wav_frame_energy",
+    "bmp_pixel_stats",
 ]
 
 
