@@ -1737,3 +1737,93 @@ def perceptron_lang_step(spark, sf_dir):
             ).alias("w2"),
         )
     )
+
+
+# --- quality-gate capstone: gopher AND lm AND dsir in one plan -------
+
+
+def _quality_gate_oracle() -> str:
+    """Compose the capstone's oracle from the three member entries'
+    ORACLE STRINGS verbatim (each becomes a CTE), so the capstone can
+    never drift from its members: any change to a member oracle
+    propagates here automatically."""
+    from advisorydatapipeline_spark.registry import ORACLES
+
+    g = ORACLES["gopher_quality_flags"].strip()
+    l = ORACLES["lm_perplexity_scores"].strip()
+    d = ORACLES["dsir_importance_weights"].strip()
+    return f"""
+WITH g AS ({g}),
+l AS ({l}),
+d AS ({d}),
+thr AS (
+  SELECT CAST(sum(mean_surprisal_micro)
+              // count(mean_surprisal_micro) AS BIGINT) AS mean_thr
+  FROM l WHERE mean_surprisal_micro IS NOT NULL
+)
+SELECT g.doc_id,
+       g.passes_gopher,
+       (l.mean_surprisal_micro IS NOT NULL
+        AND l.mean_surprisal_micro <= (SELECT mean_thr FROM thr))
+         AS lm_ok,
+       (d.weight_micro IS NOT NULL AND d.weight_micro >= 0) AS dsir_ok,
+       (g.passes_gopher
+        AND l.mean_surprisal_micro IS NOT NULL
+        AND l.mean_surprisal_micro <= (SELECT mean_thr FROM thr)
+        AND d.weight_micro IS NOT NULL AND d.weight_micro >= 0)
+         AS selected
+FROM g
+JOIN l ON l.doc_id = g.doc_id
+JOIN d ON d.doc_id = g.doc_id
+"""
+
+
+@query("quality_gate_pipeline", oracle=_quality_gate_oracle())
+def quality_gate_pipeline(spark, sf_dir):
+    """Capstone composing the round-9 filter family the way a real
+    corpus pipeline chains them: the Gopher rule gate AND an
+    LM-perplexity cut (doc's mean surprisal at or below the corpus
+    mean — an integer DIV threshold, so the cut is exact) AND a
+    DSIR in-domain test (importance weight >= 0). One plan: the
+    three member scorers run as subtrees over the same corpus scan
+    and meet in a doc_id join; the only new wide op is the 1-row
+    threshold broadcast. The oracle is COMPOSED from the member
+    entries' oracle strings verbatim, so member and capstone can
+    never diverge."""
+    from pyspark.sql import functions as _F
+
+    g = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", "passes_gopher"
+    )
+    l = lm_perplexity_scores(spark, sf_dir).select(
+        "doc_id", "mean_surprisal_micro"
+    )
+    d = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "weight_micro"
+    )
+    thr = l.filter(_F.col("mean_surprisal_micro").isNotNull()).agg(
+        _F.expr(
+            "CAST(sum(mean_surprisal_micro)"
+            " DIV count(mean_surprisal_micro) AS BIGINT)"
+        ).alias("mean_thr")
+    )
+    lm_ok = _F.col("mean_surprisal_micro").isNotNull() & (
+        _F.col("mean_surprisal_micro") <= _F.col("mean_thr")
+    )
+    dsir_ok = _F.col("weight_micro").isNotNull() & (
+        _F.col("weight_micro") >= 0
+    )
+    return (
+        g.join(l, "doc_id")
+        .join(d, "doc_id")
+        .crossJoin(_F.broadcast(thr))
+        .select(
+            "doc_id",
+            "passes_gopher",
+            lm_ok.alias("lm_ok"),
+            dsir_ok.alias("dsir_ok"),
+            (_F.col("passes_gopher") & lm_ok & dsir_ok).alias(
+                "selected"
+            ),
+        )
+    )

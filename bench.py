@@ -240,6 +240,7 @@ EXTENDED = [
     "gif_frame_sampling",
     "wav_frame_energy",
     "bmp_pixel_stats",
+    "quality_gate_pipeline",
 ]
 
 

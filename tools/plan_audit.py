@@ -245,6 +245,7 @@ AUDIT = [
     "gif_frame_sampling",
     "wav_frame_energy",
     "bmp_pixel_stats",
+    "quality_gate_pipeline",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

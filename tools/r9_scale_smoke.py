@@ -12,7 +12,7 @@
   extended to x8/x16 — the one dedup family without an x16 row.
 
 Usage: python tools/r9_scale_smoke.py [sf_dir] [sections]
-  sections: comma list from {lm,sem,ppjoin}, default all.
+  sections: comma list from {lm,sem,filters,ppjoin}, default all.
 Prints markdown rows; SCALE.md extension sections are appended
 manually from this output (scale_smoke.py owns the main table).
 """

@@ -150,6 +150,7 @@ AUDIT = [
     "gif_frame_sampling",
     "wav_frame_energy",
     "bmp_pixel_stats",
+    "quality_gate_pipeline",
 ]
 
 

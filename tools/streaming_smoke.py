@@ -1,9 +1,10 @@
-"""Streaming-family-only scale smoke (x1/x2/x4), reusing
+"""Streaming-family-only scale smoke (replicas configurable,
+default x1/x2/x4), reusing
 tools/scale_smoke.py's corpus builder and measurement protocol —
 exists so the streaming state/latency scaling can be re-measured in
 minutes without the full dedup/ANN/graph smoke.
 
-Usage: python tools/streaming_smoke.py [sf_dir]
+Usage: python tools/streaming_smoke.py [sf_dir] [replicas_csv]
 Prints per-query rows; does NOT rewrite SCALE.md (scale_smoke.py
 owns that file).
 """
