@@ -303,6 +303,8 @@ NESTED_LOOP_OK = {
     # broadcast-centroid assignment cross joins (seed + refined) —
     # the same IVF-assign plan shape as kmeans_lloyd_step
     "semantic_dedup",
+    # 1-row broadcast corpus-mean-surprisal threshold scalar
+    "quality_gate_pipeline",
     # 4-row broadcast banding-config constant x 19-row grid (the
     # whole query is constant-size; no data-scale side exists)
     "lsh_s_curve",
