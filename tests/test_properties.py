@@ -529,3 +529,74 @@ def test_semantic_dedup_vs_bruteforce(spark, vecs):
         assert got[i].n_dup_neighbors == len(dups[i])
         expected_kept = not dups[i] or min(dups[i]) > i
         assert got[i].kept == expected_kept
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 8),
+    seed=st.integers(0, 96),
+)
+def test_bmp_gradient_roundtrip_property(w, h, seed):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_gradient,
+    )
+
+    expected = sum(
+        (seed + 7 * x + 13 * y + 29 * c) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    assert decode_bmp_pixels(encode_bmp_gradient(w, h, seed)) == (
+        w, h, expected,
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 400),
+    seed=st.integers(0, 96),
+)
+def test_wav_pattern_roundtrip_property(n, seed):
+    import struct
+
+    from advisorydatapipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pattern,
+    )
+
+    b = encode_wav_pattern(16000, n, seed)
+    assert decode_wav(b) == (16000, n, 16)
+    samples = [s for (s,) in struct.iter_unpack("<h", b[44:])]
+    assert samples == [((seed + 11 * i) % 2001) - 1000 for i in range(n)]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 6),
+    seed=st.integers(0, 96),
+    nf=st.integers(1, 6),
+    every=st.integers(1, 4),
+)
+def test_gif_animated_roundtrip_property(w, h, seed, nf, every):
+    from advisorydatapipeline_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    gw, gh, nc, got_nf, frames = decode_gif_frames(
+        encode_gif_animated(w, h, seed, nf), every
+    )
+    assert (gw, gh, nc, got_nf) == (w, h, 16, nf)
+    assert [f for f, _ in frames] == [f for f in range(nf) if f % every == 0]
+    pal = _gif_palette(seed)
+    for f, ps in frames:
+        assert ps == sum(
+            sum(pal[(seed + 7 * x + 13 * y + 31 * f) % 16])
+            for y in range(h)
+            for x in range(w)
+        )
