@@ -161,6 +161,7 @@ def filters_section(spark, sf_dir: str, base: str) -> None:
         "gopher_quality_flags",
         "dsir_importance_weights",
         "perceptron_lang_step",
+        "quality_gate_pipeline",
     )
     results = {op: [] for op in ops}
     for r in (1, 2, 4):
