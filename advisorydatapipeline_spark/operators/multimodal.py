@@ -318,39 +318,16 @@ def wav_frame_features(
             for _, row in pdf.iterrows():
                 b = bytes(row["payload"]) if row["payload"] is not None else b""
                 try:
-                    _sr, n, bits = decode_wav(b)
-                    if bits != 16:
-                        raise ValueError("only 16-bit PCM supported")
+                    frames = wav_frame_rows(b, frame_len)
                 except ValueError:
                     continue
-                # data chunk location: re-walk RIFF for the offset
-                pos, data_off = 12, None
-                while pos + 8 <= len(b):
-                    cid = b[pos : pos + 4]
-                    csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
-                    if cid == b"data":
-                        data_off = pos + 8
-                        break
-                    pos += 8 + csize + (csize % 2)
-                if data_off is None:
-                    continue
-                raw = b[data_off : data_off + 2 * n]
-                samples = [
-                    s for (s,) in struct.iter_unpack("<h", raw)
-                ]
-                for fi in range(0, (len(samples) + frame_len - 1) // frame_len):
-                    fr = samples[fi * frame_len : (fi + 1) * frame_len]
-                    zc = sum(
-                        1
-                        for a, c in zip(fr, fr[1:])
-                        if (a < 0) != (c < 0)
-                    )
+                for fi, n_in, energy, zc in frames:
                     out.append(
                         {
                             "media_id": row["media_id"],
                             "frame_idx": fi,
-                            "n_in_frame": len(fr),
-                            "energy": sum(s * s for s in fr),
+                            "n_in_frame": n_in,
+                            "energy": energy,
                             "zero_crossings": zc,
                         }
                     )
@@ -367,8 +344,13 @@ def wav_frame_features(
 
 def decode_wav(payload: bytes) -> tuple[int, int, int]:
     """(sample_rate, n_samples, bits) from a PCM WAV header; raises
-    on non-WAV. Walks RIFF chunks rather than assuming fixed offsets
-    so files with extra chunks (LIST/INFO) still parse."""
+    ValueError (ONLY ValueError — the corrupt-skip contract the
+    mapInPandas operators rely on) on anything non-WAV. Walks RIFF
+    chunks rather than assuming fixed offsets so files with extra
+    chunks (LIST/INFO) still parse. The data chunk's declared size is
+    clamped to the bytes actually present after its header, so a size
+    field that lies about the payload cannot push n_samples past the
+    real sample stream."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, sample_rate, bits, data_size = 12, None, None, None
@@ -381,11 +363,56 @@ def decode_wav(payload: bytes) -> tuple[int, int, int]:
             )
             bits = int.from_bytes(payload[pos + 22 : pos + 24], "little")
         elif cid == b"data":
-            data_size = csize
+            # clamp declared size to what the buffer really holds
+            data_size = min(csize, max(0, len(payload) - (pos + 8)))
         pos += 8 + csize + (csize % 2)
     if sample_rate is None or data_size is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if bits is None or bits == 0 or bits % 8 != 0:
+        raise ValueError(f"invalid WAV bits-per-sample: {bits}")
     return sample_rate, data_size // (bits // 8), bits
+
+
+def wav_frame_rows(
+    payload: bytes, frame_len: int
+) -> list[tuple[int, int, int, int]]:
+    """Pure framewise-feature core of ``wav_frame_features``:
+    ``[(frame_idx, n_in_frame, energy, zero_crossings), ...]`` for a
+    16-bit PCM WAV payload. Raises ONLY ValueError on corrupt /
+    non-WAV / non-16-bit input (struct.error is re-raised as
+    ValueError as a last line of defence), so Spark tasks skip bad
+    objects instead of dying — the same contract, and the same
+    every-byte mutation/truncation fuzz coverage, as the other codec
+    arms (PNG/BMP/GIF/JPEG)."""
+    import struct
+
+    _sr, n, bits = decode_wav(payload)
+    if bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    # data chunk location: re-walk RIFF for the offset
+    b = payload
+    pos, data_off = 12, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            data_off = pos + 8
+            break
+        pos += 8 + csize + (csize % 2)
+    if data_off is None:
+        raise ValueError("WAV missing data chunk")
+    raw = b[data_off : data_off + 2 * n]
+    raw = raw[: (len(raw) // 2) * 2]  # never hand an odd tail to struct
+    try:
+        samples = [s for (s,) in struct.iter_unpack("<h", raw)]
+    except struct.error as exc:  # pragma: no cover - truncation guard
+        raise ValueError(f"malformed PCM stream: {exc}") from exc
+    frames = []
+    for fi in range(0, (len(samples) + frame_len - 1) // frame_len):
+        fr = samples[fi * frame_len : (fi + 1) * frame_len]
+        zc = sum(1 for a, c in zip(fr, fr[1:]) if (a < 0) != (c < 0))
+        frames.append((fi, len(fr), sum(s * s for s in fr), zc))
+    return frames
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -1202,10 +1202,14 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 style): k-means-cluster the
     embedding space, call same-cluster pairs with cosine >= tau
-    semantic duplicates, and keep ONE representative per duplicate
-    group — the greedy min-id rule (drop x iff some same-cluster
-    duplicate y has y.id < x.id), which keeps exactly one doc per
-    duplicate chain without a connected-components pass.
+    semantic duplicates, and drop the redundant ones via the greedy
+    min-id rule: drop x iff some same-cluster duplicate neighbor y
+    has y.id < x.id. This is an independent-set-style guarantee — at
+    LEAST one survivor per duplicate chain (a chain like {1-3, 2-3}
+    keeps both 1 and 2, since neither has a smaller-id neighbor) —
+    NOT exactly-one-per-component; that stronger contraction would
+    need the connected-components pass this operator deliberately
+    avoids.
 
     Composes the existing pieces: ivf_assign seeding ->
     lloyd_refined_centroids -> per-cluster blocked pair join (the

@@ -570,6 +570,51 @@ def test_wav_frame_features(spark):
         )
 
 
+def test_wav_frame_rows_fuzz_valueerror_only():
+    """ADVICE r9 (medium): the WAV arm's corrupt-skip contract had no
+    fuzz coverage and two escapes (struct.error from an odd-length
+    data chunk whose size field lies, ZeroDivisionError from bits=0).
+    Same every-byte-mutation + every-truncation fuzz as PNG/BMP/GIF:
+    each corrupted payload must decode or raise ValueError — never
+    any other exception class."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_wav_pattern,
+        wav_frame_rows,
+    )
+
+    good = encode_wav_pattern(8000, 60, 5)
+    assert len(wav_frame_rows(good, 25)) == 3  # 25+25+10
+    for i in range(len(good)):
+        bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+        try:
+            wav_frame_rows(bad, 25)
+        except ValueError:
+            pass
+    for cut in range(len(good)):
+        try:
+            wav_frame_rows(good[:cut], 25)
+        except ValueError:
+            pass
+    # the two reproduced escapes, pinned explicitly:
+    # 1) data size field exceeding the payload by an odd amount
+    lying = bytearray(good)
+    lying[40:44] = (2 * 60 + 3).to_bytes(4, "little")
+    frames = wav_frame_rows(bytes(lying), 25)  # clamped, no struct.error
+    assert sum(f[1] for f in frames) == 60
+    # 2) fmt bits-per-sample = 0 -> ValueError, not ZeroDivisionError
+    zero_bits = bytearray(good)
+    zero_bits[34:36] = (0).to_bytes(2, "little")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wav_frame_rows(bytes(zero_bits), 25)
+    # and bits not a multiple of 8
+    odd_bits = bytearray(good)
+    odd_bits[34:36] = (12).to_bytes(2, "little")
+    with _pytest.raises(ValueError):
+        wav_frame_rows(bytes(odd_bits), 25)
+
+
 def test_bmp_pixel_decode_and_row_orders(spark):
     from advisorydatapipeline_spark.operators.multimodal import (
         decode_bmp_pixels,

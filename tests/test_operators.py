@@ -682,8 +682,10 @@ def test_simhash64_combination_scheme_output_invariant(spark):
 
 
 def test_semantic_dedup_keep_one(spark):
-    """Greedy min-id keep-one: exactly one survivor per duplicate
-    chain, non-duplicates untouched, counts symmetric."""
+    """Greedy min-id rule: drop x iff some duplicate neighbor has a
+    smaller id — at least one survivor per chain (this fixture's
+    chains happen to be cliques, so exactly one survives here),
+    non-duplicates untouched, counts symmetric."""
     from advisorydatapipeline_spark.operators.similarity import (
         semantic_dedup,
     )
