@@ -270,8 +270,25 @@ def main() -> None:
         "(the box's single-shot envelope is wider than typical "
         "round deltas)",
     )
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names: run ONLY these (drift "
+        "adjudication / targeted solo re-measure). Never writes the "
+        "round's BENCH_LOCAL artifact — use --out for a side file.",
+    )
+    ap.add_argument(
+        "--out",
+        default="",
+        help="write the full per-query artifact to this path instead "
+        "of the round-inferred BENCH_LOCAL_r{N}.json",
+    )
     args = ap.parse_args()
     reps = max(1, args.reps)
+    only = [n for n in args.only.split(",") if n]
+    unknown = [n for n in only if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"--only names not in registry: {unknown}")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -295,9 +312,10 @@ def main() -> None:
 
     import gc
 
+    run_list = [n for n in CORE + EXTENDED if not only or n in only]
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in CORE + EXTENDED:
+    for name in run_list:
         fn = QUERIES[name]
         samples: list[float] = []
         for _rep in range(reps):
@@ -314,8 +332,10 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [min(samples), max(samples)]
 
-    core_total = round(sum(timings[n] for n in CORE), 3)
-    ext_total = round(sum(timings[n] for n in EXTENDED), 3)
+    core_total = round(sum(timings[n] for n in CORE if n in timings), 3)
+    ext_total = round(
+        sum(timings[n] for n in EXTENDED if n in timings), 3
+    )
 
     # Full per-query record (both tiers) -> committed local artifact,
     # immune to the driver's stdout truncation.
@@ -326,33 +346,44 @@ def main() -> None:
         "core_total": core_total,
         "extended_total": ext_total,
         "total": round(core_total + ext_total, 3),
-        "core": {n: timings[n] for n in CORE},
-        "extended": {n: timings[n] for n in EXTENDED},
+        "core": {n: timings[n] for n in CORE if n in timings},
+        "extended": {n: timings[n] for n in EXTENDED if n in timings},
     }
+    if only:
+        local["only"] = only
     if reps > 1:
         # per-query [min, max] across reps — the committed noise
         # envelope a future round's drift check reads directly
         local["spread"] = spread
-    local_path = os.path.join(
-        repo_dir, f"BENCH_LOCAL_r{local['round']:02d}.json"
-    )
-    # never clobber a HIGHER-reps artifact with a lower-reps run: the
-    # committed median+spread record is the round's drift-adjudication
-    # evidence, and the driver's own per-round invocation defaults to
-    # reps=1 — that run lands in a reps-suffixed side file instead
-    try:
-        with open(local_path) as f:
-            existing_reps = json.load(f).get("reps", 1) or 1
-    except (OSError, ValueError):
-        existing_reps = 0
-    if existing_reps > reps:
+    if only:
+        # targeted runs never touch the round artifact; they are
+        # adjudication side evidence
+        local_path = args.out or ""
+    elif args.out:
+        local_path = args.out
+    else:
         local_path = os.path.join(
-            repo_dir,
-            f"BENCH_LOCAL_r{local['round']:02d}_reps{reps}.json",
+            repo_dir, f"BENCH_LOCAL_r{local['round']:02d}.json"
         )
-    with open(local_path, "w") as f:
-        json.dump(local, f, indent=1, sort_keys=False)
-        f.write("\n")
+        # never clobber a HIGHER-reps artifact with a lower-reps run:
+        # the committed median+spread record is the round's
+        # drift-adjudication evidence, and the driver's own per-round
+        # invocation defaults to reps=1 — that run lands in a
+        # reps-suffixed side file instead
+        try:
+            with open(local_path) as f:
+                existing_reps = json.load(f).get("reps", 1) or 1
+        except (OSError, ValueError):
+            existing_reps = 0
+        if existing_reps > reps:
+            local_path = os.path.join(
+                repo_dir,
+                f"BENCH_LOCAL_r{local['round']:02d}_reps{reps}.json",
+            )
+    if local_path:
+        with open(local_path, "w") as f:
+            json.dump(local, f, indent=1, sort_keys=False)
+            f.write("\n")
 
     # Key order matters: the external driver keeps only the LAST ~2000
     # chars of this line, so the queries dict goes first and every
@@ -362,8 +393,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "queries": {n: timings[n] for n in CORE},
-                "full_timings": os.path.basename(local_path),
+                "queries": {
+                    n: timings[n] for n in CORE if n in timings
+                },
+                "full_timings": os.path.basename(local_path)
+                if local_path
+                else "",
                 "n_core": len(CORE),
                 "n_extended": len(EXTENDED),
                 "reps": reps,

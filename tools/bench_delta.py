@@ -31,6 +31,12 @@ import sys
 
 ENVELOPE_SLACK = 1.15  # widen prev's [min,max] by ±15% box noise
 
+# Sub-second entries are dominated by ±0.1-0.2 s harness jitter (JVM
+# gc, Arrow worker reuse, AQE re-plan): r9's delta had 17 of 23
+# envelope exits under 1 s, pure flapping. A sub-second query is
+# flagged only when the drift is ALSO big in absolute terms.
+SUBSEC_ABS_FLOOR = 0.3  # seconds; applies when prev median < 1.0 s
+
 
 def load_artifact(path: str) -> tuple[dict[str, float], dict, int | None]:
     """(timings, spread, reps) from any known bench artifact shape."""
@@ -88,6 +94,8 @@ def main() -> int:
         else:
             flag = "" if 1 / 1.5 <= (ratio or 1) <= 1.5 else " ⚠"
             env = "—"
+        if flag and a < 1.0 and abs(b - a) < SUBSEC_ABS_FLOOR:
+            flag = " (info: sub-second jitter)"
         if flag and mixed:
             flag = " (info: mixed reps)"
         if flag.startswith(" ⚠"):
@@ -111,6 +119,7 @@ def main() -> int:
             if prev_spread
             else " (coarse 1.5x rule — prev has no spread envelope)"
         )
+        + f"; sub-1s entries need ≥{SUBSEC_ABS_FLOOR}s absolute drift"
     )
     print("\n| query | prev s | prev envelope | curr s | ratio |")
     print("|---|---|---|---|---|")
