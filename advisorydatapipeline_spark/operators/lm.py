@@ -41,9 +41,16 @@ Scale design (100 TB):
   action (registry cache contract, registry.py:12).
 - ppb quantization bounds: ``C * 1e9`` overflows BIGINT at
   C > ~9.2e9 token occurrences for one n-gram type; a 100 TB corpus
-  needs the scale dropped to 1e6 (ppm) or counts pre-bucketed. The
-  interpolation weights and plan shape are unchanged by the scale
-  constant.
+  needs the scale dropped to 1e6 (ppm) via the ``scale`` parameter
+  (the interpolation weights and plan shape are unchanged by the
+  scale constant). This is GUARDED, not just documented: the plan
+  carries ``max(unigram count)`` on the same broadcast 1-row
+  aggregate as N and raises in-plan (``raise_error``) the moment any
+  count could overflow ``count * scale`` — every numerator in the
+  ppb expressions (trigram, bigram, unigram counts) is bounded by
+  the max unigram count, so one comparison covers all three. A
+  100 TB run fails loud with the remediation in the message instead
+  of silently wrapping.
 
 Reference twin: none — the reference (Idanconley123/advisoryDataPipeline)
 has no text-statistics code; this is north-star LLM-pipeline surface
@@ -86,7 +93,11 @@ def _ngram_rows(tk: DataFrame, n: int, names: tuple[str, ...]) -> DataFrame:
 
 
 def ngram_lm_doc_scores(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = PPB,
 ) -> DataFrame:
     """Per-document interpolated-trigram-LM surprisal, integer-exact.
 
@@ -95,7 +106,14 @@ def ngram_lm_doc_scores(
       surprisal_micro       (sum of per-occurrence micro-nats),
       mean_surprisal_micro  (integer DIV; log-perplexity in micro-nats;
                              NULL when the doc has < 3 tokens).
+
+    ``scale`` is the probability quantum (default parts-per-billion).
+    The plan fails loud — in-plan ``raise_error`` naming the fix —
+    if any n-gram count could overflow ``count * scale`` in BIGINT
+    (at ppb that's a count > ~9.2e9; drop ``scale`` to 1_000_000 for
+    corpora hot-word-heavy enough to hit it).
     """
+    max_safe_count = (2**63 - 1) // scale
     tk = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
     )
@@ -107,7 +125,13 @@ def ngram_lm_doc_scores(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cu"))
     )
-    tot = uni.agg(F.sum("cu").cast("long").alias("n"))
+    # max_cu rides the same 1-row broadcast as N: every numerator in
+    # the ppb components (ct <= cb23 <= cu, cu3 <= max_cu) is bounded
+    # by the max unigram count, so one guard covers all three.
+    tot = uni.agg(
+        F.sum("cu").cast("long").alias("n"),
+        F.max("cu").cast("long").alias("max_cu"),
+    )
     bi = _ngram_rows(tk, 2, ("w1", "w2")).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("cb")
     )
@@ -154,10 +178,18 @@ def ngram_lm_doc_scores(
             "w2",
             "w3",
             F.expr(
-                f"CAST((({LAMBDA_TENTHS[0]} * ((ct * {PPB}) DIV cb12)"
-                f" + {LAMBDA_TENTHS[1]} * ((cb23 * {PPB}) DIV cu2)"
-                f" + {LAMBDA_TENTHS[2]} * ((cu3 * {PPB}) DIV n))"
-                f" DIV 10) AS BIGINT)"
+                # overflow guard first: fails the job loud (with the
+                # remediation) instead of silently wrapping BIGINT
+                f"CASE WHEN max_cu > {max_safe_count} THEN "
+                f"CAST(raise_error(CONCAT("
+                f"'ngram_lm_doc_scores: max n-gram count ', max_cu, "
+                f"' would overflow count*{scale} in BIGINT; ', "
+                f"'re-run with scale=1000000 (ppm) or pre-bucket "
+                f"counts')) AS BIGINT) "
+                f"ELSE CAST((({LAMBDA_TENTHS[0]} * ((ct * {scale}) DIV cb12)"
+                f" + {LAMBDA_TENTHS[1]} * ((cb23 * {scale}) DIV cu2)"
+                f" + {LAMBDA_TENTHS[2]} * ((cu3 * {scale}) DIV n))"
+                f" DIV 10) AS BIGINT) END"
             ).alias("p_ppb"),
         )
         .select(
@@ -165,7 +197,7 @@ def ngram_lm_doc_scores(
             "w2",
             "w3",
             F.floor(
-                MICRO * F.log(F.lit(float(PPB)) / F.col("p_ppb"))
+                MICRO * F.log(F.lit(float(scale)) / F.col("p_ppb"))
             ).cast("long").alias("s_micro"),
         )
     )

@@ -103,3 +103,67 @@ def test_rare_continuation_scores_above_frequent(spark):
     assert (
         rows[9]["mean_surprisal_micro"] > rows[1]["mean_surprisal_micro"]
     )
+
+
+def test_overflow_guard_fails_loud_and_ppm_adapts(spark):
+    """r9 verdict item 4: count*scale BIGINT overflow must fail loud
+    (in-plan raise_error naming the remediation), not wrap silently.
+    The boundary is exercised by shrinking the safe window (huge
+    ``scale``) instead of materializing 9.2e9 tokens; the adapt path
+    (scale=ppm) is checked against the same pure-Python reference
+    model re-run at ppm."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+    # max unigram count in DOCS is 6 ("the"); scale chosen so the
+    # safe bound (2^63-1)//scale == 5 < 6 trips the guard exactly
+    scale_at_boundary = (2**63 - 1) // 5
+    with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+        ngram_lm_doc_scores(df, scale=scale_at_boundary).collect()
+    assert "scale=1000000" in str(exc.value)
+
+    # one notch wider (safe bound == 6) must NOT trip
+    scale_just_safe = (2**63 - 1) // 6
+    assert ngram_lm_doc_scores(df, scale=scale_just_safe).count() == 5
+
+    # the documented remediation: ppm keeps the exact-integer spec
+    ppm = 1_000_000
+
+    def s_micro_ppm(uni, bi, tri, n, g):
+        import math as _m
+
+        w1, w2, w3 = g
+        l3, l2, l1 = LAMBDA_TENTHS
+        p3 = (tri[g] * ppm) // bi[(w1, w2)]
+        p2 = (bi[(w2, w3)] * ppm) // uni[w2]
+        p1 = (uni[w3] * ppm) // n
+        p = (l3 * p3 + l2 * p2 + l1 * p1) // 10
+        return _m.floor(MICRO * _m.log(float(ppm) / p))
+
+    from collections import Counter as _C
+
+    toks = {i: _tok(t) for i, t in DOCS}
+    uni, bi, tri = _C(), _C(), _C()
+    for ws in toks.values():
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    n = sum(uni.values())
+    got = {
+        r["doc_id"]: r["surprisal_micro"]
+        for r in ngram_lm_doc_scores(df, scale=ppm).collect()
+    }
+    for i, ws in toks.items():
+        grams = _C(zip(ws, ws[1:], ws[2:]))
+        exp = (
+            sum(
+                c * s_micro_ppm(uni, bi, tri, n, g)
+                for g, c in grams.items()
+            )
+            if grams
+            else None
+        )
+        assert got[i] == exp
