@@ -513,7 +513,6 @@ def simhash64_near_dupes(
                 f"raise bands for max_hamming={max_hamming}"
             )
         widths = [band_bits] * bands
-    nb = len(widths)
     # persist: the self-join's a/b sides project DIFFERENT columns
     # off the exploded entries, so exchange reuse is not guaranteed
     # and without the cache the tokenize + 16-lane vote aggregation
@@ -521,6 +520,40 @@ def simhash64_near_dupes(
     # contract: the plan is materialized by the caller's one action;
     # harnesses clearCache between queries.
     sig = simhash64_blocks(df, id_col, text_col, widths).persist()
+    return blocks_near_dupes(
+        sig, id_col, widths, max_hamming=max_hamming
+    )
+
+
+def blocks_near_dupes(
+    sig: DataFrame,
+    id_col: str,
+    widths: list[int],
+    *,
+    max_hamming: int,
+) -> DataFrame:
+    """Hamming-banded near-dup join over ANY blocked bit-signature
+    table (columns ``block_0..block_{n-1}`` holding bit ranges of the
+    given widths) — the candidate-generation + inline-verification
+    half of :func:`simhash64_near_dupes`, factored out (round 10) so
+    other 64-bit signatures (image dHash,
+    operators/multimodal.py:image_dhash_blocks) reuse the identical
+    exact-recall scheme instead of reimplementing it.
+
+    By pigeonhole any pair within ``max_hamming`` shares at least one
+    combination of ``n - max_hamming`` whole blocks, so joining on
+    each concatenated-combination key has exact recall; verification
+    is inline XOR+popcount before the final pair-dedup. Output:
+    (id_a, id_b, hamming) with id_a < id_b.
+
+    Scale (100 TB): one explode (x n_combos) + one shuffle on the
+    combination key; candidate buckets are bounded by signature
+    collisions, never corpus^2. Callers should persist ``sig`` when
+    its lineage is expensive (the a/b sides project different columns,
+    so exchange reuse is not guaranteed)."""
+    from itertools import combinations
+
+    nb = len(widths)
     combos = list(combinations(range(nb), nb - max_hamming))
     if nb == max_hamming + 1:
         # classic banding: one block per key

@@ -243,6 +243,264 @@ def decode_bmp_stats(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(op, schema)
 
 
+# --- Perceptual image hashing (dHash) + Hamming-banded near-dup ------
+#
+# Round-10 composition of the codec family (real BMP pixel decode)
+# with the dedup family (the simhash64 exact-recall block-combination
+# join): the image-dedup operator every multimodal training pipeline
+# runs before training.
+
+DHASH_GRID_W, DHASH_GRID_H = 9, 8  # classic dHash: 9x8 -> 8x8 bits
+DHASH_BLOCK_WIDTHS = [16, 16, 16, 16]
+
+
+def _bmp_rows_topdown(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """(width, height, rows) from a 24-bpp uncompressed BMP, where
+    ``rows[j]`` is image row j TOP-DOWN, padding stripped (exactly
+    ``3 * width`` BGR bytes). Shares the validation rules of
+    :func:`decode_bmp_pixels` (ValueError-only contract); unlike the
+    order-invariant pixel SUM, consumers of this helper see row
+    ORDER, so bottom-up (positive height) storage is flipped here."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BMP header too small")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    raw_h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bpp BMP supported")
+    if width <= 0 or raw_h == 0:
+        raise ValueError("BMP declares empty image")
+    height = abs(raw_h)
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    if data_off < 54 or data_off + row_bytes * height > len(payload):
+        raise ValueError("BMP pixel data overruns payload")
+    rows = []
+    for j in range(height):
+        stored = (height - 1 - j) if raw_h > 0 else j  # bottom-up flip
+        start = data_off + stored * row_bytes
+        rows.append(payload[start : start + width * 3])
+    return width, height, rows
+
+
+def bmp_dhash_blocks(payload: bytes) -> tuple[int, int, int, int]:
+    """64-bit difference hash (dHash) of a 24-bpp BMP, returned as
+    four 16-bit blocks (the exact shape
+    dedup.blocks_near_dupes consumes; bit 63 in one BIGINT would
+    also flip the sign).
+
+    Spec (integer-exact, oracle-replayable):
+    - grayscale = R + G + B per pixel (no division),
+    - box-downsample to the 9x8 dHash grid by summing each cell
+      (width must divide into 9, height into 8 — equal-area cells
+      make the sums directly comparable; ValueError otherwise),
+    - bit (j*8 + c) = 1 iff cell(c, j) < cell(c+1, j) (strict).
+
+    numpy-vectorized (reshape + axis sums) — per-payload cost is one
+    pass over the pixels, no Python per-pixel loop. ValueError-only
+    corruption contract like every codec arm."""
+    import numpy as np
+
+    w, h, rows = _bmp_rows_topdown(payload)
+    if w % DHASH_GRID_W or h % DHASH_GRID_H:
+        raise ValueError(
+            f"dHash grid needs width%{DHASH_GRID_W}==0 and "
+            f"height%{DHASH_GRID_H}==0, got {w}x{h}"
+        )
+    sx, sy = w // DHASH_GRID_W, h // DHASH_GRID_H
+    arr = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+        h, w, 3
+    )
+    gray = arr.sum(axis=2, dtype=np.int64)  # R+G+B (order-invariant)
+    cells = gray.reshape(DHASH_GRID_H, sy, DHASH_GRID_W, sx).sum(
+        axis=(1, 3)
+    )  # (8 rows, 9 cols) of exact cell sums
+    bits = cells[:, :-1] < cells[:, 1:]  # (8, 8) strict comparisons
+    blocks = [0, 0, 0, 0]
+    for j in range(8):
+        for c in range(8):
+            if bits[j, c]:
+                bit = j * 8 + c
+                blocks[bit // 16] |= 1 << (bit % 16)
+    return blocks[0], blocks[1], blocks[2], blocks[3]
+
+
+def image_dhash_blocks(media_df: DataFrame) -> DataFrame:
+    """(media_id, block_0..block_3) dHash signature per image payload
+    via :func:`bmp_dhash_blocks`. Corrupt / non-BMP / non-grid-sized
+    payloads contribute zero rows (corrupt-skip contract).
+
+    mapInPandas, narrow, Arrow-batched — payload bytes never shuffle;
+    exactly 5 scalar columns leave the operator."""
+    schema = (
+        "media_id long, block_0 long, block_1 long, "
+        "block_2 long, block_3 long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"]) if row["payload"] is not None else b""
+                try:
+                    b0, b1, b2, b3 = bmp_dhash_blocks(b)
+                except ValueError:
+                    continue
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "block_0": b0,
+                        "block_1": b1,
+                        "block_2": b2,
+                        "block_3": b3,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "block_0", "block_1",
+                    "block_2", "block_3",
+                ],
+            )
+
+    return media_df.mapInPandas(op, schema)
+
+
+def image_phash_near_dupes(
+    media_df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    wide_keys: bool = False,
+) -> DataFrame:
+    """Perceptual-hash image near-dup pairs: dHash each payload
+    (real pixel decode + downsample), then the SAME exact-recall
+    block-combination Hamming join as dedup_simhash64
+    (operators/dedup.py:blocks_near_dupes) — by pigeonhole, any pair
+    within ``max_hamming`` (default 3) shares a whole 16-bit block.
+    Output (id_a, id_b, hamming), id_a < id_b — scheme-independent
+    (exactly the hamming<=k pair set), so the oracle replays the
+    simplest banding whatever plan shape is picked.
+
+    ``wide_keys`` is the corpus-scale lever (same trade as
+    dedup.simhash_plan_blocks): repack the signature into EIGHT 8-bit
+    blocks and join on C(8,5)=56 combination keys of 40 bits instead
+    of 4 keys of 16 bits. 16-bit keys hash into only 65k buckets per
+    block, so past ~10M images random collisions make the candidate
+    stream quadratic; 40-bit keys push that to ~10^12. Explode factor
+    rises 4 -> 56 (rows are 5 BIGINTs — still tiny next to payload
+    bytes, which never shuffle).
+
+    Scale (100 TB of images): the decode is a narrow Arrow-batched
+    hop (payload bytes never shuffle — only the 4 BIGINT blocks
+    leave); the join shuffles the signature table once on the
+    combination key. The signature table is persisted because the
+    self-join's a/b sides project different columns, so the decode
+    would otherwise run twice (registry cache contract: materialized
+    by the caller's one action, harnesses clearCache between
+    queries)."""
+    from advisorydatapipeline_spark.operators.dedup import (
+        blocks_near_dupes,
+    )
+
+    sig = image_dhash_blocks(media_df)
+    if wide_keys:
+        # bits [8k, 8k+8) live in 16-bit block k//2 at byte k%2
+        sig = sig.select(
+            "media_id",
+            *[
+                F.expr(
+                    f"CAST((block_{k // 2} >> {8 * (k % 2)}) & 255 "
+                    f"AS BIGINT) AS block_{k}"
+                )
+                for k in range(8)
+            ],
+        )
+        widths = [8] * 8
+    else:
+        widths = DHASH_BLOCK_WIDTHS
+    sig = sig.persist()
+    return blocks_near_dupes(
+        sig,
+        "media_id",
+        widths,
+        max_hamming=max_hamming,
+    )
+
+
+def encode_bmp_cellgrid(doc_id: int, *, group: int = 6) -> bytes:
+    """Deterministic BMP fixture for the image-dedup entry: a 9x8
+    grid of constant-brightness cells (all three channels equal the
+    cell value), scaled by per-doc factors so the decoder's
+    box-downsample does real work:
+
+      sx = 1 + doc_id % 2, sy = 1 + doc_id % 3   (9*sx x 8*sy image)
+      ckey = doc_id // group                      (content key)
+      x = ckey*64 + i*8 + j
+      cell(i<8, j) = (((x*x % 2^31) * 2654435761 + x * 506952113)
+                      % 2^31) % 241
+      cell(8, j)   = 250 if j < doc_id % 4 else 0 (planted flips)
+
+    The QUADRATIC mix matters: a linear hash (Weyl sequence) leaves
+    different content keys' comparison patterns correlated — measured
+    ~45k accidental hamming<=3 cross-group pairs at 5k docs (output
+    grew superlinearly); with x*x in the mix the pair set is 100%
+    planted at 500/5k/20k docs and grows exactly linearly
+    (group-count * C(group,2)). All intermediates stay below 2^63
+    (x*x % 2^31 first, then * 2654435761 < 5.7e18), so Spark and
+    DuckDB replay it exactly in BIGINT.
+
+    Docs sharing a content key differ ONLY in the last column, which
+    feeds exactly one dHash bit per row — so within a group of
+    ``group`` docs, hamming(a, b) = |a%4 - b%4| <= 3 by
+    construction, and the near-dup operator must recover exactly
+    those pairs (plus any accidental cross-group collisions, which
+    the oracle replays identically). Bottom-up storage per the
+    positive-height BMP spec, so a row-order bug reorders j and
+    changes the hash."""
+    sx, sy = 1 + doc_id % 2, 1 + doc_id % 3
+    width, height = DHASH_GRID_W * sx, DHASH_GRID_H * sy
+    ckey = doc_id // group
+
+    def cell(i: int, j: int) -> int:
+        if i < DHASH_GRID_W - 1:
+            x = ckey * 64 + i * 8 + j
+            return (
+                ((x * x % 2147483648) * 2654435761 + x * 506952113)
+                % 2147483648
+            ) % 241
+        return 250 if j < doc_id % 4 else 0
+
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    data_size = row_bytes * height
+    header = (
+        b"BM"
+        + int(54 + data_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + int(width).to_bytes(4, "little", signed=True)
+        + int(height).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + data_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            v = cell(x // sx, y // sy)
+            row += bytes([v, v, v])
+        row += b"\x00" * (row_bytes - width * 3)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
 def encode_wav(
     sample_rate: int, n_samples: int, amplitude: int = 0
 ) -> bytes:

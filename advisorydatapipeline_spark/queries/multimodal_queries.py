@@ -615,6 +615,100 @@ def bmp_pixel_stats(spark, sf_dir):
 
 
 @query(
+    "image_phash_neardup",
+    oracle="""
+WITH bits AS (
+  SELECT d.doc_id,
+         CAST((j.j * 8 + c.c) // 16 AS INTEGER) AS blk,
+         CAST((j.j * 8 + c.c) % 16 AS INTEGER) AS pos,
+         CASE WHEN
+           ((((d.doc_id // 6) * 64 + c.c * 8 + j.j)
+             * ((d.doc_id // 6) * 64 + c.c * 8 + j.j) % 2147483648)
+            * 2654435761
+            + ((d.doc_id // 6) * 64 + c.c * 8 + j.j) * 506952113)
+           % 2147483648 % 241
+           <
+           (CASE WHEN c.c + 1 < 8 THEN
+             ((((d.doc_id // 6) * 64 + (c.c + 1) * 8 + j.j)
+               * ((d.doc_id // 6) * 64 + (c.c + 1) * 8 + j.j)
+               % 2147483648)
+              * 2654435761
+              + ((d.doc_id // 6) * 64 + (c.c + 1) * 8 + j.j)
+                * 506952113)
+             % 2147483648 % 241
+            ELSE CASE WHEN j.j < d.doc_id % 4 THEN 250 ELSE 0 END END)
+         THEN 1 ELSE 0 END AS bit
+  FROM documents d, range(8) j(j), range(8) c(c)
+),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN blk = 0 THEN bit << pos ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN blk = 1 THEN bit << pos ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN blk = 2 THEN bit << pos ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN blk = 3 THEN bit << pos ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          AS INTEGER) AS hamming
+  FROM h a JOIN h b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+)
+SELECT DISTINCT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+""",
+)
+def image_phash_neardup(spark, sf_dir):
+    """Perceptual image-hash near-dup detection (round-10 composition
+    of the codec + dedup families — the image-dedup pass every
+    multimodal training pipeline runs): each document becomes a REAL
+    24-bpp BMP (:func:`encode_bmp_cellgrid`: 9x8 constant-brightness
+    cells at per-doc scale factors, bottom-up storage), the operator
+    pixel-decodes it, box-downsamples to the dHash grid, takes the 64
+    horizontal-gradient comparison bits as four 16-bit blocks, and
+    feeds them through the SAME exact-recall block-combination
+    Hamming join as dedup_simhash64
+    (operators/dedup.py:blocks_near_dupes). Output: (id_a, id_b,
+    hamming <= 3).
+
+    The oracle replays the whole chain from doc_id arithmetic — cell
+    values, strict-< gradient bits, block packing, and the banded
+    join (pigeonhole: a hamming<=3 pair shares a whole 16-bit block)
+    — so a decode, row-order, downsample-boundary, bit-order, or
+    banding bug is a value mismatch. Fixture plants groups of 6 docs
+    whose hashes differ in 0-3 bits (last-column flips); the
+    quadratic content-key mix keeps cross-group pairs at zero, so the
+    output grows LINEARLY with the corpus (measured 1246 / 12496 /
+    49996 pairs at 500 / 5k / 20k docs — banded, not all-pairs).
+
+    Scale (100 TB of images): payload bytes never shuffle (narrow
+    Arrow-batched decode); only the 5-column signature table moves,
+    once, on the combination key."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_bmp_cellgrid,
+        image_phash_near_dupes,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp_cellgrid(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return image_phash_near_dupes(media, max_hamming=3)
+
+
+@query(
     "wav_frame_energy",
     oracle="""
 WITH params AS (

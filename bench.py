@@ -241,6 +241,7 @@ EXTENDED = [
     "wav_frame_energy",
     "bmp_pixel_stats",
     "quality_gate_pipeline",
+    "image_phash_neardup",
 ]
 
 

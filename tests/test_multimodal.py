@@ -662,3 +662,140 @@ def test_bmp_pixel_decode_and_row_orders(spark):
     got = {r.media_id: r for r in rows2}
     assert got[1].pixel_sum == exp and got[1].container == "bmp"
     assert got[2].container == "unknown" and got[2].pixel_sum is None
+
+
+def _dhash_expected_blocks(doc_id: int, group: int = 6):
+    """The encode_bmp_cellgrid spec in plain Python (test twin)."""
+    def cell(i, j):
+        if i < 8:
+            x = (doc_id // group) * 64 + i * 8 + j
+            return (
+                ((x * x % 2147483648) * 2654435761 + x * 506952113)
+                % 2147483648
+            ) % 241
+        return 250 if j < doc_id % 4 else 0
+
+    blocks = [0, 0, 0, 0]
+    for j in range(8):
+        for c in range(8):
+            if cell(c, j) < cell(c + 1, j):
+                bit = j * 8 + c
+                blocks[bit // 16] |= 1 << (bit % 16)
+    return tuple(blocks)
+
+
+def test_bmp_dhash_blocks_spec_and_fuzz():
+    from advisorydatapipeline_spark.operators.multimodal import (
+        bmp_dhash_blocks,
+        encode_bmp_cellgrid,
+        encode_bmp_gradient,
+    )
+
+    # full decode chain reproduces the cell-formula hash, across all
+    # (sx, sy) downsample factors and flip counts
+    for d in range(0, 60):
+        assert bmp_dhash_blocks(encode_bmp_cellgrid(d)) == (
+            _dhash_expected_blocks(d)
+        ), d
+    # within-group hamming is exactly |a%4 - b%4|
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    for g in (0, 3):
+        ids = [6 * g + r for r in range(6)]
+        hs = {d: _dhash_expected_blocks(d) for d in ids}
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    assert ham(hs[a], hs[b]) == abs(a % 4 - b % 4)
+    # top-down (negative height) row order must yield the FLIPPED
+    # grid's hash, not the bottom-up one
+    import pytest as _pytest
+
+    b = bytearray(encode_bmp_cellgrid(7))
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    # rebuild as top-down: negate height, reverse stored row order
+    row_bytes = ((int.from_bytes(b[18:22], "little") * 3 + 3) // 4) * 4
+    rows = [
+        bytes(b[54 + r * row_bytes : 54 + (r + 1) * row_bytes])
+        for r in range(h)
+    ]
+    td = bytearray(b)
+    td[22:26] = (-h).to_bytes(4, "little", signed=True)
+    td[54:] = b"".join(reversed(rows))
+    assert bmp_dhash_blocks(bytes(td)) == bmp_dhash_blocks(bytes(b))
+    # non-grid-divisible dims are a ValueError, not a wrong hash
+    with _pytest.raises(ValueError):
+        bmp_dhash_blocks(encode_bmp_gradient(10, 8))  # 10 % 9 != 0
+    # every-byte mutation + truncation: decode or ValueError only
+    good = encode_bmp_cellgrid(11)
+    for i in range(len(good)):
+        bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+        try:
+            bmp_dhash_blocks(bad)
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 7):
+        try:
+            bmp_dhash_blocks(good[:cut])
+        except ValueError:
+            pass
+
+
+def test_image_phash_near_dupes_vs_bruteforce(spark):
+    """The banded near-dup operator returns EXACTLY the hamming<=3
+    pair set a brute-force all-pairs comparison of the dHashes
+    finds — exact recall via the pigeonhole block-combination join,
+    and corrupt payloads are skipped without killing the pass."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_bmp_cellgrid,
+        image_phash_near_dupes,
+    )
+
+    ids = list(range(30))
+    rows = [(d, encode_bmp_cellgrid(d)) for d in ids]
+    rows += [(98, b"not a bmp"), (99, None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_phash_near_dupes(media, max_hamming=3).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    hs = {d: _dhash_expected_blocks(d) for d in ids}
+    exp = {
+        (a, b): ham(hs[a], hs[b])
+        for a in ids
+        for b in ids
+        if a < b and ham(hs[a], hs[b]) <= 3
+    }
+    assert got == exp
+    assert exp  # fixture actually plants near-dups
+
+
+def test_image_phash_wide_keys_same_pairs(spark):
+    """wide_keys repacks to 8x8-bit blocks and 40-bit combination
+    keys — the output pair set is scheme-independent, so it must be
+    IDENTICAL to the default 4x16 banding."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        encode_bmp_cellgrid,
+        image_phash_near_dupes,
+    )
+
+    media = spark.createDataFrame(
+        [(d, encode_bmp_cellgrid(d)) for d in range(36)],
+        "media_id long, payload binary",
+    )
+    narrow = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_phash_near_dupes(media).collect()
+    }
+    wide = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_phash_near_dupes(media, wide_keys=True).collect()
+    }
+    assert narrow == wide and narrow

@@ -246,6 +246,7 @@ AUDIT = [
     "wav_frame_energy",
     "bmp_pixel_stats",
     "quality_gate_pipeline",
+    "image_phash_neardup",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

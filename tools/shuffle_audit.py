@@ -151,6 +151,7 @@ AUDIT = [
     "wav_frame_energy",
     "bmp_pixel_stats",
     "quality_gate_pipeline",
+    "image_phash_neardup",
 ]
 
 
