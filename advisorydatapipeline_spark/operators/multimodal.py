@@ -16,10 +16,12 @@ stdlib-only decode arm:
   animated frame SAMPLING that skips unsampled frames
   (:func:`decode_gif_frames` / :func:`sample_gif_frames`);
 - JPEG: frame-header decode via ITU-T.81 marker scan
-  (:func:`parse_jpeg_header`).
+  (:func:`parse_jpeg_header`) + FULL baseline entropy decode ->
+  dequant -> IDCT -> pixels in operators/jpeg_codec.py
+  (:func:`~advisorydatapipeline_spark.operators.jpeg_codec.decode_jpeg_pixels`).
 
-Only the genuinely library-bound arms remain stubbed:
-:func:`decode_media` (JPEG pixel / general video) raises
+Only the genuinely library-bound arm remains stubbed:
+:func:`decode_media` (general video / non-baseline JPEG color) raises
 ``NotImplementedError`` unless the optional codec import succeeds
 (import-try gate), or runs a clearly-marked deterministic fake when
 ``fake=True``.
@@ -1422,8 +1424,8 @@ def encode_jpeg(
     Python from the public JFIF/ITU-T.81 segment layout. Only the
     marker/segment FRAMING is meaningful — the entropy data is a
     fixed filler, so this is a fixture for the header arm, not a
-    decodable image (JPEG pixel decode stays lib-bound,
-    operators/multimodal.py decode_media)."""
+    decodable image (REAL baseline JPEG encode/decode live in
+    operators/jpeg_codec.py as of round 10)."""
 
     def seg(marker: int, body: bytes) -> bytes:
         return (
@@ -1558,9 +1560,8 @@ def decode_media_headers(media_df: DataFrame) -> DataFrame:
     The PNG/GIF/JPEG arms are HEADER-ONLY: a well-formed header
     yields its container tag and dimensions without validating the
     pixel stream, so ``container = 'png'`` does not imply the body is
-    decodable — use ``decode_png_stats`` / ``decode_gif_stats`` for
-    that guarantee (JPEG has no full-decode twin: pixel decode is
-    lib-bound, see :func:`decode_media`).
+    decodable — use ``decode_png_stats`` / ``decode_gif_stats`` /
+    ``jpeg_codec.decode_jpeg_stats`` for that guarantee.
 
     mapInPandas, narrow, Arrow-batched: payload bytes never shuffle.
     """
@@ -1631,8 +1632,9 @@ def decode_media(media_df: DataFrame, *, fake: bool = False) -> DataFrame:
             "that are not installed; codec-free full decodes exist for "
             "BMP (decode_bmp_pixels), WAV (wav_frame_features), PNG "
             "(decode_png), GIF incl. animated (decode_gif_frames), and "
-            "JPEG headers (parse_jpeg_header); pass fake=True for the "
-            "deterministic stub"
+            "baseline JPEG (jpeg_codec.decode_jpeg_pixels); only video "
+            "remains lib-bound; pass fake=True for the deterministic "
+            "stub"
         )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

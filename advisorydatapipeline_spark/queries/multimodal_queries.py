@@ -776,6 +776,68 @@ def wav_frame_energy(spark, sf_dir):
 
 
 @query(
+    "jpeg_pixel_stats",
+    oracle="""
+SELECT d.doc_id AS media_id,
+       'jpeg' AS container,
+       CAST(72 AS INTEGER) AS width,
+       CAST(64 AS INTEGER) AS height,
+       CAST(72 AS INTEGER) AS n_blocks,
+       CAST(64 * SUM(
+         CASE WHEN i.i < 8 THEN
+           ((((d.doc_id // 6) * 64 + i.i * 8 + j.j)
+             * ((d.doc_id // 6) * 64 + i.i * 8 + j.j) % 2147483648)
+            * 2654435761
+            + ((d.doc_id // 6) * 64 + i.i * 8 + j.j) * 506952113)
+           % 2147483648 % 241
+         ELSE CASE WHEN j.j < d.doc_id % 4 THEN 250 ELSE 0 END END
+       ) AS BIGINT) AS pixel_sum
+FROM documents d, range(9) i(i), range(8) j(j)
+GROUP BY d.doc_id
+""",
+)
+def jpeg_pixel_stats(spark, sf_dir):
+    """FULL baseline-JPEG pixel decode, value-gated (round-10 close
+    of the last stdlib-feasible codec arm — only video decode remains
+    lib-bound): each document becomes a REAL entropy-coded baseline
+    JPEG (operators/jpeg_codec.py: canonical Huffman DHT, DC
+    difference coding, zig-zag, 0xFF stuffing), then
+    ``decode_jpeg_pixels`` runs the spec decode chain — marker walk,
+    MINCODE/MAXCODE/VALPTR Huffman decode, EXTEND sign recovery,
+    dequantization, IDCT, level shift — and the oracle recomputes the
+    decoded pixel sum from doc_id arithmetic (DC-only blocks with the
+    flat q=8 table decode to exactly ``dc + 128``; the full AC path
+    is pinned by the pytest coefficient round-trip, which SQL cannot
+    express). The image content is the SAME 9x8 cell-brightness spec
+    as the BMP/dHash entries — one picture now pinned through three
+    containers, so a container-specific bug separates them.
+
+    Scale shape: encode and decode are narrow Arrow-batched
+    mapInPandas hops; payload bytes never shuffle; the IDCT is one
+    vectorized numpy basis product per batch."""
+    from advisorydatapipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_stats,
+        encode_jpeg_cellgrid,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg_cellgrid(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return decode_jpeg_stats(media)
+
+
+@query(
     "jpeg_header_stats",
     oracle="""
 SELECT doc_id AS media_id,

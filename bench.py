@@ -242,6 +242,7 @@ EXTENDED = [
     "bmp_pixel_stats",
     "quality_gate_pipeline",
     "image_phash_neardup",
+    "jpeg_pixel_stats",
 ]
 
 

@@ -247,6 +247,7 @@ AUDIT = [
     "bmp_pixel_stats",
     "quality_gate_pipeline",
     "image_phash_neardup",
+    "jpeg_pixel_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -152,6 +152,7 @@ AUDIT = [
     "bmp_pixel_stats",
     "quality_gate_pipeline",
     "image_phash_neardup",
+    "jpeg_pixel_stats",
 ]
 
 
