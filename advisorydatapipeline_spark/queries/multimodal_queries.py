@@ -776,6 +776,92 @@ def wav_frame_energy(spark, sf_dir):
 
 
 @query(
+    "audio_fingerprint_neardup",
+    oracle="""
+WITH x AS (
+  SELECT d.doc_id, f.f,
+         (d.doc_id // 6) * 64 + f.f AS x
+  FROM documents d, range(64) f(f)
+),
+h1 AS (
+  SELECT doc_id, f,
+         ((x * x % 2147483648) * 2654435761 + x * 506952113)
+           % 2147483648 AS h
+  FROM x
+),
+bits AS (
+  SELECT doc_id,
+         CAST(f // 16 AS INTEGER) AS blk,
+         CAST(f % 16 AS INTEGER) AS pos,
+         CASE WHEN f < 60 THEN
+           CAST(((((h * h % 2147483648) * 2654435761 + h * 506952113)
+                  % 2147483648) >> 30) & 1 AS INTEGER)
+         ELSE CASE WHEN f - 60 < doc_id % 4 THEN 1 ELSE 0 END END AS bit
+  FROM h1
+),
+hh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN blk = 0 THEN bit << pos ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN blk = 1 THEN bit << pos ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN blk = 2 THEN bit << pos ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN blk = 3 THEN bit << pos ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          AS INTEGER) AS hamming
+  FROM hh a JOIN hh b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+)
+SELECT DISTINCT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+""",
+)
+def audio_fingerprint_neardup(spark, sf_dir):
+    """Audio near-dup detection by energy-delta fingerprint (round-10
+    audio twin of image_phash_neardup — Haitsma-Kalker's energy-band
+    bit core over a real decoded PCM stream): each document becomes a
+    65-frame WAV whose +-1 amplitude walk realizes a planted 64-bit
+    fingerprint (:func:`encode_wav_bitwalk`), the operator re-derives
+    the bits from REAL RIFF/PCM frame decode + exact BIGINT energies,
+    and the same pigeonhole block-combination join as
+    dedup_simhash64/image_phash returns the hamming<=3 pair set. A
+    frame-boundary, chunk-offset, endianness, or energy bug flips
+    recovered bits and shows up as a value mismatch.
+
+    The oracle replays the two-round quadratic bit mix, block
+    packing, and banded join from doc_id arithmetic — the planted
+    pair structure (groups of 6, hamming = |a%4 - b%4|) is 100%
+    of the output at 500/5k/20k docs, so output grows linearly.
+
+    Scale shape: narrow Arrow-batched encode/decode hops (payload
+    bytes never shuffle); one signature shuffle on the combination
+    key."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        audio_fp_near_dupes,
+        encode_wav_bitwalk,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav_bitwalk(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return audio_fp_near_dupes(media, max_hamming=3)
+
+
+@query(
     "jpeg_pixel_stats",
     oracle="""
 SELECT d.doc_id AS media_id,

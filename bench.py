@@ -243,6 +243,7 @@ EXTENDED = [
     "quality_gate_pipeline",
     "image_phash_neardup",
     "jpeg_pixel_stats",
+    "audio_fingerprint_neardup",
 ]
 
 

@@ -799,3 +799,69 @@ def test_image_phash_wide_keys_same_pairs(spark):
         for r in image_phash_near_dupes(media, wide_keys=True).collect()
     }
     assert narrow == wide and narrow
+
+
+def test_audio_fp_spec_and_encoder_roundtrip():
+    """The fixture WAV's decoded frame energies recover exactly the
+    planted fingerprint bits, and within-group hamming follows the
+    |a%4 - b%4| plant."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        AUDIO_FP_FRAMES,
+        audio_fp_spec_bits,
+        encode_wav_bitwalk,
+        wav_frame_rows,
+    )
+
+    for d in (0, 7, 23, 100):
+        frames = wav_frame_rows(encode_wav_bitwalk(d), 50)
+        assert len(frames) == AUDIO_FP_FRAMES
+        energies = [fr[2] for fr in frames]
+        got = [1 if energies[f + 1] > energies[f] else 0 for f in range(64)]
+        assert got == audio_fp_spec_bits(d), d
+    # plant structure
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    for g in (0, 5):
+        ids = [6 * g + r for r in range(6)]
+        bits = {d: audio_fp_spec_bits(d) for d in ids}
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    assert ham(bits[a], bits[b]) == abs(a % 4 - b % 4)
+
+
+def test_audio_fp_near_dupes_vs_bruteforce(spark):
+    """Banded audio near-dup == brute-force hamming<=3 over the spec
+    bits; corrupt and too-short payloads are skipped."""
+    from advisorydatapipeline_spark.operators.multimodal import (
+        audio_fp_near_dupes,
+        audio_fp_spec_bits,
+        encode_wav_bitwalk,
+        encode_wav_pattern,
+    )
+
+    ids = list(range(24))
+    rows = [(d, encode_wav_bitwalk(d)) for d in ids]
+    rows += [
+        (97, encode_wav_pattern(8000, 60, 3)),  # valid WAV, <65 frames
+        (98, b"not a wav"),
+        (99, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_fp_near_dupes(media).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    bits = {d: audio_fp_spec_bits(d) for d in ids}
+    exp = {
+        (a, b): ham(bits[a], bits[b])
+        for a in ids
+        for b in ids
+        if a < b and ham(bits[a], bits[b]) <= 3
+    }
+    assert got == exp and exp

@@ -248,6 +248,7 @@ AUDIT = [
     "quality_gate_pipeline",
     "image_phash_neardup",
     "jpeg_pixel_stats",
+    "audio_fingerprint_neardup",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -153,6 +153,7 @@ AUDIT = [
     "quality_gate_pipeline",
     "image_phash_neardup",
     "jpeg_pixel_stats",
+    "audio_fingerprint_neardup",
 ]
 
 
