@@ -27,6 +27,22 @@ from advisorydatapipeline_spark.operators.ttl_cache import (
 from advisorydatapipeline_spark.queries.helpers import load
 from advisorydatapipeline_spark.registry import query
 
+def _doc_ids_parallel(spark, sf_dir):
+    """doc_id stream repartitioned to the session's parallelism
+    before a fixture-encode mapInPandas hop: documents.parquet is a
+    single input split at bench scale, so without this every codec
+    entry serializes its Python encode/decode work on ONE core
+    (measured round 10: jpeg_pixel_stats 11.2s -> expected ~1-2s at
+    sf0.1; the shuffle moves 8-byte ids only). A production media
+    table arrives as many splits and never needs the repartition —
+    this is bench-scale plumbing, not a scale crutch."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 TTL_CUTOFF = datetime(2024, 1, 30, tzinfo=timezone.utc)
 NOW = datetime(2024, 2, 1, tzinfo=timezone.utc)
 SOURCE = "events_source"
@@ -233,7 +249,7 @@ def media_decode_stats(spark, sf_dir):
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_media_headers(media)
 
@@ -397,7 +413,7 @@ def png_decode_stats(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_png_stats(media)
 
@@ -468,7 +484,7 @@ def gif_decode_stats(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_gif_stats(media)
 
@@ -547,7 +563,7 @@ def gif_frame_sampling(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return sample_gif_frames(media, every_n=2)
 
@@ -609,7 +625,7 @@ def bmp_pixel_stats(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_bmp_stats(media)
 
@@ -703,7 +719,7 @@ def image_phash_neardup(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return image_phash_near_dupes(media, max_hamming=3)
 
@@ -770,7 +786,7 @@ def wav_frame_energy(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return wav_frame_features(media, frame_len=100)
 
@@ -856,7 +872,7 @@ def audio_fingerprint_neardup(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return audio_fp_near_dupes(media, max_hamming=3)
 
@@ -918,7 +934,7 @@ def jpeg_pixel_stats(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_jpeg_stats(media)
 
@@ -975,7 +991,7 @@ def jpeg_header_stats(spark, sf_dir):
                 }
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_jpeg_header_stats(media)
 

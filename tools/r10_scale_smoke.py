@@ -110,6 +110,45 @@ def phash_section(spark, sf_dir: str, base: str) -> None:
         spark.catalog.clearCache()
 
 
+def afp_jpeg_section(spark, sf_dir: str, base: str) -> None:
+    """audio_fingerprint_neardup + jpeg_pixel_stats x1/x2/x4/x8 on
+    the replicated doc corpus (registry entries read
+    {dir}/documents.parquet; stage replicas under that name)."""
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    print(
+        "\n## audio_fingerprint_neardup / jpeg_pixel_stats x1-x8 "
+        "(replicated corpus)"
+    )
+    print("| op | x1 | x2 | x4 | x8 | t(x8)/t(x1) vs 8.0 | out x8 |")
+    print("|---|---|---|---|---|---|---|")
+    ops = ("audio_fingerprint_neardup", "jpeg_pixel_stats")
+    results = {op: [] for op in ops}
+    outs = {}
+    for r in (1, 2, 4, 8):
+        path = corpus(spark, sf_dir, r, base)
+        docs_dir = f"{base}/as_sf_x{r}"
+        spark.read.parquet(path).write.mode("overwrite").parquet(
+            f"{docs_dir}/documents.parquet"
+        )
+        for op in ops:
+            fn = QUERIES[op]
+            if r == 1:
+                noop(fn(spark, docs_dir))  # warm-up
+            spark.catalog.clearCache()
+            results[op].append(timed(lambda: noop(fn(spark, docs_dir))))
+            spark.catalog.clearCache()
+            if r == 8:
+                outs[op] = fn(spark, docs_dir).count()
+                spark.catalog.clearCache()
+    for op in ops:
+        ts = results[op]
+        print(
+            f"| {op} | {ts[0]}s | {ts[1]}s | {ts[2]}s | {ts[3]}s |"
+            f" {round(ts[3] / ts[0], 2)} | {outs[op]} |"
+        )
+
+
 def lm8_section(spark, sf_dir: str, base: str) -> None:
     print("\n## lm_perplexity x8 extension (x1 reference rerun)")
     print("| op | x1 | x8 | t(x8)/t(x1) vs 8.0 |")
@@ -202,12 +241,14 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"phash", "lm8", "sem8", "filters8"}
+        else {"phash", "afpjpeg", "lm8", "sem8", "filters8"}
     )
     spark = get_spark("r10-scale-smoke")
     with tempfile.TemporaryDirectory() as base:
         if "phash" in sections:
             phash_section(spark, sf_dir, base)
+        if "afpjpeg" in sections:
+            afp_jpeg_section(spark, sf_dir, base)
         if "lm8" in sections:
             lm8_section(spark, sf_dir, base)
         if "sem8" in sections:
