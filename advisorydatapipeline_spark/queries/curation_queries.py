@@ -1072,3 +1072,96 @@ def cdc_doc_coverage(spark, sf_dir):
             ),
         )
     )
+
+
+EPOCH_COUNT = 2
+SHARD_COUNT = 8
+# two-round quadratic mix (same family as the multimodal fixtures):
+# one linear round leaves nearby keys correlated; the squared terms
+# decorrelate. All intermediates < 2^63 (x*x % 2^31 first).
+_SHUFFLE_MIX_SQL = (
+    "((((h1 * h1) % 2147483648) * 2654435761 + h1 * 506952113)"
+    " % 2147483648)"
+)
+_H1_SQL = (
+    "((((x * x) % 2147483648) * 2654435761 + x * 506952113)"
+    " % 2147483648)"
+)
+
+
+@query(
+    "epoch_shard_plan",
+    oracle=f"""
+WITH x AS (
+  SELECT d.doc_id, e.e AS epoch,
+         d.doc_id * {EPOCH_COUNT} + e.e AS x
+  FROM documents d, range({EPOCH_COUNT}) e(e)
+),
+h AS (
+  SELECT doc_id, epoch, {_H1_SQL} AS h1
+  FROM x
+),
+k AS (
+  SELECT doc_id, epoch,
+         CAST({_SHUFFLE_MIX_SQL} AS BIGINT) AS shuffle_key
+  FROM h
+),
+p AS (
+  SELECT doc_id, epoch, shuffle_key,
+         CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+              ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY epoch) AS BIGINT) AS n
+  FROM k
+)
+SELECT doc_id, CAST(epoch AS INTEGER) AS epoch, shuffle_key, pos,
+       CAST((pos * {SHARD_COUNT}) // n AS INTEGER) AS shard
+FROM p
+""",
+)
+def epoch_shard_plan(spark, sf_dir):
+    """Deterministic epoch-shuffle shard plan — the materialized
+    ordering every pretraining run needs: for each of E epochs, every
+    document gets a pseudo-random position (two-round quadratic
+    integer mix of doc_id*E+epoch, the measured-decorrelated mix the
+    multimodal fixtures use) and a balanced shard id
+    ``(pos * S) DIV n`` (shard sizes differ by at most 1). Ties are
+    impossible to matter: the rank orders by (shuffle_key, doc_id),
+    so the plan is bit-identical across engines and re-runs —
+    reproducibility is the whole point of materializing it.
+
+    Scale (100 TB): the rank is a range-partitioned sort of
+    (epoch, key, id) TRIPLES — 24 bytes/row, never document payloads;
+    shard assignment is arithmetic on the rank. Writing the plan
+    (doc_id -> epoch, shard, pos) and bucket-joining it back to the
+    corpus keeps the heavy table un-sorted. E and S are compile-time
+    constants here; a run parameterizes them."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    x = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(EPOCH_COUNT - 1))
+        ).alias("epoch"),
+    ).withColumn(
+        "x", F.expr(f"doc_id * {EPOCH_COUNT} + epoch")
+    )
+    k = x.selectExpr(
+        "doc_id",
+        "epoch",
+        f"CAST({_SHUFFLE_MIX_SQL.replace('h1', f'({_H1_SQL})')} AS BIGINT)"
+        " AS shuffle_key",
+    )
+    p = k.selectExpr(
+        "doc_id",
+        "epoch",
+        "shuffle_key",
+        "CAST(ROW_NUMBER() OVER (PARTITION BY epoch"
+        " ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos",
+        "CAST(count(*) OVER (PARTITION BY epoch) AS BIGINT) AS n",
+    )
+    return p.selectExpr(
+        "doc_id",
+        "CAST(epoch AS INTEGER) AS epoch",
+        "shuffle_key",
+        "pos",
+        f"CAST((pos * {SHARD_COUNT}) DIV n AS INTEGER) AS shard",
+    )

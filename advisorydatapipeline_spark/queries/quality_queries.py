@@ -762,6 +762,7 @@ def constraint_suite_orders(spark, sf_dir):
 # --- l-diversity audit (sensitive-attribute diversity) --------------
 
 L_DIVERSITY = 3
+T_CLOSENESS_PPM = 350_000  # pass when TVD(group, corpus) <= 0.35
 _BAND_SQL = (
     "CASE WHEN c_acctbal < 0 THEN 'debt' "
     "WHEN c_acctbal < 3000 THEN 'low' "
@@ -834,6 +835,200 @@ def l_diversity_audit(spark, sf_dir):
             ),
             (F.col("n_bands") >= L_DIVERSITY).alias("passes"),
         )
+    )
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+WITH s AS (
+  SELECT c_mktsegment, c_nationkey, {_BAND_SQL} AS band
+  FROM customer
+),
+per_band AS (
+  SELECT c_mktsegment, c_nationkey, band,
+         CAST(count(*) AS BIGINT) AS band_n
+  FROM s GROUP BY 1, 2, 3
+),
+overall AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS g_n,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+  FROM s GROUP BY 1
+),
+grps AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(sum(band_n) AS BIGINT) AS grp_n
+  FROM per_band GROUP BY 1, 2
+),
+grid AS (
+  SELECT gr.c_mktsegment, gr.c_nationkey, gr.grp_n,
+         gl.band, gl.g_n, gl.n_total,
+         COALESCE(pb.band_n, 0) AS band_n
+  FROM grps gr CROSS JOIN overall gl
+  LEFT JOIN per_band pb
+    ON pb.c_mktsegment = gr.c_mktsegment
+   AND pb.c_nationkey = gr.c_nationkey
+   AND pb.band = gl.band
+)
+SELECT c_mktsegment, c_nationkey, grp_n,
+       CAST(sum(abs(band_n * 1000000 // grp_n
+                    - g_n * 1000000 // n_total)) // 2 AS BIGINT)
+         AS tvd_ppm,
+       CAST(sum(abs(band_n * 1000000 // grp_n
+                    - g_n * 1000000 // n_total)) // 2 AS BIGINT)
+         <= {T_CLOSENESS_PPM} AS passes
+FROM grid GROUP BY 1, 2, 3
+""",
+)
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (Li et al. 2007) over the same
+    quasi-identifier groups and sensitive bands as
+    k_anonymity_audit / l_diversity_audit — the third rung of the
+    anonymization ladder: a group can be k-anonymous AND l-diverse
+    yet still leak when its sensitive-value DISTRIBUTION deviates
+    from the corpus (skew attack). Per group: total-variation
+    distance (the categorical EMD with unit ground distance) between
+    the group's band distribution and the global one, in ppm —
+    shares are quantized to integer ppm FIRST (band_n*1e6 DIV grp_n)
+    so the arithmetic never forms n^2-sized products and both
+    engines replay it exactly at any corpus size.
+
+    Absent bands count: the group x band grid is densified (groups
+    CROSS JOIN the 4-row global band table, zero-filled) before the
+    |p - q| sum — TVD over only-present bands would understate the
+    distance exactly where the leak is worst.
+
+    Plan: two partial-agg shuffles on quasi-id keys (sensitive
+    values aggregate away executor-side), a broadcast 4-row global
+    table, and the final per-group agg on the tiny dense grid."""
+    c = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    s = c.select("c_mktsegment", "c_nationkey", band.alias("band"))
+    per_band = s.groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("band_n")
+    )
+    glob = (
+        s.groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("g_n"))
+        .select(
+            "band",
+            "g_n",
+            F.expr("sum(g_n) OVER ()").alias("n_total"),
+        )
+    )
+    grps = per_band.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("band_n").cast("long").alias("grp_n")
+    )
+    grid = (
+        grps.crossJoin(F.broadcast(glob))
+        .join(
+            per_band,
+            ["c_mktsegment", "c_nationkey", "band"],
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "grp_n",
+            "g_n",
+            "n_total",
+            F.coalesce(F.col("band_n"), F.lit(0)).alias("band_n"),
+        )
+    )
+    tvd = F.expr(
+        "CAST(sum(abs(band_n * 1000000 DIV grp_n"
+        " - g_n * 1000000 DIV n_total)) DIV 2 AS BIGINT)"
+    )
+    return grid.groupBy("c_mktsegment", "c_nationkey", "grp_n").agg(
+        tvd.alias("tvd_ppm"),
+        (tvd <= T_CLOSENESS_PPM).alias("passes"),
+    )
+
+
+@query(
+    "mannwhitney_value_drift",
+    oracle="""
+WITH b AS (
+  SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+  FROM events WHERE ts IS NOT NULL
+),
+e AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_ns(ts) * 2 <= mn + mx THEN 1 ELSE 0 END AS early
+  FROM events, b WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT cents,
+         CAST(sum(early) AS BIGINT) AS n_e,
+         CAST(count(*) - sum(early) AS BIGINT) AS n_l
+  FROM e GROUP BY 1
+),
+c AS (
+  SELECT cents, n_e, n_l,
+         CAST(COALESCE(sum(n_l) OVER (ORDER BY cents
+              ROWS UNBOUNDED PRECEDING), 0) - n_l AS BIGINT) AS cl_below,
+         CAST(COALESCE(sum(n_e) OVER (ORDER BY cents
+              ROWS UNBOUNDED PRECEDING), 0) - n_e AS BIGINT) AS ce_below
+  FROM g
+)
+SELECT CAST(sum(n_e) AS BIGINT) AS n_early,
+       CAST(sum(n_l) AS BIGINT) AS n_late,
+       CAST(sum(2 * n_e * cl_below + n_e * n_l) AS BIGINT) AS u2_early,
+       CAST(sum(2 * n_l * ce_below + n_e * n_l) AS BIGINT) AS u2_late,
+       CAST(sum(n_e * n_l) AS BIGINT) AS tie_pairs
+FROM c
+""",
+)
+def mannwhitney_value_drift(spark, sf_dir):
+    """Mann-Whitney U drift test beside ks_value_drift: the rank-sum
+    two-sample test (early time-half vs late) computed EXACTLY and
+    distributively — no all-pairs comparison and no fractional
+    midranks. Group values to exact cents, one partial-agg shuffle to
+    the distinct-value table, cumulative windows on that tiny table;
+    then 2U = sum(2 * n_e(v) * #late-below(v) + ties(v)) stays in
+    BIGINT (doubling absorbs the tie half-credit). The symmetric pair
+    satisfies u2_early + u2_late = 2 * n_early * n_late — an internal
+    identity the oracle replays; perfect agreement of both engines on
+    all five scalars pins ordering, tie handling, and the midpoint
+    split. U's magnitude bounds BIGINT at ~3e9 rows per side; beyond
+    that, pre-bucket values (the KS entry's bucket trick) before
+    ranking."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    bounds = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    e = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("CASE WHEN ts * 2 <= mn + mx THEN 1 ELSE 0 END").alias(
+            "early"
+        ),
+    )
+    g = e.groupBy("cents").agg(
+        F.sum("early").cast("long").alias("n_e"),
+        (F.count(F.lit(1)) - F.sum("early")).cast("long").alias("n_l"),
+    )
+    c = g.selectExpr(
+        "cents",
+        "n_e",
+        "n_l",
+        "COALESCE(sum(n_l) OVER (ORDER BY cents"
+        " ROWS UNBOUNDED PRECEDING), 0) - n_l AS cl_below",
+        "COALESCE(sum(n_e) OVER (ORDER BY cents"
+        " ROWS UNBOUNDED PRECEDING), 0) - n_e AS ce_below",
+    )
+    return c.agg(
+        F.sum("n_e").cast("long").alias("n_early"),
+        F.sum("n_l").cast("long").alias("n_late"),
+        F.expr(
+            "CAST(sum(2 * n_e * cl_below + n_e * n_l) AS BIGINT)"
+        ).alias("u2_early"),
+        F.expr(
+            "CAST(sum(2 * n_l * ce_below + n_e * n_l) AS BIGINT)"
+        ).alias("u2_late"),
+        F.expr("CAST(sum(n_e * n_l) AS BIGINT)").alias("tie_pairs"),
     )
 
 

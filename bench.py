@@ -244,6 +244,9 @@ EXTENDED = [
     "image_phash_neardup",
     "jpeg_pixel_stats",
     "audio_fingerprint_neardup",
+    "t_closeness_audit",
+    "mannwhitney_value_drift",
+    "epoch_shard_plan",
 ]
 
 

@@ -155,3 +155,33 @@ def test_cdc_chunks_resync_after_insertion(spark):
     assert {
         (r.doc_id, r.chunk_idx): r.chunk_min_hash for r in rows2
     } == out2
+
+
+def test_epoch_shard_plan_balance_and_determinism(spark):
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        EPOCH_COUNT,
+        SHARD_COUNT,
+        epoch_shard_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = epoch_shard_plan(spark, sf).collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert len(rows) == n_docs * EPOCH_COUNT
+    from collections import Counter
+
+    for e in range(EPOCH_COUNT):
+        ep = [r for r in rows if r.epoch == e]
+        # positions are a permutation of 0..n-1
+        assert sorted(r.pos for r in ep) == list(range(len(ep)))
+        # shards balanced to +-1
+        sizes = Counter(r.shard for r in ep).values()
+        assert max(sizes) - min(sizes) <= 1
+        assert len(set(r.shard for r in ep)) == SHARD_COUNT
+    # epochs produce genuinely different orders
+    order0 = [r.doc_id for r in sorted(rows, key=lambda r: (r.epoch, r.pos)) if r.epoch == 0]
+    order1 = [r.doc_id for r in sorted(rows, key=lambda r: (r.epoch, r.pos)) if r.epoch == 1]
+    assert order0 != order1
+    # deterministic across invocations
+    again = epoch_shard_plan(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

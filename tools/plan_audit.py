@@ -249,6 +249,9 @@ AUDIT = [
     "image_phash_neardup",
     "jpeg_pixel_stats",
     "audio_fingerprint_neardup",
+    "t_closeness_audit",
+    "mannwhitney_value_drift",
+    "epoch_shard_plan",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
