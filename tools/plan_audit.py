@@ -298,6 +298,10 @@ NESTED_LOOP_OK = {
     "inverted_index_postings",
     # 1-row broadcast (min ts, max ts) bounds scalar (midpoint split)
     "ks_value_drift",
+    # same 1-row bounds scalar as ks_value_drift (shared split trick)
+    "mannwhitney_value_drift",
+    # 4-row broadcast global band-distribution table (grid densify)
+    "t_closeness_audit",
     # 2-row broadcast lag-list constant (lags 1 and 7)
     "daily_autocorr_moments",
     # 1-row broadcast basket-total scalar
