@@ -247,6 +247,7 @@ EXTENDED = [
     "t_closeness_audit",
     "mannwhitney_value_drift",
     "epoch_shard_plan",
+    "avi_mjpeg_frame_sampling",
 ]
 
 

@@ -252,6 +252,7 @@ AUDIT = [
     "t_closeness_audit",
     "mannwhitney_value_drift",
     "epoch_shard_plan",
+    "avi_mjpeg_frame_sampling",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
