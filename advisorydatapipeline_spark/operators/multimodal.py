@@ -20,8 +20,12 @@ stdlib-only decode arm:
   dequant -> IDCT -> pixels in operators/jpeg_codec.py
   (:func:`~advisorydatapipeline_spark.operators.jpeg_codec.decode_jpeg_pixels`).
 
-Only the genuinely library-bound arm remains stubbed:
-:func:`decode_media` (general video / non-baseline JPEG color) raises
+- MJPEG-AVI video: container walk + per-frame baseline-JPEG decode
+  with true skip-unsampled cost (operators/video.py).
+
+Only the genuinely library-bound arms remain stubbed:
+:func:`decode_media` (INTER-frame video codecs / non-baseline JPEG
+color) raises
 ``NotImplementedError`` unless the optional codec import succeeds
 (import-try gate), or runs a clearly-marked deterministic fake when
 ``fake=True``.
@@ -1774,9 +1778,10 @@ def decode_media(media_df: DataFrame, *, fake: bool = False) -> DataFrame:
             "that are not installed; codec-free full decodes exist for "
             "BMP (decode_bmp_pixels), WAV (wav_frame_features), PNG "
             "(decode_png), GIF incl. animated (decode_gif_frames), and "
-            "baseline JPEG (jpeg_codec.decode_jpeg_pixels); only video "
-            "remains lib-bound; pass fake=True for the deterministic "
-            "stub"
+            "baseline JPEG (jpeg_codec.decode_jpeg_pixels), and "
+            "MJPEG-AVI video (video.decode_avi_frames); only "
+            "inter-frame video codecs remain lib-bound; pass "
+            "fake=True for the deterministic stub"
         )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -122,7 +122,11 @@ def afp_jpeg_section(spark, sf_dir: str, base: str) -> None:
     )
     print("| op | x1 | x2 | x4 | x8 | t(x8)/t(x1) vs 8.0 | out x8 |")
     print("|---|---|---|---|---|---|---|")
-    ops = ("audio_fingerprint_neardup", "jpeg_pixel_stats")
+    ops = (
+        "audio_fingerprint_neardup",
+        "jpeg_pixel_stats",
+        "avi_mjpeg_frame_sampling",
+    )
     results = {op: [] for op in ops}
     outs = {}
     for r in (1, 2, 4, 8):
