@@ -9,10 +9,11 @@ header; this module implements the ENTROPY-CODED layer both ways:
   run/size symbols with EOB and ZRL (F.1.2.2), zig-zag coefficient
   order, 0xFF byte stuffing, DQT/SOF0/SOS framing.
 - :func:`decode_jpeg_pixels` — the matching decoder: marker walk,
-  DQT/DHT/SOF0/SOS parse, canonical Huffman decode via the spec's
+  DQT/DHT/SOF0/DRI/SOS parse, canonical Huffman decode via the spec's
   MINCODE/MAXCODE/VALPTR algorithm (F.2.2.3), EXTEND sign recovery
-  (F.2.2.1), dequantization, vectorized 2-D IDCT (numpy basis
-  product), level shift + clamp.
+  (F.2.2.1), restart-marker handling (RST0-7 sequence check, bit
+  realignment, DC-predictor reset per E.2.4), dequantization,
+  vectorized 2-D IDCT (numpy basis product), level shift + clamp.
 
 Correctness strategy (why this is gate-able without an image
 library): the encoder takes QUANTIZED COEFFICIENTS as input, so a
@@ -122,6 +123,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTm — markers are raw
+        bytes in the entropy stream, never subject to 0xFF stuffing."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
@@ -132,11 +141,14 @@ def encode_jpeg_baseline(
     width: int,
     height: int,
     quant: list[int] = FLAT_QUANT,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode quantized coefficient blocks (natural order, one 64-int
     list per 8x8 block, blocks in raster MCU order) as a baseline
     single-component JPEG. ``width``/``height`` must tile exactly
-    into the given block count."""
+    into the given block count. ``restart_interval`` > 0 emits a DRI
+    segment and RST0-7 markers every that-many MCUs with DC-predictor
+    resets (T.81 B.2.4.4 / E.2.4)."""
     if (width % 8) or (height % 8):
         raise ValueError("fixture encoder requires multiple-of-8 dims")
     if len(coef_blocks) != (width // 8) * (height // 8):
@@ -146,7 +158,9 @@ def encode_jpeg_baseline(
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     pred = 0
-    for blk in coef_blocks:
+    for n, blk in enumerate(coef_blocks):
+        if restart_interval and n and n % restart_interval == 0:
+            pred = 0  # mirror the scan pass: RST resets the predictor
         diff = blk[0] - pred
         pred = blk[0]
         dc_syms.add(_magnitude_category(diff))
@@ -173,7 +187,12 @@ def encode_jpeg_baseline(
     # ---- entropy-coded segment ----
     w = _BitWriter()
     pred = 0
-    for blk in coef_blocks:
+    rst = 0
+    for n, blk in enumerate(coef_blocks):
+        if restart_interval and n and n % restart_interval == 0:
+            w.restart(rst)
+            rst = (rst + 1) % 8
+            pred = 0
         diff = blk[0] - pred
         pred = blk[0]
         s = _magnitude_category(diff)
@@ -213,9 +232,22 @@ def encode_jpeg_baseline(
     )
     dht_dc = _seg(0xC4, bytes([0x00]) + bytes(dc_bits[1:]) + bytes(dc_vals))
     dht_ac = _seg(0xC4, bytes([0x10]) + bytes(ac_bits[1:]) + bytes(ac_vals))
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht_dc
+        + dht_ac
+        + dri
+        + sos
+        + scan
+        + b"\xff\xd9"
     )
 
 
@@ -283,6 +315,20 @@ class _BitReader:
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
+    def sync_restart(self, expected: int) -> None:
+        """Discard pad bits to the byte boundary and consume the RSTm
+        marker that must sit there (T.81 E.2.4); ValueError if the
+        marker is missing or out of the modulo-8 sequence."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated restart marker")
+        if (
+            self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (expected & 7)
+        ):
+            raise ValueError("missing or out-of-order restart marker")
+        self.pos += 2
+
     def receive_extend(self, s: int) -> int:
         """T.81 F.2.2.1: read s magnitude bits and sign-extend."""
         if s == 0:
@@ -325,7 +371,8 @@ def idct_pixels(coef_dequant) -> "object":
 
 def decode_jpeg_pixels(payload: bytes):
     """(width, height, pixels ndarray[h, w] uint8) from a baseline
-    single-component JPEG produced by any spec-conforming encoder.
+    single-component JPEG produced by any spec-conforming encoder,
+    including streams with restart intervals (DRI + RST0-7).
     ValueError-only corruption contract."""
     import numpy as np
 
@@ -336,6 +383,7 @@ def decode_jpeg_pixels(payload: bytes):
     huff: dict[tuple[int, int], _HuffTable] = {}
     width = height = None
     comp_qtab = 0
+    restart_interval = 0
     while True:
         if pos + 4 > len(payload):
             raise ValueError("truncated JPEG marker stream")
@@ -377,7 +425,10 @@ def decode_jpeg_pixels(payload: bytes):
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:
-            if len(body) < 8:
+            # a single-component SOF0 body is exactly 9 bytes
+            # (precision 1 + dims 4 + Nf 1 + 3 per component); an
+            # 8-byte body would make the comp_qtab read below overrun
+            if len(body) < 9:
                 raise ValueError("short SOF0")
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -388,6 +439,10 @@ def decode_jpeg_pixels(payload: bytes):
             comp_qtab = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("short DRI")
+            restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             if len(body) < 4:
                 raise ValueError("short SOS")
@@ -411,7 +466,12 @@ def decode_jpeg_pixels(payload: bytes):
     reader = _BitReader(payload, pos)
     coefs = np.zeros((nblocks, 8, 8), dtype=np.int64)
     pred = 0
+    rst = 0
     for n in range(nblocks):
+        if restart_interval and n and n % restart_interval == 0:
+            reader.sync_restart(rst)
+            rst = (rst + 1) % 8
+            pred = 0
         s = dc_tab.decode(reader)
         if s > 11:
             raise ValueError("invalid DC category")

@@ -186,10 +186,15 @@ def ngram_lm_doc_scores(
                 f"' would overflow count*{scale} in BIGINT; ', "
                 f"'re-run with scale=1000000 (ppm) or pre-bucket "
                 f"counts')) AS BIGINT) "
-                f"ELSE CAST((({LAMBDA_TENTHS[0]} * ((ct * {scale}) DIV cb12)"
+                # GREATEST(..., 1): on corpora large enough that every
+                # component floors to 0 (possible exactly at the ppm
+                # remediation scale), clamp to 1 quantum so
+                # log(scale/p) stays finite instead of s_micro
+                # becoming an undefined floor(inf) cast
+                f"ELSE GREATEST(CAST((({LAMBDA_TENTHS[0]} * ((ct * {scale}) DIV cb12)"
                 f" + {LAMBDA_TENTHS[1]} * ((cb23 * {scale}) DIV cu2)"
                 f" + {LAMBDA_TENTHS[2]} * ((cu3 * {scale}) DIV n))"
-                f" DIV 10) AS BIGINT) END"
+                f" DIV 10) AS BIGINT), CAST(1 AS BIGINT)) END"
             ).alias("p_ppb"),
         )
         .select(

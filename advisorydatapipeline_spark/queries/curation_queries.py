@@ -1078,14 +1078,20 @@ EPOCH_COUNT = 2
 SHARD_COUNT = 8
 # two-round quadratic mix (same family as the multimodal fixtures):
 # one linear round leaves nearby keys correlated; the squared terms
-# decorrelate. All intermediates < 2^63 (x*x % 2^31 first).
+# decorrelate. ALL intermediates < 2^63: the raw key is reduced
+# mod 2^31 BEFORE squaring (ADVICE r10 — squaring raw
+# doc_id*E+epoch overflows BIGINT once doc_id exceeds ~1.5e9, where
+# DuckDB errors and Spark wraps; the reduced square is < 2^62 and
+# the linear term < 2^31 * 506952113 < 2^60, matching the h1->h2
+# round, whose h1 is already < 2^31).
 _SHUFFLE_MIX_SQL = (
     "((((h1 * h1) % 2147483648) * 2654435761 + h1 * 506952113)"
     " % 2147483648)"
 )
+_XR_SQL = "(x % 2147483648)"
 _H1_SQL = (
-    "((((x * x) % 2147483648) * 2654435761 + x * 506952113)"
-    " % 2147483648)"
+    f"(((({_XR_SQL} * {_XR_SQL}) % 2147483648) * 2654435761"
+    f" + {_XR_SQL} * 506952113) % 2147483648)"
 )
 
 

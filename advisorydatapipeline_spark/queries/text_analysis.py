@@ -1327,11 +1327,11 @@ tri AS (
 ),
 sc AS (
   SELECT t.w1, t.w2, t.w3,
-         CAST(floor(1000000 * ln(1000000000.0 / (
+         CAST(floor(1000000 * ln(1000000000.0 / GREATEST(
            (5 * ((t.ct * 1000000000) // b12.cb)
             + 3 * ((b23.cb * 1000000000) // u2.cu)
             + 2 * ((u3.cu * 1000000000) // (SELECT n FROM tot)))
-           // 10
+           // 10, 1
          ))) AS BIGINT) AS s_micro
   FROM tri t
   JOIN bi b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2

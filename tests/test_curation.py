@@ -185,3 +185,44 @@ def test_epoch_shard_plan_balance_and_determinism(spark):
     # deterministic across invocations
     again = epoch_shard_plan(spark, sf).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_epoch_shard_mix_no_bigint_overflow_at_100tb_ids(spark):
+    """ADVICE r10: the first mix round must reduce the raw key mod
+    2^31 BEFORE squaring — with doc_id ~ 2^33 (100 TB-scale corpora)
+    the old raw square overflowed BIGINT (DuckDB errors, Spark
+    wraps). Evaluate the exact production expression in BOTH engines
+    on huge ids and require bit-identical, in-range results."""
+    import duckdb
+
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _H1_SQL,
+        _SHUFFLE_MIX_SQL,
+        EPOCH_COUNT,
+    )
+
+    big_ids = [2**33, 2**33 + 1, 2**40 - 7, 3_000_000_000, 2**31 - 1]
+    xs = [d * EPOCH_COUNT + e for d in big_ids for e in range(EPOCH_COUNT)]
+    expr = _SHUFFLE_MIX_SQL.replace("h1", f"({_H1_SQL})")
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got_spark = {
+        r.x: r.k
+        for r in df.selectExpr("x", f"CAST({expr} AS BIGINT) AS k").collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        x: con.execute(f"SELECT CAST({expr} AS BIGINT) FROM (SELECT CAST({x} AS BIGINT) AS x)").fetchone()[0]
+        for x in xs
+    }
+
+    def mix_py(x):
+        xr = x % 2147483648
+        h1 = ((xr * xr % 2147483648) * 2654435761 + xr * 506952113) % 2147483648
+        return ((h1 * h1 % 2147483648) * 2654435761 + h1 * 506952113) % 2147483648
+
+    for x in xs:
+        expect = mix_py(x)
+        assert got_spark[x] == expect, (x, got_spark[x], expect)
+        assert got_duck[x] == expect, (x, got_duck[x], expect)
+        assert 0 <= expect < 2**31

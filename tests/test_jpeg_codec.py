@@ -64,6 +64,77 @@ def test_random_ac_coefficient_round_trip():
             assert (got == expect[n]).all(), (seed, n)
 
 
+def test_restart_interval_round_trip_and_predictor_reset():
+    """DRI/RSTn path: encode with restart_interval=3 (7 blocks -> two
+    RST markers, modulo-8 sequence, predictor resets) and verify the
+    decode matches the direct IDCT; also verify an out-of-order RST
+    raises ValueError."""
+    q = np.array(FLAT_QUANT, dtype=np.int64).reshape(8, 8)
+    rng = np.random.RandomState(13)
+    nb = 7
+    coef = rng.randint(-40, 40, size=(nb, 64))
+    coef[:, 0] = rng.randint(-100, 100, size=nb)
+    blocks = [list(map(int, coef[n])) for n in range(nb)]
+    payload = encode_jpeg_baseline(blocks, 56, 8, restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert b"\xff\xd0" in payload and b"\xff\xd1" in payload
+    w, h, img = decode_jpeg_pixels(payload)
+    assert (w, h) == (56, 8)
+    expect = idct_pixels(coef.reshape(nb, 8, 8) * q)
+    for n in range(nb):
+        assert (img[:, n * 8 : n * 8 + 8] == expect[n]).all(), n
+    # corrupt the RST sequence: D0 -> D5 must be rejected
+    bad = payload.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bad)
+
+
+def test_sof0_length_field_off_by_one_is_valueerror():
+    """ADVICE r10: an SOF0 whose length field claims an 8-byte body
+    must raise ValueError (short SOF0), not IndexError — byte-flip
+    fuzz can't reach this because flipping the length byte overruns
+    the payload first."""
+    good = encode_jpeg_cellgrid(3)
+    idx = good.find(b"\xff\xc0")
+    # original body is 9 bytes -> length field 11; rewrite to 10 and
+    # drop one body byte so the segment still fits the stream
+    bad = (
+        good[:idx + 2]
+        + (10).to_bytes(2, "big")
+        + good[idx + 4 : idx + 12]
+        + good[idx + 13 :]
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bad)
+
+
+def test_segment_length_plus_minus_one_fuzz_valueerror_only():
+    """ADVICE r10: mutate every segment length field by +/-1 (not
+    just XOR 0xFF) — decode must succeed or raise ValueError only."""
+    good = encode_jpeg_baseline(
+        [[(7 * k + b) % 19 - 9 for b in range(64)] for k in range(2)],
+        16,
+        8,
+        restart_interval=1,
+    )
+    pos = 2
+    while pos + 4 <= len(good):
+        if good[pos] != 0xFF:
+            break
+        marker = good[pos + 1]
+        if marker == 0xDA:
+            break
+        seglen = int.from_bytes(good[pos + 2 : pos + 4], "big")
+        for delta in (-1, 1):
+            mut = bytearray(good)
+            mut[pos + 2 : pos + 4] = (seglen + delta).to_bytes(2, "big")
+            try:
+                decode_jpeg_pixels(bytes(mut))
+            except ValueError:
+                pass
+        pos += 2 + seglen
+
+
 def test_nonbaseline_and_garbage_rejected():
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"not a jpeg")

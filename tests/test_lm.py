@@ -52,7 +52,7 @@ def _reference_scores(docs):
         p3 = (tri[g] * PPB) // bi[(w1, w2)]
         p2 = (bi[(w2, w3)] * PPB) // uni[w2]
         p1 = (uni[w3] * PPB) // n
-        p_ppb = (l3 * p3 + l2 * p2 + l1 * p1) // 10
+        p_ppb = max((l3 * p3 + l2 * p2 + l1 * p1) // 10, 1)
         return math.floor(MICRO * math.log(float(PPB) / p_ppb))
 
     out = {}
@@ -167,3 +167,20 @@ def test_overflow_guard_fails_loud_and_ppm_adapts(spark):
             else None
         )
         assert got[i] == exp
+
+
+def test_probability_underflow_clamps_to_one_quantum(spark):
+    """ADVICE r10: at the ppm remediation scale a rare trigram's
+    interpolated probability can floor to 0 (every component
+    truncates once denominators exceed the scale), making
+    log(scale/p) infinite. The plan clamps p to >= 1 quantum —
+    exercised here by shrinking ``scale`` to 1 so EVERY component
+    underflows: scores must come back finite and defined (0 micro-nats
+    for p == 1 quantum at scale 1), never NULL/NaN/overflow."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r for r in ngram_lm_doc_scores(df, scale=1).collect()
+    }
+    for doc_id in (1, 4, 5):
+        assert rows[doc_id]["surprisal_micro"] == 0, doc_id
+        assert rows[doc_id]["mean_surprisal_micro"] == 0, doc_id
