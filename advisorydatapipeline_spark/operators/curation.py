@@ -351,3 +351,141 @@ def cdc_chunks(
         F.max("pos").cast("long").alias("pos_end"),
         F.min("gh").cast("long").alias("chunk_min_hash"),
     )
+
+
+# --- URL canonicalization (web-corpus dedup prep) ---------------------
+
+# tracking params dropped during canonicalization; `x = ''` also drops
+# the empty token split() yields for an absent query string. Shared
+# verbatim between the Spark higher-order filter and the DuckDB
+# list_filter so both engines apply the same predicate.
+URL_TRACKING_PRED = (
+    "x LIKE 'utm_%' OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%' OR x = ''"
+)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``host``, ``domain``, ``canonical_url`` — the standard
+    web-corpus URL canonicalization applied before exact URL dedup
+    (reference has no web-corpus stage; north-star surface, SURVEY.md
+    §2 beyond-reference block):
+
+    - strip the fragment (``#...``)
+    - lower-case scheme and host; drop a leading ``www.``
+    - drop default ports (``:80`` for http, ``:443`` for https)
+    - fold ``http`` -> ``https`` (the two almost always serve the
+      same content; folding halves near-dup URL pairs)
+    - strip trailing slashes from the path (root stays ``/``)
+    - drop tracking params (:data:`URL_TRACKING_PRED`), sort the
+      survivors byte-wise, re-join with ``&``
+
+    ``domain`` is the last two host labels (a public-suffix list is
+    out of scope; documented approximation). Pure built-in string
+    expressions — whole-stage codegen, no UDFs, no shuffle; at 100 TB
+    this is a map-only pass that fuses into the scan."""
+    d = (
+        df.withColumn(
+            "_nofrag", F.expr(f"regexp_replace({url_col}, '#.*$', '')")
+        )
+        .withColumn(
+            "_scheme_raw",
+            F.expr("lower(regexp_extract(_nofrag, '^([A-Za-z]+)://', 1))"),
+        )
+        .withColumn(
+            "_rest", F.expr("substr(_nofrag, instr(_nofrag, '://') + 3)")
+        )
+        .withColumn("_slash", F.expr("instr(_rest, '/')"))
+        .withColumn(
+            "_hostport",
+            F.expr(
+                "CASE WHEN _slash > 0 THEN substr(_rest, 1, _slash - 1)"
+                " ELSE _rest END"
+            ),
+        )
+        .withColumn(
+            "_pathq",
+            F.expr(
+                "CASE WHEN _slash > 0 THEN substr(_rest, _slash)"
+                " ELSE '' END"
+            ),
+        )
+        .withColumn("_qpos", F.expr("instr(_pathq, '?')"))
+        .withColumn(
+            "_path_raw",
+            F.expr(
+                "CASE WHEN _qpos > 0 THEN substr(_pathq, 1, _qpos - 1)"
+                " ELSE _pathq END"
+            ),
+        )
+        .withColumn(
+            "_qs",
+            F.expr(
+                "CASE WHEN _qpos > 0 THEN substr(_pathq, _qpos + 1)"
+                " ELSE '' END"
+            ),
+        )
+        .withColumn("_hp", F.expr("lower(_hostport)"))
+        .withColumn("_cpos", F.expr("instr(_hp, ':')"))
+        .withColumn(
+            "_host0",
+            F.expr(
+                "CASE WHEN _cpos > 0 THEN substr(_hp, 1, _cpos - 1)"
+                " ELSE _hp END"
+            ),
+        )
+        .withColumn(
+            "_port",
+            F.expr(
+                "CASE WHEN _cpos > 0 THEN substr(_hp, _cpos + 1)"
+                " ELSE '' END"
+            ),
+        )
+        .withColumn(
+            "host",
+            F.expr(
+                "CASE WHEN _host0 LIKE 'www.%' THEN substr(_host0, 5)"
+                " ELSE _host0 END"
+            ),
+        )
+        .withColumn(
+            "_portpart",
+            F.expr(
+                "CASE WHEN _port = ''"
+                " OR (_scheme_raw = 'http' AND _port = '80')"
+                " OR (_scheme_raw = 'https' AND _port = '443') THEN ''"
+                " ELSE ':' || _port END"
+            ),
+        )
+        .withColumn(
+            "_scheme",
+            F.expr(
+                "CASE WHEN _scheme_raw IN ('http', 'https')"
+                " THEN 'https' ELSE _scheme_raw END"
+            ),
+        )
+        .withColumn(
+            "_npath",
+            F.expr(
+                "CASE WHEN regexp_replace(_path_raw, '/+$', '') = ''"
+                " THEN '/' ELSE regexp_replace(_path_raw, '/+$', '') END"
+            ),
+        )
+        .withColumn(
+            "_nq",
+            F.expr(
+                "array_join(array_sort(filter(split(_qs, '&'),"
+                f" x -> NOT ({URL_TRACKING_PRED}))), '&')"
+            ),
+        )
+        .withColumn(
+            "canonical_url",
+            F.expr(
+                "_scheme || '://' || host || _portpart || _npath ||"
+                " CASE WHEN _nq = '' THEN '' ELSE '?' || _nq END"
+            ),
+        )
+        .withColumn(
+            "domain", F.expr("regexp_extract(host, '([^.]+[.][^.]+)$', 1)")
+        )
+    )
+    return d.drop(*[c for c in d.columns if c.startswith("_")])

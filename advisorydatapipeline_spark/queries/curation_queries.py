@@ -1171,3 +1171,279 @@ def epoch_shard_plan(spark, sf_dir):
         "pos",
         f"CAST((pos * {SHARD_COUNT}) DIV n AS INTEGER) AS shard",
     )
+
+
+# --- URL canonicalization dedup + domain retention (r11) ---------------
+
+# The documents table has no URL column, so the fixture synthesizes a
+# deterministic messy URL per doc from doc_id arithmetic (the same
+# replayable-fixture pattern as the multimodal entries): every group
+# of 4 consecutive doc_ids presents ONE logical page four ways —
+# clean; upper-cased scheme/host + www. + default port + trailing
+# slash; https + :443 + tracking params (utm/fbclid); fragment +
+# interleaved tracking param — and every group with k % 3 == 0
+# carries the same two real params in three different orders. All
+# four variants must canonicalize to one canonical_url.
+_URL_BLOCKLIST = (
+    "site3.com",
+    "site17.com",
+    "site41.com",
+)
+_URL_QUOTA = 2  # canonical pages kept per domain
+_URLQ_SALT = "urlq#1"
+
+
+def _url_fixture_sql(idiv: str, cast: str) -> str:
+    """The messy-URL synthesis, dialect-parameterized (Spark: DIV /
+    STRING; DuckDB: // / VARCHAR). Same bytes from both engines."""
+
+    def s(e: str) -> str:
+        return f"CAST({e} AS {cast})"
+
+    k = f"(doc_id {idiv} 4)"
+    d = f"({k} % 50)"
+    pg = f"({k} {idiv} 50)"
+    # every 5th site publishes under a docs. subdomain, so the
+    # registered-domain extraction (last two labels) is genuinely
+    # exercised: host docs.site0.com -> domain site0.com
+    sub = f"(CASE WHEN {d} % 5 = 0 THEN 'docs.' ELSE '' END)"
+    sub_uc = f"(CASE WHEN {d} % 5 = 0 THEN 'DOCS.' ELSE '' END)"
+    host = f"{sub} || 'site' || {s(d)} || '.com'"
+    host_uc = f"{sub_uc} || 'SITE' || {s(d)} || '.COM'"
+    host_mixed = f"{sub} || 'Site' || {s(d)} || '.com'"
+    path = f"'/cat' || {s(f'({pg} % 7)')} || '/page' || {s(pg)}"
+    hasq = f"{k} % 3 = 0"
+    return f"""CASE doc_id % 4
+ WHEN 0 THEN 'http://' || {host} || {path}
+   || (CASE WHEN {hasq} THEN '?b=' || {s(pg)} || '&a=1' ELSE '' END)
+ WHEN 1 THEN 'HTTP://WWW.' || {host_uc} || ':80' || {path} || '/'
+   || (CASE WHEN {hasq} THEN '?a=1&b=' || {s(pg)} ELSE '' END)
+ WHEN 2 THEN 'https://' || {host_mixed} || ':443' || {path}
+   || '?utm_source=feed&fbclid=fb' || {s(k)}
+   || (CASE WHEN {hasq} THEN '&a=1&b=' || {s(pg)} ELSE '' END)
+ ELSE 'http://' || {host} || {path}
+   || (CASE WHEN {hasq} THEN '?a=1&utm_medium=email&b=' || {s(pg)} ELSE '' END)
+   || '#sec' || {s(f'({k} % 5)')}
+END"""
+
+
+# the DuckDB replay of operators/curation.canonicalize_urls, as a CTE
+# chain over a relation `raw(doc_id, url)`; the tracking-param
+# predicate is the SAME string both engines compile.
+def _duck_canon_ctes() -> str:
+    from advisorydatapipeline_spark.operators.curation import (
+        URL_TRACKING_PRED,
+    )
+
+    return f"""
+c1 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw
+),
+c2 AS (
+  SELECT *, lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme_raw,
+         substr(nofrag, instr(nofrag, '://') + 3) AS rest
+  FROM c1
+),
+c3 AS (
+  SELECT *, instr(rest, '/') AS sl FROM c2
+),
+c4 AS (
+  SELECT *,
+         CASE WHEN sl > 0 THEN substr(rest, 1, sl - 1) ELSE rest END AS hostport,
+         CASE WHEN sl > 0 THEN substr(rest, sl) ELSE '' END AS pathq
+  FROM c3
+),
+c5 AS (
+  SELECT *, instr(pathq, '?') AS qp, lower(hostport) AS hp FROM c4
+),
+c6 AS (
+  SELECT *,
+         CASE WHEN qp > 0 THEN substr(pathq, 1, qp - 1) ELSE pathq END AS path_raw,
+         CASE WHEN qp > 0 THEN substr(pathq, qp + 1) ELSE '' END AS qs,
+         instr(hp, ':') AS cp
+  FROM c5
+),
+c7 AS (
+  SELECT *,
+         CASE WHEN cp > 0 THEN substr(hp, 1, cp - 1) ELSE hp END AS host0,
+         CASE WHEN cp > 0 THEN substr(hp, cp + 1) ELSE '' END AS port
+  FROM c6
+),
+c8 AS (
+  SELECT *,
+         CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5) ELSE host0 END AS host,
+         CASE WHEN port = '' OR (scheme_raw = 'http' AND port = '80')
+                OR (scheme_raw = 'https' AND port = '443') THEN ''
+              ELSE ':' || port END AS portpart,
+         CASE WHEN scheme_raw IN ('http', 'https') THEN 'https'
+              ELSE scheme_raw END AS scheme,
+         CASE WHEN regexp_replace(path_raw, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path_raw, '/+$', '') END AS npath,
+         COALESCE(array_to_string(list_sort(list_filter(
+           string_split(qs, '&'),
+           x -> NOT ({URL_TRACKING_PRED}))), '&'), '') AS nq
+  FROM c7
+),
+canon AS (
+  SELECT doc_id, url, host,
+         scheme || '://' || host || portpart || npath ||
+           CASE WHEN nq = '' THEN '' ELSE '?' || nq END AS canonical_url,
+         regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS domain
+  FROM c8
+)"""
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_url_fixture_sql('//', 'VARCHAR')} AS url FROM documents
+),
+{_duck_canon_ctes()[1:]}
+SELECT doc_id, url, canonical_url, domain,
+       CAST(min(doc_id) OVER (PARTITION BY canonical_url) AS BIGINT)
+         AS keeper_doc_id,
+       doc_id != min(doc_id) OVER (PARTITION BY canonical_url) AS is_dup
+FROM canon
+""",
+)
+def url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL exact dedup — the first stage of every web-corpus
+    pipeline: canonicalize (operators/curation.canonicalize_urls:
+    case/port/www/scheme folds, fragment + tracking-param strip,
+    param sort, trailing-slash trim), then keep the minimum doc_id
+    per canonical URL. Emits the full per-doc verdict (keeper id +
+    is_dup), not just the survivors, so downstream stages can audit
+    what was dropped and why.
+
+    Scale (100 TB): canonicalization is a map-only codegen pass fused
+    into the scan; the dedup is ONE shuffle keyed on canonical_url —
+    a high-cardinality, well-distributed key (no salting needed).
+    Window min, not groupBy+join: the same shuffle serves both the
+    keeper choice and the per-doc verdict."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.curation import (
+        canonicalize_urls,
+    )
+
+    raw = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _url_fixture_sql("DIV", "STRING") + " AS url"
+    )
+    canon = canonicalize_urls(raw).select(
+        "doc_id", "url", "canonical_url", "domain"
+    )
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "domain",
+        F.min("doc_id").over(w).cast("long").alias("keeper_doc_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+@query(
+    "domain_quota_retention",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_url_fixture_sql('//', 'VARCHAR')} AS url FROM documents
+),
+{_duck_canon_ctes()[1:]},
+keep AS (
+  SELECT doc_id, canonical_url, domain,
+         min(doc_id) OVER (PARTITION BY canonical_url) AS keeper
+  FROM canon
+),
+ranked AS (
+  SELECT canonical_url,
+         CAST(row_number() OVER (
+           PARTITION BY domain
+           ORDER BY {DUCK_HASH64.format(x=f"'{_URLQ_SALT}' || canonical_url")},
+                    canonical_url) AS BIGINT) AS url_rank
+  FROM keep WHERE doc_id = keeper
+)
+SELECT k.doc_id, k.domain, k.canonical_url, r.url_rank,
+       CASE WHEN k.domain IN {_URL_BLOCKLIST} THEN 'blocked_domain'
+            WHEN k.doc_id != k.keeper THEN 'duplicate_url'
+            WHEN r.url_rank > {_URL_QUOTA} THEN 'over_quota'
+            ELSE 'keep' END AS reason,
+       (k.domain NOT IN {_URL_BLOCKLIST} AND k.doc_id = k.keeper
+        AND r.url_rank <= {_URL_QUOTA}) AS kept
+FROM keep k JOIN ranked r ON r.canonical_url = k.canonical_url
+""",
+)
+def domain_quota_retention(spark, sf_dir):
+    """The per-document KEEP/DROP verdict that composes the three
+    domain-level web-corpus gates in precedence order: blocked domain
+    (literal blocklist on the registered domain) > duplicate URL
+    (non-keeper under canonical-URL dedup) > domain quota (at most
+    {2} canonical pages per domain, chosen by deterministic md5 rank
+    exactly like source_quota_cap) > keep. One row per doc with the
+    reason string — the auditable retention report a curation run
+    ships alongside the surviving corpus.
+
+    Scale (100 TB): canonicalize is map-only; keeper window is one
+    shuffle on canonical_url; the rank window runs on the KEEPER
+    subset only (one row per canonical URL) shuffled by domain —
+    domains are the skew risk, but the ranked relation carries
+    24-byte rows, and the rank-back join is keyed on canonical_url,
+    co-partitioned with the first window's output."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.curation import (
+        canonicalize_urls,
+    )
+    from advisorydatapipeline_spark.functions.text import hash64
+
+    raw = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _url_fixture_sql("DIV", "STRING") + " AS url"
+    )
+    keep = canonicalize_urls(raw).select(
+        "doc_id",
+        "canonical_url",
+        "domain",
+        F.min("doc_id")
+        .over(Window.partitionBy("canonical_url"))
+        .alias("keeper"),
+    )
+    ranked = (
+        keep.filter(F.col("doc_id") == F.col("keeper"))
+        .withColumn(
+            "url_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("domain").orderBy(
+                    hash64(
+                        F.concat(
+                            F.lit(_URLQ_SALT), F.col("canonical_url")
+                        )
+                    ),
+                    "canonical_url",
+                )
+            )
+            .cast("long"),
+        )
+        .select("canonical_url", "url_rank")
+    )
+    blocked = F.col("domain").isin(*_URL_BLOCKLIST)
+    return (
+        keep.join(ranked, "canonical_url")
+        .select(
+            "doc_id",
+            "domain",
+            "canonical_url",
+            "url_rank",
+            F.when(blocked, "blocked_domain")
+            .when(F.col("doc_id") != F.col("keeper"), "duplicate_url")
+            .when(F.col("url_rank") > _URL_QUOTA, "over_quota")
+            .otherwise("keep")
+            .alias("reason"),
+            (
+                ~blocked
+                & (F.col("doc_id") == F.col("keeper"))
+                & (F.col("url_rank") <= _URL_QUOTA)
+            ).alias("kept"),
+        )
+    )

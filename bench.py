@@ -248,6 +248,8 @@ EXTENDED = [
     "mannwhitney_value_drift",
     "epoch_shard_plan",
     "avi_mjpeg_frame_sampling",
+    "url_canonical_dedup",
+    "domain_quota_retention",
 ]
 
 

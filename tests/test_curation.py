@@ -226,3 +226,50 @@ def test_epoch_shard_mix_no_bigint_overflow_at_100tb_ids(spark):
         assert got_spark[x] == expect, (x, got_spark[x], expect)
         assert got_duck[x] == expect, (x, got_duck[x], expect)
         assert 0 <= expect < 2**31
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    """Hand-picked canonicalization cases: every fold the operator
+    documents, plus ones the doc_id fixture can't produce (no path,
+    non-http scheme, repeated trailing slashes, only-tracking query)."""
+    from advisorydatapipeline_spark.operators.curation import (
+        canonicalize_urls,
+    )
+
+    cases = [
+        ("http://Example.COM", "https://example.com/", "example.com"),
+        ("HTTPS://WWW.EXAMPLE.COM:443/a//", "https://example.com/a", "example.com"),
+        ("http://example.com:8080/x", "https://example.com:8080/x", "example.com"),
+        ("ftp://Files.Example.com/pub/", "ftp://files.example.com/pub", "example.com"),
+        ("http://a.b.co/p?utm_source=x&gclid=1#f", "https://a.b.co/p", "b.co"),
+        ("http://a.b.co/p?z=2&a=1&utm_medium=m", "https://a.b.co/p?a=1&z=2", "b.co"),
+        ("https://example.com:80/q", "https://example.com:80/q", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {r.i: (r.canonical_url, r.domain) for r in canonicalize_urls(df).collect()}
+    for i, (_, want_canon, want_dom) in enumerate(cases):
+        assert got[i] == (want_canon, want_dom), (i, got[i])
+
+
+def test_url_fixture_variants_collapse_to_one_canonical(spark):
+    """All four presentation variants of a fixture group canonicalize
+    to one URL, and groups never collide across k."""
+    from advisorydatapipeline_spark.operators.curation import (
+        canonicalize_urls,
+    )
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _url_fixture_sql,
+    )
+
+    df = spark.range(0, 400).selectExpr(
+        "id AS doc_id", _url_fixture_sql("DIV", "STRING") + " AS url"
+    )
+    rows = canonicalize_urls(df).select("doc_id", "canonical_url").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.doc_id // 4, set()).add(r.canonical_url)
+    assert all(len(v) == 1 for v in groups.values())
+    canon = {next(iter(v)) for v in groups.values()}
+    assert len(canon) == len(groups)  # distinct groups stay distinct

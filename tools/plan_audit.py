@@ -253,6 +253,8 @@ AUDIT = [
     "mannwhitney_value_drift",
     "epoch_shard_plan",
     "avi_mjpeg_frame_sampling",
+    "url_canonical_dedup",
+    "domain_quota_retention",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

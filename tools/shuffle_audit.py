@@ -158,6 +158,8 @@ AUDIT = [
     "mannwhitney_value_drift",
     "epoch_shard_plan",
     "avi_mjpeg_frame_sampling",
+    "url_canonical_dedup",
+    "domain_quota_retention",
 ]
 
 
