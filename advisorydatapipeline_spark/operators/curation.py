@@ -489,3 +489,93 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
     )
     return d.drop(*[c for c in d.columns if c.startswith("_")])
+
+
+def positional_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gh): EVERY k-gram instance with its 1-based token
+    position — unlike :func:`~advisorydatapipeline_spark.operators.
+    dedup.shingle_index` this keeps duplicates, because span
+    extension needs every anchor instance, not the distinct set.
+    Same tokenize-then-repartition shape as shingle_index (spread the
+    CPU-heavy gram hashing; projection barrier so the token array
+    materializes once)."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_ts"))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    toked = toked.repartition(nparts, id_col)
+    return (
+        toked.filter(F.size("_ts") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ts") - (k - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        hash64(
+                            F.concat_ws(
+                                " ", F.slice("_ts", i.cast("int"), k)
+                            )
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+
+
+def longest_contaminated_span(
+    corpus_grams: DataFrame, eval_grams: DataFrame, k: int
+) -> DataFrame:
+    """Longest shared token span per corpus doc against ANY eval doc —
+    real eval decontamination reports the longest contaminated span,
+    not just fixed-n overlap. No all-pairs: anchor-join corpus k-gram
+    instances to the (broadcast) eval k-gram index, then extend
+    in-plan — a shared span of L tokens is exactly a run of L-k+1
+    anchor matches at constant alignment diff = cpos - epos, found
+    with the classic gap trick (cpos - row_number is constant within
+    a consecutive run).
+
+    Inputs: corpus_grams(doc_id, cpos, gh), eval_grams(eval_id, epos,
+    gh). Output: one row per contaminated doc — (doc_id, eval_id,
+    span_start, span_tokens), ties broken (span DESC, eval_id,
+    span_start, diff) so the result is engine-independent.
+
+    Scale (100 TB): eval suites are small curated benchmarks, so the
+    eval gram index broadcasts — the 100 TB corpus side never
+    shuffles for the join; the run-group window shuffles only the
+    MATCHED anchors (corpus ∩ eval grams), a tiny fraction of the
+    corpus. Join fan-out is bounded by the eval index size, not by
+    corpus-side hot grams."""
+    from pyspark.sql import Window
+
+    m = corpus_grams.join(F.broadcast(eval_grams), "gh").select(
+        "doc_id",
+        "eval_id",
+        "cpos",
+        (F.col("cpos") - F.col("epos")).alias("diff"),
+    )
+    w = Window.partitionBy("doc_id", "eval_id", "diff").orderBy("cpos")
+    spans = (
+        m.withColumn("grp", F.col("cpos") - F.row_number().over(w))
+        .groupBy("doc_id", "eval_id", "diff", "grp")
+        .agg(
+            F.min("cpos").cast("long").alias("span_start"),
+            (F.count(F.lit(1)) + (k - 1)).cast("long").alias("span_tokens"),
+        )
+    )
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("span_tokens").desc(),
+        F.col("eval_id").asc(),
+        F.col("span_start").asc(),
+        F.col("diff").asc(),
+    )
+    return (
+        spans.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "eval_id", "span_start", "span_tokens")
+    )

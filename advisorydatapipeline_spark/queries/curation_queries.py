@@ -1447,3 +1447,117 @@ def domain_quota_retention(spark, sf_dir):
             ).alias("kept"),
         )
     )
+
+
+# --- longest contaminated span (r11) ------------------------------------
+
+_SPAN_K = 5  # anchor gram width; spans shorter than this are invisible
+
+
+@query(
+    "decontaminate_longest_span",
+    oracle=f"""
+WITH ev_src AS (
+  SELECT doc_id AS src_id, {DUCK_TOKENS.format(x='text')} AS ets
+  FROM documents WHERE doc_id % {_EVAL_MOD} = 0 AND doc_id < 485
+),
+planted AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % {_EVAL_MOD} <> 0 AND b.doc_id % 7 = 3
+              THEN b.text || ' ' ||
+                   array_to_string(e.ets[4 : 8 + b.doc_id % 9], ' ')
+              ELSE b.text END AS text
+  FROM documents b
+  LEFT JOIN ev_src e ON e.src_id = (b.doc_id % 5) * {_EVAL_MOD}
+),
+toks AS (
+  SELECT doc_id, {DUCK_TOKENS.format(x='text')} AS ts FROM planted
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {DUCK_HASH64.format(x=f"array_to_string(ts[i:i+{_SPAN_K - 1}], ' ')")} AS gh
+  FROM toks, unnest(generate_series(1, len(ts) - {_SPAN_K - 1})) AS u(i)
+  WHERE len(ts) >= {_SPAN_K}
+),
+ev AS (
+  SELECT doc_id AS eval_id, pos AS epos, gh FROM grams
+  WHERE doc_id % {_EVAL_MOD} = 0
+),
+corp AS (
+  SELECT doc_id, pos AS cpos, gh FROM grams
+  WHERE doc_id % {_EVAL_MOD} <> 0
+),
+m AS (
+  SELECT c.doc_id, e.eval_id, c.cpos, c.cpos - e.epos AS diff
+  FROM corp c JOIN ev e USING (gh)
+),
+runs AS (
+  SELECT *, cpos - row_number() OVER (
+      PARTITION BY doc_id, eval_id, diff ORDER BY cpos) AS grp
+  FROM m
+),
+spans AS (
+  SELECT doc_id, eval_id, diff,
+         CAST(min(cpos) AS BIGINT) AS span_start,
+         CAST(count(*) + {_SPAN_K - 1} AS BIGINT) AS span_tokens
+  FROM runs GROUP BY doc_id, eval_id, diff, grp
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY span_tokens DESC, eval_id, span_start, diff) AS rn
+  FROM spans
+)
+SELECT doc_id, eval_id, span_start, span_tokens FROM best WHERE rn = 1
+""",
+)
+def decontaminate_longest_span(spark, sf_dir):
+    """Suffix-style eval decontamination (r10 verdict item 3): the
+    LONGEST contaminated token span per corpus doc against the eval
+    slice (doc_id % {97} == 0), found by anchor-joining {5}-gram
+    instances to the broadcast eval index and extending runs in-plan
+    (constant cpos-epos alignment, gap-trick run grouping) — never an
+    all-pairs doc comparison. decontaminate_overlap answers "does it
+    overlap"; this answers "how badly" — the number a decontamination
+    policy actually thresholds on (e.g. drop if >= 13 shared tokens,
+    GPT-3 appendix C style).
+
+    Fixture planting (pii_scrub pattern — the raw corpus has almost
+    no natural 5-gram overlap): every non-eval doc with
+    doc_id % 7 == 3 gets a 5-13-token slice of one of the first five
+    eval docs appended, so the gate value-checks real span extension
+    at every length in [K, K+8], not just the empty case."""
+    from advisorydatapipeline_spark.operators.curation import (
+        longest_contaminated_span,
+        positional_grams,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ev_src = docs.filter(
+        (F.col("doc_id") % _EVAL_MOD == 0) & (F.col("doc_id") < 485)
+    ).select(F.col("doc_id").alias("src_id"), tokens("text").alias("ets"))
+    planted = (
+        docs.join(
+            F.broadcast(ev_src),
+            F.expr(f"src_id = (doc_id % 5) * {_EVAL_MOD}"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN doc_id % {_EVAL_MOD} <> 0 AND doc_id % 7 = 3"
+                " THEN text || ' ' || array_join("
+                "   slice(ets, 4, 5 + CAST(doc_id % 9 AS INT)), ' ')"
+                " ELSE text END"
+            ).alias("text"),
+        )
+    )
+    grams = positional_grams(planted, "doc_id", "text", _SPAN_K)
+    ev = grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("pos").alias("epos"),
+        "gh",
+    )
+    corp = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", F.col("pos").alias("cpos"), "gh"
+    )
+    return longest_contaminated_span(corp, ev, _SPAN_K)

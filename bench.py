@@ -250,6 +250,7 @@ EXTENDED = [
     "avi_mjpeg_frame_sampling",
     "url_canonical_dedup",
     "domain_quota_retention",
+    "decontaminate_longest_span",
 ]
 
 

@@ -273,3 +273,83 @@ def test_url_fixture_variants_collapse_to_one_canonical(spark):
     assert all(len(v) == 1 for v in groups.values())
     canon = {next(iter(v)) for v in groups.values()}
     assert len(canon) == len(groups)  # distinct groups stay distinct
+
+
+def test_longest_contaminated_span_matches_pure_python(spark):
+    """r10 verdict item 3 'done' criterion: the anchor-join +
+    run-extension span agrees with a brute-force pure-Python longest
+    common token-substring on docs with PLANTED spans (distinct
+    vocabularies rule out accidental k-gram collisions)."""
+    import re
+
+    from advisorydatapipeline_spark.operators.curation import (
+        longest_contaminated_span,
+        positional_grams,
+    )
+
+    K = 5
+    ev_tokens = [f"e{i}" for i in range(40)]
+    eval_docs = {
+        900: " ".join(ev_tokens),
+        901: " ".join(f"f{i}" for i in range(30)),
+    }
+    corpus_docs = {
+        # 12-token span of eval 900 planted mid-doc
+        1: "c a b " + " ".join(ev_tokens[5:17]) + " z z q",
+        # two spans from eval 900: 7 tokens and 9 tokens - must pick 9
+        2: " ".join(ev_tokens[0:7]) + " brk " + " ".join(ev_tokens[20:29]),
+        # exactly K tokens (minimum visible span), from eval 901
+        3: "x y f10 f11 f12 f13 f14 w",
+        # K-1 tokens: INVISIBLE, doc must not appear
+        4: "x y e0 e1 e2 e3 v w u t s",
+        # no overlap at all
+        5: "p q r s t u v w x y z",
+    }
+
+    def tok(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def brute_longest(c, es):
+        ct = tok(c)
+        best = 0
+        for e in es:
+            et = tok(e)
+            for i in range(len(ct)):
+                for j in range(len(et)):
+                    ln = 0
+                    while (
+                        i + ln < len(ct)
+                        and j + ln < len(et)
+                        and ct[i + ln] == et[j + ln]
+                    ):
+                        ln += 1
+                    best = max(best, ln)
+        return best
+
+    all_rows = [(i, t) for i, t in corpus_docs.items()] + [
+        (i, t) for i, t in eval_docs.items()
+    ]
+    df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    grams = positional_grams(df, "doc_id", "text", K)
+    ev = grams.filter(F.col("doc_id") >= 900).select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("pos").alias("epos"),
+        "gh",
+    )
+    corp = grams.filter(F.col("doc_id") < 900).select(
+        "doc_id", F.col("pos").alias("cpos"), "gh"
+    )
+    got = {
+        r.doc_id: (r.span_tokens, r.eval_id, r.span_start)
+        for r in longest_contaminated_span(corp, ev, K).collect()
+    }
+    for i, t in corpus_docs.items():
+        expect = brute_longest(t, eval_docs.values())
+        if expect >= K:
+            assert got[i][0] == expect, (i, got[i], expect)
+        else:
+            assert i not in got, (i, got.get(i))
+    # span_start points at the planted position (doc 1: 'c a b' -> 4)
+    assert got[1] == (12, 900, 4)
+    # doc 2 picks the 9-token run, which starts after 7 + 1 tokens
+    assert got[2][0] == 9 and got[2][2] == 9

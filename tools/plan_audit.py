@@ -255,6 +255,7 @@ AUDIT = [
     "avi_mjpeg_frame_sampling",
     "url_canonical_dedup",
     "domain_quota_retention",
+    "decontaminate_longest_span",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -160,6 +160,7 @@ AUDIT = [
     "avi_mjpeg_frame_sampling",
     "url_canonical_dedup",
     "domain_quota_retention",
+    "decontaminate_longest_span",
 ]
 
 
