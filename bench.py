@@ -251,6 +251,8 @@ EXTENDED = [
     "url_canonical_dedup",
     "domain_quota_retention",
     "decontaminate_longest_span",
+    "clip_pair_gate",
+    "clip_source_retention",
 ]
 
 

@@ -256,6 +256,8 @@ AUDIT = [
     "url_canonical_dedup",
     "domain_quota_retention",
     "decontaminate_longest_span",
+    "clip_pair_gate",
+    "clip_source_retention",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
