@@ -1779,8 +1779,10 @@ def decode_media(media_df: DataFrame, *, fake: bool = False) -> DataFrame:
             "BMP (decode_bmp_pixels), WAV (wav_frame_features), PNG "
             "(decode_png), GIF incl. animated (decode_gif_frames), and "
             "baseline JPEG (jpeg_codec.decode_jpeg_pixels), and "
-            "MJPEG-AVI video (video.decode_avi_frames); only "
-            "inter-frame video codecs remain lib-bound; pass "
+            "MJPEG-AVI video (video.decode_avi_frames); MP3 framing/"
+            "timing is real too (mp3.parse_mp3_stream) — only "
+            "inter-frame video codecs and the MP3 synthesis "
+            "filterbank remain lib-bound; pass "
             "fake=True for the deterministic stub"
         )
 

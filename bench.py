@@ -253,6 +253,7 @@ EXTENDED = [
     "decontaminate_longest_span",
     "clip_pair_gate",
     "clip_source_retention",
+    "mp3_frame_stats",
 ]
 
 

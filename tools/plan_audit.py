@@ -258,6 +258,7 @@ AUDIT = [
     "decontaminate_longest_span",
     "clip_pair_gate",
     "clip_source_retention",
+    "mp3_frame_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
