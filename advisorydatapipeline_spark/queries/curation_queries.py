@@ -1400,6 +1400,11 @@ def domain_quota_retention(spark, sf_dir):
     raw = load(spark, sf_dir, "documents").selectExpr(
         "doc_id", _url_fixture_sql("DIV", "STRING") + " AS url"
     )
+    # persist: the keeper relation feeds BOTH the rank branch and the
+    # final join — without it the full canonicalize + window-min
+    # subtree executes twice (measured: 4 scans, 0 reused exchanges,
+    # 4.2s -> 1.6s at sf0.1). Same pattern as cdc_doc_coverage; the
+    # gate harness clears caches between queries.
     keep = canonicalize_urls(raw).select(
         "doc_id",
         "canonical_url",
@@ -1407,7 +1412,7 @@ def domain_quota_retention(spark, sf_dir):
         F.min("doc_id")
         .over(Window.partitionBy("canonical_url"))
         .alias("keeper"),
-    )
+    ).persist()
     ranked = (
         keep.filter(F.col("doc_id") == F.col("keeper"))
         .withColumn(
