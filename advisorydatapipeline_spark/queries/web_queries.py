@@ -1,0 +1,332 @@
+"""Web-corpus stage-1 queries with DuckDB oracles (north-star ops,
+r11): HTML main-text extraction, per-block link-density boilerplate
+classification, and the RFC 9309 robots longest-match gate composing
+the URL canonicalization fixture.
+
+The documents table has no HTML/URL columns, so fixtures synthesize
+them deterministically from doc_id + text (the established
+replayable-fixture pattern); every oracle replays the exact
+extraction chain (same regex subset, same entity decode order, same
+prefix-match tie-break), so values are checked, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.operators.html import (
+    HTML_ENTITIES,
+    anchor_texts,
+    collapse_ws,
+    decode_entities,
+    html_to_text,
+    link_chars,
+    strip_tags,
+)
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+
+def _html_fixture_sql(cast: str) -> str:
+    """Messy-HTML synthesis, dialect-parameterized. The script body
+    contains a bare '<' — if script stripping fails, tag stripping
+    mangles the output and the gate catches it."""
+    more = " || ".join(
+        f"(CASE WHEN doc_id % 3 >= {i} THEN"
+        f" '<a href=\"/x{i}\">More {i}</a> ' ELSE '' END)"
+        for i in range(3)
+    )
+    return (
+        f"'<html><head><title>Doc ' || CAST(doc_id AS {cast}) || "
+        "'</title><style>p{color:red}</style>"
+        "<script>var x=1 < 2;</script></head>"
+        '<body><nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+        "<p>A &amp; B &lt;ok&gt; ' || text || '</p>"
+        f"<div>' || {more} || '</div>"
+        "<footer>Contact &quot;us&quot; &#39;now&#39;</footer>"
+        "</body></html>'"
+    )
+
+
+def _duck_strip(expr: str) -> str:
+    """DuckDB twin of operators/html.strip_script_style + strip_tags."""
+    out = f"regexp_replace({expr}, '<script[^>]*>.*?</script>', ' ', 'g')"
+    out = f"regexp_replace({out}, '<style[^>]*>.*?</style>', ' ', 'g')"
+    return f"regexp_replace({out}, '<[^>]*>', ' ', 'g')"
+
+
+def _duck_tags_only(expr: str) -> str:
+    return f"regexp_replace({expr}, '<[^>]*>', ' ', 'g')"
+
+
+def _duck_entities(expr: str) -> str:
+    out = expr
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return out
+
+
+def _duck_collapse(expr: str) -> str:
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+_DUCK_ANCHORS = "regexp_extract_all({x}, '<a [^>]*>([^<]*)</a>', 1)"
+_DUCK_LINK_CHARS = (
+    "COALESCE(CAST(list_sum(list_transform("
+    + _DUCK_ANCHORS
+    + ", t -> length(t))) AS BIGINT), 0)"
+)
+
+
+@query(
+    "html_text_extract",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_html_fixture_sql('VARCHAR')} AS h FROM documents
+)
+SELECT doc_id,
+       {_duck_collapse(_duck_entities(_duck_strip('h')))} AS main_text,
+       CAST(len({_DUCK_ANCHORS.format(x='h')}) AS BIGINT) AS n_links,
+       CAST(length({_duck_collapse(_duck_entities(_duck_strip('h')))})
+            AS BIGINT) AS text_chars
+FROM raw
+""",
+)
+def html_text_extract(spark, sf_dir):
+    """WET-style HTML main-text extraction (web-corpus stage 1):
+    strip script/style subtrees, strip tags, decode the five
+    standard entities (ampersand LAST — the double-decode trap),
+    collapse whitespace; plus the total anchor count. The fixture's
+    script body contains a bare '<', so a broken script-strip mangles
+    every value. Pure built-in regex/replace chain in the shared
+    Java-regex/RE2 subset — whole-stage codegen, map-only, fuses
+    into the scan at 100 TB (operators/html.py)."""
+    raw = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _html_fixture_sql("STRING") + " AS h"
+    )
+    text = html_to_text(F.col("h"))
+    return raw.select(
+        "doc_id",
+        text.alias("main_text"),
+        F.size(anchor_texts(F.col("h"))).cast("long").alias("n_links"),
+        F.length(text).cast("long").alias("text_chars"),
+    )
+
+
+_BP_PPM = 300_000  # link-density boilerplate threshold
+
+
+@query(
+    "html_block_link_density",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_html_fixture_sql('VARCHAR')} AS h FROM documents
+),
+body AS (
+  SELECT doc_id,
+         string_split_regex(regexp_extract(h, '<body>(.*)</body>', 1),
+                            '</nav>|</p>|</div>|</footer>') AS blocks
+  FROM raw
+),
+blk AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_idx,
+         blocks[i] AS rawb
+  FROM body, unnest(generate_series(1, len(blocks))) AS u(i)
+),
+m AS (
+  SELECT doc_id, block_idx,
+         {_duck_collapse(_duck_entities(_duck_tags_only('rawb')))}
+           AS block_text,
+         {_DUCK_LINK_CHARS.format(x='rawb')} AS link_chars
+  FROM blk
+)
+SELECT doc_id, block_idx, block_text,
+       CAST(length(block_text) AS BIGINT) AS text_chars,
+       link_chars,
+       CAST(link_chars * 1000000 // GREATEST(length(block_text), 1)
+            AS BIGINT) AS density_ppm,
+       link_chars * 1000000 // GREATEST(length(block_text), 1)
+         >= {_BP_PPM} AS is_boilerplate
+FROM m
+WHERE block_text <> ''
+""",
+)
+def html_block_link_density(spark, sf_dir):
+    """Per-block link-density boilerplate classification
+    (Kohlschütter-style, reduced to its SQL-expressible core): split
+    the body on block-closing tags, extract each block's text and its
+    anchor-text character count, and flag blocks whose link density
+    clears {0.3} — nav and link-farm divs classify as boilerplate,
+    the content paragraph survives. The ppm ratio is integer
+    arithmetic, so the threshold decision is engine-exact.
+
+    Scale: map-side explode of ~4 blocks/doc, no shuffle; block rows
+    carry text only (the HTML never leaves the projection)."""
+    raw = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _html_fixture_sql("STRING") + " AS h"
+    )
+    body = raw.select(
+        "doc_id",
+        F.split(
+            F.regexp_extract("h", "<body>(.*)</body>", 1),
+            "</nav>|</p>|</div>|</footer>",
+        ).alias("blocks"),
+    )
+    blk = body.select(
+        "doc_id",
+        F.posexplode("blocks").alias("block_idx", "rawb"),
+    ).select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        "rawb",
+    )
+    m = blk.select(
+        "doc_id",
+        "block_idx",
+        collapse_ws(decode_entities(strip_tags(F.col("rawb")))).alias(
+            "block_text"
+        ),
+        link_chars(F.col("rawb")).alias("link_chars"),
+    )
+    density = F.expr(
+        "link_chars * 1000000 DIV GREATEST(length(block_text), 1)"
+    )
+    return m.filter(F.col("block_text") != "").select(
+        "doc_id",
+        "block_idx",
+        "block_text",
+        F.length("block_text").cast("long").alias("text_chars"),
+        "link_chars",
+        density.cast("long").alias("density_ppm"),
+        (density >= _BP_PPM).alias("is_boilerplate"),
+    )
+
+
+# RFC 9309 rule set applied to every host (a shared robots policy):
+# literal path prefixes, longest match wins, allow wins length ties.
+# /cat1/page1 is deliberately a PREFIX of /cat1/page15 etc. — the
+# longer allow overrides the /cat1/ disallow for every page starting
+# with 'page1', which is exactly RFC prefix semantics.
+ROBOTS_RULES = (
+    (False, "/cat1/"),
+    (True, "/cat1/page1"),
+    (False, "/cat3/page2"),
+    (False, "/cat6/"),
+    (True, "/cat6/"),  # same length as the disallow: allow wins ties
+)
+
+
+def _robots_values_sql() -> str:
+    return ", ".join(
+        f"({str(a).upper()}, '{p}')" for a, p in ROBOTS_RULES
+    )
+
+
+def _robots_oracle() -> str:
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _duck_canon_ctes,
+        _url_fixture_sql,
+    )
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_url_fixture_sql('//', 'VARCHAR')} AS url FROM documents
+),
+{_duck_canon_ctes()[1:]},
+rules(allow, prefix) AS (VALUES {_robots_values_sql()}),
+p AS (
+  SELECT doc_id,
+         CASE WHEN instr(regexp_replace(canonical_url,
+                 '^[a-z]+://[^/]+', ''), '?') > 0
+              THEN substr(regexp_replace(canonical_url,
+                 '^[a-z]+://[^/]+', ''), 1,
+                 instr(regexp_replace(canonical_url,
+                 '^[a-z]+://[^/]+', ''), '?') - 1)
+              ELSE regexp_replace(canonical_url,
+                 '^[a-z]+://[^/]+', '') END AS path
+  FROM canon
+),
+j AS (
+  SELECT p.doc_id, p.path, r.allow, r.prefix,
+         row_number() OVER (PARTITION BY p.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix)
+           AS rn
+  FROM p LEFT JOIN rules r
+    ON substr(p.path, 1, length(r.prefix)) = r.prefix
+)
+SELECT doc_id, path,
+       prefix AS rule_prefix,
+       CAST(COALESCE(length(prefix), 0) AS BIGINT) AS rule_len,
+       COALESCE(allow, TRUE) AS allowed
+FROM j WHERE rn = 1
+"""
+
+
+@query("robots_txt_gate", oracle=_robots_oracle())
+def robots_txt_gate(spark, sf_dir):
+    """RFC 9309 robots-exclusion verdict per document URL, composing
+    the canonical-URL fixture: literal path-prefix rules (the
+    overwhelmingly common rule shape; * and $ wildcards are out of
+    scope, documented), LONGEST matching prefix wins, and an Allow
+    beats a Disallow of equal length — both tie-breaks straight from
+    the RFC, both exercised by the rule set (/cat1/page1 allows a
+    prefix-family back in under the /cat1/ disallow; /cat6/ has an
+    equal-length allow+disallow pair). Unmatched paths default to
+    allowed with rule_len 0.
+
+    Scale (100 TB): the rule table is tiny and broadcast; the match
+    is a map-side theta join (prefix compare) + one per-doc
+    row_number on the handful of matched rules — the corpus never
+    shuffles more than (doc_id, path, rule) rows."""
+    from advisorydatapipeline_spark.operators.curation import (
+        canonicalize_urls,
+    )
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _url_fixture_sql,
+    )
+    from pyspark.sql import Window
+
+    raw = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _url_fixture_sql("DIV", "STRING") + " AS url"
+    )
+    canon = canonicalize_urls(raw).select("doc_id", "canonical_url")
+    path0 = F.regexp_replace("canonical_url", "^[a-z]+://[^/]+", "")
+    p = canon.select(
+        "doc_id",
+        F.when(
+            F.instr(path0, "?") > 0,
+            F.expr(
+                "substr(regexp_replace(canonical_url,"
+                " '^[a-z]+://[^/]+', ''), 1,"
+                " instr(regexp_replace(canonical_url,"
+                " '^[a-z]+://[^/]+', ''), '?') - 1)"
+            ),
+        )
+        .otherwise(path0)
+        .alias("path"),
+    )
+    rules = spark.createDataFrame(
+        list(ROBOTS_RULES), "allow boolean, prefix string"
+    )
+    j = p.join(
+        F.broadcast(rules),
+        F.expr("substr(path, 1, length(prefix)) = prefix"),
+        "left",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc(), F.col("prefix")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "path",
+            F.col("prefix").alias("rule_prefix"),
+            F.coalesce(F.length("prefix").cast("long"), F.lit(0)).alias(
+                "rule_len"
+            ),
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        )
+    )

@@ -254,6 +254,9 @@ EXTENDED = [
     "clip_pair_gate",
     "clip_source_retention",
     "mp3_frame_stats",
+    "html_text_extract",
+    "html_block_link_density",
+    "robots_txt_gate",
 ]
 
 

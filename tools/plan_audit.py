@@ -259,6 +259,9 @@ AUDIT = [
     "clip_pair_gate",
     "clip_source_retention",
     "mp3_frame_stats",
+    "html_text_extract",
+    "html_block_link_density",
+    "robots_txt_gate",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
