@@ -579,3 +579,46 @@ def longest_contaminated_span(
         .filter(F.col("rn") == 1)
         .select("doc_id", "eval_id", "span_start", "span_tokens")
     )
+
+
+def nfc_normalize_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Unicode NFC normalization with before/after stats — the
+    canonicalization step a multilingual corpus applies before
+    tokenization (decomposed accents, compatibility variants from
+    different scrapers make byte-identical text compare unequal).
+    NFC (not NFKC): canonical composition only, no lossy
+    compatibility folds.
+
+    Python's unicodedata implements the Unicode standard algorithm,
+    identical to DuckDB's nfc_normalize (verified in the gate), so
+    the operator is value-oracle-able despite being a Python hop.
+    mapInPandas, narrow, Arrow-batched — one pass, no shuffle; at
+    100 TB this rides the same scan as the other map-only curation
+    steps."""
+    import unicodedata
+    from typing import Iterator as _It
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, norm_text string, changed boolean, "
+        "chars_before long, chars_after long"
+    )
+
+    def op(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            raw = pdf[text_col].fillna("")
+            norm = raw.map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "norm_text": norm,
+                    "changed": norm.ne(raw),
+                    "chars_before": raw.str.len().astype("int64"),
+                    "chars_after": norm.str.len().astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(op, schema)

@@ -1566,3 +1566,57 @@ def decontaminate_longest_span(spark, sf_dir):
         "doc_id", F.col("pos").alias("cpos"), "gh"
     )
     return longest_contaminated_span(corp, ev, _SPAN_K)
+
+
+# --- Unicode NFC normalization (r11) -----------------------------------
+
+# planted prefix: decomposed e+COMBINING ACUTE (composes under NFC),
+# FULLWIDTH DIGIT ONE (NFKC-only — must survive NFC unchanged, the
+# negative control), precomposed U+00E9 (already NFC)
+_NFC_PLANT_DUCK = (
+    "'Cafe' || chr(769) || ' ' || chr(65297) || ' ' || chr(233) || ' '"
+)
+_NFC_PLANT_PY = "Café １ é "
+
+
+@query(
+    "unicode_normalize_stats",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN {_NFC_PLANT_DUCK} || text ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) AS norm_text,
+       nfc_normalize(t) <> t AS changed,
+       CAST(length(t) AS BIGINT) AS chars_before,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS chars_after
+FROM raw
+""",
+)
+def unicode_normalize_stats(spark, sf_dir):
+    """Unicode NFC canonicalization with before/after stats
+    (operators/curation.nfc_normalize_stats): every 3rd doc gets a
+    planted prefix holding a DECOMPOSED accent (must compose, code
+    point count drops by one), a FULLWIDTH digit (NFKC-only — must
+    survive NFC, the negative control), and a precomposed accent
+    (already canonical). Python unicodedata and DuckDB nfc_normalize
+    both implement the Unicode standard algorithm, so this Python hop
+    is fully value-gated — changed/chars columns pin the composition
+    arithmetic, norm_text pins the bytes."""
+    from advisorydatapipeline_spark.operators.curation import (
+        nfc_normalize_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_NFC_PLANT_PY), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return nfc_normalize_stats(docs, "doc_id", "text")

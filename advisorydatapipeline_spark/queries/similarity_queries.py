@@ -1938,3 +1938,133 @@ def clip_source_retention(spark, sf_dir):
         ).alias("kept_ppm"),
         F.sum("clip_micro").cast("long").alias("sum_clip_micro"),
     )
+
+
+# --- margin-based bitext mining (r11) ---------------------------------
+
+_BITEXT_K = 4  # k-NN average in the margin denominator
+_BITEXT_MARGIN_PPM = 1_150_000  # accept above ratio-margin 1.15
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+p AS (
+  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+         CAST(floor(1000000 * list_dot_product(x.v, y.v)
+           / sqrt(list_dot_product(x.v, x.v)
+                * list_dot_product(y.v, y.v))) AS BIGINT) AS cos_micro
+  FROM e x, e y
+  WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY x_id
+           ORDER BY cos_micro DESC, y_id) AS rn_x,
+         row_number() OVER (PARTITION BY y_id
+           ORDER BY cos_micro DESC, x_id) AS rn_y
+  FROM p
+),
+s AS (
+  SELECT *,
+         sum(CASE WHEN rn_x <= {_BITEXT_K} THEN cos_micro END)
+           OVER (PARTITION BY x_id) AS sx,
+         sum(CASE WHEN rn_y <= {_BITEXT_K} THEN cos_micro END)
+           OVER (PARTITION BY y_id) AS sy
+  FROM r
+)
+SELECT x_id, y_id, cos_micro,
+       CAST(cos_micro * 2 * {_BITEXT_K} * 1000000 // (sx + sy)
+            AS BIGINT) AS margin_ppm,
+       cos_micro * 2 * {_BITEXT_K} * 1000000 // (sx + sy)
+         >= {_BITEXT_MARGIN_PPM} AS accepted
+FROM s
+WHERE rn_x = 1 AND rn_y = 1
+""",
+)
+def bitext_margin_mining(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix pairing rule): treat even vec_ids as language X
+    and odd as language Y, score every cross-lingual pair by cosine,
+    keep MUTUAL best pairs, and accept those whose ratio margin —
+    cos(x,y) over the mean of both sides' k-NN cosines — clears the
+    threshold. Hubs (vectors near everything) have high denominator
+    means, so their pairs are rejected even at high raw cosine;
+    that is the whole point of margin over cosine.
+
+    Engine-exact: cosines floor to integer micros FIRST, so the k-NN
+    sums, the margin ratio (integer DIV), and the accept decision
+    are order-independent BIGINT arithmetic; ranks tie-break on id.
+
+    Scale: the exact all-pairs score is the brute baseline (the ANN
+    family's banded/IVF candidate generation drops in for the
+    cross join at corpus scale, exactly as ann_cosine_topk ->
+    ann_ivf_topk); the windows shuffle only (x, y, cos_micro)
+    triples."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        quantize,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize("embedding").alias("v")
+    )
+    x = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), F.col("v").alias("vx")
+    )
+    y = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), F.col("v").alias("vy")
+    )
+    p = x.crossJoin(F.broadcast(y)).select(
+        "x_id",
+        "y_id",
+        F.floor(
+            F.lit(1000000)
+            * cosine_q(
+                dot_q(F.col("vx"), F.col("vy")),
+                norm_sq_q(F.col("vx")),
+                norm_sq_q(F.col("vy")),
+            )
+        ).cast("long").alias("cos_micro"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(
+        F.col("cos_micro").desc(), F.col("y_id")
+    )
+    wy = Window.partitionBy("y_id").orderBy(
+        F.col("cos_micro").desc(), F.col("x_id")
+    )
+    r = p.withColumn("rn_x", F.row_number().over(wx)).withColumn(
+        "rn_y", F.row_number().over(wy)
+    )
+    s = r.withColumn(
+        "sx",
+        F.sum(
+            F.when(F.col("rn_x") <= _BITEXT_K, F.col("cos_micro"))
+        ).over(Window.partitionBy("x_id")),
+    ).withColumn(
+        "sy",
+        F.sum(
+            F.when(F.col("rn_y") <= _BITEXT_K, F.col("cos_micro"))
+        ).over(Window.partitionBy("y_id")),
+    )
+    margin = F.expr(
+        f"CAST(cos_micro * 2 * {_BITEXT_K} * 1000000"
+        " DIV (sx + sy) AS BIGINT)"
+    )
+    return (
+        s.filter((F.col("rn_x") == 1) & (F.col("rn_y") == 1))
+        .select(
+            "x_id",
+            "y_id",
+            "cos_micro",
+            margin.alias("margin_ppm"),
+            (margin >= _BITEXT_MARGIN_PPM).alias("accepted"),
+        )
+    )

@@ -330,3 +330,85 @@ def robots_txt_gate(spark, sf_dir):
             F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
         )
     )
+
+
+# --- corpus datasheet (r11) ---------------------------------------------
+
+_SHORT_TOKENS = 20  # docs under this token count flag as short
+
+
+@query(
+    "corpus_datasheet",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, lang,
+         CAST(len(list_filter(string_split_regex(lower(text),
+              '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS content_key
+  FROM documents
+),
+k AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY content_key) AS keep_id
+  FROM t
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (doc_id <> keep_id) AS BIGINT)
+         AS n_exact_dup_docs,
+       CAST(count(*) FILTER (doc_id <> keep_id) * 1000000 // count(*)
+            AS BIGINT) AS dup_ppm,
+       CAST(count(*) FILTER (n_tokens < {_SHORT_TOKENS}) AS BIGINT)
+         AS n_short_docs,
+       CAST(count(*) FILTER (n_tokens < {_SHORT_TOKENS})
+            * 1000000 // count(*) AS BIGINT) AS short_ppm
+FROM k
+GROUP BY source, lang
+""",
+)
+def corpus_datasheet(spark, sf_dir):
+    """The per-(source, lang) corpus DATASHEET a curation run
+    publishes with its output (Datasheets-for-Datasets style, reduced
+    to the machine-checkable rows): volume (docs, tokens), exact-dup
+    rate under the dedup_exact content key (same md5-of-normalized-
+    text definition, so the datasheet can never disagree with the
+    dedup stage), and short-doc rate — the three numbers every
+    mixture decision starts from. All ratios in integer ppm.
+
+    Scale: one window on the content key (the dedup_exact shuffle,
+    reusable if both run), one partial-agg rollup on (source, lang);
+    the text column never moves past the tokenize projection."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+        ).alias("content_key"),
+    )
+    k = t.withColumn(
+        "keep_id",
+        F.min("doc_id").over(Window.partitionBy("content_key")),
+    )
+    dup = (F.col("doc_id") != F.col("keep_id")).cast("long")
+    short = (F.col("n_tokens") < _SHORT_TOKENS).cast("long")
+    return k.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(dup).cast("long").alias("n_exact_dup_docs"),
+        F.expr(
+            "CAST(sum(CAST(doc_id <> keep_id AS BIGINT)) * 1000000"
+            " DIV count(1) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.sum(short).cast("long").alias("n_short_docs"),
+        F.expr(
+            f"CAST(sum(CAST(n_tokens < {_SHORT_TOKENS} AS BIGINT))"
+            " * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("short_ppm"),
+    )

@@ -257,6 +257,9 @@ EXTENDED = [
     "html_text_extract",
     "html_block_link_density",
     "robots_txt_gate",
+    "corpus_datasheet",
+    "bitext_margin_mining",
+    "unicode_normalize_stats",
 ]
 
 

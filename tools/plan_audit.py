@@ -262,6 +262,9 @@ AUDIT = [
     "html_text_extract",
     "html_block_link_density",
     "robots_txt_gate",
+    "corpus_datasheet",
+    "bitext_margin_mining",
+    "unicode_normalize_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
