@@ -77,3 +77,35 @@ def link_chars(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+# --- multiclass PII detection (r11) -----------------------------------
+# patterns kept to the Java-regex/RE2 shared subset (no backrefs)
+
+PHONE_RE = r"\+1-555-[0-9]{4}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+CARD_RE = r"\b[0-9]{16}\b"
+
+
+def luhn_valid(card: Column) -> Column:
+    """REAL Luhn mod-10 check (ISO/IEC 7812) over a 16-digit string
+    column, as pure integer expression arithmetic: from the right,
+    every second digit doubles (minus 9 when it overflows a digit).
+    For a 16-char string, from-right-even positions are from-left-odd
+    (1-based)."""
+    return (
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(16)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 1,
+                (F.ascii(card.substr(i, F.lit(1))) - 48) * 2
+                - F.when(
+                    F.ascii(card.substr(i, F.lit(1))) - 48 > 4, F.lit(9)
+                ).otherwise(F.lit(0)),
+            ).otherwise(F.ascii(card.substr(i, F.lit(1))) - 48),
+        )
+        % 10
+        == 0
+    )

@@ -412,3 +412,149 @@ def corpus_datasheet(spark, sf_dir):
             " * 1000000 DIV count(1) AS BIGINT)"
         ).alias("short_ppm"),
     )
+
+
+# --- multiclass PII detection + scrub (r11) -----------------------------
+
+# 8 syntactically plausible 16-digit PANs: first 4 pass Luhn, last 4
+# fail by one check-digit — the detector must separate them by REAL
+# mod-10 arithmetic, not by list membership
+PII_CARDS = (
+    "4111111111111111",
+    "4242424242424242",
+    "5500005555555559",
+    "2223003122003222",
+    "4111111111111112",
+    "4242424242424243",
+    "5500005555555550",
+    "2223003122003229",
+)
+
+
+def _pii_cards_case(idiv: str) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(PII_CARDS)
+    )
+    return f"CASE (doc_id {idiv} 2) % 8 {arms} END"
+
+
+def _pii_plants(idiv: str, cast: str, cc_token: bool) -> str:
+    """The planted tail; with cc_token the card slot holds '<CC>' for
+    Luhn-valid plants (the oracle builds the scrubbed string
+    directly — plant replay, codec-arm style)."""
+    card = _pii_cards_case(idiv)
+    if cc_token:
+        card = (
+            f"CASE WHEN (doc_id {idiv} 2) % 8 < 4 THEN '<CC>'"
+            f" ELSE {card} END"
+        )
+    return (
+        f"(CASE WHEN doc_id % 4 = 0 THEN ' call {{P}}1-555-' ||"
+        f" lpad(CAST(doc_id % 10000 AS {cast}), 4, '0') ELSE '' END)"
+        f" || (CASE WHEN doc_id % 5 = 0 THEN ' from 10.' ||"
+        f" CAST(doc_id % 256 AS {cast}) || '.0.1' ELSE '' END)"
+        f" || (CASE WHEN doc_id % 2 = 0 THEN ' card ' || {card}"
+        f" ELSE '' END)"
+        f" || (CASE WHEN doc_id % 3 = 0 THEN ' mail user' ||"
+        f" CAST(doc_id AS {cast}) || '@example.com' ELSE '' END)"
+    ).replace("{P}", "+")
+
+
+_PII_ORACLE_TEMPLATE = f"""
+WITH raw AS (
+  SELECT doc_id, text || {_pii_plants('//', 'VARCHAR', False)} AS t,
+         text || (
+           SELECT x FROM (SELECT
+             replace(regexp_replace(regexp_replace(
+               {_pii_plants('//', 'VARCHAR', True)},
+               '@PHONE_RE@', '<PHONE>', 'g'),
+               '@IP_RE@', '<IP>', 'g'),
+               'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+               '<EMAIL>') AS x)
+         ) AS scrubbed
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_phones,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_ips,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_cards,
+       CAST(CASE WHEN doc_id % 2 = 0 AND (doc_id // 2) % 8 < 4
+            THEN 1 ELSE 0 END AS BIGINT) AS n_cards_valid,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_emails,
+       scrubbed
+FROM raw
+"""
+
+
+def _pii_oracle() -> str:
+    from advisorydatapipeline_spark.operators.html import IP_RE, PHONE_RE
+
+    return _PII_ORACLE_TEMPLATE.replace("@PHONE_RE@", PHONE_RE).replace(
+        "@IP_RE@", IP_RE
+    )
+
+
+@query("pii_multiclass_scrub", oracle=_pii_oracle())
+def pii_multiclass_scrub(spark, sf_dir):
+    """Multiclass PII detection + scrub (pii_scrub is email-only;
+    real pipelines also scrub phones, IPs, and payment cards): REAL
+    regex detection per class over the planted corpus, REAL Luhn
+    mod-10 validation of 16-digit candidates as pure expression
+    arithmetic (operators/html.luhn_valid) — the planted set holds 4
+    Luhn-valid and 4 off-by-one-check-digit PANs, so membership
+    can't fake the check — then class-token scrubbing (valid cards
+    only: an invalid PAN is not payment PII). The oracle replays the
+    plant (codec-arm pattern: the pytest pins the general Luhn
+    algorithm; the gate pins end-to-end counts and scrubbed bytes).
+
+    Scale: map-only codegen chain like the other scrub/extract
+    stages; the only non-regex work is a 16-step integer fold per
+    card candidate."""
+    from advisorydatapipeline_spark.operators.curation import EMAIL_RE
+    from advisorydatapipeline_spark.operators.html import (
+        CARD_RE,
+        IP_RE,
+        PHONE_RE,
+        luhn_valid,
+    )
+
+    raw = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "text || " + _pii_plants("DIV", "STRING", False) + " AS t",
+    )
+    cards = F.regexp_extract_all(F.col("t"), F.lit(CARD_RE), F.lit(0))
+    valid_cards = F.filter(cards, lambda c: luhn_valid(c))
+    scrub_cc = F.when(
+        F.size(valid_cards) > 0,
+        F.replace(
+            F.col("t"), F.element_at(valid_cards, 1), F.lit("<CC>")
+        ),
+    ).otherwise(F.col("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(scrub_cc, PHONE_RE, "<PHONE>"),
+            IP_RE,
+            "<IP>",
+        ),
+        EMAIL_RE,
+        "<EMAIL>",
+    )
+    return raw.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(IP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(cards).cast("long").alias("n_cards"),
+        F.size(valid_cards).cast("long").alias("n_cards_valid"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        scrubbed.alias("scrubbed"),
+    )

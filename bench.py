@@ -260,6 +260,7 @@ EXTENDED = [
     "corpus_datasheet",
     "bitext_margin_mining",
     "unicode_normalize_stats",
+    "pii_multiclass_scrub",
 ]
 
 

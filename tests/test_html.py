@@ -70,3 +70,23 @@ def test_robots_longest_match_and_allow_tie(spark):
     assert verdict("/cat3/page24") is False  # /cat3/page2 prefix
     assert verdict("/cat3/page3") is True  # no match -> allowed
     assert verdict("/cat6/page5") is True  # equal-length tie -> allow
+
+
+def test_luhn_valid_real_mod10(spark):
+    from advisorydatapipeline_spark.operators.html import luhn_valid
+    from advisorydatapipeline_spark.queries.web_queries import PII_CARDS
+
+    def luhn_py(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - (9 if d > 4 else 0)
+            tot += d
+        return tot % 10 == 0
+
+    df = spark.createDataFrame([(c,) for c in PII_CARDS], "c string")
+    got = {r.c: r.ok for r in df.select("c", luhn_valid(F.col("c")).alias("ok")).collect()}
+    for c in PII_CARDS:
+        assert got[c] == luhn_py(c), c
+    assert sum(got.values()) == 4  # fixture invariant: 4 valid, 4 not

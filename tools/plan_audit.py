@@ -265,6 +265,7 @@ AUDIT = [
     "corpus_datasheet",
     "bitext_margin_mining",
     "unicode_normalize_stats",
+    "pii_multiclass_scrub",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -170,6 +170,7 @@ AUDIT = [
     "corpus_datasheet",
     "bitext_margin_mining",
     "unicode_normalize_stats",
+    "pii_multiclass_scrub",
 ]
 
 
