@@ -602,3 +602,63 @@ def streaming_transition_counts(spark, sf_dir):
         FROM tr
         """
     )
+
+
+# --- streaming canonical-URL dedup (r11) --------------------------------
+
+
+def _url_stream_oracle() -> str:
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _duck_canon_ctes,
+        _url_fixture_sql,
+    )
+
+    synth = _url_fixture_sql("//", "VARCHAR").replace(
+        "doc_id", "(event_id % 997)"
+    )
+    return f"""
+WITH raw AS (
+  SELECT event_id % 997 AS doc_id, {synth} AS url FROM events
+),
+{_duck_canon_ctes()[1:]}
+SELECT DISTINCT canonical_url FROM canon
+"""
+
+
+@query("streaming_url_dedup", oracle=_url_stream_oracle())
+def streaming_url_dedup(spark, sf_dir):
+    """Streaming canonical-URL dedup — the crawl-frontier face of
+    url_canonical_dedup: page-view events carry the SAME messy-URL
+    fixture (keyed on event_id so presentation variants recur across
+    the stream), canonicalization runs as stateless per-row
+    expressions INSIDE the stream (pure codegen — the whole
+    operators/curation.canonicalize_urls chain is streaming-safe),
+    and ``dropDuplicates`` on canonical_url emits each page exactly
+    once. Final output equals batch DISTINCT for any batch split.
+    Unbounded key state is fine for a finite drain; a real frontier
+    bounds it with dropDuplicatesWithinWatermark at the cost of
+    exactness outside the horizon (streaming_dedup_pairs note)."""
+    from advisorydatapipeline_spark.operators.curation import (
+        canonicalize_urls,
+    )
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _url_fixture_sql,
+    )
+
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    synth = _url_fixture_sql("DIV", "STRING").replace(
+        "doc_id", "(event_id % 997)"
+    )
+    urls = stream.selectExpr(f"{synth} AS url")
+    dedup = canonicalize_urls(urls).select("canonical_url").dropDuplicates()
+    name = f"adp_urldedup_{next(_uniq)}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)

@@ -261,6 +261,7 @@ EXTENDED = [
     "bitext_margin_mining",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
+    "streaming_url_dedup",
 ]
 
 

@@ -266,6 +266,7 @@ AUDIT = [
     "bitext_margin_mining",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
+    "streaming_url_dedup",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -377,6 +378,17 @@ NESTED_LOOP_OK = {
     "heaps_vocab_growth",
     # 1-row broadcast corpus-sized grid/minpts scalars
     "dbscan_grid_clusters",
+    # 1-row broadcast embedding-count scalar (modular pair map)
+    "clip_pair_gate",
+    "clip_source_retention",
+    # 5-row broadcast rules table theta-joined on a prefix compare —
+    # RFC longest-match cannot be an equi-join; build side is the
+    # (tiny, constant) robots ruleset
+    "robots_txt_gate",
+    # brute all-pairs X x Y margin baseline (the ANN family's banded
+    # candidate generation drops in at corpus scale, exactly like
+    # ann_cosine_topk -> ann_ivf_topk)
+    "bitext_margin_mining",
 }
 
 JOIN_PAT = re.compile(

@@ -171,6 +171,7 @@ AUDIT = [
     "bitext_margin_mining",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
+    "streaming_url_dedup",
 ]
 
 
