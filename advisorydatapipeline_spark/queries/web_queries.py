@@ -558,3 +558,163 @@ def pii_multiclass_scrub(spark, sf_dir):
         .alias("n_emails"),
         scrubbed.alias("scrubbed"),
     )
+
+
+# --- C4-style line-level filters + cross-corpus line dedup (r11) --------
+
+_LINE_WORDS = 10  # fixture line width (tokens)
+_MIN_LINE_WORDS = 5  # C4: drop lines under 5 words
+_DUCK_TOK = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+# the corpus text is a flat word stream, so lines are synthesized as
+# fixed 10-token windows and terminal punctuation is planted on
+# (doc_id + line_idx) % 3 != 0 — both C4 rules (word count, terminal
+# punctuation) fire on real, replayable inputs
+_DUCK_LINES = f"""
+toks AS (
+  SELECT doc_id, {_DUCK_TOK} AS ts FROM documents
+),
+ln AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+         array_to_string(ts[(i - 1) * {_LINE_WORDS} + 1 :
+                            i * {_LINE_WORDS}], ' ')
+           || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+           AS line_text,
+         CAST(LEAST({_LINE_WORDS},
+              len(ts) - (i - 1) * {_LINE_WORDS}) AS BIGINT) AS word_count
+  FROM toks,
+       unnest(generate_series(1,
+         CAST(ceil(len(ts) / {_LINE_WORDS}.0) AS BIGINT))) AS u(i)
+  WHERE len(ts) > 0
+)"""
+
+
+@query(
+    "c4_line_filters",
+    oracle=f"""
+WITH {_DUCK_LINES}
+SELECT doc_id, line_idx, line_text, word_count,
+       word_count >= {_MIN_LINE_WORDS}
+         AND line_text LIKE '%.' AS kept
+FROM ln
+""",
+)
+def c4_line_filters(spark, sf_dir):
+    """C4's line-level quality rules (Raffel et al. 2020 §2.2),
+    per-line verdict rows: a line survives when it has at least
+    {5} words AND ends in terminal punctuation. Lines are
+    synthesized as fixed {10}-token windows with punctuation planted
+    by (doc_id + line_idx) arithmetic, so both rules fire and the
+    oracle replays every verdict. Map-side explode, no shuffle —
+    line filtering fuses into the scan at 100 TB."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    w = _LINE_WORDS
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    lines = (
+        toks.filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.size("ts") / F.lit(float(w))).cast("int"),
+                    ),
+                    lambda i: F.struct(
+                        i.cast("long").alias("line_idx"),
+                        F.concat(
+                            F.array_join(
+                                F.slice(
+                                    "ts", ((i - 1) * w + 1).cast("int"), w
+                                ),
+                                " ",
+                            ),
+                            F.when(
+                                (F.col("doc_id") + i) % 3 != 0, F.lit(".")
+                            ).otherwise(F.lit("")),
+                        ).alias("line_text"),
+                        F.least(
+                            F.lit(w), F.size("ts") - (i - 1) * w
+                        ).cast("long").alias("word_count"),
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select("doc_id", "l.line_idx", "l.line_text", "l.word_count")
+    )
+    return lines.select(
+        "doc_id",
+        "line_idx",
+        "line_text",
+        "word_count",
+        (
+            (F.col("word_count") >= _MIN_LINE_WORDS)
+            & F.col("line_text").endswith(".")
+        ).alias("kept"),
+    )
+
+
+@query(
+    "line_global_dedup",
+    oracle=f"""
+WITH {_DUCK_LINES},
+kept AS (
+  SELECT doc_id, line_idx, line_text FROM ln
+  WHERE word_count >= {_MIN_LINE_WORDS} AND line_text LIKE '%.'
+),
+k AS (
+  SELECT *,
+         min(doc_id * 1000000 + line_idx)
+           OVER (PARTITION BY md5(line_text)) AS keeper_key
+  FROM kept
+)
+SELECT doc_id, line_idx, md5(line_text) AS line_key,
+       CAST(keeper_key // 1000000 AS BIGINT) AS keeper_doc_id,
+       CAST(keeper_key % 1000000 AS BIGINT) AS keeper_line_idx,
+       doc_id * 1000000 + line_idx <> keeper_key AS is_dup
+FROM k
+""",
+)
+def line_global_dedup(spark, sf_dir):
+    """CROSS-corpus exact line dedup over the C4-kept lines — the
+    MassiveText/C4 stage that removes boilerplate sentences repeated
+    across documents (cookie banners, licence footers): every kept
+    line hashes, the minimum (doc_id, line_idx) per hash is the
+    keeper, every other occurrence flags is_dup. The keeper choice
+    rides the SAME shuffle as the hash partition (window min on a
+    packed doc*1e6+idx key — no second pass, no join back).
+
+    Scale: one shuffle keyed on the line hash (high cardinality);
+    only (doc, idx, hash) triples move — the line text itself stays
+    in the map stage. doc_id packing bounds: valid while line_idx <
+    1e6, i.e. docs under 10M tokens."""
+    from pyspark.sql import Window
+
+    lines = c4_line_filters(spark, sf_dir).filter(F.col("kept"))
+    packed = F.col("doc_id") * 1000000 + F.col("line_idx")
+    k = lines.select(
+        "doc_id",
+        "line_idx",
+        F.md5("line_text").alias("line_key"),
+        F.min(packed)
+        .over(Window.partitionBy(F.md5("line_text")))
+        .alias("keeper_key"),
+    )
+    return k.select(
+        "doc_id",
+        "line_idx",
+        "line_key",
+        F.expr("CAST(keeper_key DIV 1000000 AS BIGINT)").alias(
+            "keeper_doc_id"
+        ),
+        F.expr("CAST(keeper_key % 1000000 AS BIGINT)").alias(
+            "keeper_line_idx"
+        ),
+        (packed != F.col("keeper_key")).alias("is_dup"),
+    )

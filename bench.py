@@ -262,6 +262,8 @@ EXTENDED = [
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
     "streaming_url_dedup",
+    "c4_line_filters",
+    "line_global_dedup",
 ]
 
 

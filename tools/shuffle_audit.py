@@ -172,6 +172,8 @@ AUDIT = [
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
     "streaming_url_dedup",
+    "c4_line_filters",
+    "line_global_dedup",
 ]
 
 
