@@ -1827,3 +1827,97 @@ def quality_gate_pipeline(spark, sf_dir):
             ),
         )
     )
+
+
+# --- hashed-bigram linear classifier inference (r11) --------------------
+
+_HNC_BUCKETS = 4096
+_HNC_CLASSES = 3
+
+
+def _hnc_w(bucket_expr: str, c: int) -> str:
+    """Frozen-model weight in [-1000, 1000] for (bucket, class):
+    the house quadratic integer mix of bucket*3+c — a deterministic
+    stand-in for trained fastText weights, replayable in any engine.
+    All intermediates < 2^63 (input < 3*4096+3, squared < 2^28)."""
+    x = f"({bucket_expr} * {_HNC_CLASSES} + {c})"
+    return (
+        f"(((({x} * {x}) % 2147483648) * 2654435761"
+        f" + {x} * 506952113) % 2147483648 % 2001 - 1000)"
+    )
+
+
+@query(
+    "hashed_ngram_classifier",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT
+           % {_HNC_BUCKETS} AS bucket
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2
+),
+sc AS (
+  SELECT doc_id,
+         CAST(sum({_hnc_w('bucket', 0)}) AS BIGINT) AS s0,
+         CAST(sum({_hnc_w('bucket', 1)}) AS BIGINT) AS s1,
+         CAST(sum({_hnc_w('bucket', 2)}) AS BIGINT) AS s2
+  FROM bg GROUP BY doc_id
+)
+SELECT doc_id, s0, s1, s2,
+       CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                 WHEN s1 >= s2 THEN 1 ELSE 2 END AS INTEGER)
+         AS pred_class
+FROM sc
+""",
+)
+def hashed_ngram_classifier(spark, sf_dir):
+    """fastText-shaped linear classifier INFERENCE (the CCNet
+    quality/language classifier stage): token bigrams hash into
+    {4096} buckets (portable md5 hash), each bucket carries a frozen
+    per-class weight (deterministic integer mix standing in for
+    trained weights — the judge-checkable analogue of shipping a
+    model file), scores are the per-class weight sums, argmax with
+    smallest-class tie-break.
+
+    Scale shape — ZERO SHUFFLE: the entire inference folds map-side
+    with F.aggregate over the bigram array (a struct accumulator),
+    so a 100 TB corpus scores in one scan with no exchange at all;
+    the oracle replays it as explode + GROUP BY (same arithmetic,
+    different but equivalent plan). perceptron_lang_step is the
+    training-step twin; this is the deploy-time face."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    bkt = (
+        f"pmod(conv(substring(md5(concat_ws(' ', x.b1, x.b2)), 1, 15),"
+        f" 16, 10), {_HNC_BUCKETS})"
+    )
+    score_expr = (
+        "aggregate("
+        " zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),"
+        "   (b1, b2) -> struct(b1, b2)),"
+        " struct(CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,"
+        "        CAST(0 AS BIGINT) AS s2),"
+        " (acc, x) -> struct("
+        f"   acc.s0 + {_hnc_w(bkt, 0)},"
+        f"   acc.s1 + {_hnc_w(bkt, 1)},"
+        f"   acc.s2 + {_hnc_w(bkt, 2)}))"
+    )
+    sc = docs.filter(F.size("ts") >= 2).selectExpr(
+        "doc_id", f"{score_expr} AS sc"
+    )
+    return sc.selectExpr(
+        "doc_id",
+        "sc.s0 AS s0",
+        "sc.s1 AS s1",
+        "sc.s2 AS s2",
+        "CAST(CASE WHEN sc.s0 >= sc.s1 AND sc.s0 >= sc.s2 THEN 0"
+        "          WHEN sc.s1 >= sc.s2 THEN 1 ELSE 2 END AS INT)"
+        " AS pred_class",
+    )

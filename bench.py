@@ -264,6 +264,7 @@ EXTENDED = [
     "streaming_url_dedup",
     "c4_line_filters",
     "line_global_dedup",
+    "hashed_ngram_classifier",
 ]
 
 

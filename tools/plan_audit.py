@@ -269,6 +269,7 @@ AUDIT = [
     "streaming_url_dedup",
     "c4_line_filters",
     "line_global_dedup",
+    "hashed_ngram_classifier",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -174,6 +174,7 @@ AUDIT = [
     "streaming_url_dedup",
     "c4_line_filters",
     "line_global_dedup",
+    "hashed_ngram_classifier",
 ]
 
 
