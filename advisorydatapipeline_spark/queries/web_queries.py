@@ -718,3 +718,254 @@ def line_global_dedup(spark, sf_dir):
         ),
         (packed != F.col("keeper_key")).alias("is_dup"),
     )
+
+
+# --- crawl-frontier politeness scheduling (r11) ---------------------------
+
+
+def _politeness_oracle() -> str:
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _duck_canon_ctes,
+        _url_fixture_sql,
+    )
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_url_fixture_sql('//', 'VARCHAR')} AS url FROM documents
+),
+{_duck_canon_ctes()[1:]},
+sched AS (
+  SELECT doc_id, host,
+         CAST(1 + length(host) % 5 AS BIGINT) AS delay_s,
+         row_number() OVER (PARTITION BY host ORDER BY
+           ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id)
+           AS host_rank,
+         count(*) OVER (PARTITION BY host) AS queue_depth
+  FROM canon
+)
+SELECT doc_id, host, delay_s,
+       CAST(host_rank AS BIGINT) AS host_rank,
+       CAST((host_rank - 1) * delay_s AS BIGINT) AS fetch_slot_s,
+       CAST(queue_depth AS BIGINT) AS queue_depth,
+       CAST((queue_depth - 1) * delay_s AS BIGINT) AS host_makespan_s
+FROM sched
+"""
+
+
+@query("crawl_politeness_plan", oracle=_politeness_oracle())
+def crawl_politeness_plan(spark, sf_dir):
+    """Mercator-style crawl-frontier politeness plan (Heydon & Najork
+    1999: one FIFO queue per host, next fetch no earlier than
+    crawl-delay after the previous) over the canonical-URL fixture:
+    per-host priority order (the house 2^31 multiplicative mix — a
+    bijection mod 2^31, so ranks are tie-free), host crawl-delay from
+    deterministic host arithmetic (stand-in for a robots Crawl-delay
+    lookup; robots_txt_gate owns the rule semantics), and the
+    resulting fetch slot ``(rank-1) * delay`` plus per-host queue
+    depth / makespan — the numbers a frontier shards workers by.
+
+    The mix reduces doc_id mod 2^31 BEFORE multiplying (the
+    epoch_shard_plan overflow lesson): intermediates stay < 2^63 for
+    any BIGINT doc_id.
+
+    Scale (100 TB): canonicalization is map-only; the only shuffle is
+    the window partition on host — exactly the partitioning a real
+    frontier needs anyway (all of a host's URLs on one worker).
+    Skewed giant hosts are the known hazard; the queue_depth column
+    is the detector, and a salted two-level rank (epoch_shard_plan's
+    pattern) is the documented remediation."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.curation import (
+        canonicalize_urls,
+    )
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _url_fixture_sql,
+    )
+
+    raw = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _url_fixture_sql("DIV", "STRING") + " AS url"
+    )
+    canon = canonicalize_urls(raw).select("doc_id", "host")
+    pri = F.expr("((doc_id % 2147483648) * 2654435761) % 2147483648")
+    delay = F.expr("CAST(1 + length(host) % 5 AS BIGINT)")
+    w = Window.partitionBy("host").orderBy(pri, F.col("doc_id"))
+    wall = Window.partitionBy("host")
+    s = canon.select(
+        "doc_id",
+        "host",
+        delay.alias("delay_s"),
+        F.row_number().over(w).cast("long").alias("host_rank"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("queue_depth"),
+    )
+    return s.select(
+        "doc_id",
+        "host",
+        "delay_s",
+        "host_rank",
+        ((F.col("host_rank") - 1) * F.col("delay_s"))
+        .cast("long")
+        .alias("fetch_slot_s"),
+        "queue_depth",
+        ((F.col("queue_depth") - 1) * F.col("delay_s"))
+        .cast("long")
+        .alias("host_makespan_s"),
+    )
+
+
+# --- secret / credential detection (r11) ----------------------------------
+
+# candidate charset == scan alphabet: every char of a matched token is
+# counted by the histogram, so sum(cnts) == length(tok) exactly
+SECRET_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "0123456789+/=_-"
+)
+SECRET_CAND_RE = "[A-Za-z0-9+/=_-]{20,}"
+AWS_KEY_RE = "^AKIA[A-Z0-9]{16}$"
+# Renyi-2 collision gate: secret iff collision prob <= 0.2 (effective
+# alphabet >= 5) AND >= 8 distinct chars; 'ababab...' (coll 0.5) and
+# 'xxxx...' (coll 1.0) fail, md5-hex (coll ~0.09, ~14 distinct) passes
+SECRET_COLL_PPM = 200_000
+SECRET_MIN_DISTINCT = 8
+
+
+def _secret_plants(cast: str) -> str:
+    """Planted credentials, dialect-parameterized: an AWS-shaped key
+    (shape rule), a 32-hex high-entropy blob (entropy rule), and a
+    LOW-entropy shape lookalike that only a real character-collision
+    computation rejects — membership lists can't fake the split."""
+    return (
+        "(CASE WHEN doc_id % 3 = 0 THEN ' key AKIA' ||"
+        f" upper(substr(md5(CAST(doc_id AS {cast})), 1, 16))"
+        " ELSE '' END)"
+        " || (CASE WHEN doc_id % 4 = 0 THEN ' tok ' ||"
+        f" md5(CAST(doc_id + 7 AS {cast})) ELSE '' END)"
+        " || (CASE WHEN doc_id % 5 = 0 THEN ' pad ' ||"
+        " repeat('ab', 14) ELSE '' END)"
+    )
+
+
+def _secret_oracle() -> str:
+    alph = ", ".join(f"'{c}'" for c in SECRET_ALPHABET)
+    cnt = "(length(tok) - length(replace(tok, ch, '')))"
+    coll = (
+        f"CAST(floor(list_sum(list_transform([{alph}],"
+        f" ch -> CAST({cnt} * {cnt} AS BIGINT))) * 1000000.0"
+        " / (length(tok) * length(tok))) AS BIGINT)"
+    )
+    dx = (
+        f"CAST(len(list_filter([{alph}],"
+        " ch -> contains(tok, ch))) AS BIGINT)"
+    )
+    aws = f"regexp_matches(tok, '{AWS_KEY_RE}')"
+    return f"""
+WITH raw AS (
+  SELECT doc_id, text || {_secret_plants('VARCHAR')} AS t FROM documents
+),
+c AS (
+  SELECT doc_id,
+         regexp_extract_all(t, '{SECRET_CAND_RE}') AS cands
+  FROM raw
+),
+s AS (
+  SELECT doc_id, cands,
+         list_transform(cands, tok -> struct_pack(
+           tok := tok, coll := {coll}, dx := {dx}, aws := {aws}
+         )) AS st
+  FROM c
+),
+v AS (
+  SELECT doc_id, cands, st,
+         list_filter(st, x -> x.aws OR (x.dx >= {SECRET_MIN_DISTINCT}
+           AND x.coll <= {SECRET_COLL_PPM})) AS sec
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(cands) AS BIGINT) AS n_candidates,
+       CAST(len(sec) AS BIGINT) AS n_secrets,
+       CAST(len(list_filter(st, x -> x.aws)) AS BIGINT) AS n_shape_keys,
+       list_min(list_transform(st, x -> x.coll)) AS min_coll_ppm,
+       COALESCE(array_to_string(
+         list_sort(list_transform(sec, x -> x.tok)), ','), '')
+         AS secrets_csv
+FROM v
+"""
+
+
+@query("secret_entropy_scrub", oracle=_secret_oracle())
+def secret_entropy_scrub(spark, sf_dir):
+    """Secret/credential detection over document text — the
+    memorization-risk scrub stage every LLM corpus runs next to PII
+    (detect-secrets/truffleHog style, reduced to the deterministic
+    core): candidate tokens (>= 20 chars of the key alphabet) are
+    scored by a REAL Renyi-2 collision probability — per-character
+    histogram -> sum of squared counts over length squared, integer
+    ppm — plus a distinct-character floor and an AWS-AKIA shape rule.
+    The planted corpus holds a shape key, a 32-hex high-entropy blob,
+    and an equal-shape LOW-entropy lookalike ('abab...'), so the
+    verdict split is decided by the collision arithmetic, not by
+    membership. Renyi-2 instead of Shannon keeps every step BIGINT-
+    exact (no log calls to drift between engines); the same rule
+    runs in the DuckDB oracle over ALL candidates — natural-text
+    candidates are scored identically on both sides, so the gate
+    checks the detector, not a plant replay.
+
+    Scale (100 TB): map-only — candidates, histograms (a 68-wide
+    transform over a broadcast-literal alphabet), verdicts, and the
+    CSV all fuse into the scan projection; zero shuffle, nothing but
+    5 scalar columns and one short string leave the operator."""
+    alph = F.array(*[F.lit(c) for c in SECRET_ALPHABET])
+    raw = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text || " + _secret_plants("STRING") + " AS t"
+    )
+    cands = F.regexp_extract_all(
+        F.col("t"), F.lit(SECRET_CAND_RE), F.lit(0)
+    )
+
+    def tok_stats(tok):
+        n = F.length(tok).cast("long")
+        cnts = F.transform(
+            alph,
+            lambda ch: (
+                F.length(tok) - F.length(F.replace(tok, ch))
+            ).cast("long"),
+        )
+        sq = F.aggregate(
+            cnts, F.lit(0).cast("long"), lambda a, v: a + v * v
+        )
+        coll = F.floor(sq * F.lit(1000000) / (n * n)).cast("long")
+        dx = (
+            F.size(F.filter(alph, lambda ch: tok.contains(ch)))
+            .cast("long")
+        )
+        return F.struct(
+            tok.alias("tok"),
+            coll.alias("coll"),
+            dx.alias("dx"),
+            tok.rlike(AWS_KEY_RE).alias("aws"),
+        )
+
+    st = F.transform(cands, tok_stats)
+    sec = F.filter(
+        st,
+        lambda x: x["aws"]
+        | (
+            (x["dx"] >= SECRET_MIN_DISTINCT)
+            & (x["coll"] <= SECRET_COLL_PPM)
+        ),
+    )
+    return raw.select(
+        "doc_id",
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(sec).cast("long").alias("n_secrets"),
+        F.size(F.filter(st, lambda x: x["aws"]))
+        .cast("long")
+        .alias("n_shape_keys"),
+        F.array_min(F.transform(st, lambda x: x["coll"])).alias(
+            "min_coll_ppm"
+        ),
+        F.concat_ws(
+            ",", F.array_sort(F.transform(sec, lambda x: x["tok"]))
+        ).alias("secrets_csv"),
+    )

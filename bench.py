@@ -265,6 +265,8 @@ EXTENDED = [
     "c4_line_filters",
     "line_global_dedup",
     "hashed_ngram_classifier",
+    "crawl_politeness_plan",
+    "secret_entropy_scrub",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Secret/credential detection (secret_entropy_scrub) + crawl
+politeness plan (crawl_politeness_plan) — the collision arithmetic on
+adversarial strings, the shape-rule/entropy-rule split, and the
+per-host scheduling invariants. Full-corpus value gates live in the
+registry oracle twins."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.queries.web_queries import (
+    AWS_KEY_RE,
+    SECRET_COLL_PPM,
+    SECRET_MIN_DISTINCT,
+    crawl_politeness_plan,
+    secret_entropy_scrub,
+)
+
+
+def coll_ppm_ref(tok: str) -> int:
+    """Pure-python Renyi-2 collision reference: sum(c_i^2)*1e6 //
+    n^2 — the exact definition both engines replay."""
+    c = Counter(tok)
+    return sum(v * v for v in c.values()) * 1_000_000 // (len(tok) ** 2)
+
+
+def _scan(spark, text: str):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    df.createOrReplaceTempView("_t")
+    # run the registry entry against a one-doc scratch dir
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="adp_secret_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = secret_entropy_scrub(spark, d).collect()[0]
+    return row
+
+
+def test_low_entropy_shape_lookalike_rejected(spark):
+    # doc_id 0 plants all three: AKIA key (%3), md5 blob (%4),
+    # 'ab'*14 lookalike (%5). The lookalike must be candidate #3 but
+    # never a secret.
+    row = _scan(spark, "plain words only")
+    assert row.n_candidates == 3
+    assert row.n_shape_keys == 1
+    assert row.n_secrets == 2
+    assert "ababababababababababababab" not in row.secrets_csv
+    assert "AKIA" in row.secrets_csv
+
+
+def test_collision_reference_agrees_with_plan(spark):
+    toks = [
+        "ab" * 14,  # periodic: 500000 ppm
+        "x" * 24,  # constant: 1000000 ppm
+        "deadbeefdeadbeefdeadbeef",  # repeated hex
+        "0123456789abcdefghijKLMN",  # near-uniform
+    ]
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "t string")
+    from advisorydatapipeline_spark.queries.web_queries import (
+        SECRET_CAND_RE,
+    )
+
+    cands = F.regexp_extract_all(F.col("t"), F.lit(SECRET_CAND_RE), F.lit(0))
+    got = df.select(cands.alias("c")).collect()[0].c
+    assert got == toks
+    # replay the plan's min_coll over a corpus of exactly these tokens
+    row = _scan(spark, text)
+    assert row.min_coll_ppm == min(
+        [coll_ppm_ref(t) for t in got]
+        + [coll_ppm_ref(t) for t in row.secrets_csv.split(",") if t]
+    )
+    assert coll_ppm_ref("ab" * 14) == 500_000
+    assert coll_ppm_ref("x" * 24) == 1_000_000
+    assert coll_ppm_ref("0123456789abcdefghijKLMN") <= SECRET_COLL_PPM
+
+
+def test_entropy_rule_boundary(spark):
+    # exactly SECRET_MIN_DISTINCT distinct chars, uniform -> coll =
+    # 1e6/8 = 125000 <= threshold: accepted; 7 distinct: rejected
+    tok8 = "abcdefgh" * 3  # 24 chars, 8 distinct, coll 125000
+    tok7 = "abcdefg" * 3 + "abc"  # 24 chars, 7 distinct
+    assert coll_ppm_ref(tok8) == 125_000
+    row = _scan(spark, f"zz {tok8} zz")
+    assert row.n_secrets == 3  # the two doc-0 plants + tok8
+    row = _scan(spark, f"zz {tok7} zz")
+    assert row.n_secrets == 2  # plants only: distinct floor rejects
+    assert SECRET_MIN_DISTINCT == 8
+
+
+def test_aws_shape_wins_regardless_of_entropy(spark):
+    import re
+
+    # a low-entropy AKIA body would fail the collision gate but the
+    # shape rule must still flag it
+    tok = "AKIA" + "AAAAAAAA00000000"
+    assert re.match(AWS_KEY_RE, tok)
+    assert coll_ppm_ref(tok) > SECRET_COLL_PPM
+    row = _scan(spark, f"cred {tok} end")
+    assert row.n_shape_keys == 2  # planted doc-0 key + this one
+    assert tok in row.secrets_csv
+
+
+def test_politeness_slots_and_ranks(spark, sf_dir):
+    df = crawl_politeness_plan(spark, sf_dir)
+    rows = df.collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        ranks = sorted(r.host_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), host  # tie-free
+        for r in rs:
+            assert r.queue_depth == len(rs)
+            assert r.fetch_slot_s == (r.host_rank - 1) * r.delay_s
+            assert r.host_makespan_s == (len(rs) - 1) * r.delay_s
+            assert 1 <= r.delay_s <= 5
+
+
+def test_politeness_priority_is_house_mix(spark, sf_dir):
+    # rank order within a host must follow the 2^31 multiplicative
+    # mix of doc_id, ascending
+    df = crawl_politeness_plan(spark, sf_dir).filter(
+        F.col("queue_depth") > 1
+    )
+    rows = df.collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    host, rs = next(iter(by_host.items()))
+    rs.sort(key=lambda r: r.host_rank)
+    mixes = [
+        ((r.doc_id % 2147483648) * 2654435761) % 2147483648 for r in rs
+    ]
+    assert mixes == sorted(mixes), host

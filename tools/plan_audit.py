@@ -270,6 +270,8 @@ AUDIT = [
     "c4_line_filters",
     "line_global_dedup",
     "hashed_ngram_classifier",
+    "crawl_politeness_plan",
+    "secret_entropy_scrub",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

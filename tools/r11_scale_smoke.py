@@ -12,8 +12,15 @@ r9/r10_scale_smoke.py):
   strategy printed — the done-criterion is broadcast, not shuffled,
   pair evaluation).
 
+- x1-x8 rows for the late-round-11 families: the web-corpus /
+  datasheet / PII / C4-line / classifier document operators
+  (r11web), brute-baseline bitext margin mining on contiguously
+  replicated embeddings plus the stateful streaming URL dedup with
+  state-row accounting (r11misc).
+
 Usage: python tools/r11_scale_smoke.py [sf_dir] [sections]
-  sections: comma list from {r10x8,r11docs,clip8}, default all.
+  sections: comma list from {r10x8,r11docs,clip8,r11web,r11misc},
+  default all.
 Prints markdown rows; SCALE.md sections are appended manually from
 this output (scale_smoke.py owns the main table).
 """
@@ -131,12 +138,105 @@ def clip_section(spark, sf_dir: str, base: str) -> None:
         spark.catalog.clearCache()
 
 
+def bitext_section(spark, sf_dir: str, base: str) -> None:
+    """Brute-baseline bitext mining on contiguous embeddings: pairs
+    grow quadratically BY DESIGN (the docstring's ANN drop-in is the
+    corpus-scale path), so the honest row reports the pair count next
+    to the wall time — the reader sees wall tracking pairs, not
+    rows."""
+    print("\n## bitext_margin_mining x1-x8 (contiguous embeddings;"
+          " brute all-pairs baseline)")
+    print("| r | n_pairs scored | time | accepted |")
+    print("|---|---|---|---|")
+    fn = QUERIES["bitext_margin_mining"]
+    for r in (1, 2, 4, 8):
+        path = stage_contiguous(spark, sf_dir, base, r)
+        if r == 1:
+            noop(fn(spark, path))  # warm-up
+        spark.catalog.clearCache()
+        t = timed(lambda p=path: noop(fn(spark, p)))
+        df = fn(spark, path)
+        n_vec = 2000 * r
+        pairs = (n_vec // 2) * (n_vec - n_vec // 2)
+        acc = df.filter(F.col("accepted")).count()
+        print(f"| x{r} | {pairs} | {t}s | {acc} |")
+        spark.catalog.clearCache()
+
+
+def stream_dedup_section(spark, sf_dir: str, base: str) -> None:
+    """streaming_url_dedup on the disjoint-user replicated event
+    stream (scale_smoke.event_stream_corpus protocol): wall, batch
+    count, max per-batch latency, max dedup-state rows. The synth URL
+    keys on event_id % 997, so the canonical-URL universe — and
+    therefore the dropDuplicates state — is BOUNDED while the input
+    stream grows r-fold: the state-ratio column is the done
+    criterion (~1.0), wall grows with rows scanned."""
+    from scale_smoke import event_stream_corpus
+
+    from advisorydatapipeline_spark.operators.curation import (
+        canonicalize_urls,
+    )
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _url_fixture_sql,
+    )
+    from advisorydatapipeline_spark.streaming.pipeline import (
+        read_event_stream,
+    )
+
+    print("\n## streaming_url_dedup x1-x8 (replicated event stream)")
+    print("| r | input rows | wall | batches | max batch | "
+          "max state rows |")
+    print("|---|---|---|---|---|---|")
+    synth = _url_fixture_sql("DIV", "STRING").replace(
+        "doc_id", "(event_id % 997)"
+    )
+    for r in (1, 2, 4, 8):
+        path = event_stream_corpus(spark, sf_dir, r, base)
+        ev = read_event_stream(spark, path, max_files_per_trigger=1)
+        urls = ev.selectExpr(f"{synth} AS url")
+        dedup = (
+            canonicalize_urls(urls).select("canonical_url")
+            .dropDuplicates()
+        )
+        t0 = time.time()
+        q = (
+            dedup.writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = round(time.time() - t0, 2)
+        import json as _json
+
+        progresses = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in (q.recentProgress or [])
+        ]
+        q.stop()
+        batches = [p for p in progresses if p.get("numInputRows", 0) > 0]
+        rows = sum(p.get("numInputRows", 0) for p in batches)
+        lat = max(
+            (p.get("durationMs", {}).get("triggerExecution", 0)
+             for p in batches),
+            default=0,
+        )
+        state = max(
+            (s.get("numRowsTotal", 0)
+             for p in batches
+             for s in (p.get("stateOperators") or [])),
+            default=0,
+        )
+        print(f"| x{r} | {rows} | {wall}s | {len(batches)} |"
+              f" {lat}ms | {state} |")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"r10x8", "r11docs", "clip8"}
+        else {"r10x8", "r11docs", "clip8", "r11web", "r11misc"}
     )
     spark = get_spark("r11-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -170,6 +270,29 @@ def main() -> None:
             )
         if "clip8" in sections:
             clip_section(spark, sf_dir, base)
+        if "r11web" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "late round-11 document operators (web-corpus /"
+                " datasheet / PII / C4-line / classifier)",
+                (
+                    "html_text_extract",
+                    "html_block_link_density",
+                    "robots_txt_gate",
+                    "corpus_datasheet",
+                    "pii_multiclass_scrub",
+                    "unicode_normalize_stats",
+                    "c4_line_filters",
+                    "line_global_dedup",
+                    "hashed_ngram_classifier",
+                ),
+                ("documents",),
+            )
+        if "r11misc" in sections:
+            bitext_section(spark, sf_dir, base)
+            stream_dedup_section(spark, sf_dir, base)
 
 
 if __name__ == "__main__":
