@@ -1620,3 +1620,83 @@ def unicode_normalize_stats(spark, sf_dir):
         .alias("text"),
     )
     return nfc_normalize_stats(docs, "doc_id", "text")
+
+
+# --- DoReMi-style domain reweighting (r11) --------------------------------
+
+DOREMI_ETA_PPM = 100_000  # multiplicative-weights learning rate (0.1)
+DOREMI_EPS_PPM = 10_000  # uniform smoothing mass (1%)
+_DRM_TOK = (
+    "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> ''))"
+)
+
+
+def _doremi_sql(idiv: str, tokexpr: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({tokexpr}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+ref AS (
+  SELECT CAST(sum(n_tokens) * 1000 {idiv} sum(n_docs) AS BIGINT)
+           AS ref_milli,
+         CAST(count(*) AS BIGINT) AS k
+  FROM d
+),
+e AS (
+  SELECT d.source, d.n_docs,
+         CAST(d.n_tokens * 1000 {idiv} d.n_docs AS BIGINT)
+           AS mean_tok_milli,
+         GREATEST(CAST((d.n_tokens * 1000 {idiv} d.n_docs
+           - ref.ref_milli) * 1000000 {idiv} ref.ref_milli
+           AS BIGINT), 0) AS excess_ppm,
+         ref.k
+  FROM d CROSS JOIN ref
+),
+w AS (
+  SELECT source, n_docs, mean_tok_milli, excess_ppm, k,
+         CAST(1000000 + {DOREMI_ETA_PPM} * excess_ppm {idiv} 1000000
+              AS BIGINT) AS mult_ppm
+  FROM e
+),
+nrm AS (
+  SELECT CAST(sum(mult_ppm) AS BIGINT) AS total FROM w
+)
+SELECT w.source, w.n_docs, w.mean_tok_milli, w.excess_ppm, w.mult_ppm,
+       CAST((1000000 - {DOREMI_EPS_PPM})
+            * (w.mult_ppm * 1000000 {idiv} nrm.total) {idiv} 1000000
+            + {DOREMI_EPS_PPM} {idiv} w.k AS BIGINT) AS weight_ppm
+FROM w CROSS JOIN nrm
+"""
+
+
+@query("doremi_domain_reweight", oracle=_doremi_sql("//", _DRM_TOK))
+def doremi_domain_reweight(spark, sf_dir):
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023:
+    boost domains with positive excess loss via multiplicative
+    weights, then smooth toward uniform). The excess-loss proxy is a
+    REAL corpus statistic — each domain's mean tokens-per-doc above
+    the corpus mean, in ppm of the corpus mean (clipped at 0, as
+    DoReMi clips excess loss) — and the update is the LINEARIZED
+    multiplicative-weights rule w * (1 + eta * excess), which keeps
+    every step BIGINT-exact (exp() would drift between engines; for
+    eta*excess << 1 the linearization is the same first-order
+    update). Final weights renormalize and mix in eps uniform mass —
+    DoReMi's smoothing term — summing to ~1e6 ppm across domains.
+
+    Scale (100 TB): one partial-agg shuffle onto k domains; the
+    corpus-mean and normalization scalars ride 1-row broadcast cross
+    joins. Everything after the first agg is k-row arithmetic."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    docs.createOrReplaceTempView("_drm_docs")
+    sql = _doremi_sql("DIV", "n_tok").replace(
+        "FROM documents GROUP BY source",
+        "FROM _drm_docs GROUP BY source",
+    ).replace("sum(n_tok)", "sum(n_tok)")
+    return spark.sql(sql)

@@ -1,0 +1,262 @@
+"""Preference-data and classifier-evaluation queries (r11,
+beyond-reference north-star block): Bradley-Terry strength fitting
+over pairwise comparison data (the RLHF preference-aggregation
+primitive) and a full binary-classifier evaluation — rank-sum
+ROC-AUC, decile precision/recall, per-bin calibration — the numbers a
+quality-classifier gate (hashed_ngram_classifier, dsir) is tuned by.
+
+Both fixtures synthesize from doc_id with the house 2^31
+multiplicative mixes; every statistic is BIGINT-exact (doubled-count
+tie handling, integer ppm) so Spark and DuckDB replay identical
+values. No reference analogue (the reference has no ML-eval surface);
+pattern source: Hunter 2004 (BT minorization-maximization),
+Mann-Whitney/AUC rank identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.queries.helpers import load
+from advisorydatapipeline_spark.registry import query
+
+N_MODELS = 8
+_MIX1 = 2654435761  # Knuth multiplicative; odd -> bijection mod 2^31
+_MIX2 = 2246822519  # xxhash prime; independent second stream
+BT_SCALE = 1_000_000  # strengths in ppm
+BT_TERM_SCALE = 1_000_000_000  # per-opponent MM terms
+
+
+def _mix(expr: str, const: int) -> str:
+    """Overflow-safe 2^31 mix: reduce BEFORE multiplying (the
+    epoch_shard_plan lesson — intermediates stay < 2^63 for any
+    BIGINT input)."""
+    return f"(({expr}) % 2147483648) * {const} % 2147483648"
+
+
+# --- Bradley-Terry two-step MM fit ---------------------------------------
+
+# comparison fixture: each doc is one game between model a and b;
+# the winner is drawn from the TRUE BT model with strengths m+1 via
+# mix(doc_id) % (sa+sb) < sa — so the fitted ranking must recover
+# 7 > 6 > ... > 0 from game outcomes, not from the fixture directly.
+def _bt_games(idiv: str) -> str:
+    return f"""
+  SELECT doc_id % {N_MODELS} AS a,
+         (doc_id {idiv} {N_MODELS}) % {N_MODELS} AS b,
+         CASE WHEN {_mix('doc_id', _MIX1)}
+                % ((doc_id % {N_MODELS}) + ((doc_id {idiv} {N_MODELS})
+                   % {N_MODELS}) + 2)
+              < (doc_id % {N_MODELS}) + 1
+              THEN doc_id % {N_MODELS}
+              ELSE (doc_id {idiv} {N_MODELS}) % {N_MODELS} END AS winner
+  FROM documents
+  WHERE doc_id % {N_MODELS}
+        <> (doc_id {idiv} {N_MODELS}) % {N_MODELS}"""
+
+
+def _bt_sql(idiv: str) -> str:
+    """The whole two-step MM fit as engine-portable SQL (only the
+    integer-division operator differs)."""
+    return f"""
+WITH games AS ({_bt_games(idiv)}),
+-- directed per-(i, opponent) stats: n games, wins for i
+d AS (
+  SELECT a AS i, b AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN winner = a THEN 1 ELSE 0 END) AS BIGINT)
+           AS w
+  FROM games GROUP BY a, b
+),
+sym AS (
+  SELECT i, j, n, w FROM d
+  UNION ALL
+  SELECT j AS i, i AS j, n, n - w AS w FROM d
+),
+pairs AS (
+  SELECT i, j, CAST(sum(n) AS BIGINT) AS n_ij,
+         CAST(sum(w) AS BIGINT) AS w_ij
+  FROM sym GROUP BY i, j
+),
+tot AS (
+  SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_games,
+         CAST(sum(w_ij) AS BIGINT) AS n_wins
+  FROM pairs GROUP BY i
+),
+-- MM step 1 from the uniform start s0 = BT_SCALE
+s1 AS (
+  SELECT t.i, t.n_games, t.n_wins,
+         CAST(t.n_wins * {BT_TERM_SCALE} {idiv} d1.den AS BIGINT)
+           AS s1_ppm
+  FROM tot t JOIN (
+    SELECT i, CAST(sum(n_ij * {BT_TERM_SCALE}
+                   {idiv} ({BT_SCALE} + {BT_SCALE})) AS BIGINT) AS den
+    FROM pairs GROUP BY i
+  ) d1 ON d1.i = t.i
+),
+-- MM step 2 at s1
+s2 AS (
+  SELECT s.i, s.n_games, s.n_wins, s.s1_ppm,
+         CAST(s.n_wins * {BT_TERM_SCALE} {idiv} d2.den AS BIGINT)
+           AS s2_ppm
+  FROM s1 s JOIN (
+    SELECT p.i,
+           CAST(sum(p.n_ij * {BT_TERM_SCALE}
+                {idiv} (si.s1_ppm + sj.s1_ppm)) AS BIGINT) AS den
+    FROM pairs p
+    JOIN s1 si ON si.i = p.i
+    JOIN s1 sj ON sj.i = p.j
+    GROUP BY p.i
+  ) d2 ON d2.i = s.i
+),
+norm AS (
+  SELECT CAST(sum(s2_ppm) AS BIGINT) AS total FROM s2
+)
+SELECT s2.i AS model,
+       s2.n_games, s2.n_wins, s2.s1_ppm, s2.s2_ppm,
+       CAST(s2.s2_ppm * {N_MODELS * BT_SCALE} {idiv} norm.total
+            AS BIGINT) AS s2_norm_ppm,
+       CAST(row_number() OVER (ORDER BY s2.s2_ppm DESC, s2.i)
+            AS BIGINT) AS strength_rank
+FROM s2 CROSS JOIN norm
+"""
+
+
+@query("bradley_terry_mm_step", oracle=_bt_sql("//"))
+def bradley_terry_mm_step(spark, sf_dir):
+    """Bradley-Terry strength estimation over pairwise preference
+    games — TWO minorization-maximization steps (Hunter 2004:
+    s_i <- W_i / sum_j n_ij / (s_i + s_j)) from a uniform start, all
+    in BIGINT (strengths in ppm, per-opponent terms at 1e9 scale, so
+    truncation order is identical in both engines). The fixture draws
+    each game's winner from a TRUE BT model (strength m+1) with the
+    2^31 mix as the noise source, so the recovered ranking is fitted
+    from outcomes; step 1 from uniform reduces to 2x win rate — the
+    step-2 column is where opponent strength actually matters
+    (beating strong opponents counts for more).
+
+    Scale (100 TB): the game stream collapses to <= k^2 directed
+    pair rows in ONE partial-agg shuffle; every later hop (the two MM
+    steps, normalization, ranking) runs on the k x k table —
+    broadcast joins, driver-free. More MM steps = more tiny
+    self-joins, linear in k^2, independent of corpus size."""
+    games = load(spark, sf_dir, "documents").selectExpr(
+        f"doc_id % {N_MODELS} AS a",
+        f"(doc_id DIV {N_MODELS}) % {N_MODELS} AS b",
+        f"CASE WHEN {_mix('doc_id', _MIX1)}"
+        f" % ((doc_id % {N_MODELS}) + ((doc_id DIV {N_MODELS})"
+        f" % {N_MODELS}) + 2) < (doc_id % {N_MODELS}) + 1"
+        f" THEN doc_id % {N_MODELS}"
+        f" ELSE (doc_id DIV {N_MODELS}) % {N_MODELS} END AS winner",
+    ).where("a <> b")
+    games.createOrReplaceTempView("_bt_games")
+    sql = _bt_sql("DIV").replace(
+        f"WITH games AS ({_bt_games('DIV')}),", "WITH games AS (SELECT * FROM _bt_games),"
+    )
+    return spark.sql(sql)
+
+
+# --- ROC-AUC / PR deciles / calibration bins ------------------------------
+
+_POS_CUT = 1_000_000
+_NOISE = 400_000
+
+
+def _clf_scored(idiv: str) -> str:
+    """score in [0, 1e6); positive iff score + independent noise
+    >= 1e6 — P(pos | score) ramps linearly over the top 40% of the
+    score range, the realistic quality-classifier shape."""
+    return f"""
+  SELECT doc_id,
+         {_mix('doc_id', _MIX1)} % 1000000 AS score_ppm,
+         ({_mix('doc_id', _MIX1)} % 1000000)
+           + ({_mix('doc_id + 13', _MIX2)} % {_NOISE})
+           >= {_POS_CUT} AS label
+  FROM documents"""
+
+
+def _clf_sql(idiv: str) -> str:
+    return f"""
+WITH scored AS ({_clf_scored(idiv)}),
+-- per-distinct-score tallies for the exact rank-sum AUC
+g AS (
+  SELECT score_ppm,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM scored GROUP BY score_ppm
+),
+c AS (
+  SELECT score_ppm, np, nn,
+         CAST(COALESCE(sum(nn) OVER (ORDER BY score_ppm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS nn_below
+  FROM g
+),
+-- doubled pair count (ties count once) -> exact tied AUC
+auc AS (
+  SELECT CAST(sum(np * (2 * nn_below + nn)) AS BIGINT) AS auc2,
+         CAST(sum(np) AS BIGINT) AS p,
+         CAST(sum(nn) AS BIGINT) AS n
+  FROM c
+),
+b AS (
+  SELECT score_ppm {idiv} 100000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(sum(score_ppm) AS BIGINT) AS sum_score
+  FROM scored GROUP BY 1
+),
+cb AS (
+  SELECT bucket, n_docs, n_pos,
+         CAST(sum_score {idiv} n_docs AS BIGINT) AS avg_score_ppm,
+         CAST(n_pos * 1000000 {idiv} n_docs AS BIGINT) AS pos_rate_ppm,
+         CAST(sum(n_pos) OVER (ORDER BY bucket DESC) AS BIGINT)
+           AS cum_pos,
+         CAST(sum(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT)
+           AS cum_docs
+  FROM b
+)
+SELECT cb.bucket, cb.n_docs, cb.n_pos, cb.avg_score_ppm,
+       cb.pos_rate_ppm,
+       CAST(abs(cb.avg_score_ppm - cb.pos_rate_ppm) AS BIGINT)
+         AS cal_err_ppm,
+       CAST(cb.cum_pos * 1000000 {idiv} cb.cum_docs AS BIGINT)
+         AS precision_ppm,
+       CAST(cb.cum_pos * 1000000 {idiv} auc.p AS BIGINT) AS recall_ppm,
+       CAST(auc.auc2 * 1000000 {idiv} (2 * auc.p * auc.n) AS BIGINT)
+         AS auc_ppm
+FROM cb CROSS JOIN auc
+"""
+
+
+@query("roc_pr_calibration", oracle=_clf_sql("//"))
+def roc_pr_calibration(spark, sf_dir):
+    """Binary-classifier evaluation in one plan: exact rank-sum
+    ROC-AUC (the Mann-Whitney identity, doubled pair counts so ties
+    stay integer — the mannwhitney_value_drift machinery pointed at
+    classification), top-down decile precision/recall (threshold
+    sweep), and per-bin calibration error |mean score - positive
+    rate| — the ECE ingredients. The fixture's labels are drawn with
+    independent mix noise so P(pos | score) ramps linearly over the
+    top 40% of scores: AUC is genuinely between 0.5 and 1 and the
+    top decile calibrates near its score mean.
+
+    Scale (100 TB): one partial-agg shuffle onto distinct scores
+    (bounded by the 1e6 score domain, like mannwhitney's cents
+    table), a second onto 10 buckets; the AUC scalar rides a 1-row
+    broadcast cross join. Cumulative windows run over the bounded
+    distinct-score/bucket tables, never the corpus."""
+    scored = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_mix('doc_id', _MIX1)} % 1000000 AS score_ppm",
+        f"({_mix('doc_id', _MIX1)} % 1000000)"
+        f" + ({_mix('doc_id + 13', _MIX2)} % {_NOISE})"
+        f" >= {_POS_CUT} AS label",
+    )
+    scored.createOrReplaceTempView("_clf_scored")
+    sql = _clf_sql("DIV").replace(
+        f"WITH scored AS ({_clf_scored('DIV')}),",
+        "WITH scored AS (SELECT * FROM _clf_scored),",
+    )
+    return spark.sql(sql)

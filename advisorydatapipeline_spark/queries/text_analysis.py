@@ -1921,3 +1921,153 @@ def hashed_ngram_classifier(spark, sf_dir):
         "          WHEN sc.s1 >= sc.s2 THEN 1 ELSE 2 END AS INT)"
         " AS pred_class",
     )
+
+
+# --- instruction-template mining (r11) ------------------------------------
+
+TEMPLATE_RARE_PPM = 5_000  # token kept iff present in >= 0.5% of insts
+
+
+def _template_inst(idiv: str, cast: str) -> str:
+    """Four instruction families synthesized from doc_id + the doc's
+    first token: quoted slot, raw-word slot, numeric slots, and a
+    two-slot form — each surface-slotting and df-generalization rule
+    fires on real, replayable inputs."""
+    w1 = (
+        "COALESCE(list_filter(string_split_regex(lower(text),"
+        " '[^a-z0-9]+'), x -> x <> '')[1], 'x')"
+        if cast == "VARCHAR"
+        else (
+            "COALESCE(element_at(filter(split(lower(text),"
+            " '[^a-z0-9]+'), x -> x <> ''), 1), 'x')"
+        )
+    )
+    lang = (
+        f"CASE (doc_id {idiv} 4) % 3 WHEN 0 THEN 'french'"
+        " WHEN 1 THEN 'german' ELSE 'spanish' END"
+    )
+    return f"""CASE doc_id % 4
+ WHEN 0 THEN 'translate "' || {w1} || '" into ' || {lang} || ' now'
+ WHEN 1 THEN 'summarize the following text ' || {w1} || ' briefly'
+ WHEN 2 THEN 'what is ' || CAST(doc_id % 97 AS {cast}) || ' plus ' ||
+   CAST(doc_id % 89 AS {cast})
+ ELSE 'rewrite ' || {w1} || ' in ' || {lang} || ' style'
+END"""
+
+
+def _template_oracle() -> str:
+    return f"""
+WITH inst AS (
+  SELECT doc_id, {_template_inst('//', 'VARCHAR')} AS inst
+  FROM documents
+),
+slotted AS (
+  SELECT doc_id, inst,
+         regexp_replace(regexp_replace(inst, '"[^"]*"', '<q>', 'g'),
+                        '[0-9]+', '<n>', 'g') AS s
+  FROM inst
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         string_split(s, ' ')[i] AS t
+  FROM slotted,
+       unnest(generate_series(1,
+         CAST(len(string_split(s, ' ')) AS BIGINT))) AS u(i)
+),
+df AS (
+  SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY t
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_inst FROM slotted
+),
+gen AS (
+  SELECT tok.doc_id,
+         string_agg(CASE WHEN df.df * 1000000 // n.n_inst
+                           < {TEMPLATE_RARE_PPM}
+                    THEN '<v>' ELSE tok.t END, ' ' ORDER BY tok.pos)
+           AS template
+  FROM tok JOIN df ON df.t = tok.t CROSS JOIN n
+  GROUP BY tok.doc_id
+)
+SELECT g.template,
+       CAST(count(*) AS BIGINT) AS n_instances,
+       CAST(count(DISTINCT sl.inst) AS BIGINT) AS n_exact_variants,
+       CAST(min(g.doc_id) AS BIGINT) AS sample_doc_id
+FROM gen g JOIN slotted sl ON sl.doc_id = g.doc_id
+GROUP BY g.template
+"""
+
+
+@query("template_slot_fingerprint", oracle=_template_oracle())
+def template_slot_fingerprint(spark, sf_dir):
+    """Instruction-template mining — the near-identical-prompt dedup
+    stage for instruction-tuning corpora (Drain/IPLoM log-template
+    induction applied to prompts): surface slotting first (quoted
+    spans -> <q>, digit runs -> <n>, map-only regex), then
+    document-frequency generalization — a token survives iff it
+    appears in >= 0.5% of instructions, rarer tokens become <v> —
+    so 'translate "X" into french now' folds into one template per
+    language while the slot values vary freely. Per template:
+    instance count, distinct RAW instruction count (the dedup
+    signal: high instances / low variants = a stamped template), and
+    the smallest doc_id as the exemplar.
+
+    Scale (100 TB): the df pass is the inverted-index shuffle
+    (token-keyed, vocab-bounded); the rebuild groups by doc_id —
+    order restored via array_sort on (pos, token) structs, not by
+    assuming shuffle order; the final agg keys on the (small)
+    template universe. Token rows carry only (doc_id, pos, token)."""
+    docs = load(spark, sf_dir, "documents")
+    inst = docs.selectExpr(
+        "doc_id", _template_inst("DIV", "STRING") + " AS inst"
+    )
+    slotted = inst.select(
+        "doc_id",
+        "inst",
+        F.regexp_replace(
+            F.regexp_replace("inst", '"[^"]*"', "<q>"), "[0-9]+", "<n>"
+        ).alias("s"),
+    )
+    tok = slotted.select(
+        "doc_id",
+        F.posexplode(F.split("s", " ")).alias("pos0", "t"),
+    ).selectExpr("doc_id", "CAST(pos0 + 1 AS BIGINT) AS pos", "t")
+    dfm = (
+        tok.select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n = slotted.agg(F.count(F.lit(1)).cast("long").alias("n_inst"))
+    j = tok.join(dfm, "t").crossJoin(F.broadcast(n))
+    gen_tok = F.when(
+        F.expr(f"df * 1000000 DIV n_inst < {TEMPLATE_RARE_PPM}"),
+        F.lit("<v>"),
+    ).otherwise(F.col("t"))
+    gen = (
+        j.select("doc_id", "pos", gen_tok.alias("gt"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "gt"))
+                    ),
+                    lambda x: x["gt"],
+                ),
+            ).alias("template")
+        )
+    )
+    return (
+        gen.join(slotted.select("doc_id", "inst"), "doc_id")
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_instances"),
+            F.countDistinct("inst").cast("long").alias(
+                "n_exact_variants"
+            ),
+            F.min("doc_id").cast("long").alias("sample_doc_id"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Bradley-Terry MM fit, ROC/PR/calibration, DoReMi reweighting, and
+template mining — semantic invariants beyond the value gates (which
+pin exact bytes): ranking recovery, AUC bounds, weight-simplex sums,
+template folding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advisorydatapipeline_spark.queries.curation_queries import (
+    DOREMI_EPS_PPM,
+    doremi_domain_reweight,
+)
+from advisorydatapipeline_spark.queries.preference_queries import (
+    N_MODELS,
+    bradley_terry_mm_step,
+    roc_pr_calibration,
+)
+from advisorydatapipeline_spark.queries.text_analysis import (
+    template_slot_fingerprint,
+)
+
+
+def test_bt_recovers_strength_order(spark, sf_dir):
+    rows = {r.model: r for r in bradley_terry_mm_step(spark, sf_dir).collect()}
+    assert len(rows) == N_MODELS
+    # the generative strengths are m+1: the fitted s2 ranking must
+    # put the strongest model well above the weakest (exact order of
+    # neighbors can wobble at small n; the extremes must not)
+    by_rank = sorted(rows.values(), key=lambda r: r.strength_rank)
+    top3 = {r.model for r in by_rank[:3]}
+    bot3 = {r.model for r in by_rank[-3:]}
+    assert top3 & {5, 6, 7}, top3
+    assert bot3 & {0, 1, 2}, bot3
+    assert rows[7].s2_ppm > rows[0].s2_ppm
+    for r in rows.values():
+        assert r.n_wins <= r.n_games
+        # step 1 from uniform is exactly 2x win rate (ppm), up to
+        # the documented 1e9-scale truncation
+        approx = 2_000_000 * r.n_wins // r.n_games
+        assert abs(r.s1_ppm - approx) <= max(2, approx // 1000)
+
+
+def test_bt_step2_uses_opponent_strength(spark, sf_dir):
+    # if step 2 ignored opponents it would equal step 1; assert they
+    # genuinely differ for at least half the models
+    rows = bradley_terry_mm_step(spark, sf_dir).collect()
+    diff = [r for r in rows if r.s2_ppm != r.s1_ppm]
+    assert len(diff) >= N_MODELS // 2
+
+
+def test_roc_pr_calibration_shape(spark, sf_dir):
+    rows = sorted(
+        roc_pr_calibration(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(10))
+    auc = rows[0].auc_ppm
+    assert all(r.auc_ppm == auc for r in rows)  # global scalar
+    assert 500_000 < auc < 1_000_000  # better than chance, not perfect
+    # recall decreases as the threshold rises (cumulated from top,
+    # so bucket asc = threshold asc = recall non-increasing)
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    assert recalls[0] == 1_000_000  # threshold at bottom: all recalled
+    # positives concentrate in the top buckets
+    assert rows[9].pos_rate_ppm > rows[0].pos_rate_ppm
+    assert rows[0].n_pos == 0  # the ramp starts at 600k
+    for r in rows:
+        assert r.cal_err_ppm == abs(r.avg_score_ppm - r.pos_rate_ppm)
+
+
+def test_doremi_weights_form_a_simplex(spark, sf_dir):
+    rows = doremi_domain_reweight(spark, sf_dir).collect()
+    k = len(rows)
+    total = sum(r.weight_ppm for r in rows)
+    # renormalized + eps-smoothed: sums to 1e6 up to k integer-DIV
+    # truncations of up to 1 ppm each at every of the 3 stages
+    assert abs(total - 1_000_000) <= 3 * k + 3
+    boosted = [r for r in rows if r.excess_ppm > 0]
+    uniform = 1_000_000 // k
+    for r in rows:
+        assert r.weight_ppm >= DOREMI_EPS_PPM // k  # smoothing floor
+        if r.excess_ppm == 0 and boosted:
+            assert r.weight_ppm <= uniform + 1  # mass moved away
+    if boosted:
+        assert max(r.weight_ppm for r in boosted) >= uniform
+
+
+def test_template_folding(spark, sf_dir):
+    rows = template_slot_fingerprint(spark, sf_dir).collect()
+    t = {r.template: r for r in rows}
+    # the numeric family is fully static after surface slotting:
+    # exactly one template, many instances, every variant distinct
+    num = [k for k in t if k.startswith("what is <n> plus")]
+    assert num == ["what is <n> plus <n>"]
+    r = t[num[0]]
+    assert r.n_instances > 1
+    assert r.n_exact_variants > 1  # raw digits differed
+    # the quoted family folds per language; slot token is <q>
+    fr = [k for k in t if k.startswith("translate") and "french" in k]
+    assert fr == ['translate "<q>" into french now'] or all(
+        "<q>" in k for k in fr
+    )
+    for k, r in t.items():
+        assert r.n_exact_variants <= r.n_instances
+        assert " " in k  # multi-token templates only

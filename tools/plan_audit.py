@@ -272,6 +272,10 @@ AUDIT = [
     "hashed_ngram_classifier",
     "crawl_politeness_plan",
     "secret_entropy_scrub",
+    "bradley_terry_mm_step",
+    "roc_pr_calibration",
+    "doremi_domain_reweight",
+    "template_slot_fingerprint",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
