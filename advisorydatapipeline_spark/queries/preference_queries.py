@@ -260,3 +260,149 @@ def roc_pr_calibration(spark, sf_dir):
         "WITH scored AS (SELECT * FROM _clf_scored),",
     )
     return spark.sql(sql)
+
+
+# --- NDCG ranking evaluation (r11) ----------------------------------------
+
+NDCG_K = 10
+
+
+def _ndcg_sql(idiv: str) -> str:
+    """NDCG@k over a synthesized retrieval run: query q = doc_id % 50,
+    rank r = row over the house mix, graded relevance 0-3 from an
+    independent mix stream correlated with rank (better ranks are
+    more often relevant, so NDCG lands strictly between 0 and 1e6).
+    Discount weights floor(1e6 / log2(r+1)) — log2 of small integers
+    is bit-identical libm on both engines (the lm.py precedent), and
+    the floor freezes it into BIGINT before any aggregation."""
+    rel = (
+        f"CASE WHEN ({_mix('doc_id + 101', _MIX2)} % 100)"
+        " < 80 - 7 * ((doc_id {I} 50) % 10)"
+        " THEN 3 - ((doc_id {I} 50) % 10) % 3 ELSE 0 END"
+    ).replace("{I}", idiv)
+    return f"""
+WITH run AS (
+  SELECT doc_id % 50 AS q,
+         CAST((doc_id {idiv} 50) % 10 + 1 AS BIGINT) AS r,
+         CAST({rel} AS BIGINT) AS rel
+  FROM documents
+  WHERE (doc_id {idiv} 50) % 10 < {NDCG_K} AND doc_id < 500
+),
+w AS (
+  SELECT q, r, rel,
+         CAST(floor(1000000 / log2(r + 1)) AS BIGINT) AS w_ppm,
+         CAST((power(2, rel) - 1) AS BIGINT) AS gain
+  FROM run
+),
+dcg AS (
+  SELECT q, CAST(sum(gain * w_ppm) AS BIGINT) AS dcg_scaled
+  FROM w GROUP BY q
+),
+ideal AS (
+  SELECT q,
+         CAST(sum(gain * CAST(floor(1000000 / log2(ir + 1))
+              AS BIGINT)) AS BIGINT) AS idcg_scaled
+  FROM (
+    SELECT q, gain,
+           row_number() OVER (PARTITION BY q
+             ORDER BY gain DESC, r) AS ir
+    FROM w
+  ) GROUP BY q
+)
+SELECT dcg.q AS query_id, dcg.dcg_scaled, ideal.idcg_scaled,
+       CAST(CASE WHEN ideal.idcg_scaled = 0 THEN 0
+            ELSE dcg.dcg_scaled * 1000000 {idiv} ideal.idcg_scaled
+            END AS BIGINT) AS ndcg_ppm
+FROM dcg JOIN ideal ON ideal.q = dcg.q
+"""
+
+
+@query("ndcg_ranking_eval", oracle=_ndcg_sql("//"))
+def ndcg_ranking_eval(spark, sf_dir):
+    """NDCG@10 per query over a synthesized retrieval run — the
+    retrieval-quality gauge for embedding/ANN curation stages
+    (Jarvelin & Kekalainen 2002). Exponential gains 2^rel - 1,
+    log-discounts frozen to BIGINT via floor(1e6 / log2(r+1)) (libm
+    log2 of small ints is bit-identical across engines — the lm.py
+    precedent — and flooring BEFORE aggregation removes any float
+    reduction), ideal ordering by gain with rank tie-break, zero-gain
+    queries defined as ndcg 0.
+
+    Scale (100 TB): one partial-agg shuffle per run keyed on query;
+    the ideal ranking windows over per-query top-k slices (k rows
+    each), never the corpus."""
+    run = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id"
+    )
+    run.createOrReplaceTempView("_ndcg_docs")
+    sql = _ndcg_sql("DIV").replace("FROM documents", "FROM _ndcg_docs")
+    return spark.sql(sql)
+
+
+# --- leave-one-out source diversity (r11) ---------------------------------
+
+
+def _loo_sql(idiv: str, tokexpr: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT source, CAST(sum({tokexpr}) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS total,
+         CAST(sum(toks * toks) AS BIGINT) AS sumsq
+  FROM d
+)
+SELECT d.source, d.toks,
+       CAST(d.toks * 1000000 {idiv} t.total AS BIGINT) AS share_ppm,
+       CAST(1000000 - t.sumsq {idiv} (t.total {idiv} 1000
+            * (t.total {idiv} 1000)) AS BIGINT) AS simpson_all_ppm,
+       CAST(1000000 - (t.sumsq - d.toks * d.toks)
+            {idiv} GREATEST((t.total - d.toks) {idiv} 1000
+            * ((t.total - d.toks) {idiv} 1000), 1) AS BIGINT)
+         AS simpson_loo_ppm,
+       CAST((1000000 - t.sumsq {idiv} (t.total {idiv} 1000
+            * (t.total {idiv} 1000)))
+            - (1000000 - (t.sumsq - d.toks * d.toks)
+            {idiv} GREATEST((t.total - d.toks) {idiv} 1000
+            * ((t.total - d.toks) {idiv} 1000), 1)) AS BIGINT)
+         AS loo_delta_ppm
+FROM d CROSS JOIN t
+"""
+
+
+@query(
+    "source_diversity_loo",
+    oracle=_loo_sql(
+        "//",
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " x -> x <> ''))",
+    ),
+)
+def source_diversity_loo(spark, sf_dir):
+    """Leave-one-out data valuation against corpus diversity: each
+    source's contribution to the token-share Simpson diversity index
+    (1 - sum of squared shares — the integer-exact stand-in for
+    entropy; Shannon would drift through log). LOO recomputation is
+    FREE from the global aggregates — Simpson decomposes, so
+    removing a source needs only (total, sum-of-squares, own share),
+    never a per-source rescan: the Shapley-flavored loop that looks
+    quadratic is one partial-agg pass plus k-row arithmetic. Shares
+    square through a DIV-1000 reduction so intermediates stay under
+    2^63 for corpora up to ~9e18 tokens.
+
+    A positive loo_delta_ppm means dropping the source would RAISE
+    diversity (it is an over-dominant source); mixture stages
+    (corpus_mixture_waterfill, doremi_domain_reweight) consume
+    exactly this signal."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    docs.createOrReplaceTempView("_loo_docs")
+    sql = _loo_sql("DIV", "n_tok").replace(
+        "FROM documents GROUP BY source",
+        "FROM _loo_docs GROUP BY source",
+    )
+    return spark.sql(sql)

@@ -271,6 +271,8 @@ EXTENDED = [
     "roc_pr_calibration",
     "doremi_domain_reweight",
     "template_slot_fingerprint",
+    "ndcg_ranking_eval",
+    "source_diversity_loo",
 ]
 
 

@@ -105,3 +105,36 @@ def test_template_folding(spark, sf_dir):
     for k, r in t.items():
         assert r.n_exact_variants <= r.n_instances
         assert " " in k  # multi-token templates only
+
+
+def test_ndcg_bounds_and_perfect_rank_queries(spark, sf_dir):
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        ndcg_ranking_eval,
+    )
+
+    rows = ndcg_ranking_eval(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        assert r.dcg_scaled <= r.idcg_scaled
+    # relevance is rank-correlated, so the mean must clear chance
+    mean = sum(r.ndcg_ppm for r in rows) // len(rows)
+    assert mean > 500_000
+
+
+def test_source_loo_decomposition(spark, sf_dir):
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        source_diversity_loo,
+    )
+
+    rows = source_diversity_loo(spark, sf_dir).collect()
+    assert sum(r.share_ppm for r in rows) <= 1_000_000  # DIV floors
+    assert sum(r.share_ppm for r in rows) > 1_000_000 - len(rows)
+    # replay the Simpson identity from the returned aggregates
+    for r in rows:
+        assert r.loo_delta_ppm == r.simpson_all_ppm - r.simpson_loo_ppm
+    # at least one source must be over-dominant or none can be —
+    # the column is informative either way; just pin determinism
+    again = {r.source: r.loo_delta_ppm
+             for r in source_diversity_loo(spark, sf_dir).collect()}
+    assert again == {r.source: r.loo_delta_ppm for r in rows}

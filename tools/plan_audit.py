@@ -276,6 +276,8 @@ AUDIT = [
     "roc_pr_calibration",
     "doremi_domain_reweight",
     "template_slot_fingerprint",
+    "ndcg_ranking_eval",
+    "source_diversity_loo",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -181,6 +181,8 @@ AUDIT = [
     "roc_pr_calibration",
     "doremi_domain_reweight",
     "template_slot_fingerprint",
+    "ndcg_ranking_eval",
+    "source_diversity_loo",
 ]
 
 
