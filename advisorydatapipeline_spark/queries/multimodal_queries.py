@@ -1199,3 +1199,68 @@ def mp3_frame_stats(spark, sf_dir):
     docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_mp3_stats(media)
+
+
+@query(
+    "flac_stream_stats",
+    oracle="""
+SELECT d.doc_id AS media_id,
+       CASE WHEN d.doc_id % 7 = 0 THEN 'unknown' ELSE 'flac' END
+         AS container,
+       CASE WHEN d.doc_id % 7 = 0 THEN NULL
+            ELSE CAST(44100 AS INTEGER) END AS sample_rate,
+       CASE WHEN d.doc_id % 7 = 0 THEN NULL
+            ELSE CAST(3 AS INTEGER) END AS n_frames,
+       CASE WHEN d.doc_id % 7 = 0 THEN NULL
+            ELSE CAST(600 AS BIGINT) END AS n_samples,
+       CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE CAST(SUM(
+         ((d.doc_id * 1024 + i.i) % 2147483648) * 2654435761
+           % 2147483648 % 2048 - 1024
+       ) AS BIGINT) END AS sample_sum,
+       CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE CAST(SUM(
+         (((d.doc_id * 1024 + i.i) % 2147483648) * 2654435761
+            % 2147483648 % 2048 - 1024)
+         * (((d.doc_id * 1024 + i.i) % 2147483648) * 2654435761
+            % 2147483648 % 2048 - 1024)
+       ) AS BIGINT) END AS sample_sqsum
+FROM documents d, range(600) i(i)
+GROUP BY d.doc_id
+""",
+)
+def flac_stream_stats(spark, sf_dir):
+    """FULL FLAC decode, value-gated — the compressed-lossless-audio
+    close of the codec family (operators/flac_codec.py): each
+    document's 600 mix-derived samples are REALLY Rice-compressed
+    into a 3-frame FLAC stream (fixed predictors order 0/1/2, full
+    and short frame-header forms, CRC-8 + CRC-16), then
+    ``decode_flac`` walks frames, VERIFIES both CRCs, Rice-decodes
+    and reconstructs through the exact integer predictor
+    recurrences; the oracle replays the decoded sample sum and sum of
+    squares straight from the generating formula — losslessness
+    means any Rice/predictor/bit-packing defect shifts the sums.
+    Every 7th payload carries a flipped frame-header byte: the CRC
+    arm must classify it 'unknown' (the corruption plant).
+
+    Scale shape: encode and decode are narrow Arrow-batched
+    mapInPandas hops over the repartitioned doc_id stream; payload
+    bytes never shuffle, 6 scalar columns leave the operator."""
+    from advisorydatapipeline_spark.operators.flac_codec import (
+        decode_flac_stats,
+        encode_flac_fixture,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        encode_flac_fixture(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _doc_ids_parallel(spark, sf_dir)
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return decode_flac_stats(media)

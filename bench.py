@@ -273,6 +273,7 @@ EXTENDED = [
     "template_slot_fingerprint",
     "ndcg_ranking_eval",
     "source_diversity_loo",
+    "flac_stream_stats",
 ]
 
 

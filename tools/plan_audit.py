@@ -278,6 +278,7 @@ AUDIT = [
     "template_slot_fingerprint",
     "ndcg_ranking_eval",
     "source_diversity_loo",
+    "flac_stream_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -19,8 +19,8 @@ r9/r10_scale_smoke.py):
   state-row accounting (r11misc).
 
 Usage: python tools/r11_scale_smoke.py [sf_dir] [sections]
-  sections: comma list from {r10x8,r11docs,clip8,r11web,r11misc},
-  default all.
+  sections: comma list from {r10x8,r11docs,clip8,r11web,r11misc,
+  r11c}, default all.
 Prints markdown rows; SCALE.md sections are appended manually from
 this output (scale_smoke.py owns the main table).
 """
@@ -144,12 +144,15 @@ def bitext_section(spark, sf_dir: str, base: str) -> None:
     corpus-scale path), so the honest row reports the pair count next
     to the wall time — the reader sees wall tracking pairs, not
     rows."""
-    print("\n## bitext_margin_mining x1-x8 (contiguous embeddings;"
+    print("\n## bitext_margin_mining x1-x4 (contiguous embeddings;"
           " brute all-pairs baseline)")
     print("| r | n_pairs scored | time | accepted |")
     print("|---|---|---|---|")
     fn = QUERIES["bitext_margin_mining"]
-    for r in (1, 2, 4, 8):
+    # x4 suffices: pairs grow exactly 4x per point (1e6 -> 4e6 ->
+    # 16e6) and wall tracks pairs; the x8 point would spend ~40 min
+    # re-proving the same quadratic the ANN drop-in exists to avoid
+    for r in (1, 2, 4):
         path = stage_contiguous(spark, sf_dir, base, r)
         if r == 1:
             noop(fn(spark, path))  # warm-up
@@ -236,7 +239,7 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"r10x8", "r11docs", "clip8", "r11web", "r11misc"}
+        else {"r10x8", "r11docs", "clip8", "r11web", "r11misc", "r11c"}
     )
     spark = get_spark("r11-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -293,6 +296,27 @@ def main() -> None:
         if "r11misc" in sections:
             bitext_section(spark, sf_dir, base)
             stream_dedup_section(spark, sf_dir, base)
+        if "r11stream" in sections:
+            stream_dedup_section(spark, sf_dir, base)
+        if "r11c" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "r11c operators (frontier / secrets / preference /"
+                " eval / mixing / templates)",
+                (
+                    "crawl_politeness_plan",
+                    "secret_entropy_scrub",
+                    "bradley_terry_mm_step",
+                    "roc_pr_calibration",
+                    "doremi_domain_reweight",
+                    "template_slot_fingerprint",
+                    "ndcg_ranking_eval",
+                    "source_diversity_loo",
+                ),
+                ("documents",),
+            )
 
 
 if __name__ == "__main__":

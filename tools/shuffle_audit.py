@@ -183,6 +183,7 @@ AUDIT = [
     "template_slot_fingerprint",
     "ndcg_ranking_eval",
     "source_diversity_loo",
+    "flac_stream_stats",
 ]
 
 
