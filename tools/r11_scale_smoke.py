@@ -298,6 +298,15 @@ def main() -> None:
             stream_dedup_section(spark, sf_dir, base)
         if "r11stream" in sections:
             stream_dedup_section(spark, sf_dir, base)
+        if "flac8" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "flac_stream_stats (Rice/fixed-predictor codec hop)",
+                ("flac_stream_stats",),
+                ("documents",),
+            )
         if "r11c" in sections:
             run_family(
                 spark,
