@@ -969,3 +969,80 @@ def secret_entropy_scrub(spark, sf_dir):
             ",", F.array_sort(F.transform(sec, lambda x: x["tok"]))
         ).alias("secrets_csv"),
     )
+
+
+# --- WARC container walk (r11) --------------------------------------------
+
+
+@query(
+    "warc_record_stats",
+    oracle=f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 9 = 0 THEN 'unknown' ELSE 'warc' END
+         AS container,
+       CASE WHEN doc_id % 9 = 0 THEN NULL
+            ELSE CAST(3 AS INTEGER) END AS n_members,
+       CASE WHEN doc_id % 9 = 0 THEN NULL
+            ELSE CAST(1 AS INTEGER) END AS n_response,
+       CASE WHEN doc_id % 9 = 0 THEN NULL
+            ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.com/page' || CAST(doc_id AS VARCHAR) END
+         AS target_uri,
+       CASE WHEN doc_id % 9 = 0 THEN NULL
+            ELSE CAST(200 AS INTEGER) END AS http_status,
+       CASE WHEN doc_id % 9 = 0 THEN NULL
+            ELSE CAST(strlen({_html_fixture_sql('VARCHAR')}) AS BIGINT)
+            END AS payload_octets
+FROM documents
+""",
+)
+def warc_record_stats(spark, sf_dir):
+    """WARC 1.1 container walk over per-record-gzipped captures —
+    the Common-Crawl shard layout (operators/warc.py): each document
+    becomes a REAL .warc.gz stream (warcinfo + request + response
+    members, each its own gzip member, the response wrapping an
+    HTTP/1.1 message whose body is the html_text_extract fixture),
+    then ``parse_warc_gz`` walks gzip members via the DEFLATE
+    end-of-stream (zlib decompressobj.unused_data — no length
+    fields), validates the record grammar (version, header lines,
+    Content-Length vs actual body, CRLFCRLF terminators), and splits
+    the HTTP message. The oracle replays record counts, target URI,
+    status, and the response body's BYTE length (strlen /
+    octet semantics, not chars) from the same fixture expression.
+    Every 9th payload carries a mid-member byte flip — the gzip
+    CRC32 / grammar arm must classify it 'unknown'.
+
+    Scale shape: encode and decode are narrow Arrow-batched
+    mapInPandas hops over the repartitioned id stream; compressed
+    payload bytes never shuffle; 6 scalar columns leave."""
+    import pandas as pd
+
+    from advisorydatapipeline_spark.operators.warc import (
+        build_warc_gz,
+        decode_warc_stats,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id", _html_fixture_sql("STRING") + " AS html"
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                b = build_warc_gz(int(d), h.encode("utf-8"))
+                if int(d) % 9 == 0:
+                    ba = bytearray(b)
+                    ba[30] ^= 0xFF  # inside the first deflate member
+                    b = bytes(ba)
+                payloads.append(b)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(encode, "media_id long, payload binary")
+    return decode_warc_stats(media)

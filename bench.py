@@ -274,6 +274,7 @@ EXTENDED = [
     "ndcg_ranking_eval",
     "source_diversity_loo",
     "flac_stream_stats",
+    "warc_record_stats",
 ]
 
 

@@ -279,6 +279,7 @@ AUDIT = [
     "ndcg_ranking_eval",
     "source_diversity_loo",
     "flac_stream_stats",
+    "warc_record_stats",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN

@@ -184,6 +184,7 @@ AUDIT = [
     "ndcg_ranking_eval",
     "source_diversity_loo",
     "flac_stream_stats",
+    "warc_record_stats",
 ]
 
 
