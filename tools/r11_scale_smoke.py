@@ -303,8 +303,8 @@ def main() -> None:
                 spark,
                 sf_dir,
                 base,
-                "flac_stream_stats (Rice/fixed-predictor codec hop)",
-                ("flac_stream_stats",),
+                "flac_stream_stats / warc_record_stats (codec hops)",
+                ("flac_stream_stats", "warc_record_stats"),
                 ("documents",),
             )
         if "r11c" in sections:
