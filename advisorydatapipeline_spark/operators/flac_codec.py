@@ -54,6 +54,12 @@ _FIXED = {
     4: [4, -6, 4, -1],
 }
 
+# an LPC subframe mode for the order cycle: ("lpc", qlp_coefs,
+# shift, precision) — prediction is (sum coef[j]*s[i-1-j]) >> shift
+# with ARITHMETIC shift (the spec's rule; Python's >> on negatives
+# matches). [60, -29] / 2^5 is a real quantized near-order-2 filter.
+LPC2 = ("lpc", [60, -29], 5, 12)
+
 
 def crc8(data: bytes) -> int:
     """CRC-8 with polynomial x^8+x^2+x^1+x^0 (0x07), init 0 — the
@@ -219,9 +225,10 @@ def _read_utf8_number(rd: _BitReader) -> int:
 def encode_flac(samples: list[int], *, order_cycle=(0, 1, 2)) -> bytes:
     """Encode 16-bit mono samples into a FLAC stream, FLAC_BLOCK
     samples per frame (the final frame may be short, using the
-    8-bit block-size-minus-1 header form). Each frame uses the FIXED
-    predictor of ``order_cycle[frame_idx % len]`` (verbatim warm-up,
-    Rice partition order 0)."""
+    8-bit block-size-minus-1 header form). Each ``order_cycle`` slot
+    is either a FIXED predictor order (int 0-4) or an LPC mode tuple
+    like :data:`LPC2` (quantized coefficients + shift + precision);
+    warm-up samples verbatim, Rice partition order 0 either way."""
     for s in samples:
         if not -32768 <= s <= 32767:
             raise ValueError("sample out of 16-bit range")
@@ -244,9 +251,15 @@ def encode_flac(samples: list[int], *, order_cycle=(0, 1, 2)) -> bytes:
     nframes = (len(samples) + FLAC_BLOCK - 1) // FLAC_BLOCK
     for f in range(nframes):
         blk = samples[f * FLAC_BLOCK : (f + 1) * FLAC_BLOCK]
-        order = order_cycle[f % len(order_cycle)]
+        mode = order_cycle[f % len(order_cycle)]
+        lpc = isinstance(mode, tuple)
+        if lpc:
+            _, lpc_coef, lpc_shift, lpc_prec = mode
+            order = len(lpc_coef)
+        else:
+            order = mode
         if order >= len(blk):
-            order = 0
+            lpc, order = False, 0
         hdr = _BitWriter()
         hdr.write(_SYNC, 14)
         hdr.write(0, 1)  # reserved
@@ -265,17 +278,29 @@ def encode_flac(samples: list[int], *, order_cycle=(0, 1, 2)) -> bytes:
         hbytes.append(crc8(bytes(hbytes)))
 
         body = _BitWriter()
-        # subframe header: pad bit, type FIXED|order (or CONSTANT-free
-        # path: order 0 fixed is just verbatim residuals), wasted 0
+        # subframe header: pad bit, type (FIXED|order or LPC
+        # 1xxxxx = 32 + order - 1), wasted 0
         body.write(0, 1)
-        body.write(0b001000 | order, 6)
+        body.write((0b100000 | (order - 1)) if lpc else (0b001000 | order), 6)
         body.write(0, 1)
         for s in blk[:order]:  # warm-up
             body.write_signed(s, FLAC_BPS)
-        coef = _FIXED[order]
+        if lpc:
+            body.write(lpc_prec - 1, 4)
+            body.write(lpc_shift, 5)
+            for c in lpc_coef:
+                body.write_signed(c, lpc_prec)
         res = []
         for i in range(order, len(blk)):
-            pred = sum(c * blk[i - 1 - j] for j, c in enumerate(coef))
+            if lpc:
+                pred = sum(
+                    c * blk[i - 1 - j] for j, c in enumerate(lpc_coef)
+                ) >> lpc_shift
+            else:
+                pred = sum(
+                    c * blk[i - 1 - j]
+                    for j, c in enumerate(_FIXED[order])
+                )
             res.append(blk[i] - pred)
         body.write(0b00, 2)  # residual method: 4-bit Rice
         body.write(0, 4)  # partition order 0
@@ -294,7 +319,7 @@ def encode_flac(samples: list[int], *, order_cycle=(0, 1, 2)) -> bytes:
 
 def decode_flac(payload: bytes):
     """(sample_rate, n_frames, samples) from a FLAC stream in the
-    encoder's profile (mono, 16 bps, CONSTANT/VERBATIM/FIXED
+    encoder's profile (mono, 16 bps, CONSTANT/VERBATIM/FIXED/LPC
     subframes, Rice partition order 0-n). CRC-8 and CRC-16 are
     VERIFIED. ValueError-only corruption contract."""
     if payload[:4] != b"fLaC":
@@ -391,16 +416,30 @@ def decode_flac(payload: bytes):
             blk = [v] * blocksize
         elif stype == 1:  # VERBATIM
             blk = [rd.read_signed(FLAC_BPS) for _ in range(blocksize)]
-        elif 8 <= stype <= 12:  # FIXED order 0-4
-            order = stype - 8
-            if order > blocksize:
-                raise ValueError("predictor order exceeds block")
-            blk = [rd.read_signed(FLAC_BPS) for _ in range(order)]
+        elif 8 <= stype <= 12 or stype >= 32:  # FIXED / LPC
+            if stype >= 32:
+                order = stype - 31
+                if order > blocksize:
+                    raise ValueError("predictor order exceeds block")
+                blk = [rd.read_signed(FLAC_BPS) for _ in range(order)]
+                prec = rd.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid qlp precision code")
+                shift = rd.read_signed(5)
+                if shift < 0:
+                    raise ValueError("negative qlp shift")
+                coef = [rd.read_signed(prec) for _ in range(order)]
+            else:
+                order = stype - 8
+                if order > blocksize:
+                    raise ValueError("predictor order exceeds block")
+                blk = [rd.read_signed(FLAC_BPS) for _ in range(order)]
+                prec = shift = None
+                coef = _FIXED[order]
             if rd.read(2) != 0b00:
                 raise ValueError("only 4-bit Rice supported")
             porder = rd.read(4)
             nres = blocksize - order
-            coef = _FIXED[order]
             idx = 0
             for p in range(1 << porder):
                 k = rd.read(4)
@@ -421,6 +460,8 @@ def decode_flac(payload: bytes):
                         c * blk[len(blk) - 1 - j]
                         for j, c in enumerate(coef)
                     )
+                    if stype >= 32:
+                        pred >>= shift
                     v = pred + r
                     if not -32768 <= v <= 32767:
                         raise ValueError("reconstructed sample overflow")
@@ -429,7 +470,7 @@ def decode_flac(payload: bytes):
             if idx != nres:
                 raise ValueError("residual underrun")
         else:
-            raise ValueError("LPC subframes unsupported")
+            raise ValueError("reserved subframe type")
         rd.align()
         if rd.bytepos + 2 > len(payload):
             raise ValueError("truncated frame CRC")
@@ -467,7 +508,7 @@ def encode_flac_fixture(doc_id: int) -> bytes:
     """FLAC stream for the fixture samples; every 7th doc gets byte
     50 flipped (inside the first frame header -> CRC-8 catches it),
     the planted corruption arm."""
-    b = encode_flac(flac_fixture_samples(doc_id))
+    b = encode_flac(flac_fixture_samples(doc_id), order_cycle=(0, LPC2, 2))
     if doc_id % 7 == 0:
         ba = bytearray(b)
         ba[50] ^= 0xFF

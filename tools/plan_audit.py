@@ -402,6 +402,19 @@ NESTED_LOOP_OK = {
     # candidate generation drops in at corpus scale, exactly like
     # ann_cosine_topk -> ann_ivf_topk)
     "bitext_margin_mining",
+    # 1-row broadcast normalization-total scalar over the 8-row
+    # strength table (both MM-step denominators are equi-joins)
+    "bradley_terry_mm_step",
+    # 1-row broadcast AUC scalar beside the 10-row bucket table
+    "roc_pr_calibration",
+    # 1-row broadcast corpus-mean / normalization scalars over the
+    # k-domain table
+    "doremi_domain_reweight",
+    # 1-row broadcast instruction-count scalar (df threshold)
+    "template_slot_fingerprint",
+    # 1-row broadcast (total, sumsq) corpus scalar over the k-source
+    # table (the LOO decomposition)
+    "source_diversity_loo",
 }
 
 JOIN_PAT = re.compile(
