@@ -1046,3 +1046,97 @@ def warc_record_stats(spark, sf_dir):
 
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_warc_stats(media)
+
+
+# --- web-corpus stage-1 capstone (r11) ------------------------------------
+
+WEB_MIN_CHARS = 150  # minimum extracted main-text length to keep
+
+
+def _web_pipeline_oracle() -> str:
+    """Composed VERBATIM from the member entries' oracle strings
+    (each a CTE), the quality_gate_pipeline pattern: the capstone can
+    never drift from its members — any member-oracle change
+    propagates here automatically."""
+    from advisorydatapipeline_spark.registry import ORACLES
+
+    u = ORACLES["url_canonical_dedup"].strip()
+    r = ORACLES["robots_txt_gate"].strip()
+    h = ORACLES["html_text_extract"].strip()
+    s = ORACLES["secret_entropy_scrub"].strip()
+    p = ORACLES["pii_multiclass_scrub"].strip()
+    return f"""
+WITH u AS ({u}),
+r AS ({r}),
+h AS ({h}),
+s AS ({s}),
+p AS ({p})
+SELECT u.doc_id,
+       r.allowed AS crawl_ok,
+       NOT u.is_dup AS unique_ok,
+       h.text_chars >= {WEB_MIN_CHARS} AS length_ok,
+       (s.n_shape_keys = 0 AND p.n_cards_valid = 0) AS clean_ok,
+       (r.allowed AND NOT u.is_dup
+        AND h.text_chars >= {WEB_MIN_CHARS}
+        AND s.n_shape_keys = 0 AND p.n_cards_valid = 0) AS selected
+FROM u
+JOIN r ON r.doc_id = u.doc_id
+JOIN h ON h.doc_id = u.doc_id
+JOIN s ON s.doc_id = u.doc_id
+JOIN p ON p.doc_id = u.doc_id
+"""
+
+
+@query("web_corpus_pipeline", oracle=_web_pipeline_oracle())
+def web_corpus_pipeline(spark, sf_dir):
+    """Capstone composing the web-corpus stage-1 family the way a
+    crawl-to-corpus pipeline chains it: the robots gate (may we keep
+    it), canonical-URL dedup (is it the first copy), main-text
+    length (is there content after boilerplate stripping), and the
+    privacy arm (no shape-verified credentials, no Luhn-valid
+    payment cards — the HARD-block classes; entropy-only secret hits
+    are advisory in real pipelines because their false-positive rate
+    is material, and they stay visible via secret_entropy_scrub) meet
+    in a doc_id join; ``selected`` is the conjunction — the document
+    set a stage-2 quality gate (quality_gate_pipeline) would then
+    score. One plan: five member subtrees over the same documents
+    scan; the only wide ops are the members' own shuffles (URL
+    window, robots rule join) plus the final doc_id joins. The
+    oracle is COMPOSED from the member oracles verbatim, so the
+    capstone cannot drift from its parts."""
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        url_canonical_dedup,
+    )
+
+    u = url_canonical_dedup(spark, sf_dir).select("doc_id", "is_dup")
+    r = robots_txt_gate(spark, sf_dir).select("doc_id", "allowed")
+    h = html_text_extract(spark, sf_dir).select("doc_id", "text_chars")
+    s = secret_entropy_scrub(spark, sf_dir).select(
+        "doc_id", "n_shape_keys"
+    )
+    p = pii_multiclass_scrub(spark, sf_dir).select(
+        "doc_id", "n_cards_valid"
+    )
+    j = (
+        u.join(r, "doc_id")
+        .join(h, "doc_id")
+        .join(s, "doc_id")
+        .join(p, "doc_id")
+    )
+    length_ok = F.col("text_chars") >= WEB_MIN_CHARS
+    clean_ok = (F.col("n_shape_keys") == 0) & (
+        F.col("n_cards_valid") == 0
+    )
+    return j.select(
+        "doc_id",
+        F.col("allowed").alias("crawl_ok"),
+        (~F.col("is_dup")).alias("unique_ok"),
+        length_ok.alias("length_ok"),
+        clean_ok.alias("clean_ok"),
+        (
+            F.col("allowed")
+            & ~F.col("is_dup")
+            & length_ok
+            & clean_ok
+        ).alias("selected"),
+    )

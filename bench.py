@@ -275,6 +275,7 @@ EXTENDED = [
     "source_diversity_loo",
     "flac_stream_stats",
     "warc_record_stats",
+    "web_corpus_pipeline",
 ]
 
 

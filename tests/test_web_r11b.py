@@ -135,3 +135,22 @@ def test_politeness_priority_is_house_mix(spark, sf_dir):
         ((r.doc_id % 2147483648) * 2654435761) % 2147483648 for r in rs
     ]
     assert mixes == sorted(mixes), host
+
+
+def test_web_pipeline_verdicts_decompose(spark, sf_dir):
+    from advisorydatapipeline_spark.queries.web_queries import (
+        web_corpus_pipeline,
+    )
+
+    rows = web_corpus_pipeline(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.selected == (
+            r.crawl_ok and r.unique_ok and r.length_ok and r.clean_ok
+        )
+    # every verdict arm must actually vary somewhere in the corpus
+    # except crawl_ok, which is all-true at tiny sf (path universe
+    # stays inside the allowed prefixes until pg exceeds cat2)
+    for col in ("unique_ok", "clean_ok", "selected"):
+        vals = {getattr(r, col) for r in rows}
+        assert vals == {True, False}, col

@@ -280,6 +280,7 @@ AUDIT = [
     "source_diversity_loo",
     "flac_stream_stats",
     "warc_record_stats",
+    "web_corpus_pipeline",
 ]
 
 # documented exceptions: broadcast-side cross joins in the ANN
@@ -415,6 +416,9 @@ NESTED_LOOP_OK = {
     # 1-row broadcast (total, sumsq) corpus scalar over the k-source
     # table (the LOO decomposition)
     "source_diversity_loo",
+    # inherits robots_txt_gate's tiny-ruleset prefix theta join (its
+    # member subtree; see that entry's note)
+    "web_corpus_pipeline",
 }
 
 JOIN_PAT = re.compile(

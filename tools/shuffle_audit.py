@@ -185,6 +185,7 @@ AUDIT = [
     "source_diversity_loo",
     "flac_stream_stats",
     "warc_record_stats",
+    "web_corpus_pipeline",
 ]
 
 
