@@ -298,6 +298,15 @@ def main() -> None:
             stream_dedup_section(spark, sf_dir, base)
         if "r11stream" in sections:
             stream_dedup_section(spark, sf_dir, base)
+        if "cap8" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "web_corpus_pipeline capstone",
+                ("web_corpus_pipeline",),
+                ("documents",),
+            )
         if "flac8" in sections:
             run_family(
                 spark,
