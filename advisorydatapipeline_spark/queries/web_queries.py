@@ -1140,3 +1140,172 @@ def web_corpus_pipeline(spark, sf_dir):
             & clean_ok
         ).alias("selected"),
     )
+
+
+# --- license compatibility audit (r11) ------------------------------------
+
+# (license, redistributable, derivatives_ok, commercial_ok) — the
+# standard open-data matrix rows the release gate needs
+LICENSE_MATRIX = (
+    ("mit", True, True, True),
+    ("apache2", True, True, True),
+    ("cc-by", True, True, True),
+    ("cc-by-nc", True, True, False),
+    ("unknown", False, False, False),
+)
+
+
+def _license_values_sql() -> str:
+    return ", ".join(
+        f"('{l}', {str(r).upper()}, {str(d).upper()}, {str(c).upper()})"
+        for l, r, d, c in LICENSE_MATRIX
+    )
+
+
+@query(
+    "license_compat_audit",
+    oracle=f"""
+WITH lic AS (
+  SELECT doc_id, source,
+         CASE (length(source) + doc_id % 3) % 5
+           WHEN 0 THEN 'mit' WHEN 1 THEN 'apache2'
+           WHEN 2 THEN 'cc-by' WHEN 3 THEN 'cc-by-nc'
+           ELSE 'unknown' END AS license
+  FROM documents
+),
+m(license, redistributable, derivatives_ok, commercial_ok) AS (
+  VALUES {_license_values_sql()}
+)
+SELECT l.source, m.license,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       m.redistributable, m.derivatives_ok, m.commercial_ok,
+       (m.redistributable AND m.derivatives_ok AND m.commercial_ok)
+         AS release_ok,
+       CAST(sum(CASE WHEN m.redistributable AND m.derivatives_ok
+                AND m.commercial_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_blocked
+FROM lic l JOIN m ON m.license = l.license
+GROUP BY l.source, m.license, m.redistributable, m.derivatives_ok,
+         m.commercial_ok
+""",
+)
+def license_compat_audit(spark, sf_dir):
+    """License-compatibility audit for a commercial-training release
+    — the provenance gate every published corpus runs (Datasheets /
+    The Stack's license filtering, reduced to the machine-checkable
+    core): each doc carries a license from deterministic fixture
+    arithmetic, a tiny broadcast compatibility matrix declares
+    redistribution / derivative / commercial rights, and the audit
+    rolls up per (source, license) with a release verdict and the
+    blocked-doc count. Real pipelines key the matrix by SPDX id;
+    the decision arithmetic is exactly this join + conjunction.
+
+    Scale (100 TB): one partial-agg shuffle onto (source, license);
+    the matrix is a constant broadcast; no row-level data moves."""
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        "CASE (length(source) + doc_id % 3) % 5"
+        " WHEN 0 THEN 'mit' WHEN 1 THEN 'apache2'"
+        " WHEN 2 THEN 'cc-by' WHEN 3 THEN 'cc-by-nc'"
+        " ELSE 'unknown' END AS license",
+    )
+    m = spark.createDataFrame(
+        list(LICENSE_MATRIX),
+        "license string, redistributable boolean,"
+        " derivatives_ok boolean, commercial_ok boolean",
+    )
+    release_ok = (
+        F.col("redistributable")
+        & F.col("derivatives_ok")
+        & F.col("commercial_ok")
+    )
+    return (
+        docs.join(F.broadcast(m), "license")
+        .groupBy(
+            "source",
+            "license",
+            "redistributable",
+            "derivatives_ok",
+            "commercial_ok",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(release_ok, 0).otherwise(1))
+            .cast("long")
+            .alias("n_blocked"),
+        )
+        .select(
+            "source",
+            "license",
+            "n_docs",
+            "redistributable",
+            "derivatives_ok",
+            "commercial_ok",
+            release_ok.alias("release_ok"),
+            "n_blocked",
+        )
+    )
+
+
+# --- recrawl scheduling from observed change history (r11) ----------------
+
+REFRESH_MIN_S = 3600  # never schedule faster than hourly
+REFRESH_MAX_S = 30 * 86400  # nor slower than monthly
+
+
+def _refresh_sql(idiv: str) -> str:
+    return f"""
+WITH hist AS (
+  SELECT (event_id % 997) AS page_id,
+         epoch_ns(ts) {idiv} 1000000000 AS ts_s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           AS changed
+  FROM events WHERE ts IS NOT NULL
+),
+agg AS (
+  SELECT page_id,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(changed) AS BIGINT) AS n_changes,
+         CAST(max(ts_s) - min(ts_s) AS BIGINT) AS span_s,
+         CAST(max(ts_s) AS BIGINT) AS last_seen_s
+  FROM hist GROUP BY page_id
+)
+SELECT page_id, n_obs, n_changes, span_s,
+       CAST(LEAST(GREATEST(span_s {idiv} (n_changes + 1),
+            {REFRESH_MIN_S}), {REFRESH_MAX_S}) AS BIGINT)
+         AS refresh_interval_s,
+       CAST(last_seen_s + LEAST(GREATEST(span_s {idiv} (n_changes + 1),
+            {REFRESH_MIN_S}), {REFRESH_MAX_S}) AS BIGINT)
+         AS next_crawl_s,
+       CAST(row_number() OVER (
+         ORDER BY last_seen_s + LEAST(GREATEST(
+           span_s {idiv} (n_changes + 1), {REFRESH_MIN_S}),
+           {REFRESH_MAX_S}), page_id) AS BIGINT) AS crawl_rank
+FROM agg
+"""
+
+
+@query("crawl_frontier_refresh", oracle=_refresh_sql("//"))
+def crawl_frontier_refresh(spark, sf_dir):
+    """Recrawl scheduling from observed change history — the
+    freshness side of the crawl frontier (Cho & Garcia-Molina's
+    change-rate-proportional revisit policy, integer-rational form):
+    the event stream doubles as a per-page observation log (the
+    streaming_url_dedup page universe, event_id % 997), purchases
+    mark content changes, and the estimated change interval
+    span / (changes + 1) — Laplace-smoothed so never-changing pages
+    don't divide by zero — clamps into [hourly, monthly] to give the
+    refresh interval, next crawl time, and a global crawl order.
+
+    Scale (100 TB): one partial-agg shuffle onto the page universe;
+    the schedule ranking windows over the (bounded) page table, not
+    the observation log. The ORDER BY ends in page_id — tie-free."""
+    from advisorydatapipeline_spark.queries.helpers import load as _load
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev.createOrReplaceTempView("_refresh_events")
+    sql = _refresh_sql("DIV").replace(
+        "epoch_ns(ts) DIV 1000000000", "ts DIV 1000000000"
+    ).replace("FROM events WHERE ts IS NOT NULL", "FROM _refresh_events")
+    return spark.sql(sql)

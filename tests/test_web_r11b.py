@@ -154,3 +154,48 @@ def test_web_pipeline_verdicts_decompose(spark, sf_dir):
     for col in ("unique_ok", "clean_ok", "selected"):
         vals = {getattr(r, col) for r in rows}
         assert vals == {True, False}, col
+
+
+def test_license_matrix_verdicts(spark, sf_dir):
+    from advisorydatapipeline_spark.queries.web_queries import (
+        LICENSE_MATRIX,
+        license_compat_audit,
+    )
+
+    rows = license_compat_audit(spark, sf_dir).collect()
+    m = {l: (r, d, c) for l, r, d, c in LICENSE_MATRIX}
+    seen = set()
+    for r in rows:
+        seen.add(r.license)
+        rr, dd, cc = m[r.license]
+        assert (r.redistributable, r.derivatives_ok, r.commercial_ok) \
+            == (rr, dd, cc)
+        assert r.release_ok == (rr and dd and cc)
+        assert r.n_blocked == (0 if r.release_ok else r.n_docs)
+    assert {"cc-by-nc", "unknown"} & seen  # blockers present
+    assert any(r.release_ok for r in rows)
+
+
+def test_refresh_intervals_clamped_and_ranked(spark, sf_dir):
+    from advisorydatapipeline_spark.queries.web_queries import (
+        REFRESH_MAX_S,
+        REFRESH_MIN_S,
+        crawl_frontier_refresh,
+    )
+
+    rows = crawl_frontier_refresh(spark, sf_dir).collect()
+    assert rows
+    order = sorted(rows, key=lambda r: (r.next_crawl_s, r.page_id))
+    for i, r in enumerate(order, 1):
+        assert REFRESH_MIN_S <= r.refresh_interval_s <= REFRESH_MAX_S
+        assert r.next_crawl_s - r.refresh_interval_s >= 0
+        assert r.crawl_rank == i  # global order matches schedule
+    # Laplace smoothing: pages with more changes refresh no slower
+    # than an identical-span page with fewer changes
+    by_span = {}
+    for r in rows:
+        by_span.setdefault(r.span_s, []).append(r)
+    for span, rs in by_span.items():
+        rs.sort(key=lambda r: r.n_changes)
+        ivals = [r.refresh_interval_s for r in rs]
+        assert ivals == sorted(ivals, reverse=True), span

@@ -186,6 +186,8 @@ AUDIT = [
     "flac_stream_stats",
     "warc_record_stats",
     "web_corpus_pipeline",
+    "license_compat_audit",
+    "crawl_frontier_refresh",
 ]
 
 
