@@ -303,9 +303,18 @@ def main() -> None:
                 spark,
                 sf_dir,
                 base,
-                "web_corpus_pipeline capstone",
-                ("web_corpus_pipeline",),
+                "web_corpus_pipeline capstone + governance/frontier",
+                ("web_corpus_pipeline", "license_compat_audit"),
                 ("documents",),
+            )
+        if "refresh8" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "crawl_frontier_refresh (events history)",
+                ("crawl_frontier_refresh",),
+                ("events",),
             )
         if "flac8" in sections:
             run_family(
