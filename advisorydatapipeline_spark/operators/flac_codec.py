@@ -481,7 +481,9 @@ def decode_flac(payload: bytes):
         pos = rd.bytepos + 2
         samples.extend(blk)
         n_frames += 1
-    if total is not None and len(samples) != total:
+    # STREAMINFO total_samples == 0 means "unknown" per spec — no
+    # count to verify against.
+    if total and len(samples) != total:
         raise ValueError("sample count disagrees with STREAMINFO")
     return sample_rate, n_frames, samples
 
@@ -506,12 +508,15 @@ def flac_fixture_samples(doc_id: int) -> list[int]:
 
 def encode_flac_fixture(doc_id: int) -> bytes:
     """FLAC stream for the fixture samples; every 7th doc gets byte
-    50 flipped (inside the first frame header -> CRC-8 catches it),
-    the planted corruption arm."""
+    47 flipped — the first frame's header CRC-8 itself (header spans
+    bytes 42-47: 4 fixed bytes + 1-byte UTF-8 frame number + CRC-8),
+    so the header fields parse clean and the checksum comparison is
+    what rejects the stream: the planted corruption arm exercises
+    the CRC-8 verification path specifically."""
     b = encode_flac(flac_fixture_samples(doc_id), order_cycle=(0, LPC2, 2))
     if doc_id % 7 == 0:
         ba = bytearray(b)
-        ba[50] ^= 0xFF
+        ba[47] ^= 0xFF
         b = bytes(ba)
     return b
 

@@ -1698,5 +1698,5 @@ def doremi_domain_reweight(spark, sf_dir):
     sql = _doremi_sql("DIV", "n_tok").replace(
         "FROM documents GROUP BY source",
         "FROM _drm_docs GROUP BY source",
-    ).replace("sum(n_tok)", "sum(n_tok)")
+    )
     return spark.sql(sql)

@@ -1238,8 +1238,9 @@ def flac_stream_stats(spark, sf_dir):
     recurrences; the oracle replays the decoded sample sum and sum of
     squares straight from the generating formula — losslessness
     means any Rice/predictor/bit-packing defect shifts the sums.
-    Every 7th payload carries a flipped frame-header byte: the CRC
-    arm must classify it 'unknown' (the corruption plant).
+    Every 7th payload carries a flipped frame-header CRC-8 byte
+    (byte 47, the checksum itself): the CRC-8 verification arm must
+    classify it 'unknown' (the corruption plant).
 
     Scale shape: encode and decode are narrow Arrow-batched
     mapInPandas hops over the repartitioned doc_id stream; payload

@@ -355,14 +355,14 @@ t AS (
 )
 SELECT d.source, d.toks,
        CAST(d.toks * 1000000 {idiv} t.total AS BIGINT) AS share_ppm,
-       CAST(1000000 - t.sumsq {idiv} (t.total {idiv} 1000
-            * (t.total {idiv} 1000)) AS BIGINT) AS simpson_all_ppm,
+       CAST(1000000 - t.sumsq {idiv} GREATEST(t.total {idiv} 1000
+            * (t.total {idiv} 1000), 1) AS BIGINT) AS simpson_all_ppm,
        CAST(1000000 - (t.sumsq - d.toks * d.toks)
             {idiv} GREATEST((t.total - d.toks) {idiv} 1000
             * ((t.total - d.toks) {idiv} 1000), 1) AS BIGINT)
          AS simpson_loo_ppm,
-       CAST((1000000 - t.sumsq {idiv} (t.total {idiv} 1000
-            * (t.total {idiv} 1000)))
+       CAST((1000000 - t.sumsq {idiv} GREATEST(t.total {idiv} 1000
+            * (t.total {idiv} 1000), 1))
             - (1000000 - (t.sumsq - d.toks * d.toks)
             {idiv} GREATEST((t.total - d.toks) {idiv} 1000
             * ((t.total - d.toks) {idiv} 1000), 1)) AS BIGINT)

@@ -103,8 +103,25 @@ def test_truncation_always_fails():
 def test_fixture_corrupt_arm():
     sr, nf, dec = decode_flac(encode_flac_fixture(1))
     assert dec == flac_fixture_samples(1)
-    with pytest.raises(ValueError):
-        decode_flac(encode_flac_fixture(7))  # planted header flip
+    # the plant flips the first frame's header CRC-8 byte, so the
+    # rejection must come from the CRC-8 comparison specifically
+    with pytest.raises(ValueError, match="CRC-8"):
+        decode_flac(encode_flac_fixture(7))
+
+
+def test_streaminfo_total_zero_is_unknown():
+    # FLAC spec: STREAMINFO total_samples == 0 means "unknown" — the
+    # stream must decode fully with no final sample-count check.
+    enc = bytearray(encode_flac(flac_fixture_samples(3)))
+    # total_samples = 36 bits starting at STREAMINFO-body bit 108
+    # (16+16+24+24+20+3+5): low nibble of stream byte 21 plus stream
+    # bytes 22-25 (body starts at stream byte 8).
+    enc[21] &= 0xF0
+    for i in range(22, 26):
+        enc[i] = 0
+    sr, nf, dec = decode_flac(bytes(enc))
+    assert dec == flac_fixture_samples(3)
+    assert nf == 3
 
 
 def test_not_flac():

@@ -19,8 +19,9 @@ r9/r10_scale_smoke.py):
   state-row accounting (r11misc).
 
 Usage: python tools/r11_scale_smoke.py [sf_dir] [sections]
-  sections: comma list from {r10x8,r11docs,clip8,r11web,r11misc,
-  r11c}, default all.
+  sections: comma list from {r10x8, r11docs, clip8, r11web,
+  r11misc, r11stream, cap8, refresh8, flac8, r11c}; default runs
+  ALL of them.
 Prints markdown rows; SCALE.md sections are appended manually from
 this output (scale_smoke.py owns the main table).
 """
@@ -239,7 +240,17 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"r10x8", "r11docs", "clip8", "r11web", "r11misc", "r11c"}
+        else {
+            "r10x8",
+            "r11docs",
+            "clip8",
+            "r11web",
+            "r11misc",
+            "cap8",
+            "refresh8",
+            "flac8",
+            "r11c",
+        }
     )
     spark = get_spark("r11-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
