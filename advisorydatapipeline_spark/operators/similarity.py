@@ -1298,3 +1298,162 @@ def semantic_dedup(
             .alias("kept"),
         )
     )
+
+
+def bitext_pair_scores(
+    x: DataFrame,
+    y: DataFrame,
+    *,
+    n_blocks: int = 8,
+    x_id: str = "x_id",
+    y_id: str = "y_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT bipartite cosine scores for EVERY (x, y) cross pair —
+    ``(x_id, y_id, cos_micro)`` with cos_micro = floor(1e6 * cosine)
+    over the quantized vectors — via block-partitioned numpy int64
+    matmuls instead of a crossJoin of interpreted HOF expressions.
+
+    X rows land in block ``pmod(x_id, n_blocks)`` and are replicated
+    to every (x-block, y-block) pair; Y rows likewise. A cogrouped
+    ``applyInPandas`` then scores each block pair with one dense
+    matmul: the shuffle ships n * n_blocks vector rows, not n^2/4
+    pair rows carrying two vectors each, and the arithmetic
+    (int64 dots, one double sqrt-division, floor AFTER the 1e6
+    multiply) is bit-identical to cosine_q / the DuckDB oracle.
+
+    This is the BRUTE side of bitext mining — O(|X||Y|) output rows
+    by definition (the margin windows consume every score). The
+    production path is the IVF-candidate arm
+    (queries/similarity_queries.py: bitext_margin_mining_ivf); this
+    scorer exists so the exact baseline / recall truth stays
+    affordable at gauge scale."""
+    import pandas as pd
+
+    blocks = list(range(n_blocks))
+    xq = x.select(
+        F.col(x_id),
+        quantize(vec_col).alias("vq"),
+        F.pmod(F.col(x_id), F.lit(n_blocks)).cast("int").alias("_bx"),
+    ).select(
+        x_id, "vq", "_bx",
+        F.explode(F.array(*[F.lit(j) for j in blocks])).alias("_by"),
+    )
+    yq = y.select(
+        F.col(y_id),
+        quantize(vec_col).alias("vq"),
+        F.pmod(F.col(y_id), F.lit(n_blocks)).cast("int").alias("_by"),
+    ).select(
+        y_id, "vq", "_by",
+        F.explode(F.array(*[F.lit(j) for j in blocks])).alias("_bx"),
+    )
+
+    def score(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame(columns=[x_id, y_id, "cos_micro"])
+        return _bipartite_micro_frame(lpdf, rpdf, x_id, y_id)
+
+    return (
+        xq.groupBy("_bx", "_by")
+        .cogroup(yq.groupBy("_bx", "_by"))
+        .applyInPandas(score, f"{x_id} long, {y_id} long, cos_micro long")
+    )
+
+
+def _bipartite_micro_frame(lpdf, rpdf, x_id: str, y_id: str):
+    """One dense int64 matmul over an (X-rows, Y-rows) pandas pair →
+    every cross pair's floor(1e6 * cosine) as int64. Shared by the
+    brute blocked scorer and the IVF bucket scorer so both arms are
+    bit-identical to cosine_q / the SQL oracles."""
+    import numpy as np
+    import pandas as pd
+
+    lpdf = lpdf.sort_values(x_id)
+    rpdf = rpdf.sort_values(y_id)
+    mx = np.stack(lpdf["vq"].to_numpy()).astype(np.int64)
+    my = np.stack(rpdf["vq"].to_numpy()).astype(np.int64)
+    dots = mx @ my.T
+    nx = (mx * mx).sum(axis=1)
+    ny = (my * my).sum(axis=1)
+    cos = dots / np.sqrt(np.outer(nx, ny).astype(np.float64))
+    micro = np.floor(1000000.0 * cos).astype(np.int64)
+    xi, yi = np.meshgrid(
+        np.arange(len(lpdf)), np.arange(len(rpdf)), indexing="ij"
+    )
+    return pd.DataFrame(
+        {
+            x_id: lpdf[x_id].to_numpy()[xi.ravel()],
+            y_id: rpdf[y_id].to_numpy()[yi.ravel()],
+            "cos_micro": micro.ravel(),
+        }
+    )
+
+
+def bitext_ivf_candidate_scores(
+    x: DataFrame,
+    y: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    *,
+    x_id: str = "x_id",
+    y_id: str = "y_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF candidate generation for bitext mining: X-side vectors
+    probe their ``nprobe`` nearest centroids, Y-side vectors live in
+    their single nearest centroid's bucket, and only same-bucket
+    cross pairs are scored — one numpy matmul per bucket via a
+    cogrouped ``applyInPandas`` (vectors shuffle once, keyed on
+    centroid_id; pair rows never carry vectors).
+
+    Candidate volume is |X| * nprobe/n_centroids * |Y| in
+    expectation: the reduction dial is the centroid count, which
+    grows ~sqrt(n) in a real deployment (test fixtures pin 8 for
+    oracle determinism). Bucket skew splits the same way
+    embedding_near_dupes_pandas documents — sub-salt the bucket id
+    before the cogroup."""
+    import pandas as pd
+
+    # probe lists computed inline (not ivf_probe_lists + join back to
+    # x) so the quantized vector rides through top_k_per_key — a join
+    # back would be a lineage self-join Spark rejects as ambiguous
+    xq = x.select(
+        F.col(x_id),
+        quantize(vec_col).alias("vq"),
+        norm_sq_q(quantize(vec_col)).alias("qn"),
+    )
+    cent = centroids.select(
+        F.col("centroid_id"),
+        quantize(vec_col).alias("kq"),
+        norm_sq_q(quantize(vec_col)).alias("kn"),
+    )
+    x_scored = xq.crossJoin(F.broadcast(cent)).withColumn(
+        "dist_sq",
+        F.col("qn") + F.col("kn") - 2 * dot_q(F.col("vq"), F.col("kq")),
+    )
+    # fresh aliases (_cid) on each side: both centroid_id columns
+    # descend from the same `centroids` frame, and cogrouping two
+    # lineage-shared attributes trips Spark's ambiguous-self-join check
+    xg = top_k_per_key(
+        x_scored,
+        [x_id],
+        [F.col("dist_sq").asc(), F.col("centroid_id").asc()],
+        k=nprobe,
+    ).select(F.col(x_id), F.col("centroid_id").alias("_cid"), F.col("vq"))
+    ya = ivf_assign(y, centroids, id_col=y_id, vec_col=vec_col)
+    yg = ya.select(
+        F.col(y_id),
+        F.col("centroid_id").alias("_cid"),
+        quantize(vec_col).alias("vq"),
+    )
+
+    def score(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame(columns=[x_id, y_id, "cos_micro"])
+        return _bipartite_micro_frame(lpdf, rpdf, x_id, y_id)
+
+    return (
+        xg.groupBy("_cid")
+        .cogroup(yg.groupBy("_cid"))
+        .applyInPandas(score, f"{x_id} long, {y_id} long, cos_micro long")
+    )

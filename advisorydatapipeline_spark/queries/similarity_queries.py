@@ -1946,20 +1946,19 @@ _BITEXT_K = 4  # k-NN average in the margin denominator
 _BITEXT_MARGIN_PPM = 1_150_000  # accept above ratio-margin 1.15
 
 
-@query(
-    "bitext_margin_mining",
-    oracle=f"""
-WITH e AS (
-  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
-),
-p AS (
-  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
-         CAST(floor(1000000 * list_dot_product(x.v, y.v)
-           / sqrt(list_dot_product(x.v, x.v)
-                * list_dot_product(y.v, y.v))) AS BIGINT) AS cos_micro
-  FROM e x, e y
-  WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
-),
+_BITEXT_NPROBE = NPROBE  # X side probes this many centroid buckets
+
+
+def _bitext_margin_sql(pairs_cte: str) -> str:
+    """Margin/mutual-best tail (DuckDB dialect) over a pair CTE chain
+    ending in ``p(x_id, y_id, cos_micro)``. The GREATEST(sx+sy, 1)
+    guard exists because a sparse candidate subset can leave a <= 0
+    k-NN denominator where the dense brute stream can't in practice;
+    it also sidesteps DuckDB floor-division vs Spark
+    truncation-toward-zero divergence on negative operands, so
+    cross-engine agreement is total, not data-dependent."""
+    return f"""
+WITH {pairs_cte},
 r AS (
   SELECT *,
          row_number() OVER (PARTITION BY x_id
@@ -1977,63 +1976,79 @@ s AS (
   FROM r
 )
 SELECT x_id, y_id, cos_micro,
-       CAST(cos_micro * 2 * {_BITEXT_K} * 1000000 // (sx + sy)
-            AS BIGINT) AS margin_ppm,
-       cos_micro * 2 * {_BITEXT_K} * 1000000 // (sx + sy)
+       CAST(cos_micro * 2 * {_BITEXT_K} * 1000000
+            // GREATEST(sx + sy, 1) AS BIGINT) AS margin_ppm,
+       cos_micro * 2 * {_BITEXT_K} * 1000000 // GREATEST(sx + sy, 1)
          >= {_BITEXT_MARGIN_PPM} AS accepted
 FROM s
 WHERE rn_x = 1 AND rn_y = 1
-""",
-)
-def bitext_margin_mining(spark, sf_dir):
-    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
-    LASER/CCMatrix pairing rule): treat even vec_ids as language X
-    and odd as language Y, score every cross-lingual pair by cosine,
-    keep MUTUAL best pairs, and accept those whose ratio margin —
-    cos(x,y) over the mean of both sides' k-NN cosines — clears the
-    threshold. Hubs (vectors near everything) have high denominator
-    means, so their pairs are rejected even at high raw cosine;
-    that is the whole point of margin over cosine.
+"""
 
-    Engine-exact: cosines floor to integer micros FIRST, so the k-NN
-    sums, the margin ratio (integer DIV), and the accept decision
-    are order-independent BIGINT arithmetic; ranks tie-break on id.
 
-    Scale: the exact all-pairs score is the brute baseline (the ANN
-    family's banded/IVF candidate generation drops in for the
-    cross join at corpus scale, exactly as ann_cosine_topk ->
-    ann_ivf_topk); the windows shuffle only (x, y, cos_micro)
-    triples."""
+_BITEXT_PAIRS_BRUTE = f"""e AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+p AS (
+  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+         CAST(floor(1000000 * list_dot_product(x.v, y.v)
+           / sqrt(list_dot_product(x.v, x.v)
+                * list_dot_product(y.v, y.v))) AS BIGINT) AS cos_micro
+  FROM e x, e y
+  WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
+)"""
+
+
+_BITEXT_PAIRS_IVF = f"""e AS (
+  SELECT vec_id, {_DUCK_QD} AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < {N_CENTROIDS}
+),
+xs AS (SELECT vec_id AS x_id, v FROM e WHERE vec_id % 2 = 0),
+ys AS (SELECT vec_id AS y_id, v FROM e WHERE vec_id % 2 = 1),
+y_scored AS (
+  SELECT ys.y_id, cent.centroid_id,
+         list_dot_product(ys.v, ys.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(ys.v, cent.v) AS dist_sq
+  FROM ys, cent
+),
+y_assigned AS (
+  SELECT y_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY y_id
+      ORDER BY dist_sq ASC, centroid_id ASC) AS rn FROM y_scored
+  ) WHERE rn = 1
+),
+x_scored AS (
+  SELECT xs.x_id, cent.centroid_id,
+         list_dot_product(xs.v, xs.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(xs.v, cent.v) AS dist_sq
+  FROM xs, cent
+),
+x_probes AS (
+  SELECT x_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY x_id
+      ORDER BY dist_sq ASC, centroid_id ASC) AS rn FROM x_scored
+  ) WHERE rn <= {_BITEXT_NPROBE}
+),
+p AS (
+  SELECT xs.x_id, ys.y_id,
+         CAST(floor(1000000 * list_dot_product(xs.v, ys.v)
+           / sqrt(list_dot_product(xs.v, xs.v)
+                * list_dot_product(ys.v, ys.v))) AS BIGINT) AS cos_micro
+  FROM x_probes xp
+  JOIN y_assigned ya ON ya.centroid_id = xp.centroid_id
+  JOIN xs ON xs.x_id = xp.x_id
+  JOIN ys ON ys.y_id = ya.y_id
+)"""
+
+
+def _bitext_margin_accept(p):
+    """DataFrame twin of :func:`_bitext_margin_sql`'s tail: mutual
+    best + ratio margin over a scored pair stream
+    ``(x_id, y_id, cos_micro)``. Windows shuffle skinny triples only
+    — vectors never reach this stage."""
     from pyspark.sql import Window
 
-    from advisorydatapipeline_spark.operators.similarity import (
-        cosine_q,
-        dot_q,
-        norm_sq_q,
-        quantize,
-    )
-
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", quantize("embedding").alias("v")
-    )
-    x = e.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("x_id"), F.col("v").alias("vx")
-    )
-    y = e.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("y_id"), F.col("v").alias("vy")
-    )
-    p = x.crossJoin(F.broadcast(y)).select(
-        "x_id",
-        "y_id",
-        F.floor(
-            F.lit(1000000)
-            * cosine_q(
-                dot_q(F.col("vx"), F.col("vy")),
-                norm_sq_q(F.col("vx")),
-                norm_sq_q(F.col("vy")),
-            )
-        ).cast("long").alias("cos_micro"),
-    )
     wx = Window.partitionBy("x_id").orderBy(
         F.col("cos_micro").desc(), F.col("y_id")
     )
@@ -2056,15 +2071,170 @@ def bitext_margin_mining(spark, sf_dir):
     )
     margin = F.expr(
         f"CAST(cos_micro * 2 * {_BITEXT_K} * 1000000"
-        " DIV (sx + sy) AS BIGINT)"
+        " DIV GREATEST(sx + sy, 1) AS BIGINT)"
     )
+    return s.filter((F.col("rn_x") == 1) & (F.col("rn_y") == 1)).select(
+        "x_id",
+        "y_id",
+        "cos_micro",
+        margin.alias("margin_ppm"),
+        (margin >= _BITEXT_MARGIN_PPM).alias("accepted"),
+    )
+
+
+def _bitext_sides(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"
+    )
+    y = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"
+    )
+    return emb, x, y
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=_bitext_margin_sql(_BITEXT_PAIRS_BRUTE),
+)
+def bitext_margin_mining(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix pairing rule): treat even vec_ids as language X
+    and odd as language Y, score every cross-lingual pair by cosine,
+    keep MUTUAL best pairs, and accept those whose ratio margin —
+    cos(x,y) over the mean of both sides' k-NN cosines — clears the
+    threshold. Hubs (vectors near everything) have high denominator
+    means, so their pairs are rejected even at high raw cosine;
+    that is the whole point of margin over cosine.
+
+    Engine-exact: cosines floor to integer micros FIRST, so the k-NN
+    sums, the margin ratio (integer DIV with a GREATEST(.,1) guard),
+    and the accept decision are order-independent BIGINT arithmetic;
+    ranks tie-break on id.
+
+    This is the EXACT BRUTE BASELINE / recall-truth arm — O(|X||Y|)
+    pair scores by definition. The production path at corpus scale is
+    :func:`bitext_margin_mining_ivf` (candidate-bounded; see
+    bitext_ivf_recall for the measured recall of that arm against
+    this one). Scoring here rides the block-partitioned numpy matmul
+    (operators/similarity.bitext_pair_scores) — vectors ship
+    n * n_blocks rows instead of n^2/4 pair rows, and only skinny
+    (x, y, cos_micro) triples reach the margin windows."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        bitext_pair_scores,
+    )
+
+    _, x, y = _bitext_sides(spark, sf_dir)
+    return _bitext_margin_accept(bitext_pair_scores(x, y))
+
+
+@query(
+    "bitext_margin_mining_ivf",
+    oracle=_bitext_margin_sql(_BITEXT_PAIRS_IVF),
+)
+def bitext_margin_mining_ivf(spark, sf_dir):
+    """Candidate-bounded bitext mining — the PRODUCTION arm (r11
+    verdict item 1): X-side vectors probe their NPROBE nearest IVF
+    centroids, Y-side vectors sit in their single nearest bucket,
+    and only same-bucket cross pairs are scored (one numpy matmul
+    per bucket, cogrouped applyInPandas — vectors shuffle once keyed
+    on centroid_id, pair rows never carry vectors). The margin /
+    mutual-best tail is IDENTICAL to the brute arm, evaluated over
+    the candidate stream; k-NN denominators are candidate-local by
+    construction (that's the approximation an IVF index buys — see
+    bitext_ivf_recall for its measured cost).
+
+    Scale: candidate volume is |X| * nprobe/n_centroids * |Y| in
+    expectation and the centroid count is the dial (grows ~sqrt(n)
+    in deployment; the test fixture pins {N_CENTROIDS} so the DuckDB
+    oracle can replay assignment exactly). No stage touches n^2/4
+    pairs: probe lists are |X|*nprobe rows, assignment |Y| rows,
+    and the windows shuffle candidate triples only."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        bitext_ivf_candidate_scores,
+    )
+
+    emb, x, y = _bitext_sides(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return _bitext_margin_accept(
+        bitext_ivf_candidate_scores(x, y, cent, _BITEXT_NPROBE)
+    )
+
+
+@query(
+    "bitext_ivf_recall",
+    oracle=f"""
+WITH tb AS (
+  SELECT x_id, y_id FROM ({_bitext_margin_sql(_BITEXT_PAIRS_BRUTE)})
+  WHERE accepted
+),
+ti AS (
+  SELECT x_id, y_id FROM ({_bitext_margin_sql(_BITEXT_PAIRS_IVF)})
+  WHERE accepted
+),
+o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM tb JOIN ti USING (x_id, y_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM ti) AS n_ivf,
+       (SELECT n FROM o) AS n_overlap,
+       CAST((SELECT n FROM o) * 1000000
+            // GREATEST((SELECT count(*) FROM tb), 1) AS BIGINT)
+         AS recall_ppm,
+       CAST((SELECT n FROM o) * 1000000
+            // GREATEST((SELECT count(*) FROM ti), 1) AS BIGINT)
+         AS precision_ppm
+""",
+)
+def bitext_ivf_recall(spark, sf_dir):
+    """Measure, don't guess (lsh_recall_eval / rhp_recall_eval twin
+    for bitext mining): accepted-pair recall and precision of the
+    IVF-candidate arm against the exact brute arm, in integer ppm.
+    The brute side is O(|X||Y|) BY DESIGN — run at gauge scale on a
+    sample, never the full corpus; production ships the candidate
+    arm and re-runs this gauge when the centroid count or nprobe
+    changes."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        bitext_ivf_candidate_scores,
+        bitext_pair_scores,
+    )
+
+    emb, x, y = _bitext_sides(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    tb = (
+        _bitext_margin_accept(bitext_pair_scores(x, y))
+        .filter("accepted")
+        .select("x_id", "y_id")
+        .persist()
+    )
+    ti = (
+        _bitext_margin_accept(
+            bitext_ivf_candidate_scores(x, y, cent, _BITEXT_NPROBE)
+        )
+        .filter("accepted")
+        .select("x_id", "y_id")
+        .persist()
+    )
+    overlap = tb.join(ti, ["x_id", "y_id"]).agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    n_true = tb.agg(F.count("*").cast("long").alias("n_true"))
+    n_ivf = ti.agg(F.count("*").cast("long").alias("n_ivf"))
     return (
-        s.filter((F.col("rn_x") == 1) & (F.col("rn_y") == 1))
-        .select(
-            "x_id",
-            "y_id",
-            "cos_micro",
-            margin.alias("margin_ppm"),
-            (margin >= _BITEXT_MARGIN_PPM).alias("accepted"),
+        n_true.crossJoin(F.broadcast(n_ivf))
+        .crossJoin(F.broadcast(overlap))
+        .selectExpr(
+            "n_true",
+            "n_ivf",
+            "n_overlap",
+            "CAST(n_overlap * 1000000 DIV GREATEST(n_true, 1)"
+            " AS BIGINT) AS recall_ppm",
+            "CAST(n_overlap * 1000000 DIV GREATEST(n_ivf, 1)"
+            " AS BIGINT) AS precision_ppm",
         )
     )

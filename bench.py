@@ -259,6 +259,8 @@ EXTENDED = [
     "robots_txt_gate",
     "corpus_datasheet",
     "bitext_margin_mining",
+    "bitext_margin_mining_ivf",
+    "bitext_ivf_recall",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
     "streaming_url_dedup",

@@ -716,3 +716,103 @@ def test_semantic_dedup_keep_one(spark):
     assert (out[30].kept, out[31].kept) == (True, False)
     # one survivor per chain, every non-dup survives
     assert sum(r.kept for r in out.values()) == 3
+
+
+def test_bitext_pair_scores_matches_crossjoin(spark, sf_dir):
+    """The blocked cogroup matmul must be bit-identical to the naive
+    crossJoin + HOF expression scorer — every (x, y) pair present
+    exactly once with the same floored micro-cosine."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        bitext_pair_scores,
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        quantize,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    x = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"
+    )
+    y = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"
+    )
+    naive = (
+        x.select("x_id", quantize("embedding").alias("vx"))
+        .crossJoin(
+            F.broadcast(y.select("y_id", quantize("embedding").alias("vy")))
+        )
+        .select(
+            "x_id",
+            "y_id",
+            F.floor(
+                F.lit(1000000)
+                * cosine_q(
+                    dot_q(F.col("vx"), F.col("vy")),
+                    norm_sq_q(F.col("vx")),
+                    norm_sq_q(F.col("vy")),
+                )
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    a = {(r.x_id, r.y_id, r.cos_micro) for r in naive.collect()}
+    b = {
+        (r.x_id, r.y_id, r.cos_micro)
+        for r in bitext_pair_scores(x, y, n_blocks=4).collect()
+    }
+    assert a == b and len(b) > 0
+
+
+def test_bitext_ivf_candidates_subset_of_brute(spark, sf_dir):
+    """IVF candidate scores must be a strict subset of the brute pair
+    stream with IDENTICAL micro-cosines (same matmul arithmetic), and
+    every candidate's bucket must come from the x-side probe lists."""
+    from advisorydatapipeline_spark.operators.similarity import (
+        bitext_ivf_candidate_scores,
+        bitext_pair_scores,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    x = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"
+    )
+    y = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    brute = {
+        (r.x_id, r.y_id): r.cos_micro
+        for r in bitext_pair_scores(x, y, n_blocks=4).collect()
+    }
+    cand = bitext_ivf_candidate_scores(x, y, cent, 2).collect()
+    assert 0 < len(cand) < len(brute)
+    seen = set()
+    for r in cand:
+        assert (r.x_id, r.y_id) not in seen  # each candidate once
+        seen.add((r.x_id, r.y_id))
+        assert brute[(r.x_id, r.y_id)] == r.cos_micro
+
+
+def test_bitext_margin_mutual_best_and_recall_floor(spark, sf_dir):
+    """Registry-level invariants: mutual-best output has each x_id and
+    y_id at most once (both arms); the recall gauge's counts are
+    consistent; and IVF accepted-pair recall clears a collapse floor
+    (measured ~0.54 at nprobe 2/8 on the near-uniform synthetic
+    corpus — the floor detects broken assignment/probing, not
+    quality)."""
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    for name in ("bitext_margin_mining", "bitext_margin_mining_ivf"):
+        rows = QUERIES[name](spark, sf_dir).collect()
+        xs = [r.x_id for r in rows]
+        ys = [r.y_id for r in rows]
+        assert len(xs) == len(set(xs)) and len(ys) == len(set(ys))
+        for r in rows:
+            assert r.accepted == (r.margin_ppm >= 1_150_000)
+    g = QUERIES["bitext_ivf_recall"](spark, sf_dir).collect()[0]
+    assert g.n_overlap <= min(g.n_true, g.n_ivf)
+    assert g.recall_ppm >= 350_000, g

@@ -264,6 +264,8 @@ AUDIT = [
     "robots_txt_gate",
     "corpus_datasheet",
     "bitext_margin_mining",
+    "bitext_margin_mining_ivf",
+    "bitext_ivf_recall",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
     "streaming_url_dedup",
@@ -401,10 +403,16 @@ NESTED_LOOP_OK = {
     # RFC longest-match cannot be an equi-join; build side is the
     # (tiny, constant) robots ruleset
     "robots_txt_gate",
-    # brute all-pairs X x Y margin baseline (the ANN family's banded
-    # candidate generation drops in at corpus scale, exactly like
-    # ann_cosine_topk -> ann_ivf_topk)
+    # exact brute baseline / recall truth for bitext mining; pair
+    # scoring is the block-replicated cogroup matmul (no pair-row
+    # shuffle); production is bitext_margin_mining_ivf
     "bitext_margin_mining",
+    # broadcast centroid cross-joins (8 constant rows) feeding the
+    # probe/assign argmins; the candidate generation itself is a
+    # cogrouped bucket matmul, pair rows never carry vectors
+    "bitext_margin_mining_ivf",
+    # both arms above + 1-row accepted-count scalars for the ppm math
+    "bitext_ivf_recall",
     # 1-row broadcast normalization-total scalar over the 8-row
     # strength table (both MM-step denominators are equi-joins)
     "bradley_terry_mm_step",
