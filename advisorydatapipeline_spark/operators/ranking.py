@@ -294,10 +294,17 @@ def bm25_maxscore_topk(
     n_scored = cand.agg(
         F.count(F.lit(1)).cast("long").alias("n_scored")
     )
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    # top-k, k-row merge — no single-partition sort of the admitted
+    # set. The rank window then runs over AT MOST k rows (bounded by
+    # the limit itself, not by an argument about the data), which is
+    # the only global window this plan retains.
+    topk = cand.orderBy(
+        F.col("fscore").desc(), F.col(id_col).asc()
+    ).limit(k)
     w = Window.orderBy(F.col("fscore").desc(), F.col(id_col).asc())
     return (
-        cand.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
+        topk.withColumn("rn", F.row_number().over(w).cast("int"))
         .crossJoin(F.broadcast(n_matched))
         .crossJoin(F.broadcast(n_scored))
         .select(id_col, "n_terms", "fscore", "rn", "n_matched", "n_scored")

@@ -1700,3 +1700,107 @@ def doremi_domain_reweight(spark, sf_dir):
         "FROM _drm_docs GROUP BY source",
     )
     return spark.sql(sql)
+
+
+# --- UniMax epoch-capped mixing (r12) -------------------------------------
+
+_UNIMAX_EPOCHS = 3  # per-source repeat cap
+_UNIMAX_BUDGET_X = 2  # training budget = 2x the unique-token corpus
+
+
+@query(
+    "unimax_epoch_mix",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         CAST(len({DUCK_TOKENS.format(x='text')}) AS BIGINT) AS nt
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS tokens_total,
+         CAST(sum(nt) * {_UNIMAX_EPOCHS} AS BIGINT) AS capacity
+  FROM tok GROUP BY source
+),
+tot AS (
+  SELECT CAST(CAST(sum(tokens_total) AS BIGINT) * {_UNIMAX_BUDGET_X}
+              AS BIGINT) AS b
+  FROM per_src
+),
+rk AS (
+  SELECT p.source, p.capacity, t.b,
+         row_number() OVER (ORDER BY capacity, source) AS rn,
+         COALESCE(CAST(sum(capacity) OVER (
+             ORDER BY capacity, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS cum,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per_src p CROSS JOIN tot t
+),
+lv AS (
+  SELECT max(LEAST(GREATEST(b - cum, 0) // (n - rn + 1), capacity))
+           AS c
+  FROM rk
+)
+SELECT p.source, p.n_docs, p.tokens_total, p.capacity,
+       CAST(LEAST(p.capacity, l.c) AS BIGINT) AS tokens_alloc,
+       CAST(LEAST(p.capacity, l.c) * 1000
+            // GREATEST(p.tokens_total, 1) AS BIGINT) AS epochs_milli
+FROM per_src p CROSS JOIN lv l
+""",
+)
+def unimax_epoch_mix(spark, sf_dir):
+    """UniMax mixing (Chung et al. 2023): spread the training budget
+    as uniformly as possible across sources, but cap every source at
+    {_UNIMAX_EPOCHS} epochs of its own data — the epoch cap is what
+    separates UniMax from plain uniform (low-resource sources stop
+    repeating before they overfit) and from proportional sampling
+    (high-resource sources can't swallow the budget). The closed form
+    is water-filling on CAPACITIES (epochs x tokens): alloc_s =
+    min(capacity_s, level) with the unique maximal integer level
+    fitting the budget — reusing waterfill_allocation
+    (operators/curation.py), whose windows run on the tiny per-source
+    table. epochs_milli = alloc * 1000 / tokens reports the realized
+    repeat factor (1000 = one epoch, capped at {_UNIMAX_EPOCHS}000).
+
+    Scale: the only corpus-sized work is the per-document token
+    count, partial-aggregated to one row per source; everything
+    after is k-row integer arithmetic."""
+    from advisorydatapipeline_spark.functions.text import tokens
+    from advisorydatapipeline_spark.operators.curation import (
+        waterfill_allocation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source", F.size(tokens("text")).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens_total"),
+        )
+        .withColumn(
+            "capacity",
+            F.expr(f"tokens_total * {_UNIMAX_EPOCHS}").cast("long"),
+        )
+    )
+    total = per_src.agg(
+        F.expr(
+            f"CAST(sum(tokens_total) AS LONG) * {_UNIMAX_BUDGET_X}"
+        ).alias("b")
+    )
+    per = per_src.crossJoin(F.broadcast(total))
+    out = waterfill_allocation(per, "source", "capacity", F.col("b"))
+    return out.select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        "capacity",
+        F.col("alloc").alias("tokens_alloc"),
+        F.expr(
+            "CAST(alloc * 1000 DIV GREATEST(tokens_total, 1)"
+            " AS BIGINT)"
+        ).alias("epochs_milli"),
+    )

@@ -1265,3 +1265,34 @@ def flac_stream_stats(spark, sf_dir):
     docs = _doc_ids_parallel(spark, sf_dir)
     media = docs.mapInPandas(encode, "media_id long, payload binary")
     return decode_flac_stats(media)
+
+
+from advisorydatapipeline_spark.operators.mp3_synth import (  # noqa: E402
+    duck_synthesis_oracle,
+)
+
+
+@query("mp3_granule_synthesis", oracle=duck_synthesis_oracle())
+def mp3_granule_synthesis(spark, sf_dir):
+    """MP3 hybrid-filterbank back-half, value-gated (r11 verdict
+    stretch item 7 — with mp3_frame_stats' framing walk this narrows
+    'lossy audio is lib-bound' to Huffman spectral decode and the
+    final polyphase window stage): each document's two granules of
+    32x18 mix-derived MDCT coefficients run the REAL ISO 11172-3
+    long-block chain — 36-point IMDCT, sine windowing, granule
+    overlap-add, odd-subband/odd-sample frequency inversion — as one
+    numpy einsum per Arrow batch (operators/mp3_synth.py). The
+    transform matrices are quantized-integer tables generated once
+    and embedded literally in the DuckDB oracle, so the entire chain
+    is exact BIGINT arithmetic in both engines; the oracle replays
+    every stage, making the gate total over IMDCT, window,
+    overlap-add, and inversion.
+
+    Scale shape: one narrow mapInPandas hop over repartitioned 8-byte
+    ids; the 576-sample synthesis blocks never leave the operator —
+    5 scalar columns do. Zero shuffles."""
+    from advisorydatapipeline_spark.operators.mp3_synth import (
+        granule_synthesis_stats,
+    )
+
+    return granule_synthesis_stats(_doc_ids_parallel(spark, sf_dir))

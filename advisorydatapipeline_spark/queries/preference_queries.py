@@ -406,3 +406,143 @@ def source_diversity_loo(spark, sf_dir):
         "FROM _loo_docs GROUP BY source",
     )
     return spark.sql(sql)
+
+
+# --- unbiased pass@k (r12) ------------------------------------------------
+
+_PK_SQL_TMPL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(5 + doc_id % 12 AS BIGINT) AS n,
+         CAST({mix} % (5 + doc_id % 12 + 1) AS BIGINT) AS c
+  FROM documents
+)
+SELECT doc_id, n, c,
+       CAST(1000000 - (n - c) * 1000000 {idiv} n AS BIGINT)
+         AS pass1_ppm,
+       CAST(CASE WHEN n - c >= 5 THEN 1000000
+              - ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4))
+                * 1000000
+                {idiv} (n * (n-1) * (n-2) * (n-3) * (n-4))
+            ELSE 1000000 END AS BIGINT) AS pass5_ppm
+FROM t
+"""
+
+
+def _pk_sql(idiv: str) -> str:
+    return _PK_SQL_TMPL.format(
+        idiv=idiv, mix=_mix("doc_id * 31 + 7", _MIX2)
+    )
+
+
+@query("pass_at_k_eval", oracle=_pk_sql("//"))
+def pass_at_k_eval(spark, sf_dir):
+    """Unbiased pass@k estimator (Chen et al. 2021, the Codex
+    combinatorial form): per task, n sampled attempts with c
+    successes give pass@k = 1 - C(n-c, k) / C(n, k) — the expectation
+    over all size-k subsets, NOT the biased 1-(1-c/n)^k plug-in. The
+    falling-factorial ratio is evaluated as one integer product per
+    side (n <= 16, so products stay far under 2^63) and floored to
+    ppm — bit-identical in both engines, including the n-c < k edge
+    where pass@k is exactly 1. Fixture: (n, c) derive from doc_id via
+    the house mix, c uniform on [0, n].
+
+    Scale: pure per-row arithmetic over the task table — map-only,
+    no shuffle, no window; the eval rollup a harness would add is one
+    partial agg."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs.createOrReplaceTempView("_pk_docs")
+    return spark.sql(
+        _pk_sql("DIV").replace("FROM documents", "FROM _pk_docs")
+    )
+
+
+# --- best-of-n rejection sampling (r12) -----------------------------------
+
+_BON_MARGIN_CENTS = 50
+
+
+@query(
+    "best_of_n_reward_selection",
+    oracle=f"""
+WITH cand AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS reward_cents
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY reward_cents DESC, event_id) AS rn
+  FROM cand
+)
+SELECT b.user_id,
+       CAST(n.n AS BIGINT) AS n_candidates,
+       b.event_id AS best_event_id,
+       b.reward_cents AS best_reward_cents,
+       CAST(b.reward_cents - COALESCE(s.reward_cents, b.reward_cents)
+            AS BIGINT) AS margin_cents,
+       b.reward_cents - COALESCE(s.reward_cents, b.reward_cents)
+         >= {_BON_MARGIN_CENTS} AS accepted
+FROM (SELECT * FROM r WHERE rn = 1) b
+LEFT JOIN (SELECT * FROM r WHERE rn = 2) s ON s.user_id = b.user_id
+JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM cand
+      GROUP BY user_id) n ON n.user_id = b.user_id
+""",
+)
+def best_of_n_reward_selection(spark, sf_dir):
+    """Best-of-n rejection sampling (the RLHF data-selection step):
+    each prompt's n candidate responses (events per user) are ranked
+    by an integer reward; the argmax is selected, and the prompt is
+    ACCEPTED only when the best-vs-second margin clears a threshold —
+    a margin gate rejects prompts whose reward model can't
+    distinguish its own top candidates (label noise in, garbage
+    preference pairs out). Single-candidate prompts have margin 0 by
+    definition (nothing beaten).
+
+    Scale: one hash shuffle keyed on prompt; the rank window is
+    per-prompt (bounded by candidates-per-prompt), top-1/top-2 via
+    WindowGroupLimit; rewards are exact cents."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cand = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias(
+            "reward_cents"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("reward_cents").desc(), F.col("event_id")
+    )
+    r = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    n = cand.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    best = r.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_id").alias("best_event_id"),
+        F.col("reward_cents").alias("best_reward_cents"),
+    )
+    second = r.filter(F.col("rn") == 2).select(
+        "user_id", F.col("reward_cents").alias("_second")
+    )
+    margin = F.expr(
+        "CAST(best_reward_cents"
+        " - COALESCE(_second, best_reward_cents) AS BIGINT)"
+    )
+    return (
+        best.join(second, "user_id", "left")
+        .join(n, "user_id")
+        .select(
+            "user_id",
+            "n_candidates",
+            "best_event_id",
+            "best_reward_cents",
+            margin.alias("margin_cents"),
+            (margin >= _BON_MARGIN_CENTS).alias("accepted"),
+        )
+    )

@@ -480,11 +480,12 @@ def kmv_distinct_sketch(spark, sf_dir):
     set; KMV: order statistics) — and uniquely, BOTH the sketch
     content (the k-th hash) and the estimate are exact integers, so
     the oracle value-checks the estimator itself, not a tolerance
-    claim. Distributed shape: per-partition top-k via the min-hash
-    sort is a TakeOrdered (no full sort); the estimate math is one
-    row."""
+    claim. Distributed shape: the k smallest hashes come from
+    orderBy + limit — TakeOrderedAndProject (per-partition top-k,
+    k-row merge), NOT a single-partition rank window over the
+    distinct-hash table; the k-th value is then max() of the k-row
+    result and the estimate math is one row."""
     from advisorydatapipeline_spark.functions.text import hash64
-    from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events")
     h = ev.select(
@@ -492,11 +493,18 @@ def kmv_distinct_sketch(spark, sf_dir):
             F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
         ).alias("hv")
     ).distinct()
-    ranked = h.withColumn(
-        "rk", F.row_number().over(Window.orderBy("hv"))
-    )
-    kth = ranked.filter(F.col("rk") == KMV_K).select(
-        F.col("hv").alias("kth_hash")
+    # the count guard preserves the rank-window semantics when the
+    # corpus has fewer than k distinct keys (oracle: rk = k matches
+    # nothing -> empty result, not a smaller-k estimate)
+    kth = (
+        h.orderBy("hv")
+        .limit(KMV_K)
+        .agg(
+            F.max("hv").alias("kth_hash"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == KMV_K)
+        .select("kth_hash")
     )
     truth = h.agg(F.count(F.lit(1)).alias("true_distinct"))
     return (

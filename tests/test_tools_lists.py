@@ -41,3 +41,29 @@ def test_audit_lists_unique_and_registered():
         assert len(audit) == len(set(audit)), f"duplicates in {path}"
         missing = [n for n in audit if n not in QUERIES]
         assert not missing, f"{path} names not in registry: {missing}"
+
+
+def _named_dict_keys(path: str, varname: str) -> list[str]:
+    tree = ast.parse(open(os.path.join(BASE, path)).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == varname
+            for t in node.targets
+        ):
+            return [ast.literal_eval(k) for k in node.value.keys]
+    raise AssertionError(f"{varname} not found in {path}")
+
+
+def test_global_window_allowlist_registered_and_audited():
+    """Every GLOBAL_WINDOW_OK key must be a registry entry that the
+    plan audit actually covers — a typo'd or stale key would silently
+    allow nothing (or mask nothing)."""
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    keys = _named_dict_keys("tools/plan_audit.py", "GLOBAL_WINDOW_OK")
+    assert len(keys) == len(set(keys))
+    audit = set(_named_list("tools/plan_audit.py", "AUDIT"))
+    missing = [k for k in keys if k not in QUERIES]
+    assert not missing, f"allowlist names not in registry: {missing}"
+    unaudited = [k for k in keys if k not in audit]
+    assert not unaudited, f"allowlisted but never audited: {unaudited}"

@@ -171,6 +171,10 @@ AUDIT = [
     "bitext_margin_mining",
     "bitext_margin_mining_ivf",
     "bitext_ivf_recall",
+    "mp3_granule_synthesis",
+    "pass_at_k_eval",
+    "best_of_n_reward_selection",
+    "unimax_epoch_mix",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
     "streaming_url_dedup",
