@@ -45,15 +45,25 @@ from r11_scale_smoke import (  # noqa: E402
 
 
 def bitext_section(spark, sf_dir: str, base: str) -> None:
-    print("\n## bitext mining x1-x8 (contiguous embeddings)")
-    print("| op | x1 | x2 | x4 | x8 | t(x8)/t(x1) vs 8.0 | out x8 |")
+    print("\n## bitext mining (contiguous embeddings)")
+    print(
+        "| op | x1 | x2 | x4 | x8 | t(x8 or x4)/t(x1) | out (last) |"
+    )
     print("|---|---|---|---|---|---|---|")
-    ops = ("bitext_margin_mining_ivf", "bitext_margin_mining")
-    results = {op: [] for op in ops}
+    # the brute baseline stops at x4 BY DESIGN (r11 precedent: it is
+    # the labeled quadratic — x8 is ~400M pair rows through four
+    # windows, measured only to show the curve the IVF arm escapes)
+    plans = {
+        "bitext_margin_mining_ivf": (1, 2, 4, 8),
+        "bitext_margin_mining": (1, 2, 4),
+    }
+    results = {op: [] for op in plans}
     outs = {}
     for r in (1, 2, 4, 8):
         path = stage_contiguous(spark, sf_dir, base, r)
-        for op in ops:
+        for op, rs in plans.items():
+            if r not in rs:
+                continue
             fn = QUERIES[op]
             if r == 1:
                 noop(fn(spark, path))  # warm-up
@@ -61,15 +71,16 @@ def bitext_section(spark, sf_dir: str, base: str) -> None:
             results[op].append(
                 timed(lambda f=fn, p=path: noop(f(spark, p)))
             )
-            if r == 8:
+            if r == rs[-1]:
                 outs[op] = fn(spark, path).count()
             spark.catalog.clearCache()
-    for op in ops:
+    for op, rs in plans.items():
         t = results[op]
-        slope = round(t[3] / t[0], 2) if t[0] else float("nan")
+        slope = round(t[-1] / t[0], 2) if t[0] else float("nan")
+        cells = [f"{x}s" for x in t] + ["—"] * (4 - len(t))
         print(
-            f"| {op} | {t[0]}s | {t[1]}s | {t[2]}s | {t[3]}s |"
-            f" {slope} | {outs[op]} |"
+            f"| {op} | {cells[0]} | {cells[1]} | {cells[2]} |"
+            f" {cells[3]} | {slope} | {outs[op]} |"
         )
     # recall gauge: sample-scale only (contains the brute truth arm)
     print("\n| gauge | x1 | x2 | row (x2) |")
