@@ -1296,3 +1296,30 @@ def mp3_granule_synthesis(spark, sf_dir):
     )
 
     return granule_synthesis_stats(_doc_ids_parallel(spark, sf_dir))
+
+
+from advisorydatapipeline_spark.operators.audio_dft import (  # noqa: E402
+    duck_band_oracle,
+)
+
+
+@query("wav_dft_bands", oracle=duck_band_oracle())
+def wav_dft_bands(spark, sf_dir):
+    """Goertzel/DFT band energies over REAL PCM-WAV payloads
+    (operators/audio_dft.py) — the frequency-domain close of the WAV
+    family (wav_frame_energy is time-domain): each document's WAV
+    fixture is byte-built, REALLY parsed back (RIFF header skip,
+    int16-LE data), and projected onto 5 quantized-integer DFT basis
+    rows; per-band energy a^2+b^2 is exact BIGINT in both engines
+    because the trig tables are literals shared with the oracle
+    (the mp3_synth technique). Gate is total over container build,
+    byte parse, and transform.
+
+    Scale shape: one zero-shuffle mapInPandas hop over repartitioned
+    8-byte ids; payloads never leave the operator — 5 scalar rows
+    per doc do."""
+    from advisorydatapipeline_spark.operators.audio_dft import (
+        wav_band_energies,
+    )
+
+    return wav_band_energies(_doc_ids_parallel(spark, sf_dir))

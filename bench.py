@@ -265,6 +265,7 @@ EXTENDED = [
     "pass_at_k_eval",
     "best_of_n_reward_selection",
     "unimax_epoch_mix",
+    "wav_dft_bands",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
     "streaming_url_dedup",

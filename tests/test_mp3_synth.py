@@ -101,3 +101,45 @@ def test_imdct_linearity_in_spectrum():
     v1 = (c @ x) * w
     v2 = (c @ (2 * x)) * w
     assert np.array_equal(v2, 2 * v1)
+
+
+def test_wav_dft_bands_parseval_and_purity(spark):
+    """audio_dft invariants: (a) numpy path equals a pure-Python
+    Goertzel on the same fixture; (b) a synthetic pure tone at band
+    k concentrates energy there (basis sanity)."""
+    import numpy as np
+
+    from advisorydatapipeline_spark.operators.audio_dft import (
+        DFT_BANDS,
+        DFT_N,
+        DFT_Q,
+        dft_tables,
+        wav_band_energies,
+        wav_seed,
+    )
+
+    docs = spark.range(1, 5).selectExpr("id AS doc_id")
+    rows = {
+        (r.media_id, r.band_k): r
+        for r in wav_band_energies(docs).collect()
+    }
+    cos_t, sin_t = dft_tables()
+    for doc_id in (1, 3):
+        seed = wav_seed(doc_id)
+        s = [((seed + 11 * i) % 2001) - 1000 for i in range(DFT_N)]
+        for bi, k in enumerate(DFT_BANDS):
+            a = sum(s[i] * cos_t[bi][i] for i in range(DFT_N))
+            b = sum(s[i] * sin_t[bi][i] for i in range(DFT_N))
+            r = rows[(doc_id, k)]
+            assert (r.a_sum, r.b_sum, r.energy_q) == (
+                a, b, a * a + b * b
+            )
+    # pure-tone concentration: cos wave at k=7 -> band 7 dominates
+    tone = np.floor(
+        900 * np.cos(2 * np.pi * 7 * np.arange(DFT_N) / DFT_N)
+    ).astype(np.int64)
+    C = np.array(cos_t, dtype=np.int64)
+    S = np.array(sin_t, dtype=np.int64)
+    e = (tone @ C.T) ** 2 + (tone @ S.T) ** 2
+    k7 = list(DFT_BANDS).index(7)
+    assert e[k7] > 10 * max(x for i, x in enumerate(e) if i != k7)

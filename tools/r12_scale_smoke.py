@@ -161,8 +161,8 @@ def main() -> None:
                 spark,
                 sf_dir,
                 base,
-                "mp3_granule_synthesis (documents)",
-                ("mp3_granule_synthesis",),
+                "mp3_granule_synthesis / wav_dft_bands (documents)",
+                ("mp3_granule_synthesis", "wav_dft_bands"),
                 ("documents",),
             )
         if "flacprof" in sections:
