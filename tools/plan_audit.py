@@ -321,6 +321,8 @@ NESTED_LOOP_OK = {
     "pmi_collocations",
     # 1-row broadcast token-budget scalar (B = total DIV 2)
     "corpus_mixture_waterfill",
+    # same 1-row budget scalar, capacities instead of sizes
+    "unimax_epoch_mix",
     # 1-row broadcast (min, width) bin-edge scalar + 3-row quantile
     # literals — single/constant-row build sides, not data-scale loops
     "histogram_quantile_estimate",
