@@ -1804,3 +1804,69 @@ def unimax_epoch_mix(spark, sf_dir):
             " AS BIGINT)"
         ).alias("epochs_milli"),
     )
+
+
+# --- T5 span-corruption planning (r12) -------------------------------------
+
+_SC_RATE_PCT = 15  # corruption rate (T5 default 15%)
+_SC_MEAN_SPAN = 3  # mean corrupted-span length
+_SC_PACK = 128  # encoder packing bucket width
+
+
+@query(
+    "span_corruption_plan",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len({DUCK_TOKENS.format(x='text')}) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       CAST(n_tok * {_SC_RATE_PCT} // 100 AS BIGINT) AS n_corrupt,
+       CAST((n_tok * {_SC_RATE_PCT} // 100 + {_SC_MEAN_SPAN - 1})
+            // {_SC_MEAN_SPAN} AS BIGINT) AS n_spans,
+       CAST(n_tok - n_tok * {_SC_RATE_PCT} // 100
+            + (n_tok * {_SC_RATE_PCT} // 100 + {_SC_MEAN_SPAN - 1})
+              // {_SC_MEAN_SPAN} AS BIGINT) AS enc_len,
+       CAST(n_tok * {_SC_RATE_PCT} // 100
+            + (n_tok * {_SC_RATE_PCT} // 100 + {_SC_MEAN_SPAN - 1})
+              // {_SC_MEAN_SPAN} + 1 AS BIGINT) AS dec_len,
+       CAST(((n_tok - n_tok * {_SC_RATE_PCT} // 100
+            + (n_tok * {_SC_RATE_PCT} // 100 + {_SC_MEAN_SPAN - 1})
+              // {_SC_MEAN_SPAN}) + {_SC_PACK - 1}) // {_SC_PACK}
+            * {_SC_PACK} AS BIGINT) AS pack_bucket
+FROM tok
+""",
+)
+def span_corruption_plan(spark, sf_dir):
+    """T5 span-corruption budgeting (Raffel et al. 2020): per
+    document, how the {_SC_RATE_PCT}% corruption rate and
+    mean-span-{_SC_MEAN_SPAN} noising turn n_tok source tokens into
+    encoder/decoder sequence lengths — n_corrupt tokens drop out,
+    each of the ceil(n_corrupt/{_SC_MEAN_SPAN}) spans leaves one
+    sentinel on the encoder side and gains one on the decoder side
+    (plus EOS). The pack_bucket column rounds the encoder length up
+    to the {_SC_PACK}-token packing lane the batch planner
+    (length_bucket_batching / sequence_packing) consumes — this
+    entry is the seq2seq sizing step those entries assume. All
+    integer floor/ceil arithmetic, identical in both engines.
+
+    Scale: tokenize + per-row arithmetic — map-only, zero shuffle."""
+    from advisorydatapipeline_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    r, m, pk = _SC_RATE_PCT, _SC_MEAN_SPAN, _SC_PACK
+    nc = f"n_tok * {r} DIV 100"
+    ns = f"({nc} + {m - 1}) DIV {m}"
+    return docs.selectExpr(
+        "doc_id",
+        "n_tok",
+        f"CAST({nc} AS BIGINT) AS n_corrupt",
+        f"CAST({ns} AS BIGINT) AS n_spans",
+        f"CAST(n_tok - {nc} + {ns} AS BIGINT) AS enc_len",
+        f"CAST({nc} + {ns} + 1 AS BIGINT) AS dec_len",
+        f"CAST(((n_tok - {nc} + {ns}) + {pk - 1}) DIV {pk}"
+        f" * {pk} AS BIGINT) AS pack_bucket",
+    )

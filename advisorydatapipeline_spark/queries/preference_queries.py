@@ -546,3 +546,90 @@ def best_of_n_reward_selection(spark, sf_dir):
             (margin >= _BON_MARGIN_CENTS).alias("accepted"),
         )
     )
+
+
+# --- Brier score + Murphy decomposition (r12) ------------------------------
+
+
+def _brier_sql(idiv: str) -> str:
+    return f"""
+WITH scored AS ({_clf_scored(idiv)}),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum((score_ppm - CASE WHEN label THEN 1000000 ELSE 0
+                   END) * (score_ppm - CASE WHEN label THEN 1000000
+                   ELSE 0 END)) AS BIGINT) AS sse
+  FROM scored
+),
+b AS (
+  SELECT score_ppm {idiv} 100000 AS bucket,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+           AS np,
+         CAST(sum(score_ppm) AS BIGINT) AS ss
+  FROM scored GROUP BY 1
+),
+bb AS (
+  SELECT bucket, nb,
+         CAST(ss {idiv} nb AS BIGINT) AS conf,
+         CAST(np * 1000000 {idiv} nb AS BIGINT) AS acc
+  FROM b
+),
+base AS (SELECT CAST(p * 1000000 {idiv} n AS BIGINT) AS base_ppm FROM t),
+agg AS (
+  SELECT CAST(sum(bb.nb * (bb.conf - bb.acc) * (bb.conf - bb.acc))
+              AS BIGINT) AS rel_num,
+         CAST(sum(bb.nb * (bb.acc - base.base_ppm)
+                  * (bb.acc - base.base_ppm)) AS BIGINT) AS res_num
+  FROM bb CROSS JOIN base
+)
+SELECT t.n, t.p, base.base_ppm,
+       CAST(t.sse {idiv} t.n AS BIGINT) AS brier_e12,
+       CAST(agg.rel_num {idiv} t.n AS BIGINT) AS rel_e12,
+       CAST(agg.res_num {idiv} t.n AS BIGINT) AS res_e12,
+       CAST(base.base_ppm * (1000000 - base.base_ppm) AS BIGINT)
+         AS unc_e12,
+       CAST(t.sse {idiv} t.n - (agg.rel_num {idiv} t.n
+            - agg.res_num {idiv} t.n
+            + base.base_ppm * (1000000 - base.base_ppm)) AS BIGINT)
+         AS within_bin_gap_e12
+FROM t CROSS JOIN base CROSS JOIN agg
+"""
+
+
+@query("brier_decomposition_eval", oracle=_brier_sql("//"))
+def brier_decomposition_eval(spark, sf_dir):
+    """Brier score with the Murphy (1973) decomposition —
+    reliability - resolution + uncertainty — over the same
+    linear-ramp classifier fixture roc_pr_calibration evaluates: the
+    proper-scoring-rule view of a quality classifier (AUC can't see
+    miscalibration; Brier charges for it). Everything in integer
+    ppm^2 ('e12') units: squared errors, bin means (floored —
+    identical floors in both engines), and the decomposition terms.
+    `within_bin_gap_e12` reports Brier - (REL - RES + UNC): the
+    Murphy identity is exact only when forecasts equal their bin
+    means, so the gap is the within-bin forecast variance plus
+    integer-floor error (flooring conf/acc/base to whole ppm before
+    squaring shifts each weighted square by up to ~2e6, so the floor
+    term is bounded by ~4e6 * n and can locally outweigh the
+    variance) — an honest discretization disclosure, not an error
+    term. BIGINT headroom: sum of ppm^2 errors bounds at
+    ~9.2e6 docs; beyond that pre-scale per-doc by 1000 (same move as
+    the LM entries).
+
+    Scale: two partial-agg passes over the scored stream (global +
+    10-bin), then 1-row arithmetic via broadcast cross joins."""
+    scored = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_mix('doc_id', _MIX1)} % 1000000 AS score_ppm",
+        f"({_mix('doc_id', _MIX1)} % 1000000)"
+        f" + ({_mix('doc_id + 13', _MIX2)} % {_NOISE})"
+        f" >= {_POS_CUT} AS label",
+    )
+    scored.createOrReplaceTempView("_brier_scored")
+    sql = _brier_sql("DIV").replace(
+        f"WITH scored AS ({_clf_scored('DIV')}),",
+        "WITH scored AS (SELECT * FROM _brier_scored),",
+    )
+    return spark.sql(sql)

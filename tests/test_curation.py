@@ -380,3 +380,17 @@ def test_unimax_epoch_cap_and_budget(spark, sf_dir):
     by_cap = sorted(rows, key=lambda r: (r.capacity, r.source))
     allocs = [r.tokens_alloc for r in by_cap]
     assert allocs == sorted(allocs)
+
+
+def test_span_corruption_arithmetic(spark, sf_dir):
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    rows = QUERIES["span_corruption_plan"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_corrupt == r.n_tok * 15 // 100
+        assert r.n_spans == (r.n_corrupt + 2) // 3
+        assert r.enc_len == r.n_tok - r.n_corrupt + r.n_spans
+        assert r.dec_len == r.n_corrupt + r.n_spans + 1
+        assert r.pack_bucket % 128 == 0
+        assert r.pack_bucket >= r.enc_len > r.pack_bucket - 128

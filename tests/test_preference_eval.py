@@ -181,3 +181,29 @@ def test_best_of_n_margin_gate(spark, sf_dir):
         assert r.accepted == (r.margin_cents >= 50)
         if r.n_candidates == 1:
             assert r.margin_cents == 0
+
+
+def test_brier_decomposition_consistency(spark, sf_dir):
+    """Murphy-decomposition invariants: REL/RES/UNC nonnegative, UNC
+    = base(1-base) exactly, and the reported within_bin_gap equals
+    Brier - (REL - RES + UNC) — i.e. the row is self-consistent; the
+    gap itself is the within-bin forecast variance and must be
+    nonnegative up to integer-floor dust."""
+    from advisorydatapipeline_spark.registry import QUERIES
+
+    r = QUERIES["brier_decomposition_eval"](spark, sf_dir).collect()[0]
+    assert 0 < r.p < r.n
+    assert r.rel_e12 >= 0 and r.res_e12 >= 0
+    assert r.unc_e12 == r.base_ppm * (1_000_000 - r.base_ppm)
+    assert r.within_bin_gap_e12 == r.brier_e12 - (
+        r.rel_e12 - r.res_e12 + r.unc_e12
+    )
+    # flooring conf/acc/base to integer ppm before squaring shifts
+    # each weighted square by up to ~2e6 per row, so the dust bound
+    # scales with n — the gap must still be dominated by the
+    # (positive) within-bin variance at fixture scale
+    assert r.within_bin_gap_e12 >= -4_000_000 * r.n
+    # linear-ramp fixture: scores are informative -> resolution well
+    # above zero; and Brier beats the no-skill uncertainty floor
+    assert r.res_e12 > 0
+    assert r.brier_e12 < r.unc_e12 + r.within_bin_gap_e12 + r.rel_e12

@@ -271,6 +271,8 @@ AUDIT = [
     "best_of_n_reward_selection",
     "unimax_epoch_mix",
     "wav_dft_bands",
+    "brier_decomposition_eval",
+    "span_corruption_plan",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
     "streaming_url_dedup",
@@ -425,6 +427,8 @@ NESTED_LOOP_OK = {
     "bradley_terry_mm_step",
     # 1-row broadcast AUC scalar beside the 10-row bucket table
     "roc_pr_calibration",
+    # 1-row broadcast global/base/decomposition scalars (10-bin agg)
+    "brier_decomposition_eval",
     # 1-row broadcast corpus-mean / normalization scalars over the
     # k-domain table
     "doremi_domain_reweight",

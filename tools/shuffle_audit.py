@@ -176,6 +176,8 @@ AUDIT = [
     "best_of_n_reward_selection",
     "unimax_epoch_mix",
     "wav_dft_bands",
+    "brier_decomposition_eval",
+    "span_corruption_plan",
     "unicode_normalize_stats",
     "pii_multiclass_scrub",
     "streaming_url_dedup",
