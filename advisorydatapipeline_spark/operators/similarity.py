@@ -1375,6 +1375,15 @@ def _bipartite_micro_frame(lpdf, rpdf, x_id: str, y_id: str):
     dots = mx @ my.T
     nx = (mx * mx).sum(axis=1)
     ny = (my * my).sum(axis=1)
+    if (nx == 0).any() or (ny == 0).any():
+        # A zero-norm quantized vector would make cosine NaN here and
+        # floor(NaN).astype(int64) emits platform-defined garbage; the
+        # SQL/HOF arms would diverge silently. Fail loudly instead —
+        # the fixture invariant is that every embedding has a nonzero
+        # quantization (r12 ADVICE item 1).
+        raise ValueError(
+            "zero-norm quantized embedding in bipartite cosine block"
+        )
     cos = dots / np.sqrt(np.outer(nx, ny).astype(np.float64))
     micro = np.floor(1000000.0 * cos).astype(np.int64)
     xi, yi = np.meshgrid(

@@ -1813,8 +1813,8 @@ j AS (
 ),
 gate AS (
   SELECT doc_id, source, img_vec_id,
-         CAST(floor(1000000 * list_dot_product(vt, vi)
-           / sqrt(list_dot_product(vt, vt) * list_dot_product(vi, vi)))
+         CAST(floor(1000000 * (list_dot_product(vt, vi)
+           / sqrt(list_dot_product(vt, vt) * list_dot_product(vi, vi))))
            AS BIGINT) AS clip_micro
   FROM j
 )"""
@@ -1990,9 +1990,9 @@ _BITEXT_PAIRS_BRUTE = f"""e AS (
 ),
 p AS (
   SELECT x.vec_id AS x_id, y.vec_id AS y_id,
-         CAST(floor(1000000 * list_dot_product(x.v, y.v)
+         CAST(floor(1000000 * (list_dot_product(x.v, y.v)
            / sqrt(list_dot_product(x.v, x.v)
-                * list_dot_product(y.v, y.v))) AS BIGINT) AS cos_micro
+                * list_dot_product(y.v, y.v)))) AS BIGINT) AS cos_micro
   FROM e x, e y
   WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
 )"""
@@ -2032,9 +2032,9 @@ x_probes AS (
 ),
 p AS (
   SELECT xs.x_id, ys.y_id,
-         CAST(floor(1000000 * list_dot_product(xs.v, ys.v)
+         CAST(floor(1000000 * (list_dot_product(xs.v, ys.v)
            / sqrt(list_dot_product(xs.v, xs.v)
-                * list_dot_product(ys.v, ys.v))) AS BIGINT) AS cos_micro
+                * list_dot_product(ys.v, ys.v)))) AS BIGINT) AS cos_micro
   FROM x_probes xp
   JOIN y_assigned ya ON ya.centroid_id = xp.centroid_id
   JOIN xs ON xs.x_id = xp.x_id
@@ -2220,21 +2220,24 @@ def bitext_ivf_recall(spark, sf_dir):
         .select("x_id", "y_id")
         .persist()
     )
-    overlap = tb.join(ti, ["x_id", "y_id"]).agg(
-        F.count("*").cast("long").alias("n_overlap")
-    )
-    n_true = tb.agg(F.count("*").cast("long").alias("n_true"))
-    n_ivf = ti.agg(F.count("*").cast("long").alias("n_ivf"))
-    return (
-        n_true.crossJoin(F.broadcast(n_ivf))
-        .crossJoin(F.broadcast(overlap))
-        .selectExpr(
-            "n_true",
-            "n_ivf",
-            "n_overlap",
-            "CAST(n_overlap * 1000000 DIV GREATEST(n_true, 1)"
-            " AS BIGINT) AS recall_ppm",
-            "CAST(n_overlap * 1000000 DIV GREATEST(n_ivf, 1)"
-            " AS BIGINT) AS precision_ppm",
-        )
+    # Materialize the three scalar counts while the persisted pair
+    # sets are live, then unpersist — returning a lazy plan over the
+    # caches would leak cached blocks into long-lived sessions (r12
+    # ADVICE item 3). Gauge entry: three driver-side scalars is the
+    # same contract as the graph convergence counters.
+    try:
+        n_overlap = tb.join(ti, ["x_id", "y_id"]).count()
+        nt = tb.count()
+        ni = ti.count()
+    finally:
+        tb.unpersist()
+        ti.unpersist()
+    return spark.range(1).selectExpr(
+        f"CAST({nt} AS BIGINT) AS n_true",
+        f"CAST({ni} AS BIGINT) AS n_ivf",
+        f"CAST({n_overlap} AS BIGINT) AS n_overlap",
+        f"CAST({n_overlap} * 1000000 DIV GREATEST(CAST({nt} AS BIGINT), 1)"
+        " AS BIGINT) AS recall_ppm",
+        f"CAST({n_overlap} * 1000000 DIV GREATEST(CAST({ni} AS BIGINT), 1)"
+        " AS BIGINT) AS precision_ppm",
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -59,8 +60,19 @@ def main() -> int:
     total_cpus = os.cpu_count() or 8
     per = max(2, total_cpus // shards)
     t0 = time.time()
-    procs = []
+    # Removed in the finally block below — shard JSONs plus per-shard
+    # Spark warehouses otherwise accumulate disk per gate run (r12
+    # ADVICE item 4).
     tmp = tempfile.mkdtemp(prefix="adp_gate_shards_")
+    try:
+        return _run(tmp, slices, names, shards, per, out_path, sf_dir, t0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run(tmp, slices, names, shards, per, out_path, sf_dir, t0) -> int:
+    rc = 0
+    procs = []
     for i, sl in enumerate(slices):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(per)
@@ -83,7 +95,6 @@ def main() -> int:
                 text=True,
             )
         )
-    rc = 0
     for i, p in enumerate(procs):
         out, _ = p.communicate()
         tail = [ln for ln in out.splitlines() if ln.strip()][-1:]

@@ -72,7 +72,11 @@ def driver_style_compare(spark, con, fn, oracle, sf_dir: str) -> dict:
         srows = [tuple(r) for r in sdf.collect()]
         out["spark_rows"] = len(srows)
         if oracle is None:
+            # Explicit provenance: hash_match stays None ONLY because
+            # there is no oracle — consumers (sample_gap) must not
+            # treat a bare None as green (r12 ADVICE item 5).
             out["rows_match"] = True
+            out["oracle"] = "absent"
             return out
         res = con.execute(oracle)
         ocols = [d[0].lower() for d in res.description]
@@ -91,6 +95,21 @@ def driver_style_compare(spark, con, fn, oracle, sf_dir: str) -> dict:
     except Exception as exc:  # noqa: BLE001 — artifact records the error
         out["err"] = f"{type(exc).__name__}: {exc}"[:400]
     return out
+
+
+def _is_green(row: dict) -> bool:
+    """A recheck row is green only on an explicit value-hash match —
+    hash_match=None counts only with recorded oracle-absent
+    provenance (r12 ADVICE item 5)."""
+    if row.get("err") is not None:
+        return False
+    if row.get("hash_match") is True:
+        return True
+    return (
+        row.get("hash_match") is None
+        and row.get("oracle") == "absent"
+        and row.get("rows_match") is True
+    )
 
 
 def main() -> int:
@@ -128,18 +147,54 @@ def main() -> int:
         row["driver_red_round"] = driver[name][0]
         row["sec"] = round(time.time() - t0, 2)
         results[name] = row
-        green = row["err"] is None and row["hash_match"] in (True, None)
+        green = _is_green(row)
         n_green += bool(green)
         print(f"  {'✓' if green else '✗'} {name} "
               f"(driver-red since r{driver[name][0]:02d}, "
               f"{row['sec']}s)")
+
+    # Rotating never-sampled slice (r12 verdict item 5): most registry
+    # entries have never seen a driver verdict; run a deterministic
+    # 30-entry rotation of that set through the same driver-style
+    # compare each round so the whole registry cycles through
+    # driver-shape verification over time. Cursor = round * 30 over
+    # the sorted never-sampled list (wraps), recorded in the artifact.
+    never = sorted(n for n in qs if n not in driver)
+    rot_n = min(30, len(never))
+    rot_start = (rnd * 30) % len(never) if never else 0
+    rotation = [never[(rot_start + i) % len(never)] for i in range(rot_n)]
+    n_rot_green = 0
+    for name in rotation:
+        t0 = time.time()
+        row = driver_style_compare(
+            spark, con, qs[name], oracles.get(name), sf_dir
+        )
+        spark.catalog.clearCache()
+        row["rotation"] = True
+        row["sec"] = round(time.time() - t0, 2)
+        results[name] = row
+        green = _is_green(row)
+        n_rot_green += bool(green)
+        print(f"  {'✓' if green else '✗'} {name} "
+              f"(rotation, {row['sec']}s)")
+
     out_path = f"STALE_RECHECK_r{rnd:02d}.json"
     with open(out_path, "w") as f:
-        json.dump({"sf_dir": sf_dir, "round": rnd, "results": results},
-                  f, indent=1)
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "round": rnd,
+                "rotation_start": rot_start,
+                "rotation_size": rot_n,
+                "never_sampled_total": len(never),
+                "results": results,
+            },
+            f, indent=1)
         f.write("\n")
-    print(f"{out_path}: {n_green}/{len(stale)} adjudicated green")
-    return 0 if n_green == len(stale) else 1
+    print(f"{out_path}: {n_green}/{len(stale)} stale adjudicated green, "
+          f"{n_rot_green}/{rot_n} rotation green "
+          f"(cursor {rot_start}/{len(never)})")
+    return 0 if (n_green == len(stale) and n_rot_green == rot_n) else 1
 
 
 if __name__ == "__main__":
