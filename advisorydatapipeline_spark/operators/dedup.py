@@ -879,11 +879,24 @@ def duplicate_passages(
     )
 
 
+# Input-size guard for the labeled-quadratic baseline plan (r12
+# verdict item 1): on clone-heavy corpora jaccard_pairs_prefix is
+# O(n^2) by its own SCALE.md adjudication (99.1 s at x8=40k docs vs
+# 6.6 s for the df-capped plan). 25_000 docs admits the gate scales
+# (sf0.1 = 5k docs) and ~x4 replication (20k) — the largest size the
+# measured wall times justify — and raises loudly above it so no
+# bench or user run silently executes the quadratic plan. Deliberate
+# oversized baseline runs (scale smokes) pass guard_max_docs=None.
+QUADRATIC_GUARD_DOCS = 25_000
+
+
 def jaccard_pairs_prefix(
     index: DataFrame,
     id_col: str,
     jaccard_num: int,
     jaccard_den: int,
+    *,
+    guard_max_docs: int | None = QUADRATIC_GUARD_DOCS,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard pairs (the PPJoin/SSJoin family,
     Chaudhuri et al. / Xiao et al.): same result set as
@@ -919,7 +932,25 @@ def jaccard_pairs_prefix(
     like the capped plan's, and the window/agg constants dominate.
     Use when completeness policy forbids the df-cap; prefer
     :func:`jaccard_pairs` for speed.
+
+    Round 13: guarded by ``guard_max_docs`` (default
+    ``QUADRATIC_GUARD_DOCS``) — raises before planning the join when
+    the index covers more documents, so the quadratic baseline can
+    only run at sizes its SCALE.md adjudication justifies. Pass
+    ``guard_max_docs=None`` for a deliberate oversized baseline run.
     """
+    if guard_max_docs is not None:
+        n_docs = index.select(id_col).distinct().count()
+        if n_docs > guard_max_docs:
+            raise ValueError(
+                f"jaccard_pairs_prefix: index covers {n_docs} documents"
+                f" > guard_max_docs={guard_max_docs}. This is the"
+                " labeled-quadratic completeness baseline (O(n^2) on"
+                " clone-heavy corpora, SCALE.md PPJoin section); use"
+                " jaccard_pairs (df-capped) or minhash_lsh at this"
+                " scale, or pass guard_max_docs=None for a deliberate"
+                " baseline run."
+            )
     cand = prefix_candidates(index, id_col, jaccard_num, jaccard_den)
     p, q = jaccard_num, jaccard_den
     return (

@@ -1300,6 +1300,15 @@ def semantic_dedup(
     )
 
 
+# Input-size guard for the labeled-quadratic brute bitext arm (r12
+# verdict item 1): the scorer emits |X|*|Y| pair rows by definition.
+# 20M pairs admits the gate scales (sf0.1: 1k x 1k = 1M) and the ~x4
+# replication the SCALE.md row stops at by design (4k x 4k = 16M),
+# and raises loudly above it. Deliberate oversized baseline runs
+# (scale smokes, recall gauges on samples) pass guard_max_pairs=None.
+QUADRATIC_GUARD_PAIRS = 20_000_000
+
+
 def bitext_pair_scores(
     x: DataFrame,
     y: DataFrame,
@@ -1308,6 +1317,7 @@ def bitext_pair_scores(
     x_id: str = "x_id",
     y_id: str = "y_id",
     vec_col: str = "embedding",
+    guard_max_pairs: int | None = QUADRATIC_GUARD_PAIRS,
 ) -> DataFrame:
     """EXACT bipartite cosine scores for EVERY (x, y) cross pair —
     ``(x_id, y_id, cos_micro)`` with cos_micro = floor(1e6 * cosine)
@@ -1327,9 +1337,26 @@ def bitext_pair_scores(
     production path is the IVF-candidate arm
     (queries/similarity_queries.py: bitext_margin_mining_ivf); this
     scorer exists so the exact baseline / recall truth stays
-    affordable at gauge scale."""
+    affordable at gauge scale.
+
+    Round 13: guarded by ``guard_max_pairs`` (default
+    ``QUADRATIC_GUARD_PAIRS``) — raises before planning when
+    |X| * |Y| exceeds the bound, so no bench or user run silently
+    executes the O(|X||Y|) plan. Pass ``guard_max_pairs=None`` for a
+    deliberate oversized baseline run."""
     import pandas as pd
 
+    if guard_max_pairs is not None:
+        n_pairs = x.count() * y.count()
+        if n_pairs > guard_max_pairs:
+            raise ValueError(
+                f"bitext_pair_scores: |X|*|Y| = {n_pairs} pairs"
+                f" > guard_max_pairs={guard_max_pairs}. This is the"
+                " labeled-quadratic brute baseline; use the IVF"
+                " candidate arm (bitext_ivf_candidate_scores) at this"
+                " scale, or pass guard_max_pairs=None for a deliberate"
+                " baseline run."
+            )
     blocks = list(range(n_blocks))
     xq = x.select(
         F.col(x_id),

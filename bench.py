@@ -95,6 +95,18 @@ CORE = [
     "bpe_pair_ranks",
 ]
 
+# Labeled-quadratic baseline entries (r12 verdict item 1): kept
+# registry-green as recall/completeness oracles, but EXCLUDED from the
+# default bench tiers so no round's timing artifact silently executes
+# an O(n^2) plan. Still measurable explicitly via --only. The
+# operators behind them additionally carry input-size guards
+# (operators/dedup.QUADRATIC_GUARD_DOCS,
+# operators/similarity.QUADRATIC_GUARD_PAIRS).
+QUADRATIC_BASELINE = [
+    "dedup_jaccard_prefix",
+    "bitext_margin_mining",
+]
+
 EXTENDED = [
     "grouped_max_by",
     "decontaminate_overlap",
@@ -437,7 +449,24 @@ def main() -> None:
 
     import gc
 
-    run_list = [n for n in CORE + EXTENDED if not only or n in only]
+    # Default tiers exclude the labeled-quadratic baselines — logged,
+    # not silent; an explicit --only still measures them.
+    skipped_quadratic = [
+        n for n in QUADRATIC_BASELINE
+        if n in CORE + EXTENDED and (not only or n not in only)
+    ]
+    run_list = [
+        n
+        for n in CORE + EXTENDED
+        if (n in only if only else n not in QUADRATIC_BASELINE)
+    ]
+    if skipped_quadratic:
+        print(
+            "bench: excluding labeled-quadratic baselines "
+            f"{skipped_quadratic} from the default tier "
+            "(r12 verdict item 1; measure explicitly with --only)",
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in run_list:
@@ -533,6 +562,7 @@ def main() -> None:
         "loadavg_end": loadavg_end,
         "concurrent_spark_pids_start": foreign_start,
         "concurrent_spark_pids_end": foreign_end,
+        "excluded_quadratic": skipped_quadratic,
     }
     if only:
         local["only"] = only
@@ -586,6 +616,7 @@ def main() -> None:
                 else "",
                 "n_core": len(CORE),
                 "n_extended": len(EXTENDED),
+                "excluded_quadratic": skipped_quadratic,
                 "reps": reps,
                 "core_total": core_total,
                 "extended_total": ext_total,

@@ -613,6 +613,72 @@ def test_prefix_jaccard_boundary_pair_kept(spark):
     assert len(got) == 1 and got[0].shared == 2
 
 
+def test_quadratic_guard_jaccard_prefix(spark):
+    """The labeled-quadratic PPJoin baseline must refuse oversized
+    inputs BEFORE planning the join (r12 verdict item 1): the guard
+    mechanism trips on a tiny bound, stays open at the default for
+    gate-scale data, and the documented constant is pinned."""
+    import pytest
+
+    from advisorydatapipeline_spark.operators.dedup import (
+        QUADRATIC_GUARD_DOCS,
+        jaccard_pairs_prefix,
+    )
+
+    assert QUADRATIC_GUARD_DOCS == 25_000
+    idx = spark.createDataFrame(
+        [(d, f"s{s}") for d in range(3) for s in (d, d + 1, d + 2)],
+        "doc_id long, shingle string",
+    )
+    with pytest.raises(ValueError, match="labeled-quadratic"):
+        jaccard_pairs_prefix(idx, "doc_id", 2, 5, guard_max_docs=2)
+    # default guard admits gate-scale inputs; opt-out runs too
+    assert jaccard_pairs_prefix(idx, "doc_id", 2, 5).count() >= 0
+    assert (
+        jaccard_pairs_prefix(
+            idx, "doc_id", 2, 5, guard_max_docs=None
+        ).count()
+        >= 0
+    )
+
+
+def test_quadratic_guard_bitext_pair_scores(spark):
+    """Brute bitext scorer refuses |X|*|Y| above the guard (r12
+    verdict item 1)."""
+    import pytest
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        QUADRATIC_GUARD_PAIRS,
+        bitext_pair_scores,
+    )
+
+    assert QUADRATIC_GUARD_PAIRS == 20_000_000
+    x = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(4)],
+        "x_id long, embedding array<double>",
+    )
+    y = spark.createDataFrame(
+        [(i, [1.0, float(i + 1)]) for i in range(4)],
+        "y_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="labeled-quadratic"):
+        bitext_pair_scores(x, y, n_blocks=2, guard_max_pairs=15)
+    assert bitext_pair_scores(x, y, n_blocks=2).count() == 16
+
+
+def test_bench_excludes_quadratic_baselines():
+    """The default bench tier must not time the labeled quadratics
+    (they remain registry entries and explicitly --only-able)."""
+    import bench
+
+    assert set(bench.QUADRATIC_BASELINE) == {
+        "dedup_jaccard_prefix",
+        "bitext_margin_mining",
+    }
+    for n in bench.QUADRATIC_BASELINE:
+        assert n in bench.CORE + bench.EXTENDED
+
+
 def test_rhp_plan_size_policy():
     from advisorydatapipeline_spark.operators.similarity import (
         rhp_plan_size,

@@ -199,7 +199,12 @@ def ppjoin_section(spark, sf_dir: str, base: str) -> None:
             idx = shingle_index(
                 docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
             ).persist()
-            noop(jaccard_pairs_prefix(idx, "doc_id", 2, 5))
+            # guard_max_docs=None: deliberate oversized baseline run
+            noop(
+                jaccard_pairs_prefix(
+                    idx, "doc_id", 2, 5, guard_max_docs=None
+                )
+            )
             idx.unpersist()
 
         spark.catalog.clearCache()

@@ -582,7 +582,11 @@ def run_ppjoin(spark, path: str):
         lambda: noop(jaccard_pairs(idx, "doc_id", MIN_JACCARD))
     )
     out["t_ppjoin"] = timed(
-        lambda: noop(jaccard_pairs_prefix(idx, "doc_id", 2, 5))
+        # guard_max_docs=None: this IS the deliberate oversized
+        # baseline A/B run the guard exists to prevent elsewhere
+        lambda: noop(
+            jaccard_pairs_prefix(idx, "doc_id", 2, 5, guard_max_docs=None)
+        )
     )
     # candidate volumes (counts are measurement, not the hot path)
     key = hash64(F.col("shingle")).alias("_sh")
