@@ -451,10 +451,11 @@ def main() -> None:
 
     # Default tiers exclude the labeled-quadratic baselines — logged,
     # not silent; an explicit --only still measures them.
-    skipped_quadratic = [
-        n for n in QUADRATIC_BASELINE
-        if n in CORE + EXTENDED and (not only or n not in only)
-    ]
+    skipped_quadratic = (
+        []
+        if only  # targeted runs name their scope explicitly
+        else [n for n in QUADRATIC_BASELINE if n in CORE + EXTENDED]
+    )
     run_list = [
         n
         for n in CORE + EXTENDED
