@@ -1780,12 +1780,14 @@ def decode_media(media_df: DataFrame, *, fake: bool = False) -> DataFrame:
             "(decode_png), GIF incl. animated (decode_gif_frames), and "
             "baseline JPEG (jpeg_codec.decode_jpeg_pixels), and "
             "MJPEG-AVI video (video.decode_avi_frames); MP3 framing/"
-            "timing is real (mp3.parse_mp3_stream) and so is the "
-            "hybrid-filterbank back-half — IMDCT, windowing, "
-            "overlap-add, frequency inversion (mp3_synth.py) — only "
-            "inter-frame video codecs and MP3 Huffman spectral "
-            "decode + the final polyphase window stage remain "
-            "lib-bound; pass fake=True for the deterministic stub"
+            "timing is real (mp3.parse_mp3_stream), Huffman spectral "
+            "decode is real (mp3_huffman.py: bit reservoir, regions, "
+            "linbits escapes, count1 — repo-canonical code tables, "
+            "documented), and so is the hybrid-filterbank back-half "
+            "— IMDCT, windowing, overlap-add, frequency inversion "
+            "(mp3_synth.py) — only inter-frame video codecs and the "
+            "final polyphase window stage remain lib-bound; pass "
+            "fake=True for the deterministic stub"
         )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -271,6 +271,7 @@ AUDIT = [
     "best_of_n_reward_selection",
     "unimax_epoch_mix",
     "wav_dft_bands",
+    "mp3_huffman_decode",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
