@@ -1303,6 +1303,40 @@ from advisorydatapipeline_spark.operators.audio_dft import (  # noqa: E402
 )
 
 
+def _polyphase_oracle():
+    from advisorydatapipeline_spark.operators.mp3_polyphase import (
+        duck_polyphase_oracle,
+    )
+
+    return duck_polyphase_oracle()
+
+
+@query("mp3_polyphase_synthesis", oracle=_polyphase_oracle())
+def mp3_polyphase_synthesis(spark, sf_dir):
+    """MP3 synthesis polyphase filterbank — the FINAL Layer III
+    decode stage (subband samples -> PCM), closing the audio chain
+    started by mp3.py (framing), mp3_huffman.py (spectral decode),
+    and mp3_synth.py (IMDCT/overlap): after this entry only
+    inter-frame video codecs remain lib-bound in multimodal.py. The
+    ISO matrixing N[i][k] = cos((16+i)(2k+1)pi/64) rides as a
+    quantized-integer table shared literally with the oracle; the
+    16-deep V FIFO / U gather / 512-tap window fold is evaluated in
+    its closed form (pytest proves closed form == the procedural ISO
+    FIFO spec), with steps 0..15 exercising the zeroed partial
+    history and 16..17 the full window. The 512-tap window values
+    are a documented repo-canonical stand-in (exact ISO B.3 table
+    not reproducible offline); everything else is ISO-exact BIGINT.
+
+    Scale shape: one zero-shuffle mapInPandas einsum hop over
+    repartitioned 8-byte ids; 576 PCM samples per doc never leave
+    the operator — 5 scalars do."""
+    from advisorydatapipeline_spark.operators.mp3_polyphase import (
+        polyphase_pcm_stats,
+    )
+
+    return polyphase_pcm_stats(_doc_ids_parallel(spark, sf_dir))
+
+
 def _huffman_oracle():
     from advisorydatapipeline_spark.operators.mp3_huffman import (
         duck_huffman_oracle,

@@ -279,6 +279,7 @@ EXTENDED = [
     "unimax_epoch_mix",
     "wav_dft_bands",
     "mp3_huffman_decode",
+    "mp3_polyphase_synthesis",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
