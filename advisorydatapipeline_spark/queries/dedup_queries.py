@@ -1125,3 +1125,44 @@ def dedup_pair_evidence(spark, sf_dir):
             ",",
         ).alias("evidence_hashes")
     )
+
+
+# --- suffix-array substring duplication (r13) ------------------------
+
+
+def _suffix_oracle():
+    from advisorydatapipeline_spark.operators.suffix import (
+        duck_suffix_oracle,
+    )
+
+    return duck_suffix_oracle()
+
+
+@query("suffix_dup_depths", oracle=_suffix_oracle())
+def suffix_dup_depths(spark, sf_dir):
+    """Exact duplicated-substring counts per document at window
+    depths 8/16/32, via DISTRIBUTED PREFIX-DOUBLING SUFFIX RANKS
+    (operators/suffix.py) — the suffix-array primitive behind exact
+    substring dedup of training corpora (Lee et al. 2022). Six
+    logarithmic rounds of shifted-position equi-join + order-
+    preserving re-rank give depth-2^k prefix ranks; dup_L counts the
+    full-length positions whose depth-L rank group has >= 2 sites
+    corpus-wide. Only (doc_id, pos, rank) triples ever shuffle —
+    text leaves the scan once, as single characters.
+
+    The oracle deliberately runs the OTHER algorithm (brute window
+    substring enumeration + group count), so the two sides share no
+    structure: a defect in the doubling recursion, the sentinel
+    discipline, or the range-partitioned rank helper cannot cancel.
+
+    Scale (100 TB): rounds are log(depth), each shuffling O(chars)
+    fixed-width rows; the rank helper is range-partition +
+    partition-LOCAL windows (no global window, no collect). The
+    brute plan ships L bytes per position per depth and cannot
+    answer lexicographic-neighbor (LCP/BWT) queries the rank tables
+    open up."""
+    from advisorydatapipeline_spark.operators.suffix import (
+        suffix_dup_depth_counts,
+    )
+
+    return suffix_dup_depth_counts(load(spark, sf_dir, "documents"))

@@ -280,6 +280,7 @@ EXTENDED = [
     "wav_dft_bands",
     "mp3_huffman_decode",
     "mp3_polyphase_synthesis",
+    "suffix_dup_depths",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",

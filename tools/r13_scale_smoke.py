@@ -7,9 +7,13 @@
   at x8).
 - poly8: x1-x8 row for mp3_polyphase_synthesis (documents) — the
   final filterbank stage, same hop shape.
+- suffix8: x1-x8 row for suffix_dup_depths (documents) — the
+  prefix-doubling suffix-rank dedup primitive; done-criterion is a
+  near-linear slope (every shuffle is O(corpus chars) fixed-width
+  rows; rounds are depth-logarithmic, constant in corpus size).
 
 Usage: python tools/r13_scale_smoke.py [sf_dir] [sections]
-  sections: comma list from {huff8, poly8}; default ALL.
+  sections: comma list from {huff8, poly8, suffix8}; default ALL.
 Prints markdown rows; SCALE.md sections are appended manually from
 this output (scale_smoke.py owns the main table).
 """
@@ -33,7 +37,7 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"huff8", "poly8"}
+        else {"huff8", "poly8", "suffix8"}
     )
     spark = get_spark("r13-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -53,6 +57,15 @@ def main() -> None:
                 base,
                 "mp3_polyphase_synthesis (documents)",
                 ("mp3_polyphase_synthesis",),
+                ("documents",),
+            )
+        if "suffix8" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "suffix_dup_depths (documents)",
+                ("suffix_dup_depths",),
                 ("documents",),
             )
 
