@@ -72,6 +72,151 @@ MICRO = 1_000_000  # surprisal quantum: micro-nats
 LAMBDA_TENTHS = (5, 3, 2)
 
 
+def kneser_ney_bigram_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = PPB,
+) -> DataFrame:
+    """Per-document surprisal under an INTERPOLATED KNESER-NEY bigram
+    LM (Kneser & Ney 1995; the KenLM default) — the canonical n-gram
+    smoothing, distinguished from the Jelinek-Mercer mix in
+    :func:`ngram_lm_doc_scores` by its two hallmarks:
+
+    - the lower-order distribution is the CONTINUATION probability
+      P_cont(w2) = N1+(.w2) / N1+(..)  (type counts: in how many
+      distinct contexts does w2 appear — "Francisco" is frequent but
+      follows only "San", so its continuation mass is tiny);
+    - the higher order is ABSOLUTE-DISCOUNTED with D estimated from
+      the corpus's own count-of-counts, D = n1 / (n1 + 2*n2), and the
+      freed mass lambda(w1) = D * N1+(w1.) / c(w1.) backs off.
+
+    Exactness: D stays the exact RATIONAL dn/dd (dn = n1,
+    dd = n1 + 2*n2), so the discounted term is
+    (cb*dd - dn) / (dd*ctx1) with NO float discount; the model is
+    quantized at exactly three documented floor points the oracle
+    replays verbatim:
+
+      disc_ppb = ((cb*dd - dn) * scale) DIV (dd * ctx1)
+      lam_ppb  = ((dn * n1w1) * scale) DIV (dd * ctx1)
+      p_ppb    = GREATEST(disc_ppb + (lam_ppb * ncw2) DIV nall, 1)
+
+    then one float ln to micro-nats (the char_unigram_surprisal
+    discipline). cb >= 1 and dn < dd make cb*dd - dn > 0 — observed
+    bigrams need no max(.., 0) clamp.
+
+    Scale (100 TB): counts/type-counts are hash partial-aggs on
+    string keys; the context totals ctx(w1) = sum_w2 cb reuse the
+    bigram table (no second corpus pass); count-of-counts (n1, n2,
+    nall, max bounds) ride ONE broadcast 1-row aggregate; the apply
+    join is a shuffle hash join on (w1, w2). Overflow is GUARDED
+    in-plan like ngram_lm_doc_scores: the broadcast row carries
+    max(cb)*dd and dn*max(n1w1) and raises with the remediation
+    (scale=1_000_000) the moment either could overflow count*scale.
+
+    Returns: doc_id, n_tokens, n_bigrams, surprisal_micro,
+    mean_surprisal_micro (NULL when the doc has < 2 tokens).
+    """
+    max_safe = (2**63 - 1) // scale
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
+    ).persist()
+
+    bi_doc = (
+        _ngram_rows(tk, 2, ("w1", "w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    bi = bi_doc.groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("long").alias("cb")
+    ).persist()
+    ctx = bi.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("ctx1"),
+        F.count(F.lit(1)).cast("long").alias("n1w1"),
+    )
+    cont = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw2")
+    )
+    # D = n1/(n1+2n2) is undefined on a corpus with NO count-1/2
+    # bigram types (possible on low-entropy synthetic corpora);
+    # textbook fallback is the default discount D = 1/2, kept
+    # rational as (dn, dd) = (1, 2) so exactness is untouched.
+    model = bi.agg(
+        F.sum((F.col("cb") == 1).cast("long")).cast("long").alias("_n1"),
+        (
+            F.sum((F.col("cb") == 1).cast("long"))
+            + 2 * F.sum((F.col("cb") == 2).cast("long"))
+        ).cast("long").alias("_dd"),
+        F.count(F.lit(1)).cast("long").alias("nall"),
+        F.max("cb").cast("long").alias("max_cb"),
+    ).select(
+        F.when(F.col("_dd") == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("_n1")).alias("dn"),
+        F.when(F.col("_dd") == 0, F.lit(2).cast("long"))
+        .otherwise(F.col("_dd")).alias("dd"),
+        "nall",
+        "max_cb",
+    )
+
+    sc = (
+        bi.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(model))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                f"CASE WHEN max_cb * dd > {max_safe}"
+                f" OR dn * n1w1 > {max_safe} THEN "
+                f"CAST(raise_error(CONCAT("
+                f"'kneser_ney_bigram_scores: count-of-counts scale ', "
+                f"dd, ' would overflow count*{scale} in BIGINT; ', "
+                f"'re-run with scale=1000000 (ppm)')) AS BIGINT) "
+                f"ELSE GREATEST("
+                f"(((cb * dd - dn) * {scale}) DIV (dd * ctx1))"
+                f" + (((((dn * n1w1) * {scale}) DIV (dd * ctx1))"
+                f" * ncw2) DIV nall), CAST(1 AS BIGINT)) END"
+            ).alias("p_ppb"),
+        )
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                MICRO * F.log(F.lit(float(scale)) / F.col("p_ppb"))
+            ).cast("long").alias("s_micro"),
+        )
+    )
+
+    agg = (
+        bi_doc.join(sc, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("s_micro")).cast("long").alias(
+                "surprisal_micro"
+            ),
+            F.expr(
+                "CAST(sum(cnt * s_micro) DIV sum(cnt) AS BIGINT)"
+            ).alias("mean_surprisal_micro"),
+        )
+    )
+    return (
+        tk.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "surprisal_micro",
+            "mean_surprisal_micro",
+        )
+    )
+
+
 def _ngram_rows(tk: DataFrame, n: int, names: tuple[str, ...]) -> DataFrame:
     """Explode each doc's token array into its order-n n-grams.
 

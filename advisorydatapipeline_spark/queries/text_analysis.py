@@ -1369,6 +1369,98 @@ def lm_perplexity_scores(spark, sf_dir):
     return ngram_lm_doc_scores(load(spark, sf_dir, "documents"))
 
 
+# --- interpolated Kneser-Ney bigram LM (the KenLM default) -----------
+
+
+@query(
+    "kn_bigram_scores",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {_T} AS tk FROM documents
+),
+bi_doc AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tk, unnest(generate_series(1, len(tk)-1)) AS u(i)
+  WHERE len(tk) >= 2
+  GROUP BY 1, 2, 3
+),
+bi AS (
+  SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS cb
+  FROM bi_doc GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS ctx1,
+         CAST(count(*) AS BIGINT) AS n1w1
+  FROM bi GROUP BY 1
+),
+cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS ncw2 FROM bi GROUP BY 1
+),
+model0 AS (
+  SELECT CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END)
+              + 2 * sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dd0,
+         CAST(count(*) AS BIGINT) AS nall
+  FROM bi
+),
+model AS (
+  -- default discount D = 1/2 when the corpus has no count-1/2 types
+  SELECT CASE WHEN dd0 = 0 THEN 1 ELSE n1 END AS dn,
+         CASE WHEN dd0 = 0 THEN 2 ELSE dd0 END AS dd,
+         nall
+  FROM model0
+),
+sc AS (
+  SELECT b.w1, b.w2,
+         CAST(floor(1000000 * ln(1000000000.0 / GREATEST(
+           (((b.cb * m.dd - m.dn) * 1000000000) // (m.dd * c.ctx1))
+           + (((((m.dn * c.n1w1) * 1000000000) // (m.dd * c.ctx1))
+              * o.ncw2) // m.nall),
+           1
+         ))) AS BIGINT) AS s_micro
+  FROM bi b
+  JOIN ctx c ON c.w1 = b.w1
+  JOIN cont o ON o.w2 = b.w2
+  CROSS JOIN model m
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(d.cnt * s.s_micro) AS BIGINT) AS surprisal_micro,
+         CAST(sum(d.cnt * s.s_micro) // sum(d.cnt) AS BIGINT)
+           AS mean_surprisal_micro
+  FROM bi_doc d
+  JOIN sc s ON s.w1 = d.w1 AND s.w2 = d.w2
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       a.surprisal_micro,
+       a.mean_surprisal_micro
+FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+)
+def kn_bigram_scores(spark, sf_dir):
+    """Per-document surprisal under an INTERPOLATED KNESER-NEY bigram
+    LM — the canonical n-gram smoothing (Kneser & Ney 1995; KenLM's
+    default), completing the LM-filter family next to the
+    Jelinek-Mercer trigram (lm_perplexity_scores): the lower order is
+    the CONTINUATION distribution (type counts, not token counts) and
+    the discount D = n1/(n1+2n2) comes from the corpus's own
+    count-of-counts, carried as an exact rational so the whole model
+    is integer-ppb with three documented floor points the oracle
+    replays verbatim (operators/lm.py:kneser_ney_bigram_scores for
+    the scale + overflow-guard notes)."""
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_bigram_scores,
+    )
+
+    return kneser_ney_bigram_scores(load(spark, sf_dir, "documents"))
+
+
 # --- Gopher quality rules (Rae et al. 2021 §A1.1) --------------------
 
 # the fixed Gopher stop list ("must contain >= 2 of"): a presence

@@ -274,6 +274,7 @@ AUDIT = [
     "mp3_huffman_decode",
     "mp3_polyphase_synthesis",
     "suffix_dup_depths",
+    "kn_bigram_scores",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
