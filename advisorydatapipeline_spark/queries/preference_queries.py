@@ -633,3 +633,215 @@ def brier_decomposition_eval(spark, sf_dir):
         "WITH scored AS (SELECT * FROM _brier_scored),",
     )
     return spark.sql(sql)
+
+
+# --- DPO preference-pair construction (r13) --------------------------------
+
+_DPO_MARGIN_CENTS = 100
+_DPO_LEN_RATIO = 2  # keep pairs whose lengths are within 2x
+
+
+def _dpo_sql(idiv: str) -> str:
+    return f"""
+WITH cand AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS reward_cents,
+         CAST(20 + {_mix('event_id * 17 + 3', _MIX2)} % 200 AS BIGINT)
+           AS resp_len
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY reward_cents DESC, event_id ASC) AS rn_top,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY reward_cents ASC, event_id DESC) AS rn_bot,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM cand
+)
+SELECT c.user_id,
+       c.n AS n_candidates,
+       c.event_id AS chosen_event_id,
+       j.event_id AS rejected_event_id,
+       c.reward_cents AS chosen_reward_cents,
+       j.reward_cents AS rejected_reward_cents,
+       CAST(c.reward_cents - j.reward_cents AS BIGINT) AS margin_cents,
+       c.resp_len AS len_chosen,
+       j.resp_len AS len_rejected,
+       (c.reward_cents - j.reward_cents >= {_DPO_MARGIN_CENTS}
+        AND GREATEST(c.resp_len, j.resp_len)
+            <= {_DPO_LEN_RATIO} * LEAST(c.resp_len, j.resp_len))
+         AS kept
+FROM (SELECT * FROM r WHERE rn_top = 1 AND n >= 2) c
+JOIN (SELECT * FROM r WHERE rn_bot = 1) j ON j.user_id = c.user_id
+"""
+
+
+@query("dpo_pair_builder", oracle=_dpo_sql("//"))
+def dpo_pair_builder(spark, sf_dir):
+    """DPO preference-pair construction (Rafailov et al. 2023 data
+    prep): per prompt (user), the reward-argmax candidate is CHOSEN
+    and the reward-argmin REJECTED (max-vs-min pairing — the
+    highest-signal pair the candidate set offers), then two standard
+    curation gates decide ``kept``: a reward MARGIN (pairs the reward
+    model can't separate are label noise) and a LENGTH-RATIO guard
+    (response lengths within 2x — otherwise DPO learns 'longer is
+    better' instead of the preference; the verbosity-bias control).
+    Deterministic tiebreaks make chosen != rejected whenever the
+    prompt has >= 2 candidates (desc ties break to the smallest
+    event_id, asc ties to the largest). Response lengths are a
+    mix-derived fixture; rewards are exact cents.
+
+    Scale: one hash shuffle keyed on prompt; both rank windows and
+    the count ride the same per-prompt partition (bounded by
+    candidates-per-prompt, WindowGroupLimit-friendly)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cand = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias(
+            "reward_cents"
+        ),
+        F.expr(
+            f"CAST(20 + {_mix('event_id * 17 + 3', _MIX2)} % 200"
+            " AS BIGINT)"
+        ).alias("resp_len"),
+    )
+    wt = Window.partitionBy("user_id").orderBy(
+        F.col("reward_cents").desc(), F.col("event_id").asc()
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("reward_cents").asc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    r = cand.select(
+        "*",
+        F.row_number().over(wt).alias("rn_top"),
+        F.row_number().over(wb).alias("rn_bot"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    chosen = r.filter((F.col("rn_top") == 1) & (F.col("n") >= 2)).select(
+        "user_id",
+        F.col("n").alias("n_candidates"),
+        F.col("event_id").alias("chosen_event_id"),
+        F.col("reward_cents").alias("chosen_reward_cents"),
+        F.col("resp_len").alias("len_chosen"),
+    )
+    rejected = r.filter(F.col("rn_bot") == 1).select(
+        "user_id",
+        F.col("event_id").alias("rejected_event_id"),
+        F.col("reward_cents").alias("rejected_reward_cents"),
+        F.col("resp_len").alias("len_rejected"),
+    )
+    margin = F.expr(
+        "CAST(chosen_reward_cents - rejected_reward_cents AS BIGINT)"
+    )
+    return chosen.join(rejected, "user_id").select(
+        "user_id",
+        "n_candidates",
+        "chosen_event_id",
+        "rejected_event_id",
+        "chosen_reward_cents",
+        "rejected_reward_cents",
+        margin.alias("margin_cents"),
+        "len_chosen",
+        "len_rejected",
+        (
+            (margin >= _DPO_MARGIN_CENTS)
+            & (
+                F.greatest("len_chosen", "len_rejected")
+                <= _DPO_LEN_RATIO
+                * F.least("len_chosen", "len_rejected")
+            )
+        ).alias("kept"),
+    )
+
+
+# --- self-consistency majority voting (r13) --------------------------------
+
+_SC_ANSWERS = 7
+
+
+def _sc_sql(idiv: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST({_mix('event_id * 29 + 11', _MIX1)} % {_SC_ANSWERS}
+              AS BIGINT) AS ans
+  FROM events
+),
+v AS (
+  SELECT user_id, ans, CAST(count(*) AS BIGINT) AS votes
+  FROM s GROUP BY 1, 2
+),
+m AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY votes DESC, ans ASC) AS rn,
+         CAST(sum(votes) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM v
+)
+SELECT user_id,
+       n AS n_samples,
+       ans AS modal_answer,
+       votes AS modal_votes,
+       CAST(votes * 1000000 {idiv} n AS BIGINT) AS consensus_ppm,
+       CAST(user_id % {_SC_ANSWERS} AS BIGINT) AS gold_answer,
+       ans = user_id % {_SC_ANSWERS} AS correct
+FROM m WHERE rn = 1
+"""
+
+
+@query("self_consistency_vote", oracle=_sc_sql("//"))
+def self_consistency_vote(spark, sf_dir):
+    """Self-consistency decoding eval (Wang et al. 2023): per
+    question (user), the n sampled chain-of-thought answers (events,
+    answer = mix of event_id over a {_SC_ANSWERS}-way answer space)
+    are MAJORITY-VOTED — modal answer with deterministic min-answer
+    tiebreak — and compared against the gold answer (user_id mod
+    {_SC_ANSWERS}); ``consensus_ppm`` is the vote share, the
+    standard confidence proxy ("consistency") used to gate
+    low-agreement questions out of eval/distillation sets.
+
+    Scale: one hash partial-agg keyed (question, answer), then a
+    per-question bounded window (<= {_SC_ANSWERS} rows per
+    question); exact integer vote shares."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.expr(
+            f"CAST({_mix('event_id * 29 + 11', _MIX1)} % {_SC_ANSWERS}"
+            " AS BIGINT)"
+        ).alias("ans"),
+    )
+    v = s.groupBy("user_id", "ans").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("votes").desc(), F.col("ans").asc()
+    )
+    wn = Window.partitionBy("user_id")
+    m = v.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.sum("votes").over(wn).cast("long").alias("n"),
+    )
+    return m.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("n").alias("n_samples"),
+        F.col("ans").alias("modal_answer"),
+        F.col("votes").alias("modal_votes"),
+        F.expr("CAST(votes * 1000000 DIV n AS BIGINT)").alias(
+            "consensus_ppm"
+        ),
+        (F.col("user_id") % _SC_ANSWERS).cast("long").alias(
+            "gold_answer"
+        ),
+        (F.col("ans") == F.col("user_id") % _SC_ANSWERS).alias(
+            "correct"
+        ),
+    )

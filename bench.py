@@ -282,6 +282,8 @@ EXTENDED = [
     "mp3_polyphase_synthesis",
     "suffix_dup_depths",
     "kn_bigram_scores",
+    "dpo_pair_builder",
+    "self_consistency_vote",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",

@@ -207,3 +207,49 @@ def test_brier_decomposition_consistency(spark, sf_dir):
     # above zero; and Brier beats the no-skill uncertainty floor
     assert r.res_e12 > 0
     assert r.brier_e12 < r.unc_e12 + r.within_bin_gap_e12 + r.rel_e12
+
+
+def test_dpo_pair_builder_invariants(spark):
+    """Gate-level exactness is the oracle's job; these pin the
+    curation semantics: pairs exist only for multi-candidate
+    prompts, chosen strictly outranks-or-ties rejected with
+    chosen != rejected, and `kept` is exactly margin AND length-ratio."""
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        _DPO_LEN_RATIO,
+        _DPO_MARGIN_CENTS,
+        dpo_pair_builder,
+    )
+
+    rows = dpo_pair_builder(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_candidates"] >= 2
+        assert r["chosen_event_id"] != r["rejected_event_id"]
+        assert r["margin_cents"] == (
+            r["chosen_reward_cents"] - r["rejected_reward_cents"]
+        )
+        assert r["margin_cents"] >= 0
+        want_kept = r["margin_cents"] >= _DPO_MARGIN_CENTS and max(
+            r["len_chosen"], r["len_rejected"]
+        ) <= _DPO_LEN_RATIO * min(r["len_chosen"], r["len_rejected"])
+        assert r["kept"] == want_kept
+    assert any(r["kept"] for r in rows)
+    assert any(not r["kept"] for r in rows)
+
+
+def test_self_consistency_vote_invariants(spark):
+    from advisorydatapipeline_spark.queries.helpers import load
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        self_consistency_vote,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = self_consistency_vote(spark, sf).collect()
+    n_events = load(spark, sf, "events").count()
+    assert sum(r["n_samples"] for r in rows) == n_events
+    for r in rows:
+        assert 1 <= r["modal_votes"] <= r["n_samples"]
+        assert r["consensus_ppm"] == r["modal_votes"] * 1_000_000 // r["n_samples"]
+        assert r["gold_answer"] == r["user_id"] % 7
+        assert r["correct"] == (r["modal_answer"] == r["gold_answer"])
+    assert any(r["correct"] for r in rows) or len(rows) < 8

@@ -10,13 +10,15 @@
 - kn8: x1-x8 row for kn_bigram_scores (documents) — the
   interpolated Kneser-Ney bigram LM filter; done-criterion is the
   lm_perplexity_scores shape (hash partial-aggs on n-gram keys).
+- pref8: x1-x8 rows for dpo_pair_builder / self_consistency_vote
+  (events) — per-prompt bounded windows; expected ~flat.
 - suffix8: x1-x8 row for suffix_dup_depths (documents) — the
   prefix-doubling suffix-rank dedup primitive; done-criterion is a
   near-linear slope (every shuffle is O(corpus chars) fixed-width
   rows; rounds are depth-logarithmic, constant in corpus size).
 
 Usage: python tools/r13_scale_smoke.py [sf_dir] [sections]
-  sections: comma list from {huff8, poly8, suffix8, kn8}; default ALL.
+  sections: comma list from {huff8, poly8, suffix8, kn8, pref8}; default ALL.
 Prints markdown rows; SCALE.md sections are appended manually from
 this output (scale_smoke.py owns the main table).
 """
@@ -40,7 +42,7 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"huff8", "poly8", "suffix8", "kn8"}
+        else {"huff8", "poly8", "suffix8", "kn8", "pref8"}
     )
     spark = get_spark("r13-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -70,6 +72,15 @@ def main() -> None:
                 "suffix_dup_depths (documents)",
                 ("suffix_dup_depths",),
                 ("documents",),
+            )
+        if "pref8" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "dpo_pair_builder / self_consistency_vote (events)",
+                ("dpo_pair_builder", "self_consistency_vote"),
+                ("events",),
             )
         if "kn8" in sections:
             run_family(
