@@ -356,6 +356,8 @@ NESTED_LOOP_OK = {
     "basket_pair_lift",
     # 1-row broadcast corpus-token-total scalar (interpolation p1 arm)
     "lm_perplexity_scores",
+    # 1-row broadcast count-of-counts model scalar (dn, dd, nall)
+    "kn_bigram_scores",
     # 1-row broadcast (Nt, Ns) smoothing-denominator scalar
     "dsir_importance_weights",
     # broadcast-centroid assignment cross joins (seed + refined) —
