@@ -845,3 +845,103 @@ def self_consistency_vote(spark, sf_dir):
             "correct"
         ),
     )
+
+
+# --- nucleus (top-p) truncation planning (r13) ------------------------------
+
+_TOPP_PPM = 900_000  # p = 0.9
+
+
+def _topp_sql(idiv: str) -> str:
+    return f"""
+WITH cand AS (
+  SELECT user_id, event_id,
+         CAST(1 + {_mix('event_id * 37 + 5', _MIX1)} % 1000 AS BIGINT)
+           AS weight
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY weight DESC, event_id ASC) AS rn,
+         CAST(sum(weight) OVER (PARTITION BY user_id) AS BIGINT)
+           AS total,
+         CAST(sum(weight) OVER (PARTITION BY user_id
+           ORDER BY weight DESC, event_id ASC
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM cand
+),
+kept AS (
+  SELECT * FROM r
+  WHERE (cum - weight) * 1000000 < {_TOPP_PPM} * total
+)
+SELECT user_id,
+       n AS n_candidates,
+       CAST(count(*) AS BIGINT) AS k_kept,
+       CAST(max(cum) * 1000000 {idiv} max(total) AS BIGINT)
+         AS mass_kept_ppm,
+       CAST(min(weight) AS BIGINT) AS cutoff_weight
+FROM kept
+GROUP BY user_id, n
+"""
+
+
+@query("nucleus_topp_plan", oracle=_topp_sql("//"))
+def nucleus_topp_plan(spark, sf_dir):
+    """Nucleus / top-p truncation planning (Holtzman et al. 2020):
+    per prompt (user), candidates sort by weight (integer fixture
+    probabilities) and the NUCLEUS keeps the smallest weight-ordered
+    prefix whose mass reaches p — membership is the standard
+    exclusive-prefix rule (a candidate is kept iff the mass BEFORE it
+    is still under p·total, so the crossing candidate is included),
+    evaluated by exact integer cross-multiplication
+    ((cum - w) * 1e6 < p_ppm * total; no float thresholds).
+    Deterministic weight-desc/event-id tiebreak. Reports nucleus
+    size, exact kept-mass share, and the cutoff weight — the
+    distillation/inference-planning statistic ("how many candidates
+    does p=0.9 actually admit per prompt").
+
+    Scale: one hash shuffle keyed on prompt; rank/cumulative windows
+    are per-prompt bounded."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cand = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            f"CAST(1 + {_mix('event_id * 37 + 5', _MIX1)} % 1000"
+            " AS BIGINT)"
+        ).alias("weight"),
+    )
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("weight").desc(), F.col("event_id").asc()
+    )
+    wp = Window.partitionBy("user_id")
+    r = cand.select(
+        "*",
+        F.sum("weight").over(wp).cast("long").alias("total"),
+        F.sum("weight")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    kept = r.filter(
+        (F.col("cum") - F.col("weight")) * 1_000_000
+        < _TOPP_PPM * F.col("total")
+    )
+    return kept.groupBy("user_id", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("k_kept"),
+        F.expr(
+            "CAST(max(cum) * 1000000 DIV max(total) AS BIGINT)"
+        ).alias("mass_kept_ppm"),
+        F.min("weight").cast("long").alias("cutoff_weight"),
+    ).select(
+        "user_id",
+        F.col("n").alias("n_candidates"),
+        "k_kept",
+        "mass_kept_ppm",
+        "cutoff_weight",
+    )

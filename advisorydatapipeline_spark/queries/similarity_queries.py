@@ -2241,3 +2241,124 @@ def bitext_ivf_recall(spark, sf_dir):
         f"CAST({n_overlap} * 1000000 DIV GREATEST(CAST({ni} AS BIGINT), 1)"
         " AS BIGINT) AS precision_ppm",
     )
+
+
+# --- int8 quantization calibration (r13) ------------------------------------
+
+_CAL_PCT_NUM, _CAL_PCT_DEN = 99, 100  # clip percentile as a rational
+
+
+@query(
+    "quant_calibration_absmax",
+    oracle=f"""
+WITH act AS (
+  SELECT e.vec_id, u.ch, CAST(e.q[u.ch] AS BIGINT) AS vq
+  FROM (SELECT vec_id, {_DUCK_Q} AS q FROM embeddings) e,
+       unnest(generate_series(1, len(e.q))) AS u(ch)
+),
+a AS (
+  SELECT ch, vec_id, abs(vq) AS av FROM act
+),
+r AS (
+  SELECT ch, av,
+         row_number() OVER (PARTITION BY ch
+           ORDER BY av ASC, vec_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY ch) AS BIGINT) AS n
+  FROM a
+),
+clip AS (
+  SELECT ch, n, av AS clip_q FROM r
+  WHERE rn = (n * {_CAL_PCT_NUM} + {_CAL_PCT_DEN} - 1) // {_CAL_PCT_DEN}
+),
+s AS (
+  SELECT ch, CAST(max(av) AS BIGINT) AS absmax_q FROM a GROUP BY 1
+)
+SELECT CAST(s.ch AS BIGINT) AS channel,
+       c.n AS n_rows,
+       s.absmax_q,
+       CAST(s.absmax_q * 1000000 // 127 AS BIGINT) AS scale_micro,
+       CAST(c.clip_q AS BIGINT) AS clip_q,
+       CAST((SELECT count(*) FROM a x
+             WHERE x.ch = s.ch AND x.av > c.clip_q) * 1000000
+            // c.n AS BIGINT) AS sat_ppm
+FROM s JOIN clip c ON c.ch = s.ch
+""",
+)
+def quant_calibration_absmax(spark, sf_dir):
+    """Per-channel int8 quantization calibration — the activation
+    pass every weight/activation-quantized deployment runs (absmax
+    scaling, Dettmers et al. LLM.int8 style, plus the percentile-clip
+    variant): for each of the 64 embedding channels, the corpus
+    absmax sets the int8 scale (absmax/127, kept integer-micro), the
+    exact 99th-percentile |activation| (k-th order statistic,
+    k = ceil(0.99 n) — integer selection, no interpolation) sets the
+    clip, and sat_ppm reports how much mass a clipped quantizer
+    saturates. Channels ride the established quantized-integer
+    fixture (floor(x*1000)), so every statistic is exact BIGINT.
+
+    Scale (100 TB): posexplode to (channel, |v|) rows, then
+    channel-partitioned aggregations/windows — 64 balanced
+    partitions of corpus-sized groups; at real scale the order
+    statistic would switch to a per-channel histogram sketch, and
+    the absmax/saturation terms are plain partial aggs either way."""
+    from advisorydatapipeline_spark.operators.similarity import quantize
+    from pyspark.sql import Window
+
+    act = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize("embedding").alias("q"))
+        .select(
+            "vec_id",
+            F.posexplode("q").alias("ch0", "vq"),
+        )
+        .select(
+            "vec_id",
+            (F.col("ch0") + 1).cast("long").alias("ch"),
+            F.abs("vq").alias("av"),
+        )
+    )
+    w = Window.partitionBy("ch").orderBy(
+        F.col("av").asc(), F.col("vec_id").asc()
+    )
+    wn = Window.partitionBy("ch")
+    r = act.select(
+        "ch",
+        "av",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    clip = r.filter(
+        F.col("rn")
+        == F.expr(
+            f"(n * {_CAL_PCT_NUM} + {_CAL_PCT_DEN} - 1)"
+            f" DIV {_CAL_PCT_DEN}"
+        )
+    ).select("ch", F.col("n").alias("n_rows"), F.col("av").alias("clip_q"))
+    stats = act.groupBy("ch").agg(
+        F.max("av").cast("long").alias("absmax_q")
+    )
+    sat = (
+        act.join(clip, "ch")
+        .groupBy("ch")
+        .agg(
+            F.sum((F.col("av") > F.col("clip_q")).cast("long"))
+            .cast("long")
+            .alias("n_sat")
+        )
+    )
+    return (
+        stats.join(clip, "ch")
+        .join(sat, "ch")
+        .select(
+            F.col("ch").alias("channel"),
+            "n_rows",
+            "absmax_q",
+            F.expr("CAST(absmax_q * 1000000 DIV 127 AS BIGINT)").alias(
+                "scale_micro"
+            ),
+            "clip_q",
+            F.expr("CAST(n_sat * 1000000 DIV n_rows AS BIGINT)").alias(
+                "sat_ppm"
+            ),
+        )
+    )

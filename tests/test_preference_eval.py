@@ -253,3 +253,39 @@ def test_self_consistency_vote_invariants(spark):
         assert r["gold_answer"] == r["user_id"] % 7
         assert r["correct"] == (r["modal_answer"] == r["gold_answer"])
     assert any(r["correct"] for r in rows) or len(rows) < 8
+
+
+def test_nucleus_topp_invariants(spark):
+    """The exclusive-prefix nucleus rule, pinned: kept mass reaches p
+    exactly when the nucleus is proper (k < n), the mass BEFORE the
+    cutoff is under p, and tiebreaks make the plan deterministic."""
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        _TOPP_PPM,
+        nucleus_topp_plan,
+    )
+
+    rows = nucleus_topp_plan(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["k_kept"] <= r["n_candidates"]
+        if r["k_kept"] < r["n_candidates"]:
+            assert r["mass_kept_ppm"] >= _TOPP_PPM
+        else:
+            assert r["mass_kept_ppm"] == 1_000_000
+    assert any(r["k_kept"] < r["n_candidates"] for r in rows)
+
+
+def test_quant_calibration_invariants(spark):
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        quant_calibration_absmax,
+    )
+
+    rows = quant_calibration_absmax(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 64  # one row per embedding channel
+    for r in rows:
+        assert 0 <= r["clip_q"] <= r["absmax_q"]
+        assert r["scale_micro"] == r["absmax_q"] * 1_000_000 // 127
+        # clip at ceil(0.99 n): at most floor(0.01 n) rows saturate
+        assert r["sat_ppm"] <= 10_000

@@ -277,6 +277,8 @@ AUDIT = [
     "kn_bigram_scores",
     "dpo_pair_builder",
     "self_consistency_vote",
+    "nucleus_topp_plan",
+    "quant_calibration_absmax",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",

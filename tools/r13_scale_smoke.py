@@ -10,8 +10,10 @@
 - kn8: x1-x8 row for kn_bigram_scores (documents) — the
   interpolated Kneser-Ney bigram LM filter; done-criterion is the
   lm_perplexity_scores shape (hash partial-aggs on n-gram keys).
-- pref8: x1-x8 rows for dpo_pair_builder / self_consistency_vote
-  (events) — per-prompt bounded windows; expected ~flat.
+- pref8: x1-x8 rows for dpo_pair_builder / self_consistency_vote /
+  nucleus_topp_plan (events) — per-prompt bounded windows; ~flat.
+- cal8: x1-x8 row for quant_calibration_absmax (embeddings) —
+  channel-partitioned order statistics; tracks corpus rows.
 - suffix8: x1-x8 row for suffix_dup_depths (documents) — the
   prefix-doubling suffix-rank dedup primitive; done-criterion is a
   near-linear slope (every shuffle is O(corpus chars) fixed-width
@@ -42,7 +44,7 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"huff8", "poly8", "suffix8", "kn8", "pref8"}
+        else {"huff8", "poly8", "suffix8", "kn8", "pref8", "cal8"}
     )
     spark = get_spark("r13-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -78,9 +80,18 @@ def main() -> None:
                 spark,
                 sf_dir,
                 base,
-                "dpo_pair_builder / self_consistency_vote (events)",
-                ("dpo_pair_builder", "self_consistency_vote"),
+                "dpo_pair_builder / self_consistency_vote / nucleus (events)",
+                ("dpo_pair_builder", "self_consistency_vote", "nucleus_topp_plan"),
                 ("events",),
+            )
+        if "cal8" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "quant_calibration_absmax (embeddings)",
+                ("quant_calibration_absmax",),
+                ("embeddings",),
             )
         if "kn8" in sections:
             run_family(
