@@ -111,9 +111,14 @@ def kneser_ney_bigram_scores(
     bigram table (no second corpus pass); count-of-counts (n1, n2,
     nall, max bounds) ride ONE broadcast 1-row aggregate; the apply
     join is a shuffle hash join on (w1, w2). Overflow is GUARDED
-    in-plan like ngram_lm_doc_scores: the broadcast row carries
-    max(cb)*dd and dn*max(n1w1) and raises with the remediation
-    (scale=1_000_000) the moment either could overflow count*scale.
+    in-plan like ngram_lm_doc_scores, and every guard is a DIVISION
+    comparison over the broadcast 1-row aggregate (r13 ADVICE: the
+    guard products themselves must not wrap before the comparison):
+    cb*dd*scale via max_cb vs max_safe DIV dd; dn*n1w1*scale via dn
+    vs max_safe DIV nall (n1w1 <= nall); lam_ppb*ncw2 via
+    nall > max_safe (lam_ppb <= scale, ncw2 <= nall); and the raw
+    denominator dd*ctx1 via dd vs (2^63-1) DIV sum_cb (ctx1 <=
+    sum_cb). Any trip raises with the remediation (scale=1_000_000).
 
     Returns: doc_id, n_tokens, n_bigrams, surprisal_micro,
     mean_surprisal_micro (NULL when the doc has < 2 tokens).
@@ -151,6 +156,7 @@ def kneser_ney_bigram_scores(
         ).cast("long").alias("_dd"),
         F.count(F.lit(1)).cast("long").alias("nall"),
         F.max("cb").cast("long").alias("max_cb"),
+        F.sum("cb").cast("long").alias("sum_cb"),
     ).select(
         F.when(F.col("_dd") == 0, F.lit(1).cast("long"))
         .otherwise(F.col("_n1")).alias("dn"),
@@ -158,6 +164,7 @@ def kneser_ney_bigram_scores(
         .otherwise(F.col("_dd")).alias("dd"),
         "nall",
         "max_cb",
+        "sum_cb",
     )
 
     sc = (
@@ -168,8 +175,17 @@ def kneser_ney_bigram_scores(
             "w1",
             "w2",
             F.expr(
-                f"CASE WHEN max_cb * dd > {max_safe}"
-                f" OR dn * n1w1 > {max_safe} THEN "
+                # Division-form guards: every comparison operand is a
+                # pre-bounded BIGINT off the broadcast row, so the
+                # guards themselves cannot wrap (r14, closing r13
+                # ADVICE item 1). Covered products, in order: cb*dd
+                # (then *scale), dn*n1w1 (then *scale, n1w1<=nall),
+                # lam_ppb*ncw2 (lam_ppb<=scale, ncw2<=nall), and the
+                # raw denominator dd*ctx1 (ctx1<=sum_cb, vs 2^63-1).
+                f"CASE WHEN max_cb > {max_safe} DIV dd"
+                f" OR dn > {max_safe} DIV GREATEST(nall, 1)"
+                f" OR nall > {max_safe}"
+                f" OR dd > {2**63 - 1} DIV GREATEST(sum_cb, 1) THEN "
                 f"CAST(raise_error(CONCAT("
                 f"'kneser_ney_bigram_scores: count-of-counts scale ', "
                 f"dd, ' would overflow count*{scale} in BIGINT; ', "
@@ -202,7 +218,7 @@ def kneser_ney_bigram_scores(
             ).alias("mean_surprisal_micro"),
         )
     )
-    return (
+    out = (
         tk.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
         .join(agg, "doc_id", "left")
         .select(
@@ -215,6 +231,20 @@ def kneser_ney_bigram_scores(
             "mean_surprisal_micro",
         )
     )
+    # Materialize while the caches are live, then unpersist — the
+    # bitext_ivf_recall discipline (r12 ADVICE item 3 / r13 ADVICE
+    # item 4): returning a lazy plan over the persisted frames would
+    # pin their cached blocks in long-lived sessions. The eager
+    # localCheckpoint holds only the RESULT (5 BIGINTs per doc, the
+    # job's output either way), distributed across executors and
+    # GC-cleaned with the frame.
+    try:
+        res = out.localCheckpoint(eager=True)
+    finally:
+        tk.unpersist()
+        bi_doc.unpersist()
+        bi.unpersist()
+    return res
 
 
 def _ngram_rows(tk: DataFrame, n: int, names: tuple[str, ...]) -> DataFrame:

@@ -1783,10 +1783,13 @@ def decode_media(media_df: DataFrame, *, fake: bool = False) -> DataFrame:
             "timing is real (mp3.parse_mp3_stream), Huffman spectral "
             "decode is real (mp3_huffman.py: bit reservoir, regions, "
             "linbits escapes, count1 — repo-canonical code tables, "
-            "documented), and so is the hybrid-filterbank back-half "
-            "— IMDCT, windowing, overlap-add, frequency inversion "
-            "(mp3_synth.py) — only inter-frame video codecs and the "
-            "final polyphase window stage remain lib-bound; pass "
+            "documented), and so is the full synthesis back-half — "
+            "IMDCT, windowing, overlap-add, frequency inversion "
+            "(mp3_synth.py) and the polyphase subband-to-PCM stage "
+            "(mp3_polyphase.py) — only general-purpose inter-frame "
+            "video codecs and arbitrary PIL/av container decoding "
+            "remain lib-bound (a repo-canonical intra+delta video "
+            "codec ships in video.py: decode_ipframe_video); pass "
             "fake=True for the deterministic stub"
         )
 

@@ -166,6 +166,16 @@ def suffix_dup_depth_counts(
     seeded = pos.join(seed_ids, "w").select(
         "doc_id", "p", "n_chars", F.col("_opid").alias("s0")
     )
+    # Base row per INPUT document (not per document-with-positions):
+    # a zero-length doc has no character positions, so every
+    # per-position aggregate is left-joined back onto this base and
+    # surfaces as an all-zero row instead of vanishing (r13 ADVICE
+    # item 3 — mirrors the oracle's per-document base CTE).
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.length(text_col).cast("long").alias("n_pos"),
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("p")
     keyed = seeded.select(
         "doc_id",
@@ -177,10 +187,7 @@ def suffix_dup_depth_counts(
         F.coalesce(F.lead("s0", 24).over(wdoc), F.lit(-1)).alias("s24"),
     ).persist()
     key_cols = {8: ["s0"], 16: ["s0", "s8"], 32: ["s0", "s8", "s16", "s24"]}
-    cur = keyed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pos"),
-        F.max("n_chars").cast("long").alias("n_chars"),
-    )
+    cur = base
     for depth in DUP_DEPTHS:
         cols = key_cols[depth]
         full = keyed.filter(F.col("p") + depth <= F.col("n_chars"))
@@ -211,12 +218,15 @@ def duck_suffix_oracle() -> str:
     window per depth, group by the literal substring, count sites."""
     pieces = []
     for d in DUP_DEPTHS:
+        # Per-document series bound (r13 ADVICE item 2): the lateral
+        # generate_series runs to length(text) - d per row, so no
+        # fixture-length assumption; a doc shorter than d yields an
+        # empty series (DuckDB: start > stop -> []).
         pieces.append(f"""
 w{d} AS (
-  SELECT doc_id, p.p, substr(text, p.p + 1, {d}) AS w
-  FROM documents
-  CROSS JOIN (SELECT unnest(generate_series(0, 2047)) AS p) p
-  WHERE p.p + {d} <= length(text)
+  SELECT d.doc_id, u.p, substr(d.text, u.p + 1, {d}) AS w
+  FROM documents d, unnest(generate_series(0, length(d.text) - {d}))
+       AS u(p)
 ),
 g{d} AS (
   SELECT w, count(*) AS n FROM w{d} GROUP BY 1

@@ -23,6 +23,7 @@ DOCS = [
     (3, "the cat"),          # shorter than depth 8 everywhere but p=0? no: len 7 < 8
     (4, "the cat sat on the mat and the cat sat again"),  # exact clone of 0
     (5, "xy"),
+    (6, ""),  # zero-length doc must still surface as an all-zero row
 ]
 
 
@@ -101,6 +102,14 @@ def test_dup_depth_counts_match_brute(spark):
     assert rows[4]["dup32"] == rows[4]["n_pos32"] > 0
     # the short docs contribute nothing at depths beyond their length
     assert rows[5]["n_pos8"] == 0 and rows[5]["dup8"] == 0
+    # the zero-length doc surfaces as an all-zero row, not a missing
+    # one (r13 ADVICE item 3: per-position aggregates left-join onto
+    # the per-document base)
+    assert rows[6]["n_chars"] == 0 and rows[6]["n_pos"] == 0
+    assert all(
+        rows[6][f"n_pos{d}"] == 0 and rows[6][f"dup{d}"] == 0
+        for d in DUP_DEPTHS
+    )
 
 
 def test_no_cross_document_bleed(spark):

@@ -153,15 +153,30 @@ def main() -> int:
               f"(driver-red since r{driver[name][0]:02d}, "
               f"{row['sec']}s)")
 
-    # Rotating never-sampled slice (r12 verdict item 5): most registry
-    # entries have never seen a driver verdict; run a deterministic
-    # 30-entry rotation of that set through the same driver-style
-    # compare each round so the whole registry cycles through
-    # driver-shape verification over time. Cursor = round * 30 over
-    # the sorted never-sampled list (wraps), recorded in the artifact.
+    # Rotating never-sampled slice (r12 verdict item 5; widened to 60
+    # per r13 verdict item 1): most registry entries have never seen a
+    # driver verdict; run a deterministic 60-entry rotation of that
+    # set through the same driver-style compare each round so the
+    # whole registry cycles through driver-shape verification over
+    # time. The cursor CHAINS from the previous round's artifact
+    # (start = prev_start + prev_size over the sorted never-sampled
+    # list, wrapping) so widening the slice never re-covers or skips
+    # a stretch; first round falls back to round*width.
     never = sorted(n for n in qs if n not in driver)
-    rot_n = min(30, len(never))
-    rot_start = (rnd * 30) % len(never) if never else 0
+    rot_width = 60
+    rot_n = min(rot_width, len(never))
+    rot_start = (rnd * rot_width) % len(never) if never else 0
+    prior = sorted(
+        p for p in glob.glob("STALE_RECHECK_r*.json")
+        if int(re.search(r"r(\d+)\.json$", p).group(1)) < rnd
+    )
+    if prior and never:
+        with open(prior[-1]) as f:
+            prev = json.load(f)
+        if "rotation_start" in prev and "rotation_size" in prev:
+            rot_start = (
+                prev["rotation_start"] + prev["rotation_size"]
+            ) % len(never)
     rotation = [never[(rot_start + i) % len(never)] for i in range(rot_n)]
     n_rot_green = 0
     for name in rotation:
@@ -193,7 +208,7 @@ def main() -> int:
         f.write("\n")
     print(f"{out_path}: {n_green}/{len(stale)} stale adjudicated green, "
           f"{n_rot_green}/{rot_n} rotation green "
-          f"(cursor {rot_start}/{len(never)})")
+          f"(cursor {rot_start}->{rot_start + rot_n}/{len(never)})")
     return 0 if (n_green == len(stale) and n_rot_green == rot_n) else 1
 
 
