@@ -247,6 +247,222 @@ def kneser_ney_bigram_scores(
     return res
 
 
+def kneser_ney_trigram_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = PPB,
+) -> DataFrame:
+    """Per-document surprisal under an interpolated KNESER-NEY
+    TRIGRAM LM with full backoff recursion (Chen & Goodman 1999's
+    interpolated-KN formulation; KenLM's default order is 5 — the
+    trigram proves the recursion generalizes beyond
+    :func:`kneser_ney_bigram_scores`'s single backoff level):
+
+        p(w3|w1w2) = (c(w1w2w3) - D3)+ / c(w1w2.)
+                   + lam3(w1w2) * p_KN(w3|w2)
+        p_KN(w3|w2) = (cc(w2w3) - D2)+ / cc(w2.)
+                   + lam2(w2) * P_cont(w3)
+
+    with MODIFIED lower-order counts (the KN hallmark, one level
+    deeper than the bigram version): cc(w2w3) = N1+(.w2w3) — in how
+    many distinct left contexts w1 does the bigram occur — and
+    P_cont(w3) = N1+(.w3) / N1+(..) taken over those modified
+    bigram types, so each lower level counts TYPES of the level
+    above, never raw tokens. Each level's absolute discount is the
+    exact RATIONAL D = n1/(n1+2n2) from that level's own
+    count-of-counts, with the independent degenerate fallback
+    (dn, dd) = (1, 2) when a level has no count-1/2 types (the
+    sf0.1 synthetic-corpus lesson, pytest-pinned per level).
+
+    Exactness: five documented ppb floor points replayed verbatim
+    by the oracle —
+
+      p2_ppb   = ((cc*dd2 - dn2) * scale) DIV (dd2 * ctxc)
+      lam2_ppb = ((dn2 * t2) * scale) DIV (dd2 * ctxc)
+      pl_ppb   = p2_ppb + (lam2_ppb * ncw3) DIV nall
+      p3_ppb   = ((c3*dd3 - dn3) * scale) DIV (dd3 * c2ctx)
+      lam3_ppb = ((dn3 * t3) * scale) DIV (dd3 * c2ctx)
+      p_ppb    = GREATEST(p3_ppb + (lam3_ppb * pl_ppb) DIV scale, 1)
+
+    then one float ln to micro-nats. Scored trigrams are observed
+    by construction (model trained on the corpus being scored), so
+    cc >= 1 and the discounted numerators never go negative
+    (cb*dd - dn >= dd*(cb-1) >= 0).
+
+    Scale (100 TB): counts are hash partial-aggs on <=3 string keys
+    (the modified counts cc are a count(*) over distinct trigram
+    TYPES — one extra shuffle on (w2,w3), never a second corpus
+    pass); both count-of-counts rows ride broadcast 1-row
+    aggregates; the apply join is a shuffle hash join on
+    (w1,w2,w3). Overflow guards are DIVISION comparisons over the
+    broadcast rows (pre-bounded operands, the r14 lm discipline):
+    max_c3 vs max_safe DIV dd3, dn3 vs max_safe DIV n3all (t3 <=
+    n3all), max_cc vs max_safe DIV dd2, dn2 vs max_safe DIV n2all
+    (t2 <= n2all), nall vs max_safe (lam2_ppb <= scale, ncw3 <=
+    nall), and the raw denominators dd3*c2ctx / dd2*ctxc via
+    (2^63-1) DIV sum-of-counts bounds. lam3_ppb*pl_ppb <=
+    2*scale^2 < 2^63 for scale <= 1e9, so the final mix needs no
+    guard. Any trip raises in-plan with the scale=1_000_000
+    remediation.
+
+    Returns: doc_id, n_tokens, n_trigrams, surprisal_micro,
+    mean_surprisal_micro (NULL when the doc has < 3 tokens).
+    """
+    out, handles = kneser_ney_trigram_plan(
+        docs, id_col=id_col, text_col=text_col, scale=scale
+    )
+    # eager materialize + unpersist: same leak discipline as the
+    # bigram version above; the un-materialized plan stays
+    # inspectable via kneser_ney_trigram_plan
+    try:
+        res = out.localCheckpoint(eager=True)
+    finally:
+        for h in handles:
+            h.unpersist()
+    return res
+
+
+def kneser_ney_trigram_plan(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = PPB,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The lazy plan behind :func:`kneser_ney_trigram_scores`:
+    returns ``(result, persisted handles)`` so plan-only callers can
+    unpersist without materializing."""
+    max_safe = (2**63 - 1) // scale
+    abs_max = 2**63 - 1
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
+    ).persist()
+
+    tri_doc = (
+        _ngram_rows(tk, 3, ("w1", "w2", "w3"))
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    tri = tri_doc.groupBy("w1", "w2", "w3").agg(
+        F.sum("cnt").cast("long").alias("c3")
+    ).persist()
+    ctx3 = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").cast("long").alias("c2ctx"),
+        F.count(F.lit(1)).cast("long").alias("t3"),
+    )
+    # modified bigram counts: cc(w2,w3) = distinct w1 types above
+    # (tri rows are distinct types, so count(*) IS the type count)
+    cc2 = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    ).persist()
+    ctxc = cc2.groupBy("w2").agg(
+        F.sum("cc").cast("long").alias("ctxc"),
+        F.count(F.lit(1)).cast("long").alias("t2"),
+    )
+    cont3 = cc2.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw3")
+    )
+
+    def _coc(frame: DataFrame, cnt: str, lvl: str) -> DataFrame:
+        # per-level count-of-counts -> exact-rational discount, with
+        # the independent degenerate (1, 2) fallback
+        return frame.agg(
+            F.sum((F.col(cnt) == 1).cast("long")).cast("long").alias("_n1"),
+            (
+                F.sum((F.col(cnt) == 1).cast("long"))
+                + 2 * F.sum((F.col(cnt) == 2).cast("long"))
+            ).cast("long").alias("_dd"),
+            F.count(F.lit(1)).cast("long").alias(f"n{lvl}all"),
+            F.max(cnt).cast("long").alias(f"max_{cnt}"),
+            F.sum(cnt).cast("long").alias(f"sum_{cnt}"),
+        ).select(
+            F.when(F.col("_dd") == 0, F.lit(1).cast("long"))
+            .otherwise(F.col("_n1")).alias(f"dn{lvl}"),
+            F.when(F.col("_dd") == 0, F.lit(2).cast("long"))
+            .otherwise(F.col("_dd")).alias(f"dd{lvl}"),
+            f"n{lvl}all",
+            f"max_{cnt}",
+            f"sum_{cnt}",
+        )
+
+    m3 = _coc(tri, "c3", "3")
+    m2 = _coc(cc2, "cc", "2").withColumnRenamed("n2all", "nall")
+
+    sc = (
+        tri.join(ctx3, ["w1", "w2"])
+        .join(cc2, ["w2", "w3"])
+        .join(ctxc, "w2")
+        .join(cont3, "w3")
+        .crossJoin(F.broadcast(m3))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.expr(
+                f"CASE WHEN max_c3 > {max_safe} DIV dd3"
+                f" OR dn3 > {max_safe} DIV GREATEST(n3all, 1)"
+                f" OR max_cc > {max_safe} DIV dd2"
+                f" OR dn2 > {max_safe} DIV GREATEST(nall, 1)"
+                f" OR nall > {max_safe}"
+                f" OR dd3 > {abs_max} DIV GREATEST(sum_c3, 1)"
+                f" OR dd2 > {abs_max} DIV GREATEST(sum_cc, 1) THEN "
+                f"CAST(raise_error(CONCAT("
+                f"'kneser_ney_trigram_scores: count magnitudes would "
+                f"overflow count*{scale} in BIGINT; ', "
+                f"'re-run with scale=1000000 (ppm)')) AS BIGINT) "
+                f"ELSE GREATEST("
+                f"(((c3 * dd3 - dn3) * {scale}) DIV (dd3 * c2ctx))"
+                f" + (((((dn3 * t3) * {scale}) DIV (dd3 * c2ctx))"
+                f" * ("
+                f"(((cc * dd2 - dn2) * {scale}) DIV (dd2 * ctxc))"
+                f" + (((((dn2 * t2) * {scale}) DIV (dd2 * ctxc))"
+                f" * ncw3) DIV nall)"
+                f")) DIV {scale}), CAST(1 AS BIGINT)) END"
+            ).alias("p_ppb"),
+        )
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.floor(
+                MICRO * F.log(F.lit(float(scale)) / F.col("p_ppb"))
+            ).cast("long").alias("s_micro"),
+        )
+    )
+
+    agg = (
+        tri_doc.join(sc, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_trigrams"),
+            F.sum(F.col("cnt") * F.col("s_micro")).cast("long").alias(
+                "surprisal_micro"
+            ),
+            F.expr(
+                "CAST(sum(cnt * s_micro) DIV sum(cnt) AS BIGINT)"
+            ).alias("mean_surprisal_micro"),
+        )
+    )
+    out = (
+        tk.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_trigrams"), F.lit(0).cast("long")).alias(
+                "n_trigrams"
+            ),
+            "surprisal_micro",
+            "mean_surprisal_micro",
+        )
+    )
+    return out, [tk, tri_doc, tri, cc2]
+
+
 def _ngram_rows(tk: DataFrame, n: int, names: tuple[str, ...]) -> DataFrame:
     """Explode each doc's token array into its order-n n-grams.
 

@@ -21,11 +21,14 @@ stdlib-only decode arm:
   (:func:`~advisorydatapipeline_spark.operators.jpeg_codec.decode_jpeg_pixels`).
 
 - MJPEG-AVI video: container walk + per-frame baseline-JPEG decode
-  with true skip-unsampled cost (operators/video.py).
+  with true skip-unsampled cost (operators/video.py);
+- IPV1 inter-frame video (r14): I-frame + mod-256 P-frame deltas
+  decoded through the reference chain (operators/video.py), sampled
+  here by :func:`sample_frames`'s real path.
 
-Only the genuinely library-bound arms remain stubbed:
-:func:`decode_media` (INTER-frame video codecs / non-baseline JPEG
-color) raises
+Exactly ONE library-bound arm remains stubbed: :func:`decode_media`
+for payloads in FOREIGN containers (standardized inter codecs
+H.264/VP9/AV1, non-baseline JPEG color) raises
 ``NotImplementedError`` unless the optional codec import succeeds
 (import-try gate), or runs a clearly-marked deterministic fake when
 ``fake=True``.
@@ -1819,17 +1822,20 @@ def sample_frames(
     media_df: DataFrame, every_n: int = 30, *, fake: bool = False
 ) -> DataFrame:
     """Frame sampling for video payloads (1->N row expansion through
-    mapInPandas — the plumbing a real decoder plugs into). STUBBED
-    like :func:`decode_media`."""
-    if not fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "frame sampling requires video codec libraries; pass "
-            "fake=True for the deterministic stub"
-        )
-
+    mapInPandas). REAL for the repo's codec-free containers (r14 —
+    retires the last multimodal NotImplementedError): MJPEG-AVI
+    payloads go through the RIFF walk + full JPEG entropy decode
+    (operators/video.decode_avi_frames) and IPV1 streams through the
+    inter-frame reference-chain decode
+    (operators/video.decode_ipframe_video); ``frame_hash`` is the
+    md5 of the decoded frame's scalar signature, so a decode defect
+    changes the output. Payloads in foreign containers (H.264 etc.)
+    contribute zero rows on the real path — decoding THOSE still
+    needs codec libraries; ``fake=True`` keeps the deterministic
+    stub for plumbing tests."""
     schema = "media_id long, frame_idx int, frame_hash string"
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def op_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
@@ -1851,4 +1857,52 @@ def sample_frames(
                 rows, columns=["media_id", "frame_idx", "frame_hash"]
             )
 
-    return media_df.mapInPandas(op, schema)
+    def op_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from advisorydatapipeline_spark.operators.video import (
+            decode_avi_frames,
+            decode_ipframe_video,
+        )
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "video":
+                    continue
+                b = (
+                    bytes(row["payload"])
+                    if row["payload"] is not None
+                    else b""
+                )
+                sigs: list[tuple[int, tuple]] = []
+                try:
+                    if b[:4] == b"IPV1":
+                        sigs = [
+                            (f, rest)
+                            for f, *rest in decode_ipframe_video(
+                                b, every_n
+                            )
+                        ]
+                    elif b[:4] == b"RIFF":
+                        sigs = [
+                            (f, rest)
+                            for f, *rest in decode_avi_frames(
+                                b, every_n
+                            )
+                        ]
+                except ValueError:
+                    continue
+                for f, sig in sigs:
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": f,
+                            "frame_hash": hashlib.md5(
+                                repr(tuple(sig)).encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_hash"]
+            )
+
+    return media_df.mapInPandas(op_fake if fake else op_real, schema)

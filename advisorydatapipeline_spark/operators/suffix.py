@@ -212,6 +212,284 @@ def suffix_dup_depth_counts(
     )
 
 
+SPAN_DEPTH = 16  # Lee et al. duplicated-window threshold (chars)
+LCP_CAP = 32  # neighbor LCP computed exactly up to this depth
+LCP_FLOOR = 8  # below the seed depth the group trick cannot see
+
+
+def _char_lcp(a: str, b: str) -> str:
+    """SQL expression: exact common-prefix length of two <= 8-char
+    block strings — a short-circuiting fold (acc advances only while
+    every prior character matched and the character exists)."""
+    return (
+        f"aggregate(sequence(1, 8), 0, (acc, i) -> "
+        f"IF(acc = i - 1 AND substr({a}, i, 1) = substr({b}, i, 1) "
+        f"AND substr({a}, i, 1) != '', i, acc))"
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_depth: int = SPAN_DEPTH,
+) -> DataFrame:
+    """Exact MAXIMAL duplicated spans per document — the actual dedup
+    unit of Lee et al. 2022 (their ExactSubstr removes the maximal
+    span around every duplicated 50-token window), extracted from the
+    suffix ranks via neighbor LCP (r13 verdict item 2).
+
+    Mechanism — LCP between rank-adjacent suffixes, ONE ``lead()``
+    over the suffix-rank order:
+
+    1. Seed ranks ``s0`` via :func:`order_preserving_ids` (the shared
+       rank helper) + per-doc ``lead`` of the seed rank/window at
+       offsets 8/16/24 — the same one-shuffle doubling-identity
+       staging as :func:`suffix_dup_depth_counts`.
+    2. Suffixes sharing a seed rank form a CONTIGUOUS run of the
+       suffix array (a prefix interval), so a window partitioned by
+       ``s0`` and ordered by the shifted ranks (s8, s16, s24) IS the
+       suffix-array order restricted to that interval: ``lead()``
+       there reaches exactly the global rank neighbor for every pair
+       with LCP >= 8 (pairs below the seed depth sit in different
+       intervals and cannot reach ``span_depth`` anyway).
+    3. Neighbor LCP, exact and capped at :data:`LCP_CAP`: walk the
+       8-char rank blocks while they agree (rank equality == block
+       equality, the prefix-doubling identity), then one character
+       fold (:func:`_char_lcp`) inside the first disagreeing block;
+       clamp by both suffix lengths (the end-of-document sentinel).
+       ``dup_len(p) = max(lcp prev-neighbor, lcp next-neighbor)`` is
+       the length of the longest duplicated prefix of suffix p —
+       computed with ONE window: lcp-to-next via ``lead``, then
+       lcp-to-prev as ``lag`` of that value over the same sort.
+    4. A position is duplicated iff ``dup_len >= span_depth``; the
+       maximal spans are the merged intervals ``[p, p+span_depth)``
+       over duplicated positions (gaps-and-islands per doc: a new
+       island starts when p > prev_p + span_depth). The union equals
+       the true maximal duplicated regions because every position
+       inside a region up to its last window start is flagged, so
+       consecutive flagged windows chain to the exact region end.
+
+    Returns one row per input document (empty docs included):
+    ``doc_id, n_chars, n_dup_pos, n_spans, dup_chars, max_span,
+    max_lcp`` — max_lcp is the per-doc maximum neighbor LCP in
+    [LCP_FLOOR, LCP_CAP] (0 when no duplicated prefix reaches the
+    floor), i.e. the longest duplicated substring length capped at
+    LCP_CAP.
+
+    Scale (100 TB): every stage shuffles O(corpus chars) rows; the
+    rank-neighbor window carries 3 longs + 3 8-char residual blocks
+    per position (~60 B), partitioned by seed rank — group size =
+    occurrences of an 8-gram, the classic prefix-interval skew; a
+    production run over web-scale text raises the seed depth (one
+    :func:`prefix_doubling_ranks` round -> 16-char intervals) to
+    split hot groups, exactly as Lee et al. shard their suffix array
+    by prefix. The island merge is a per-doc window over the FLAGGED
+    subset only. The DuckDB oracle brute-enumerates full windows and
+    merges islands from literal substring group counts — no ranks,
+    no doubling, no LCP — so the two sides share no structure.
+    """
+    out, dup = duplicate_span_plan(docs, id_col, text_col, span_depth)
+    # dup feeds per_pos AND the island pipeline within one action;
+    # eager materialize + unpersist (the lm.py leak discipline). The
+    # UN-materialized plan stays inspectable via duplicate_span_plan
+    # (tests/test_explain_plans.py pins its shuffle shape).
+    try:
+        res = out.localCheckpoint(eager=True)
+    finally:
+        dup.unpersist()
+    return res
+
+
+def duplicate_span_plan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_depth: int = SPAN_DEPTH,
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy plan behind :func:`duplicate_span_stats`: returns
+    ``(result, persisted dup handle)`` so callers that only inspect
+    the plan can unpersist without materializing."""
+    if span_depth < LCP_FLOOR or span_depth > LCP_CAP:
+        raise ValueError(
+            f"span_depth must lie in [{LCP_FLOOR}, {LCP_CAP}] (the "
+            f"seed-interval window sees LCP only from {LCP_FLOOR} and "
+            f"ranks stop at {LCP_CAP})"
+        )
+    pos = corpus_positions(docs, id_col, text_col)
+    seed_ids = order_preserving_ids(pos.select("w"), ["w"])
+    seeded = pos.join(seed_ids, "w").select(
+        "doc_id", "p", "n_chars", "w", F.col("_opid").alias("s0")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    keyed = seeded.select(
+        "doc_id",
+        "p",
+        (F.col("n_chars") - F.col("p")).alias("slen"),
+        "s0",
+        F.coalesce(F.lead("s0", 8).over(wdoc), F.lit(-1)).alias("s8"),
+        F.coalesce(F.lead("s0", 16).over(wdoc), F.lit(-1)).alias("s16"),
+        F.coalesce(F.lead("s0", 24).over(wdoc), F.lit(-1)).alias("s24"),
+        F.coalesce(F.lead("w", 8).over(wdoc), F.lit("")).alias("w8"),
+        F.coalesce(F.lead("w", 16).over(wdoc), F.lit("")).alias("w16"),
+        F.coalesce(F.lead("w", 24).over(wdoc), F.lit("")).alias("w24"),
+    )
+    # suffix-array order inside each seed prefix interval
+    wsa = Window.partitionBy("s0").orderBy("s8", "s16", "s24", "doc_id", "p")
+    lead_cols = {
+        c: F.lead(c).over(wsa).alias(f"b_{c}")
+        for c in ("s8", "s16", "s24", "w8", "w16", "w24", "slen")
+    }
+    nb = keyed.select("doc_id", "p", "slen", "s0", "s8", "s16", "s24",
+                      "w8", "w16", "w24", *lead_cols.values())
+    lcp_next = F.when(F.col("b_slen").isNull(), F.lit(0)).otherwise(
+        F.least(
+            F.expr(
+                "CASE WHEN s8 != b_s8 THEN 8 + "
+                + _char_lcp("w8", "b_w8")
+                + " WHEN s16 != b_s16 THEN 16 + "
+                + _char_lcp("w16", "b_w16")
+                + " WHEN s24 != b_s24 THEN 24 + "
+                + _char_lcp("w24", "b_w24")
+                + f" ELSE {LCP_CAP} END"
+            ),
+            F.col("slen"),
+            F.col("b_slen"),
+        )
+    ).cast("long")
+    with_next = nb.select(
+        "doc_id", "p", "s0", "s8", "s16", "s24",
+        lcp_next.alias("lcp_next"),
+    )
+    # lcp with the PREVIOUS rank neighbor = the previous row's
+    # lcp_next, read back over the SAME sort (no extra shuffle: both
+    # windows share the partitioning and ordering)
+    dup = with_next.select(
+        "doc_id",
+        "p",
+        F.greatest(
+            "lcp_next",
+            F.coalesce(F.lag("lcp_next").over(wsa), F.lit(0).cast("long")),
+        ).alias("dup_len"),
+    ).persist()
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    per_pos = dup.groupBy("doc_id").agg(
+        F.sum((F.col("dup_len") >= span_depth).cast("long"))
+        .cast("long")
+        .alias("n_dup_pos"),
+        F.max(
+            F.when(F.col("dup_len") >= LCP_FLOOR, F.col("dup_len"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("max_lcp"),
+    )
+    flagged = dup.filter(F.col("dup_len") >= span_depth).select(
+        "doc_id", "p"
+    )
+    wisl = Window.partitionBy("doc_id").orderBy("p")
+    islands = flagged.withColumn(
+        "brk",
+        F.when(
+            F.col("p") > F.lag("p").over(wisl) + span_depth, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("isl", F.sum("brk").over(wisl))
+    spans = islands.groupBy("doc_id", "isl").agg(
+        (F.max("p") + span_depth - F.min("p")).alias("span_len")
+    )
+    per_span = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("dup_chars"),
+        F.max("span_len").cast("long").alias("max_span"),
+    )
+    out = (
+        base.join(per_pos, "doc_id", "left")
+        .join(per_span, "doc_id", "left")
+        .fillna(0, ["n_dup_pos", "max_lcp", "n_spans", "dup_chars",
+                    "max_span"])
+        .select("doc_id", "n_chars", "n_dup_pos", "n_spans",
+                "dup_chars", "max_span", "max_lcp")
+    )
+    return out, dup
+
+
+def duck_span_oracle(span_depth: int = SPAN_DEPTH) -> str:
+    """Brute span oracle — structurally different algorithm: literal
+    full-window substring enumeration + corpus-wide group counts for
+    the duplicated flags AND for max_lcp (every depth 8..32 probed
+    over positions pre-filtered by depth-8 duplication, which is
+    sound because a duplicated d-window implies a duplicated 8-window
+    at the same site on BOTH members of the pair); islands merged by
+    a lag/cumulative-sum window over flagged positions."""
+    d = span_depth
+    return f"""
+WITH a8 AS (
+  SELECT dd.doc_id, u.p, substr(dd.text, u.p + 1, 8) AS w
+  FROM documents dd, unnest(generate_series(0, length(dd.text) - 8))
+       AS u(p)
+),
+g8 AS (SELECT w, count(*) AS n FROM a8 GROUP BY 1),
+f8 AS (
+  SELECT a8.doc_id, a8.p FROM a8 JOIN g8 USING (w) WHERE g8.n >= 2
+),
+dw AS (
+  SELECT f8.doc_id, f8.p, dd.d,
+         substr(doc.text, f8.p + 1, dd.d) AS w
+  FROM f8
+  JOIN documents doc ON doc.doc_id = f8.doc_id
+  CROSS JOIN (SELECT unnest(generate_series(8, 32)) AS d) dd
+  WHERE f8.p + dd.d <= length(doc.text)
+),
+gd AS (SELECT d, w, count(*) AS n FROM dw GROUP BY 1, 2),
+lcp AS (
+  SELECT dw.doc_id, dw.p, CAST(max(dw.d) AS BIGINT) AS dup_len
+  FROM dw JOIN gd ON gd.d = dw.d AND gd.w = dw.w
+  WHERE gd.n >= 2
+  GROUP BY 1, 2
+),
+flags AS (SELECT doc_id, p FROM lcp WHERE dup_len >= {d}),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev_p IS NOT NULL AND p > prev_p + {d}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM (
+    SELECT doc_id, p,
+           lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+    FROM flags
+  )
+),
+sp AS (
+  SELECT doc_id, isl, max(p) + {d} - min(p) AS span_len
+  FROM isl GROUP BY 1, 2
+),
+per_span AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_len) AS BIGINT) AS dup_chars,
+         CAST(max(span_len) AS BIGINT) AS max_span
+  FROM sp GROUP BY 1
+),
+per_pos AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN dup_len >= {d} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_pos,
+         CAST(max(dup_len) AS BIGINT) AS max_lcp
+  FROM lcp GROUP BY 1
+)
+SELECT b.doc_id, CAST(length(b.text) AS BIGINT) AS n_chars,
+       COALESCE(pp.n_dup_pos, 0) AS n_dup_pos,
+       COALESCE(ps.n_spans, 0) AS n_spans,
+       COALESCE(ps.dup_chars, 0) AS dup_chars,
+       COALESCE(ps.max_span, 0) AS max_span,
+       COALESCE(pp.max_lcp, 0) AS max_lcp
+FROM documents b
+LEFT JOIN per_pos pp ON pp.doc_id = b.doc_id
+LEFT JOIN per_span ps ON ps.doc_id = b.doc_id
+"""
+
+
 def duck_suffix_oracle() -> str:
     """Brute substring-enumeration oracle — a structurally DIFFERENT
     algorithm (no ranks, no doubling): explode every full-length

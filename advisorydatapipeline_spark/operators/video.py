@@ -20,9 +20,12 @@ rest — is implementable end to end without any codec library.
   narrow, Arrow-batched; payload bytes never shuffle; 1 -> N row
   expansion to (media_id, frame_idx, width, height, pixel_sum).
 
-ValueError-only corruption contract like every codec arm. What
-remains genuinely lib-bound after this: inter-frame codecs
-(H.264/VP9/AV1 motion compensation) and lossy audio (MP3/AAC).
+ValueError-only corruption contract like every codec arm. The IPV1
+section below (r14) adds a repo-canonical INTER-frame codec —
+I-frames + mod-256 P-frame deltas with the reference-chain decode
+loop real — so what remains lib-bound is only full standardized
+inter codecs (H.264/VP9/AV1 motion compensation + entropy coding);
+lossy audio shipped in r13 (mp3_huffman/mp3_synth/mp3_polyphase).
 
 Reference twin: none — the reference (Idanconley123/advisoryDataPipeline)
 contains no media code; this is north-star multimodal surface
@@ -182,6 +185,180 @@ def decode_avi_frames(
             f += 1
         pos += 8 + csize + (csize % 2)
     return out
+
+
+# --- IPV1: repo-canonical INTRA + DELTA (I/P-frame) video codec -------
+#
+# r13 verdict item 6: retire the "inter-frame video codecs are
+# lib-bound" arm the way mp3_huffman retired lossy audio. IPV1 is an
+# MPEG-1-GOP-style stand-in, documented and byte-exact: I-frames carry
+# the full 8-bit luma plane; P-frames carry the per-pixel mod-256
+# delta against the RECONSTRUCTED previous frame (the defining
+# inter-frame property: a frame is only decodable through its
+# reference chain back to the last I-frame — proven by the pytest
+# that corrupts a mid-GOP P-frame and shows the damage propagates to
+# the end of the GOP and stops at the next I-frame). Real inter
+# codecs add motion vectors + DCT residuals; the reference-chain
+# decode loop, GOP structure, and sampling cost model are what this
+# codec makes real without codec libraries.
+
+IPV_MAGIC = b"IPV1"
+IPV_FRAME_W, IPV_FRAME_H = 24, 16
+IPV_BLOCKS = 6  # 3x2 grid of 8x8 luma blocks
+IPV_GOP = 4  # I-frame every 4 frames
+
+
+def ipv_block_value(doc_id: int, f: int, b: int) -> int:
+    """Flat luma of block ``b`` in frame ``f`` of doc ``doc_id`` —
+    the spec the encoder realizes and the DuckDB oracle replays:
+    mix2(doc_id*128 + f*8 + b) % 251."""
+    return _mix2(doc_id * 128 + f * 8 + b) % 251
+
+
+def _ipv_plane(doc_id: int, f: int):
+    import numpy as np
+
+    plane = np.empty((IPV_FRAME_H, IPV_FRAME_W), dtype=np.uint8)
+    for b in range(IPV_BLOCKS):
+        r, c = (b // 3) * 8, (b % 3) * 8
+        plane[r : r + 8, c : c + 8] = ipv_block_value(doc_id, f, b)
+    return plane
+
+
+def encode_ipframe_video(doc_id: int, *, gop: int = IPV_GOP) -> bytes:
+    """IPV1 stream for ``doc_id``: magic, u16le width/height, u16le
+    n_frames (= 8 + doc_id % 5), u8 gop; then per frame one type byte
+    (0x49 'I' / 0x50 'P') + w*h payload bytes — raw plane for I,
+    mod-256 delta vs the previous RECONSTRUCTED plane for P."""
+    import numpy as np
+
+    n_frames = 8 + doc_id % 5
+    head = (
+        IPV_MAGIC
+        + IPV_FRAME_W.to_bytes(2, "little")
+        + IPV_FRAME_H.to_bytes(2, "little")
+        + n_frames.to_bytes(2, "little")
+        + gop.to_bytes(1, "little")
+    )
+    parts = [head]
+    prev = None
+    for f in range(n_frames):
+        plane = _ipv_plane(doc_id, f)
+        if f % gop == 0:
+            parts.append(b"\x49" + plane.tobytes())
+        else:
+            delta = (
+                plane.astype(np.int16) - prev.astype(np.int16)
+            ) % 256
+            parts.append(b"\x50" + delta.astype(np.uint8).tobytes())
+        prev = plane
+    return b"".join(parts)
+
+
+def decode_ipframe_video(
+    payload: bytes, every_n: int = 1
+) -> list[tuple[int, int, int, int, int, int]]:
+    """[(frame_idx, is_iframe, width, height, pixel_sum, resid_sum)]
+    for every ``every_n``-th frame of an IPV1 stream. EVERY frame's
+    bytes are parsed and applied — unlike MJPEG-AVI's length-skip,
+    sampling an inter-coded stream still pays the reference chain
+    (the honest cost model of I/P codecs). ``resid_sum`` is the raw
+    delta-byte sum of a P-frame (0 for I-frames): a direct probe of
+    the wire bytes, while ``pixel_sum`` probes the reconstruction.
+    ValueError-only corruption contract."""
+    import numpy as np
+
+    if payload[:4] != IPV_MAGIC:
+        raise ValueError("not an IPV1 payload")
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if len(payload) < 11:
+        raise ValueError("IPV1 header truncated")
+    w = int.from_bytes(payload[4:6], "little")
+    h = int.from_bytes(payload[6:8], "little")
+    n_frames = int.from_bytes(payload[8:10], "little")
+    gop = payload[10]
+    if not (w and h and gop):
+        raise ValueError("IPV1 zero dimension or gop")
+    fsz = 1 + w * h
+    if len(payload) != 11 + n_frames * fsz:
+        raise ValueError("IPV1 payload length mismatch")
+    out = []
+    prev = None
+    pos = 11
+    for f in range(n_frames):
+        ftype = payload[pos]
+        body = np.frombuffer(
+            payload[pos + 1 : pos + fsz], dtype=np.uint8
+        ).astype(np.int64)
+        pos += fsz
+        if ftype == 0x49:
+            cur = body
+            resid = 0
+        elif ftype == 0x50:
+            if prev is None:
+                raise ValueError("IPV1 P-frame before any I-frame")
+            cur = (prev + body) % 256
+            resid = int(body.sum())
+        else:
+            raise ValueError(f"IPV1 unknown frame type {ftype:#x}")
+        if (f % gop == 0) != (ftype == 0x49):
+            raise ValueError("IPV1 frame type disagrees with GOP")
+        if f % every_n == 0:
+            out.append(
+                (f, int(ftype == 0x49), w, h, int(cur.sum()), resid)
+            )
+        prev = cur
+    return out
+
+
+def ipframe_frame_samples(
+    media_df: DataFrame, *, every_n: int = 3
+) -> DataFrame:
+    """Frame sampling over IPV1 payloads via
+    :func:`decode_ipframe_video`; corrupt / non-IPV1 payloads
+    contribute zero rows. mapInPandas, narrow, Arrow-batched —
+    payload bytes never shuffle; 7 scalar columns per sampled frame
+    leave the operator."""
+    schema = (
+        "media_id long, frame_idx int, is_iframe int, width int, "
+        "height int, pixel_sum long, resid_sum long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                b = (
+                    bytes(row["payload"])
+                    if row["payload"] is not None
+                    else b""
+                )
+                try:
+                    frames = decode_ipframe_video(b, every_n)
+                except ValueError:
+                    continue
+                for f, isi, w, h, ps, rs in frames:
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": f,
+                            "is_iframe": isi,
+                            "width": w,
+                            "height": h,
+                            "pixel_sum": ps,
+                            "resid_sum": rs,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "is_iframe", "width",
+                    "height", "pixel_sum", "resid_sum",
+                ],
+            )
+
+    return media_df.mapInPandas(op, schema)
 
 
 def avi_frame_samples(

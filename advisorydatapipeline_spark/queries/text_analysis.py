@@ -1461,6 +1461,124 @@ def kn_bigram_scores(spark, sf_dir):
     return kneser_ney_bigram_scores(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "kn_trigram_scores",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {_T} AS tk FROM documents
+),
+tri_doc AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tk, unnest(generate_series(1, len(tk)-2)) AS u(i)
+  WHERE len(tk) >= 3
+  GROUP BY 1, 2, 3, 4
+),
+tri AS (
+  SELECT w1, w2, w3, CAST(sum(cnt) AS BIGINT) AS c3
+  FROM tri_doc GROUP BY 1, 2, 3
+),
+ctx3 AS (
+  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2ctx,
+         CAST(count(*) AS BIGINT) AS t3
+  FROM tri GROUP BY 1, 2
+),
+cc2 AS (
+  SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc FROM tri GROUP BY 1, 2
+),
+ctxc AS (
+  SELECT w2, CAST(sum(cc) AS BIGINT) AS ctxc,
+         CAST(count(*) AS BIGINT) AS t2
+  FROM cc2 GROUP BY 1
+),
+cont3 AS (
+  SELECT w3, CAST(count(*) AS BIGINT) AS ncw3 FROM cc2 GROUP BY 1
+),
+m30 AS (
+  SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+              + 2 * sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dd0
+  FROM tri
+),
+m3 AS (
+  SELECT CASE WHEN dd0 = 0 THEN 1 ELSE n1 END AS dn3,
+         CASE WHEN dd0 = 0 THEN 2 ELSE dd0 END AS dd3
+  FROM m30
+),
+m20 AS (
+  SELECT CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END)
+              + 2 * sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dd0,
+         CAST(count(*) AS BIGINT) AS nall
+  FROM cc2
+),
+m2 AS (
+  SELECT CASE WHEN dd0 = 0 THEN 1 ELSE n1 END AS dn2,
+         CASE WHEN dd0 = 0 THEN 2 ELSE dd0 END AS dd2,
+         nall
+  FROM m20
+),
+sc AS (
+  SELECT t.w1, t.w2, t.w3,
+         CAST(floor(1000000 * ln(1000000000.0 / GREATEST(
+           (((t.c3 * m3.dd3 - m3.dn3) * 1000000000)
+             // (m3.dd3 * x3.c2ctx))
+           + (((((m3.dn3 * x3.t3) * 1000000000)
+                // (m3.dd3 * x3.c2ctx))
+               * (
+                 (((b.cc * m2.dd2 - m2.dn2) * 1000000000)
+                   // (m2.dd2 * xc.ctxc))
+                 + (((((m2.dn2 * xc.t2) * 1000000000)
+                      // (m2.dd2 * xc.ctxc))
+                     * o.ncw3) // m2.nall)
+               )) // 1000000000),
+           1
+         ))) AS BIGINT) AS s_micro
+  FROM tri t
+  JOIN ctx3 x3 ON x3.w1 = t.w1 AND x3.w2 = t.w2
+  JOIN cc2 b ON b.w2 = t.w2 AND b.w3 = t.w3
+  JOIN ctxc xc ON xc.w2 = t.w2
+  JOIN cont3 o ON o.w3 = t.w3
+  CROSS JOIN m3 CROSS JOIN m2
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(sum(d.cnt) AS BIGINT) AS n_trigrams,
+         CAST(sum(d.cnt * s.s_micro) AS BIGINT) AS surprisal_micro,
+         CAST(sum(d.cnt * s.s_micro) // sum(d.cnt) AS BIGINT)
+           AS mean_surprisal_micro
+  FROM tri_doc d
+  JOIN sc s ON s.w1 = d.w1 AND s.w2 = d.w2 AND s.w3 = d.w3
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_trigrams, 0) AS n_trigrams,
+       a.surprisal_micro,
+       a.mean_surprisal_micro
+FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+)
+def kn_trigram_scores(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM LM with full backoff recursion
+    (r13 verdict item 8): the discounted trigram level backs off into
+    a discounted MODIFIED-COUNT bigram level (cc(w2w3) = in how many
+    distinct left contexts the bigram appears), which backs off into
+    the continuation unigram — each level's absolute discount an
+    exact rational from that level's own count-of-counts with an
+    independent degenerate (1,2) fallback. Five documented ppb floor
+    points, one final float ln; the oracle replays every floor
+    verbatim (operators/lm.py:kneser_ney_trigram_scores for the
+    scale + division-form overflow-guard notes)."""
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_trigram_scores,
+    )
+
+    return kneser_ney_trigram_scores(load(spark, sf_dir, "documents"))
+
+
 # --- Gopher quality rules (Rae et al. 2021 §A1.1) --------------------
 
 # the fixed Gopher stop list ("must contain >= 2 of"): a presence

@@ -286,6 +286,9 @@ EXTENDED = [
     "self_consistency_vote",
     "nucleus_topp_plan",
     "quant_calibration_absmax",
+    "duplicate_spans_exact",
+    "kn_trigram_scores",
+    "video_pframe_decode",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",

@@ -324,6 +324,68 @@ def test_merge_into_single_join_no_extra_shuffle(spark):
     assert "Window" not in p
 
 
+def test_duplicate_span_plan_shape(spark, sf_dir):
+    """The r14 span extractor's scale contract: every window is
+    PARTITIONED (seed-rank prefix intervals / per-doc), the two
+    rank-neighbor windows (lead + lag) share one sort order so
+    Catalyst plans them back-to-back without a second exchange, and
+    nothing degrades to a cartesian product."""
+    from advisorydatapipeline_spark.operators.suffix import (
+        duplicate_span_plan,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    out, dup = duplicate_span_plan(load(spark, sf_dir, "documents"))
+    try:
+        p = plan(out)
+        assert "CartesianProduct" not in p
+        # the lead and lag windows over the rank order appear as
+        # adjacent Window nodes with NO exchange between them
+        import re
+
+        segs = re.split(r"Exchange", p)
+        assert any(seg.count("Window") >= 2 for seg in segs)
+        # plan_audit's detector agrees every window is partitioned
+        import sys
+
+        sys.path.insert(0, "tools")
+        from plan_audit import global_window_count
+
+        out.collect()
+        from plan_audit import plan_of
+
+        assert global_window_count(plan_of(out)) == 0
+    finally:
+        dup.unpersist()
+
+
+def test_kn_trigram_plan_shape(spark, sf_dir):
+    """KN trigram scale contract: the two count-of-counts model rows
+    ride broadcast nested-loop joins (1-row frames), the apply join
+    on (w1,w2,w3) stays a hash/sort-merge join, and no window exists
+    anywhere (the per-doc n-gram slide is a map-side transform)."""
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_trigram_plan,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    out, handles = kneser_ney_trigram_plan(
+        load(spark, sf_dir, "documents")
+    )
+    try:
+        p = plan(out)
+        assert p.count("BroadcastNestedLoopJoin") == 2  # m3 and m2
+        assert (
+            p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+            + p.count("BroadcastHashJoin") >= 5
+        )
+        assert "Window" not in p
+        assert "CartesianProduct" not in p
+    finally:
+        for h in handles:
+            h.unpersist()
+
+
 def test_global_window_detector_calibrated(spark, sf_dir):
     """Pin tools/plan_audit.global_window_count against known plans:
     a partition-less rank must count > 0, a partitioned window must

@@ -278,3 +278,175 @@ def test_kneser_ney_degenerate_count_of_counts(spark):
     rows = kneser_ney_bigram_scores(df).collect()
     assert all(r["surprisal_micro"] is not None for r in rows)
     assert all(r["n_bigrams"] == 7 for r in rows)
+
+
+def _kn_trigram_reference(docs, scale=1_000_000_000):
+    """Literal pure-Python transcription of the interpolated-KN
+    trigram spec (modified lower-order counts, per-level rational
+    discounts, the five documented ppb floor points)."""
+    import math
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs}
+    tri = Counter(
+        g for tk in toks.values() for g in zip(tk, tk[1:], tk[2:])
+    )
+    ctx3, t3 = Counter(), Counter()
+    cc2 = Counter()
+    seen_w1 = set()
+    for (w1, w2, w3), c in tri.items():
+        ctx3[(w1, w2)] += c
+        t3[(w1, w2)] += 1
+        if (w1, w2, w3) not in seen_w1:
+            cc2[(w2, w3)] += 1  # tri keys are distinct types already
+            seen_w1.add((w1, w2, w3))
+    ctxc, t2, ncw3 = Counter(), Counter(), Counter()
+    for (w2, w3), c in cc2.items():
+        ctxc[w2] += c
+        t2[w2] += 1
+        ncw3[w3] += 1
+    nall = len(cc2)
+
+    def _disc(counter):
+        n1 = sum(1 for c in counter.values() if c == 1)
+        n2 = sum(1 for c in counter.values() if c == 2)
+        dd0 = n1 + 2 * n2
+        return (1, 2) if dd0 == 0 else (n1, dd0)
+
+    dn3, dd3 = _disc(tri)
+    dn2, dd2 = _disc(cc2)
+
+    def s_micro(g):
+        w1, w2, w3 = g
+        p2 = ((cc2[(w2, w3)] * dd2 - dn2) * scale) // (dd2 * ctxc[w2])
+        lam2 = ((dn2 * t2[w2]) * scale) // (dd2 * ctxc[w2])
+        pl = p2 + (lam2 * ncw3[w3]) // nall
+        p3 = ((tri[g] * dd3 - dn3) * scale) // (dd3 * ctx3[(w1, w2)])
+        lam3 = ((dn3 * t3[(w1, w2)]) * scale) // (dd3 * ctx3[(w1, w2)])
+        p = max(p3 + (lam3 * pl) // scale, 1)
+        return math.floor(1_000_000 * math.log(scale / p))
+
+    out = {}
+    for d, _t in docs:
+        tk = toks[d]
+        grams = list(zip(tk, tk[1:], tk[2:]))
+        if grams:
+            tot = sum(s_micro(g) for g in grams)
+            out[d] = (len(tk), len(grams), tot, tot // len(grams))
+        else:
+            out[d] = (len(tk), 0, None, None)
+    return out
+
+
+def test_kn_trigram_matches_hand_computation(spark):
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_trigram_scores,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat and the cat ran"),
+        (1, "the cat ate the fish on the mat"),
+        (2, "a dog sat on a log"),
+        (3, "too few"),  # < 3 tokens: no trigrams
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_trigrams"],
+            r["surprisal_micro"],
+            r["mean_surprisal_micro"],
+        )
+        for r in kneser_ney_trigram_scores(df).collect()
+    }
+    assert got == _kn_trigram_reference(docs)
+    # this corpus exercises the REAL discount path at BOTH levels
+    from collections import Counter
+
+    toks = [t.split() for _d, t in docs]
+    tri = Counter(g for tk in toks for g in zip(tk, tk[1:], tk[2:]))
+    assert any(c == 1 for c in tri.values())  # trigram n1 > 0
+    cc2 = Counter((w2, w3) for (w1, w2, w3) in tri)
+    assert any(c == 1 for c in cc2.values())  # modified-count n1 > 0
+
+
+def test_kn_trigram_degenerate_levels_fall_back(spark):
+    """Each level's count-of-counts fallback is INDEPENDENT: one
+    corpus degenerates the trigram level only (every trigram count
+    >= 3 but modified counts hit 1), the other degenerates the
+    modified-count level only (all trigram counts are 1 but every
+    modified bigram count is 3). Values must match the reference
+    model run with the same per-level fallback, never divide by
+    zero."""
+    from collections import Counter
+
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_trigram_scores,
+    )
+
+    # level-3 degenerate: every trigram type repeats >= 3 times
+    docs_a = [(i, "x y z x y z x y z x y z") for i in range(4)]
+    tri = Counter(
+        g
+        for _d, t in docs_a
+        for g in zip(t.split(), t.split()[1:], t.split()[2:])
+    )
+    assert all(c >= 3 for c in tri.values())
+    cc = Counter((w2, w3) for (w1, w2, w3) in tri)
+    assert any(c in (1, 2) for c in cc.values())  # level 2 NOT degen
+
+    # level-2 degenerate: every (w2,w3) has 3 left contexts, but all
+    # trigram counts are 1
+    docs_b = [(0, "a x y"), (1, "b x y"), (2, "c x y")]
+    tri_b = Counter(
+        g
+        for _d, t in docs_b
+        for g in zip(t.split(), t.split()[1:], t.split()[2:])
+    )
+    assert all(c == 1 for c in tri_b.values())  # level 3 NOT degen
+    cc_b = Counter((w2, w3) for (w1, w2, w3) in tri_b)
+    assert all(c >= 3 for c in cc_b.values())
+
+    for docs in (docs_a, docs_b):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_trigrams"],
+                r["surprisal_micro"],
+                r["mean_surprisal_micro"],
+            )
+            for r in kneser_ney_trigram_scores(df).collect()
+        }
+        assert got == _kn_trigram_reference(docs)
+        assert all(v[2] is not None for v in got.values())
+
+
+def test_kn_trigram_overflow_guard_fails_loud(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_trigram_scores,
+    )
+
+    docs = [(0, "a b c a b c a b c"), (1, "a b c d e f")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # max trigram count is 3 ('a b c'); shrink the safe window so the
+    # max_c3 * dd3 product check trips (dd3 >= 1)
+    with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+        kneser_ney_trigram_scores(df, scale=(2**63 - 1) // 2).collect()
+    assert "scale=1000000" in str(exc.value)
+    # ppm remediation matches the reference model at ppm
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_trigrams"],
+            r["surprisal_micro"],
+            r["mean_surprisal_micro"],
+        )
+        for r in kneser_ney_trigram_scores(df, scale=1_000_000).collect()
+    }
+    assert got == _kn_trigram_reference(docs, scale=1_000_000)

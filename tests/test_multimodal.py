@@ -58,6 +58,46 @@ def test_sample_frames_only_video(spark):
     assert [f.frame_idx for f in frames] == sorted(f.frame_idx for f in frames)
 
 
+def test_sample_frames_real_path_decodes_repo_containers(spark):
+    """r14: the real path decodes IPV1 and MJPEG-AVI payloads for
+    real (no NotImplementedError gate left here); foreign containers
+    contribute zero rows."""
+    from advisorydatapipeline_spark.operators.video import (
+        decode_avi_frames,
+        decode_ipframe_video,
+        encode_avi_mjpeg,
+        encode_ipframe_video,
+    )
+
+    rows = [
+        (1, "video", bytearray(encode_ipframe_video(3))),
+        (2, "video", bytearray(encode_avi_mjpeg(4))),
+        (3, "video", bytearray(b"\x00\x00\x01\xba h264-ish junk")),
+        (4, "image", bytearray(b"not video at all")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = sample_frames(df, every_n=3).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {1, 2}
+    # frame hashes are the md5 of the decoded scalar signatures
+    want1 = {
+        (f, hashlib.md5(repr(tuple(rest)).encode()).hexdigest())
+        for f, *rest in decode_ipframe_video(
+            bytes(rows[0][2]), 3
+        )
+    }
+    assert {(r.frame_idx, r.frame_hash) for r in by_id[1]} == want1
+    want2 = {
+        (f, hashlib.md5(repr(tuple(rest)).encode()).hexdigest())
+        for f, *rest in decode_avi_frames(bytes(rows[1][2]), 3)
+    }
+    assert {(r.frame_idx, r.frame_hash) for r in by_id[2]} == want2
+
+
 def test_bmp_encode_decode_roundtrip():
     from advisorydatapipeline_spark.operators.multimodal import (
         decode_bmp,

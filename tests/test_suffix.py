@@ -112,6 +112,119 @@ def test_dup_depth_counts_match_brute(spark):
     )
 
 
+def _brute_span_stats(docs, span_depth=16, cap=32, floor=8):
+    """Pure-Python ground truth for duplicate_span_stats: per-position
+    max duplicated full-window depth (capped), threshold flags,
+    interval merge."""
+    from collections import Counter
+
+    wins: dict[int, Counter] = {d: Counter() for d in range(1, cap + 1)}
+    for _i, t in docs:
+        for d in range(1, cap + 1):
+            for p in range(len(t) - d + 1):
+                wins[d][t[p : p + d]] += 1
+    out = {}
+    for i, t in docs:
+        dup_len = {}
+        for p in range(len(t)):
+            best = 0
+            for d in range(floor, cap + 1):
+                if p + d <= len(t) and wins[d][t[p : p + d]] >= 2:
+                    best = d
+            dup_len[p] = best
+        flagged = sorted(p for p in dup_len if dup_len[p] >= span_depth)
+        # islands: break when p > prev + span_depth
+        spans = []
+        prev = None
+        for p in flagged:
+            if prev is None or p > prev + span_depth:
+                spans.append([p, p + span_depth])
+            else:
+                spans[-1][1] = p + span_depth
+            prev = p
+        lens = [e - s for s, e in spans]
+        out[i] = {
+            "n_chars": len(t),
+            "n_dup_pos": len(flagged),
+            "n_spans": len(spans),
+            "dup_chars": sum(lens),
+            "max_span": max(lens) if lens else 0,
+            "max_lcp": max(dup_len.values(), default=0),
+        }
+    return out
+
+
+def test_duplicate_spans_match_brute(spark):
+    docs = [
+        (0, "the cat sat on the mat and the cat sat again today ok"),
+        (1, "the cat sat on the mat and then it left very quietly"),
+        (2, "completely different content with zero overlap at all"),
+        (3, "the cat"),
+        (4, "the cat sat on the mat and the cat sat again today ok"),
+        (5, "xy"),
+        (6, ""),
+        # two docs sharing a long interior block -> one maximal span
+        (7, "AAAA shared-long-duplicated-block-here BBBB tail one x"),
+        (8, "CCCC shared-long-duplicated-block-here DDDD tail two y"),
+    ]
+    from advisorydatapipeline_spark.operators.suffix import (
+        duplicate_span_stats,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r.asDict() for r in duplicate_span_stats(df).collect()
+    }
+    brute = _brute_span_stats(docs)
+    assert set(rows) == set(brute)
+    for d in brute:
+        got = {k: rows[d][k] for k in brute[d]}
+        assert got == brute[d], (d, got, brute[d])
+    # the exact clone pair is one full-document span
+    assert rows[0]["n_spans"] == 1
+    assert rows[0]["dup_chars"] == rows[0]["n_chars"]
+    # the shared interior block merges into ONE maximal span that
+    # ends exactly at the block boundary (+ window overhang is capped
+    # by the brute model too)
+    assert rows[7]["n_spans"] == 1 and rows[8]["n_spans"] == 1
+    # max_lcp caps at 32 on the clone pair
+    assert rows[0]["max_lcp"] == 32
+
+
+def test_duplicate_spans_oracle_matches_brute_duckdb():
+    """The DuckDB span oracle (structurally different algorithm) must
+    agree with the pure-Python brute model, including docs longer
+    than any fixed series bound."""
+    import duckdb
+
+    from advisorydatapipeline_spark.operators.suffix import (
+        duck_span_oracle,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat and the cat sat again today ok"),
+        (1, "the cat sat on the mat and then it left very quietly"),
+        (2, ""),
+        (3, "ab" * 1300),  # 2600 chars
+        (4, "ab" * 1300),
+        (5, "zq"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    cols = ["doc_id", "n_chars", "n_dup_pos", "n_spans", "dup_chars",
+            "max_span", "max_lcp"]
+    got = {
+        r[0]: dict(zip(cols, r))
+        for r in con.execute(duck_span_oracle()).fetchall()
+    }
+    brute = _brute_span_stats(docs)
+    assert set(got) == set(brute)
+    for d in brute:
+        for k in brute[d]:
+            assert got[d][k] == brute[d][k], (d, k, got[d][k], brute[d][k])
+
+
 def test_no_cross_document_bleed(spark):
     """A window must never match across a document boundary: two docs
     that concatenate into a duplicated stream share no 8-window."""
