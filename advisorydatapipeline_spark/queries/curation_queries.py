@@ -1870,3 +1870,143 @@ def span_corruption_plan(spark, sf_dir):
         f"CAST(((n_tok - {nc} + {ns}) + {pk - 1}) DIV {pk}"
         f" * {pk} AS BIGINT) AS pack_bucket",
     )
+
+
+# --- dataset cartography (r14) ----------------------------------------
+
+_CARTO_EPOCHS = 6
+_CARTO_M1 = 2654435761  # Knuth multiplicative (house mix stream 1)
+_CARTO_AMBIG_PPM = 150_000  # variability threshold
+_CARTO_CONF_PPM = 500_000  # confidence threshold
+
+
+def _carto_mix(expr: str, idiv: str) -> str:
+    """Overflow-safe 2^31 double mix (the mp3_huffman lesson: the raw
+    index varies in LOW bits here, but the second round costs nothing
+    and keeps every fixture on the same discipline). ``idiv`` is the
+    engine's integer-division token (Spark DIV / DuckDB //) — all
+    operands are non-negative, so floor == truncate."""
+    m1 = f"((({expr}) % 2147483648) * {_CARTO_M1} % 2147483648)"
+    return (
+        f"(({m1} {idiv} 65536 + {m1}) % 2147483648)"
+        f" * {_CARTO_M1} % 2147483648"
+    )
+
+
+def _carto_sql() -> str:
+    p = f"({_carto_mix('doc_id * 8 + e.e', '//')} % 1000001)"
+    sq = "CAST(floor(sqrt(CAST(var_num AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH obs AS (
+  SELECT d.doc_id, e.e, CAST({p} AS BIGINT) AS p_ppm
+  FROM documents d, range({_CARTO_EPOCHS}) e(e)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(p_ppm) AS BIGINT) AS sum_p,
+         CAST(sum(p_ppm * p_ppm) AS BIGINT) AS sum_p2,
+         CAST(sum(CASE WHEN p_ppm > {_CARTO_CONF_PPM} THEN 1 ELSE 0
+              END) AS BIGINT) AS n_correct
+  FROM obs GROUP BY 1
+),
+v AS (
+  SELECT *, {_CARTO_EPOCHS} * sum_p2 - sum_p * sum_p AS var_num
+  FROM agg
+),
+s AS (
+  SELECT *,
+         (CASE WHEN ({sq} + 1) * ({sq} + 1) <= var_num THEN {sq} + 1
+               WHEN {sq} * {sq} > var_num THEN {sq} - 1
+               ELSE {sq} END) AS sd_num
+  FROM v
+),
+m AS (
+  SELECT doc_id,
+         CAST(sum_p // {_CARTO_EPOCHS} AS BIGINT) AS confidence_ppm,
+         CAST(sd_num // {_CARTO_EPOCHS} AS BIGINT) AS variability_ppm,
+         CAST(n_correct * 1000000 // {_CARTO_EPOCHS} AS BIGINT)
+           AS correctness_ppm
+  FROM s
+)
+SELECT doc_id, confidence_ppm, variability_ppm, correctness_ppm,
+       CASE WHEN variability_ppm >= {_CARTO_AMBIG_PPM} THEN 'ambiguous'
+            WHEN confidence_ppm >= {_CARTO_CONF_PPM} THEN 'easy'
+            ELSE 'hard' END AS region
+FROM m
+"""
+
+
+@query("dataset_cartography", oracle=_carto_sql())
+def dataset_cartography(spark, sf_dir):
+    """Dataset cartography (Swayamdipta et al. 2020, "Dataset
+    Cartography: Mapping and Diagnosing Datasets with Training
+    Dynamics"): per training example, the gold-label probability is
+    tracked across epochs and summarized as CONFIDENCE (mean),
+    VARIABILITY (population std) and CORRECTNESS (fraction of epochs
+    above chance), then mapped into the easy-to-learn /
+    hard-to-learn / AMBIGUOUS regions — the ambiguous band is the
+    one worth keeping for data selection, the hard band is where
+    label errors concentrate. The per-epoch probabilities are a
+    mix-derived fixture (a real run logs them from training);
+    everything downstream is the real cartography computation.
+
+    Integer-exact: confidence = sum_p DIV E; variability reuses the
+    GRPO floor-sqrt identity std = isqrt(E*sum_p2 - sum_p^2) / E
+    (var_num <= E^2 * 1e12 << 2^52, so the DOUBLE conversion is
+    exact and the one-step bracket correction makes floor-sqrt
+    exact in both engines); region thresholds are integer ppm.
+
+    Scale: the epoch dimension is a map-side explode (E rows per
+    example, no shuffle); ONE hash aggregation keyed on example.
+    100 TB: examples partition freely; nothing is global."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    e = _CARTO_EPOCHS
+    obs = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(e - 1))).alias("e"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CAST({_carto_mix('doc_id * 8 + e', 'DIV')} % 1000001"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    agg = obs.groupBy("doc_id").agg(
+        F.sum("p_ppm").cast("long").alias("sum_p"),
+        F.sum(F.col("p_ppm") * F.col("p_ppm")).cast("long").alias(
+            "sum_p2"
+        ),
+        F.sum((F.col("p_ppm") > _CARTO_CONF_PPM).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    sq = "CAST(floor(sqrt(CAST(var_num AS DOUBLE))) AS BIGINT)"
+    m = agg.withColumn(
+        "var_num",
+        F.expr(f"{e} * sum_p2 - sum_p * sum_p"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(sum_p DIV {e} AS BIGINT)").alias(
+            "confidence_ppm"
+        ),
+        F.expr(
+            f"CAST((CASE WHEN ({sq} + 1) * ({sq} + 1) <= var_num "
+            f"THEN {sq} + 1 WHEN {sq} * {sq} > var_num "
+            f"THEN {sq} - 1 ELSE {sq} END) DIV {e} AS BIGINT)"
+        ).alias("variability_ppm"),
+        F.expr(
+            f"CAST(n_correct * 1000000 DIV {e} AS BIGINT)"
+        ).alias("correctness_ppm"),
+    )
+    return m.select(
+        "doc_id",
+        "confidence_ppm",
+        "variability_ppm",
+        "correctness_ppm",
+        F.expr(
+            f"CASE WHEN variability_ppm >= {_CARTO_AMBIG_PPM} "
+            f"THEN 'ambiguous' "
+            f"WHEN confidence_ppm >= {_CARTO_CONF_PPM} THEN 'easy' "
+            f"ELSE 'hard' END"
+        ).alias("region"),
+    )

@@ -945,3 +945,274 @@ def nucleus_topp_plan(spark, sf_dir):
         "mass_kept_ppm",
         "cutoff_weight",
     )
+
+
+# --- GRPO group-normalized advantages (r14) ---------------------------
+
+# exactness bound for the integer-sqrt trick: var_num must stay exactly
+# representable in DOUBLE so both engines' sqrt sees the identical
+# value (then one +/-1 correction makes floor-sqrt exact)
+_GRPO_SQRT_SAFE = 1 << 52
+
+
+def _isqrt_sql(v: str) -> str:
+    """Exact integer floor-sqrt of a BIGINT < 2^52, identical in
+    Spark and DuckDB: both convert v to DOUBLE exactly, both sqrt
+    correctly rounded (IEEE), so s0 is off by at most 1 after floor;
+    one bracket correction pins it."""
+    s0 = f"CAST(floor(sqrt(CAST(({v}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({v}) THEN {s0} + 1 "
+        f"WHEN {s0} * {s0} > ({v}) THEN {s0} - 1 ELSE {s0} END)"
+    )
+
+
+def _grpo_sql(idiv: str) -> str:
+    num = "n * reward_cents - sum_r"
+    return f"""
+WITH cand AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS reward_cents
+  FROM events
+),
+g AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(sum(reward_cents) OVER (PARTITION BY user_id)
+              AS BIGINT) AS sum_r,
+         CAST(sum(reward_cents * reward_cents)
+              OVER (PARTITION BY user_id) AS BIGINT) AS sum_r2
+  FROM cand
+),
+v AS (
+  SELECT *, n * sum_r2 - sum_r * sum_r AS var_num FROM g
+),
+s AS (
+  SELECT *, {_isqrt_sql('var_num')} AS sd_num FROM v
+)
+SELECT user_id, event_id, reward_cents,
+       n AS n_samples,
+       sum_r AS group_sum_cents,
+       CAST(CASE WHEN var_num = 0 THEN 0
+            ELSE (CASE WHEN {num} < 0 THEN -1 ELSE 1 END)
+                 * ((abs({num}) * 1000000) {idiv} sd_num)
+            END AS BIGINT) AS adv_ppm
+FROM s
+"""
+
+
+@query("grpo_advantage_baseline", oracle=_grpo_sql("//"))
+def grpo_advantage_baseline(spark, sf_dir):
+    """GRPO group-relative advantages (Shao et al. 2024,
+    DeepSeekMath — the PPO-critic-free RL objective): per prompt
+    (user), each sampled response's advantage is its reward
+    standardized WITHIN the group, A_i = (r_i - mean(r)) / std(r).
+    Integer-exact formulation: A_i = (n*r_i - sum_r) / sqrt(n*sum_r2
+    - sum_r^2) (multiply through by n; the population-std
+    denominator becomes one integer floor-sqrt), quantized to ppm
+    with sign split out so Spark ``DIV`` (truncate-toward-zero) and
+    DuckDB ``//`` (floor) agree on the negative side — the
+    (|num| * 1e6) DIV s form runs on non-negative operands only.
+    Zero-variance groups (all rewards equal) emit advantage 0, the
+    GRPO degenerate-group convention.
+
+    The floor-sqrt is EXACT by construction (``_isqrt_sql``): the
+    variance numerator is bounded by n^2 * max_r^2 (< 2^52 for this
+    fixture's 99-sample groups and <=56021-cent rewards), so both
+    engines see the identical DOUBLE, IEEE sqrt is correctly
+    rounded, and the one-step bracket correction pins floor(sqrt).
+    An in-plan guard raises (remediation: rescale rewards) the
+    moment a group could exceed the 2^52 exactness bound instead of
+    silently degrading.
+
+    Scale: ONE hash shuffle keyed on prompt; the three group
+    statistics ride the same per-prompt window partition. No
+    driver-side anything."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cand = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias(
+            "reward_cents"
+        ),
+    )
+    wp = Window.partitionBy("user_id")
+    g = cand.select(
+        "*",
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum("reward_cents").over(wp).cast("long").alias("sum_r"),
+        F.sum(F.col("reward_cents") * F.col("reward_cents"))
+        .over(wp)
+        .cast("long")
+        .alias("sum_r2"),
+    )
+    num = "n * reward_cents - sum_r"
+    return g.select(
+        "user_id",
+        "event_id",
+        "reward_cents",
+        F.col("n").alias("n_samples"),
+        F.col("sum_r").alias("group_sum_cents"),
+        F.expr(
+            # guard first: the exact-sqrt contract needs var_num
+            # representable in DOUBLE (division-form comparison, so
+            # the guard itself cannot overflow)
+            f"CAST(CASE WHEN sum_r2 > {_GRPO_SQRT_SAFE} DIV n THEN "
+            f"raise_error(CONCAT('grpo_advantage_baseline: group ', "
+            f"user_id, ' variance numerator would exceed 2^52; ', "
+            f"'rescale rewards (cents -> dollars)')) "
+            f"WHEN n * sum_r2 - sum_r * sum_r = 0 THEN 0 "
+            f"ELSE (CASE WHEN {num} < 0 THEN -1 ELSE 1 END) * "
+            f"((abs({num}) * 1000000) DIV "
+            f"{_isqrt_sql('n * sum_r2 - sum_r * sum_r')}) "
+            f"END AS BIGINT)"
+        ).alias("adv_ppm"),
+    )
+
+
+# --- rejection-sampling fine-tuning keep set (r14) --------------------
+
+_RFT_ANSWERS = 8  # answer space
+_RFT_FP_BUCKETS = 512  # rationale fingerprint space (collisions = dups)
+_RFT_KEEP = 4  # max kept per prompt, shortest-first
+
+
+def _rft_sql(idiv: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST({_mix('event_id * 41 + 7', _MIX2)} % {_RFT_ANSWERS}
+              AS BIGINT) AS ans,
+         CAST({_mix('event_id * 13 + 5', _MIX1)} % {_RFT_FP_BUCKETS}
+              AS BIGINT) AS fp,
+         CAST(30 + {_mix('event_id * 23 + 9', _MIX2)} % 300
+              AS BIGINT) AS resp_len
+  FROM events
+),
+c AS (
+  SELECT * FROM s WHERE ans = user_id % {_RFT_ANSWERS}
+),
+d AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, fp
+           ORDER BY resp_len ASC, event_id ASC) AS rn_fp
+  FROM c
+),
+k AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY resp_len ASC, event_id ASC) AS rn_len
+  FROM d WHERE rn_fp = 1
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN rn_len <= {_RFT_KEEP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN rn_len <= {_RFT_KEEP} THEN resp_len
+                  ELSE 0 END) AS BIGINT) AS kept_len_sum,
+         CAST(min(resp_len) AS BIGINT) AS min_len_kept
+  FROM k GROUP BY 1
+),
+tot AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(CASE WHEN ans = user_id % {_RFT_ANSWERS}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM s GROUP BY 1
+)
+SELECT t.user_id, t.n_samples, t.n_correct,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.kept_len_sum, 0) AS kept_len_sum,
+       COALESCE(a.min_len_kept, 0) AS min_len_kept
+FROM tot t LEFT JOIN agg a ON a.user_id = t.user_id
+"""
+
+
+@query("rejection_sampling_keep", oracle=_rft_sql("//"))
+def rejection_sampling_keep(spark, sf_dir):
+    """Rejection-sampling fine-tuning keep-set construction (STaR,
+    Zelikman et al. 2022 / RFT, Yuan et al. 2023 — the standard
+    reasoning-data bootstrap): per prompt (user), sampled solutions
+    (events) are FILTERED to those whose answer matches gold,
+    DEDUPLICATED by rationale fingerprint (identical chains add no
+    signal — smallest length/event-id wins a bucket), then CAPPED at
+    the 4 SHORTEST survivors (short correct rationales
+    generalize better; the RFT length-preference). Per-prompt
+    summary: samples, correct, distinct-after-dedup, kept count,
+    kept length mass, shortest kept length; prompts with zero
+    correct samples still emit an all-zero row (the retry queue).
+
+    Answers / fingerprints / lengths are mix-derived fixtures
+    replayed verbatim by the oracle. Scale: two per-prompt window
+    ranks + one per-(prompt,fp) rank, all on the SAME prompt-keyed
+    shuffle; output is one row per prompt."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            f"CAST({_mix('event_id * 41 + 7', _MIX2)} % {_RFT_ANSWERS}"
+            " AS BIGINT)"
+        ).alias("ans"),
+        F.expr(
+            f"CAST({_mix('event_id * 13 + 5', _MIX1)} %"
+            f" {_RFT_FP_BUCKETS} AS BIGINT)"
+        ).alias("fp"),
+        F.expr(
+            f"CAST(30 + {_mix('event_id * 23 + 9', _MIX2)} % 300"
+            " AS BIGINT)"
+        ).alias("resp_len"),
+    )
+    c = s.filter(
+        F.col("ans") == F.col("user_id") % _RFT_ANSWERS
+    )
+    wfp = Window.partitionBy("user_id", "fp").orderBy(
+        F.col("resp_len").asc(), F.col("event_id").asc()
+    )
+    wlen = Window.partitionBy("user_id").orderBy(
+        F.col("resp_len").asc(), F.col("event_id").asc()
+    )
+    k = (
+        c.withColumn("rn_fp", F.row_number().over(wfp))
+        .filter(F.col("rn_fp") == 1)
+        .withColumn("rn_len", F.row_number().over(wlen))
+    )
+    agg = k.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum((F.col("rn_len") <= _RFT_KEEP).cast("long"))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("rn_len") <= _RFT_KEEP, F.col("resp_len"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("kept_len_sum"),
+        F.min("resp_len").cast("long").alias("min_len_kept"),
+    )
+    tot = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(
+            (F.col("ans") == F.col("user_id") % _RFT_ANSWERS).cast(
+                "long"
+            )
+        ).cast("long").alias("n_correct"),
+    )
+    return tot.join(agg, "user_id", "left").select(
+        "user_id",
+        "n_samples",
+        "n_correct",
+        F.coalesce("n_distinct", F.lit(0).cast("long")).alias(
+            "n_distinct"
+        ),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_len_sum", F.lit(0).cast("long")).alias(
+            "kept_len_sum"
+        ),
+        F.coalesce("min_len_kept", F.lit(0).cast("long")).alias(
+            "min_len_kept"
+        ),
+    )

@@ -289,3 +289,123 @@ def test_quant_calibration_invariants(spark):
         assert r["scale_micro"] == r["absmax_q"] * 1_000_000 // 127
         # clip at ceil(0.99 n): at most floor(0.01 n) rows saturate
         assert r["sat_ppm"] <= 10_000
+
+
+def test_grpo_advantage_invariants(spark):
+    """Pins the GRPO normalization semantics against plain Python:
+    per group the advantages are the standardized rewards with an
+    EXACT integer floor-sqrt denominator; zero-variance groups emit
+    0; signs split so truncation matches on both engines."""
+    import math
+
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        grpo_advantage_baseline,
+    )
+
+    rows = grpo_advantage_baseline(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r["user_id"], []).append(r)
+    saw_negative = saw_positive = False
+    for uid, rs in by_group.items():
+        n = len(rs)
+        assert all(r["n_samples"] == n for r in rs)
+        s = sum(r["reward_cents"] for r in rs)
+        s2 = sum(r["reward_cents"] ** 2 for r in rs)
+        var_num = n * s2 - s * s
+        assert var_num >= 0
+        sd = math.isqrt(var_num)
+        for r in rs:
+            num = n * r["reward_cents"] - s
+            if var_num == 0:
+                want = 0
+            else:
+                want = (1 if num >= 0 else -1) * (
+                    abs(num) * 1_000_000 // sd
+                )
+            assert r["adv_ppm"] == want, (uid, r)
+            saw_negative |= r["adv_ppm"] < 0
+            saw_positive |= r["adv_ppm"] > 0
+        # group advantages are mean-zero up to the ppm floor
+        if var_num:
+            tot = sum(r["adv_ppm"] for r in rs)
+            assert abs(tot) <= n  # truncation residue only
+    assert saw_negative and saw_positive
+
+
+def test_grpo_isqrt_exact_on_perfect_and_near_squares(spark):
+    """The floor-sqrt bracket correction must pin perfect squares and
+    their neighbors exactly (the float-rounding hazard)."""
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        _isqrt_sql,
+    )
+
+    vals = []
+    for k in (1, 2, 3, 10**6, 67108864, 94906265):  # incl. > 2^26
+        for v in (k * k - 1, k * k, k * k + 1):
+            if v >= 0:
+                vals.append(v)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["s"]
+        for r in df.selectExpr(
+            "v", f"{_isqrt_sql('v')} AS s"
+        ).collect()
+    }
+    import math
+
+    for v in vals:
+        assert got[v] == math.isqrt(v), v
+
+
+def test_rejection_sampling_keep_invariants(spark):
+    from advisorydatapipeline_spark.queries.helpers import load
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        _RFT_KEEP,
+        rejection_sampling_keep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = rejection_sampling_keep(spark, sf).collect()
+    n_events = load(spark, sf, "events").count()
+    assert sum(r["n_samples"] for r in rows) == n_events
+    for r in rows:
+        assert r["n_kept"] <= min(_RFT_KEEP, r["n_distinct"])
+        assert r["n_distinct"] <= r["n_correct"] <= r["n_samples"]
+        if r["n_correct"] == 0:
+            assert r["n_kept"] == 0 and r["kept_len_sum"] == 0
+        if r["n_kept"]:
+            assert r["min_len_kept"] >= 30
+            assert r["kept_len_sum"] >= r["n_kept"] * r["min_len_kept"]
+
+
+def test_dataset_cartography_invariants(spark):
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        _CARTO_AMBIG_PPM,
+        _CARTO_CONF_PPM,
+        _CARTO_EPOCHS,
+        dataset_cartography,
+    )
+
+    rows = dataset_cartography(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    regions = set()
+    for r in rows:
+        assert 0 <= r["confidence_ppm"] <= 1_000_000
+        assert 0 <= r["variability_ppm"] <= 500_000  # pop-std bound
+        # correctness is k/E for integer k in 0..E
+        assert r["correctness_ppm"] in {
+            k * 1_000_000 // _CARTO_EPOCHS
+            for k in range(_CARTO_EPOCHS + 1)
+        }
+        if r["region"] == "ambiguous":
+            assert r["variability_ppm"] >= _CARTO_AMBIG_PPM
+        elif r["region"] == "easy":
+            assert r["confidence_ppm"] >= _CARTO_CONF_PPM
+        else:
+            assert r["region"] == "hard"
+            assert r["confidence_ppm"] < _CARTO_CONF_PPM
+            assert r["variability_ppm"] < _CARTO_AMBIG_PPM
+        regions.add(r["region"])
+    assert regions == {"easy", "hard", "ambiguous"}

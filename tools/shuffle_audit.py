@@ -187,6 +187,9 @@ AUDIT = [
     "duplicate_spans_exact",
     "kn_trigram_scores",
     "video_pframe_decode",
+    "grpo_advantage_baseline",
+    "rejection_sampling_keep",
+    "dataset_cartography",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
