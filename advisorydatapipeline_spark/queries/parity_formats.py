@@ -811,3 +811,4 @@ def federated_dim_join(spark, sf_dir):
             F.sum("_b").alias("balance_cents"),
         )
     )
+

@@ -1216,3 +1216,101 @@ def rejection_sampling_keep(spark, sf_dir):
             "min_len_kept"
         ),
     )
+
+
+# --- speculative decoding acceptance audit (r14) ----------------------
+
+_SPEC_T = 32  # draft positions per prompt
+_SPEC_K = 8  # draft window (gamma)
+_SPEC_V = 50  # token space
+_SPEC_REJ_MOD = 4  # 1-in-4 target disagreement rate
+
+
+def _spec_sql(idiv: str) -> str:
+    d = f"CAST({_mix('d.doc_id * 64 + t.t', _MIX1)} % {_SPEC_V} AS BIGINT)"
+    rej = f"({_mix('d.doc_id * 64 + t.t + 7', _MIX2)} % {_SPEC_REJ_MOD})"
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, t.t,
+         CAST(t.t {idiv} {_SPEC_K} AS BIGINT) AS w,
+         CAST(t.t % {_SPEC_K} AS BIGINT) AS pos,
+         {d} AS draft,
+         CASE WHEN {rej} = 0
+              THEN ({d} + 1) % {_SPEC_V}
+              ELSE {d} END AS target
+  FROM documents d, range({_SPEC_T}) t(t)
+),
+win AS (
+  SELECT doc_id, w,
+         CAST(COALESCE(min(CASE WHEN draft != target THEN pos END),
+                       {_SPEC_K}) AS BIGINT) AS accepted
+  FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(accepted) AS BIGINT) AS accepted_total,
+       CAST(sum(accepted + 1) AS BIGINT) AS emitted_total,
+       CAST(sum(accepted) * 1000000
+            {idiv} ({_SPEC_K} * count(*)) AS BIGINT)
+         AS accept_rate_ppm,
+       CAST(sum(accepted + 1) * 1000000 {idiv} count(*) AS BIGINT)
+         AS tokens_per_call_micro
+FROM win GROUP BY 1
+"""
+
+
+@query("speculative_decode_accept", oracle=_spec_sql("//"))
+def speculative_decode_accept(spark, sf_dir):
+    """Speculative-decoding acceptance audit (Leviathan et al. 2023 /
+    Chen et al. 2023): per prompt (document), the draft model
+    proposes windows of gamma=8 tokens and the target model accepts
+    the longest agreeing prefix; each target forward pass then emits
+    accepted+1 tokens (the correction/bonus token). The audit
+    reports, per prompt, the window count, total accepted draft
+    tokens, total emitted tokens, the acceptance RATE (ppm of draft
+    positions accepted) and TOKENS PER TARGET CALL (micro; the
+    speedup factor vs one-token-per-call autoregressive decoding) —
+    the numbers a serving stack uses to pick gamma and decide whether
+    the draft model pays for itself.
+
+    Draft/target streams are mix-derived fixtures with a 1-in-4
+    disagreement; the acceptance scan is the real computation
+    (min-mismatch-position per window). Scale: the token dimension
+    explodes map-side (32 rows per prompt, no shuffle); ONE hash
+    aggregation per (prompt, window) then per prompt."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = f"CAST({_mix('doc_id * 64 + t', _MIX1)} % {_SPEC_V} AS BIGINT)"
+    rej = f"({_mix('doc_id * 64 + t + 7', _MIX2)} % {_SPEC_REJ_MOD})"
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SPEC_T - 1))).alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(t DIV {_SPEC_K} AS BIGINT)").alias("w"),
+        F.expr(f"CAST(t % {_SPEC_K} AS BIGINT)").alias("pos"),
+        F.expr(d).alias("draft"),
+        F.expr(
+            f"CASE WHEN {rej} = 0 THEN ({d} + 1) % {_SPEC_V} "
+            f"ELSE {d} END"
+        ).alias("target"),
+    )
+    win = tok.groupBy("doc_id", "w").agg(
+        F.expr(
+            f"CAST(COALESCE(min(CASE WHEN draft != target THEN pos "
+            f"END), {_SPEC_K}) AS BIGINT)"
+        ).alias("accepted")
+    )
+    return win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("accepted").cast("long").alias("accepted_total"),
+        F.sum(F.col("accepted") + 1).cast("long").alias(
+            "emitted_total"
+        ),
+        F.expr(
+            f"CAST(sum(accepted) * 1000000 DIV ({_SPEC_K} * count(*))"
+            " AS BIGINT)"
+        ).alias("accept_rate_ppm"),
+        F.expr(
+            "CAST(sum(accepted + 1) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("tokens_per_call_micro"),
+    )

@@ -2362,3 +2362,153 @@ def quant_calibration_absmax(spark, sf_dir):
             ),
         )
     )
+
+
+# --- TracIn influence top-k (r14) -------------------------------------
+
+_TRACIN_C = 24  # candidate shortlist size per test point
+_TRACIN_K = 3  # influencers reported per test point
+_TRACIN_STRIDE = 131  # candidate map stride (coprime-ish, det.)
+_TRACIN_TEST_MOD = 20  # vec_id % 20 == 0 -> test split
+# checkpoint = a contiguous gradient slice with a step weight: dims
+# [0,21) weight 3, [21,42) weight 2, [42,64) weight 1 (early
+# checkpoints dominate TracIn sums)
+_TRACIN_SLICES = ((0, 21, 3), (21, 42, 2), (42, 64, 1))
+
+
+def _tracin_wt_sql(ch: str) -> str:
+    """Per-dimension checkpoint weight (1-indexed channel)."""
+    parts = " ".join(
+        f"WHEN {ch} <= {hi} THEN {w}"
+        for _lo, hi, w in _TRACIN_SLICES
+    )
+    return f"(CASE {parts} ELSE 0 END)"
+
+
+_TRACIN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_Q} AS q FROM embeddings
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+cand AS (
+  SELECT t.vec_id AS test_id,
+         (t.vec_id + k.k * {_TRACIN_STRIDE}) % n.n AS train_id
+  FROM e t, n, range(1, {_TRACIN_C} + 1) k(k)
+  WHERE t.vec_id % {_TRACIN_TEST_MOD} = 0
+),
+pairs AS (
+  SELECT DISTINCT test_id, train_id FROM cand
+  WHERE train_id % {_TRACIN_TEST_MOD} != 0
+),
+inf AS (
+  SELECT p.test_id, p.train_id,
+         CAST(SUM({_tracin_wt_sql('u.ch')}
+                  * a.q[u.ch] * b.q[u.ch]) AS BIGINT) AS influence
+  FROM pairs p
+  JOIN e a ON a.vec_id = p.test_id
+  JOIN e b ON b.vec_id = p.train_id,
+  unnest(generate_series(1, len(a.q))) AS u(ch)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY test_id
+             ORDER BY influence DESC, train_id ASC) AS rnk
+  FROM inf
+)
+SELECT test_id, CAST(rnk AS BIGINT) AS rnk, train_id, influence
+FROM r WHERE rnk <= {_TRACIN_K}
+"""
+
+
+@query("tracin_influence_topk", oracle=_TRACIN_ORACLE)
+def tracin_influence_topk(spark, sf_dir):
+    """TracIn training-data influence (Pruthi et al. 2020,
+    "Estimating Training Data Influence by Tracing Gradient
+    Descent"): influence(train z, test z') = sum over checkpoints c
+    of eta_c * grad_c(z) . grad_c(z') — here each checkpoint's
+    gradient is a contiguous slice of the (fixture) embedding with a
+    step learning-rate weight, so the whole sum collapses into ONE
+    per-dimension-weighted exact integer dot product. Per test point
+    a deterministic modular shortlist of train candidates is scored
+    (the proponent-retrieval setup; production swaps the shortlist
+    for the repo's IVF candidate arm) and the top-3 proponents are
+    kept by (influence DESC, train_id) — the 'which training
+    examples most pushed this prediction' query behind data
+    debugging and selection.
+
+    Exactness: quantized-integer embeddings (module idiom), integer
+    weights, BIGINT dot; the oracle replays the same weighted dot by
+    channel unnest. |influence| <= 3 * 64 * 1000^2 << 2^63.
+
+    Scale: candidates explode map-side from the test split (24 per
+    test point); both gradient joins are shuffle hash joins on
+    vec_id (bucket-colocated at cluster scale); the top-k window is
+    per-test-point bounded. The 1-row corpus-count broadcast rides
+    a NESTED_LOOP_OK crossJoin (clip_pair_gate precedent)."""
+    from advisorydatapipeline_spark.operators.similarity import quantize
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize("embedding").alias("q")
+    )
+    # weighted copy for the test side: fold the checkpoint weights
+    # into the dims once, map-side
+    wt_cases = " ".join(
+        f"WHEN i < {hi} THEN {w}" for _lo, hi, w in _TRACIN_SLICES
+    )
+    qa = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(q, (x, i) -> x * (CASE {wt_cases} ELSE 0 END))"
+        ).alias("qw"),
+    )
+    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tests = emb.filter(
+        F.col("vec_id") % _TRACIN_TEST_MOD == 0
+    ).select(F.col("vec_id").alias("test_id"))
+    cand = (
+        tests.crossJoin(F.broadcast(n_df))
+        .select(
+            "test_id",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_TRACIN_C))
+            ).alias("k"),
+            "n",
+        )
+        .select(
+            "test_id",
+            (
+                (F.col("test_id") + F.col("k") * _TRACIN_STRIDE)
+                % F.col("n")
+            ).alias("train_id"),
+        )
+        .filter(F.col("train_id") % _TRACIN_TEST_MOD != 0)
+        .distinct()
+    )
+    a = qa.select(F.col("vec_id").alias("test_id"), F.col("qw"))
+    b = emb.select(F.col("vec_id").alias("train_id"), F.col("q"))
+    from advisorydatapipeline_spark.operators.similarity import dot_q
+
+    inf = (
+        cand.join(a, "test_id")
+        .join(b, "train_id")
+        .select(
+            "test_id",
+            "train_id",
+            dot_q(F.col("qw"), F.col("q")).alias("influence"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("test_id").orderBy(
+        F.col("influence").desc(), F.col("train_id").asc()
+    )
+    return (
+        inf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TRACIN_K)
+        .select(
+            "test_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "train_id",
+            "influence",
+        )
+    )

@@ -292,6 +292,8 @@ EXTENDED = [
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
     "dataset_cartography",
+    "tracin_influence_topk",
+    "speculative_decode_accept",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",

@@ -409,3 +409,94 @@ def test_dataset_cartography_invariants(spark):
             assert r["variability_ppm"] < _CARTO_AMBIG_PPM
         regions.add(r["region"])
     assert regions == {"easy", "hard", "ambiguous"}
+
+
+def test_speculative_decode_invariants(spark):
+    """Acceptance semantics against plain Python: per window the
+    accepted count is the first draft/target mismatch position (or
+    gamma), emitted = accepted + 1 per target call."""
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        _SPEC_K,
+        _SPEC_T,
+        speculative_decode_accept,
+    )
+
+    rows = speculative_decode_accept(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    M = 2147483648
+    for r in rows:
+        assert r["n_windows"] == _SPEC_T // _SPEC_K
+        assert 0 <= r["accepted_total"] <= _SPEC_T
+        assert r["emitted_total"] == r["accepted_total"] + r["n_windows"]
+        assert r["accept_rate_ppm"] == (
+            r["accepted_total"] * 1_000_000 // _SPEC_T
+        )
+        # replay one prompt fully in Python
+    r0 = rows[0]
+    doc = r0["doc_id"]
+
+    def mix(x, c):
+        return (x % M) * c % M
+
+    acc_total = 0
+    for w in range(_SPEC_T // _SPEC_K):
+        acc = _SPEC_K
+        for pos in range(_SPEC_K):
+            t = w * _SPEC_K + pos
+            d = mix(doc * 64 + t, 2654435761) % 50
+            rej = mix(doc * 64 + t + 7, 2246822519) % 4
+            g = (d + 1) % 50 if rej == 0 else d
+            if d != g:
+                acc = pos
+                break
+        acc_total += acc
+    assert r0["accepted_total"] == acc_total
+
+
+def test_tracin_influence_invariants(spark):
+    """Top-k shape + exact weighted-dot replay for one test point."""
+    from advisorydatapipeline_spark.queries.helpers import load
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        _TRACIN_K,
+        _TRACIN_SLICES,
+        _TRACIN_TEST_MOD,
+        tracin_influence_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = tracin_influence_topk(spark, sf).collect()
+    assert rows
+    by_test: dict[int, list] = {}
+    for r in rows:
+        assert r["test_id"] % _TRACIN_TEST_MOD == 0
+        assert r["train_id"] % _TRACIN_TEST_MOD != 0
+        by_test.setdefault(r["test_id"], []).append(r)
+    for tid, rs in by_test.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _TRACIN_K
+        infl = [r["influence"] for r in rs]
+        assert infl == sorted(infl, reverse=True)
+    # exact replay of the top influence for one test point
+    import math
+
+    emb = {
+        r["vec_id"]: [math.floor(x * 1000) for x in r["embedding"]]
+        for r in load(spark, sf, "embeddings").collect()
+    }
+
+    def wt(i):
+        for lo, hi, w in _TRACIN_SLICES:
+            if lo <= i < hi:
+                return w
+        return 0
+
+    tid = min(by_test)
+    top = by_test[tid][0]
+    want = sum(
+        wt(i) * a * b
+        for i, (a, b) in enumerate(zip(emb[tid], emb[top["train_id"]]))
+    )
+    assert top["influence"] == want

@@ -285,6 +285,8 @@ AUDIT = [
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
     "dataset_cartography",
+    "tracin_influence_topk",
+    "speculative_decode_accept",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
@@ -344,6 +346,9 @@ NESTED_LOOP_OK = {
     "histogram_quantile_estimate",
     # 1-row broadcast (N, sum dl) corpus-stats scalar
     "bm25_doc_ranking",
+    # 1-row broadcast corpus-count scalar (candidate map modulus,
+    # the clip_pair_gate precedent)
+    "tracin_influence_topk",
     # 1-row broadcast count scalars (recall-ppm assembly) + the
     # labeled brute-force truth side
     "rhp_recall_eval",

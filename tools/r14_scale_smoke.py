@@ -76,7 +76,8 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"spans8", "suffix16", "kn3", "ipv8", "rl8", "carto8"}
+        else {"spans8", "suffix16", "kn3", "ipv8", "rl8", "carto8",
+              "infl8"}
     )
     spark = get_spark("r14-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -135,6 +136,40 @@ def main() -> None:
                 ("dataset_cartography",),
                 ("documents",),
             )
+        if "infl8" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "speculative_decode_accept (documents)",
+                ("speculative_decode_accept",),
+                ("documents",),
+            )
+            # embeddings need CONTIGUOUS replica ids (the vec_id
+            # candidate map moduluses by count; row-copy replication
+            # would duplicate keys and change the join semantics)
+            from r11_scale_smoke import stage_contiguous
+
+            print("\n## tracin_influence_topk x1-x8 (contiguous"
+                  " embeddings)")
+            print("| op | x1 | x2 | x4 | x8 | t(x8)/t(x1) vs 8.0 |"
+                  " out x8 |")
+            print("|---|---|---|---|---|---|---|")
+            fn = QUERIES["tracin_influence_topk"]
+            ts = []
+            out8 = None
+            for r in (1, 2, 4, 8):
+                path = stage_contiguous(spark, sf_dir, base, r)
+                if r == 1:
+                    noop(fn(spark, path))
+                spark.catalog.clearCache()
+                ts.append(timed(lambda p=path: noop(fn(spark, p))))
+                if r == 8:
+                    out8 = fn(spark, path).count()
+                spark.catalog.clearCache()
+            slope = round(ts[3] / ts[0], 2) if ts[0] else float("nan")
+            print(f"| tracin_influence_topk | {ts[0]}s | {ts[1]}s |"
+                  f" {ts[2]}s | {ts[3]}s | {slope} | {out8} |")
 
 
 if __name__ == "__main__":
