@@ -456,3 +456,233 @@ def bm25_maxscore_topk_query(spark, sf_dir):
         load(spark, sf_dir, "documents"), "doc_id", "text",
         BM25_TERMS, k=BM25_MAXSCORE_K,
     )
+
+
+# --- hybrid-retrieval reciprocal-rank fusion (r14) --------------------
+
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_POOL = 20  # per-arm candidate list depth
+_RRF_K = 5  # fused results per query
+_RRF_QMOD = 100  # query sample: doc_id % 100 == 0 (with an embedding)
+_RRF_SCALE = 1_000_000_000  # floor(1e9/(C+rank)) per-arm contribution
+
+
+def _rrf_oracle() -> str:
+    toks = DUCK_TOKENS.format(x="text")
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+),
+e AS (
+  SELECT vec_id, CAST({{q}} AS DOUBLE[]) AS v FROM embeddings
+),
+qs AS (
+  SELECT d.doc_id AS query_id FROM documents d
+  JOIN e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % {_RRF_QMOD} = 0
+),
+lex AS (
+  SELECT qt.doc_id AS query_id, dt.doc_id,
+         CAST(sum(n.n * 1000 // df.df) AS BIGINT) AS score
+  FROM tok qt
+  JOIN qs ON qs.query_id = qt.doc_id
+  JOIN tok dt ON dt.term = qt.term AND dt.doc_id <> qt.doc_id
+  JOIN df ON df.term = qt.term
+  CROSS JOIN n
+  GROUP BY 1, 2
+),
+lr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id ASC) AS r
+  FROM lex
+),
+dense AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         CAST(floor(1000000 * (list_dot_product(c.v, q.v)
+           / sqrt(list_dot_product(c.v, c.v)
+                  * list_dot_product(q.v, q.v)))) AS BIGINT) AS cm
+  FROM e c
+  JOIN e q ON q.vec_id % {_RRF_QMOD} = 0 AND c.vec_id <> q.vec_id
+  JOIN qs ON qs.query_id = q.vec_id
+),
+dr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cm DESC, doc_id ASC) AS r
+  FROM dense
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(l.r, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(d.r, 0) AS BIGINT) AS dense_rank,
+         CAST(COALESCE({_RRF_SCALE} // ({_RRF_C} + l.r), 0)
+              + COALESCE({_RRF_SCALE} // ({_RRF_C} + d.r), 0)
+              AS BIGINT) AS rrf_scaled
+  FROM (SELECT * FROM lr WHERE r <= {_RRF_POOL}) l
+  FULL OUTER JOIN (SELECT * FROM dr WHERE r <= {_RRF_POOL}) d
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY rrf_scaled DESC, doc_id ASC) AS BIGINT) AS rnk,
+       doc_id, rrf_scaled, lex_rank, dense_rank
+FROM fused
+QUALIFY rnk <= {_RRF_K}
+""".replace("{q}", "list_transform(embedding, x -> CAST(floor("
+            "CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+
+
+@query("rrf_fusion_topk", oracle=_rrf_oracle())
+def rrf_fusion_topk(spark, sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack et al. 2009;
+    the standard lexical+dense fusion in 2024 RAG stacks): a LEXICAL
+    arm (inverted-index shared-term scoring with integer-scaled IDF
+    N*1000 DIV df — no float log, the module's rank-portability
+    rule) and a DENSE arm (quantized-integer cosine in floor'd
+    micros, the clip discipline) each produce a top-20 candidate
+    list per query; fusion scores each candidate
+    sum_arms floor(1e9 / (60 + rank)) — floored PER TERM so both
+    engines add identical integers — and the fused top-5 ships with
+    both per-arm ranks (0 = arm missed it), the explainability a
+    hybrid stack needs.
+
+    Like the recall gauges, both arms here are the brute gauge-scale
+    ceilings on a query sample; production swaps in the repo's
+    bm25_maxscore_topk and ann_ivf_topk arms — RRF only needs the
+    (query, doc, rank) lists.
+
+    Scale: the lexical join is inverted-index-shaped (query terms
+    join the term index — shuffle on term, bounded by document
+    frequency); the dense arm broadcasts the query sample
+    (nested-loop expected, ann precedent); every window is
+    per-query bounded."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        quantize,
+    )
+
+    from advisorydatapipeline_spark.functions.text import tokens
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        gauge_pair_guard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_emb = load(spark, sf_dir, "embeddings").count()
+    gauge_pair_guard(
+        max(n_emb // _RRF_QMOD, 1), n_emb, "rrf_fusion_topk"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("term"),
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize("embedding").alias("q")
+    )
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = (
+        docs.filter(F.col("doc_id") % _RRF_QMOD == 0)
+        .join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .select(F.col("doc_id").alias("query_id"))
+    )
+    df = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qtok = tok.join(
+        qs.withColumnRenamed("query_id", "doc_id"), "doc_id"
+    ).withColumnRenamed("doc_id", "query_id")
+    lex = (
+        qtok.join(df, "term")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "query_id",
+            "term",
+            F.expr("CAST(n * 1000 DIV df AS BIGINT)").alias("idf"),
+        )
+        .join(
+            tok.withColumnRenamed("doc_id", "cand_id"), "term"
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("cand_id").alias("doc_id"))
+        .agg(F.sum("idf").cast("long").alias("score"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    lr = (
+        lex.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= _RRF_POOL)
+        .select("query_id", "doc_id", F.col("r").alias("lex_r"))
+    )
+    qv = qs.join(
+        emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("q").alias("qq")),
+        "query_id",
+    )
+    dense = (
+        emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("q").alias("cq"))
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                1_000_000
+                * cosine_q(
+                    dot_q(F.col("cq"), F.col("qq")),
+                    norm_sq_q(F.col("cq")),
+                    norm_sq_q(F.col("qq")),
+                )
+            ).cast("long").alias("cm"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cm").desc(), F.col("doc_id").asc()
+    )
+    dr = (
+        dense.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= _RRF_POOL)
+        .select("query_id", "doc_id", F.col("r").alias("dense_r"))
+    )
+    fused = (
+        lr.join(dr, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_r", F.lit(0)).cast("long").alias(
+                "lex_rank"
+            ),
+            F.coalesce("dense_r", F.lit(0)).cast("long").alias(
+                "dense_rank"
+            ),
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} DIV ({_RRF_C} + lex_r)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} DIV ({_RRF_C} + dense_r)"),
+                    F.lit(0),
+                )
+            ).cast("long").alias("rrf_scaled"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _RRF_K)
+        .select("query_id", "rnk", "doc_id", "rrf_scaled",
+                "lex_rank", "dense_rank")
+    )

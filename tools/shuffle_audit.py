@@ -192,6 +192,8 @@ AUDIT = [
     "dataset_cartography",
     "tracin_influence_topk",
     "speculative_decode_accept",
+    "matryoshka_recall_eval",
+    "rrf_fusion_topk",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
