@@ -55,7 +55,7 @@ def main() -> int:
     import __spark_entry__ as e
 
     names = sorted(e.queries().keys())
-    slices = [names[i::shards] for i in range(shards)]
+    slices = _plan_slices(names, shards, sf_dir)
 
     total_cpus = os.cpu_count() or 8
     per = max(2, total_cpus // shards)
@@ -68,6 +68,43 @@ def main() -> int:
         return _run(tmp, slices, names, shards, per, out_path, sf_dir, t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _plan_slices(names, shards, sf_dir):
+    """Weighted LPT shard assignment (r14): round-robin by name left
+    the r13 sf0.1 wall at 1.7x the per-shard average (459 s vs 269 s
+    — one shard drew duplicate_spans_exact AND the asof/mp3 heavies).
+    Weights come from the PREVIOUS same-sf gate artifact's per-entry
+    ``sec`` (read before this run overwrites it); entries without a
+    prior reading weigh 1.0. Falls back to round-robin when no
+    artifact exists. Greedy longest-processing-time onto the least
+    loaded shard — the classic 4/3-optimal makespan heuristic."""
+    prev_path = (
+        "LOCAL_GATE_SF01_FULL.json"
+        if sf_dir.rstrip("/").endswith("sf0.1")
+        else "LOCAL_GATE.json"
+    )
+    weights: dict[str, float] = {}
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        rows = prev.get("results", prev)
+        for k, v in rows.items():
+            if isinstance(v, dict) and isinstance(
+                v.get("sec"), (int, float)
+            ):
+                weights[k] = max(float(v["sec"]), 0.2)
+    except (OSError, ValueError):
+        pass
+    if not weights:
+        return [names[i::shards] for i in range(shards)]
+    loads = [0.0] * shards
+    slices: list[list[str]] = [[] for _ in range(shards)]
+    for n in sorted(names, key=lambda n: -weights.get(n, 1.0)):
+        i = loads.index(min(loads))
+        slices[i].append(n)
+        loads[i] += weights.get(n, 1.0)
+    return slices
 
 
 def _run(tmp, slices, names, shards, per, out_path, sf_dir, t0) -> int:
