@@ -2694,3 +2694,92 @@ def matryoshka_recall_eval(spark, sf_dir):
             ).alias("recall_ppm"),
         )
     )
+
+
+# --- EMA checkpoint averaging (r14) -----------------------------------
+
+_EMA_T = 8  # checkpoints in the series
+_EMA_CH = 64  # parameter channels per shard row
+_EMA_SCALE = 1000  # EMA carried in milli-units
+_EMA_M1 = 2654435761
+
+
+def _ema_mix(expr: str, idiv: str) -> str:
+    """Double 2^31 mix (the mp3_huffman lesson: vec_id*512 varies the
+    HIGH bits, and modular multiplication never diffuses high bits
+    downward, so % 2001 needs the second fold)."""
+    m1 = f"((({expr}) % 2147483648) * {_EMA_M1} % 2147483648)"
+    return (
+        f"((({m1} {idiv} 65536 + {m1}) % 2147483648)"
+        f" * {_EMA_M1} % 2147483648)"
+    )
+
+
+def _ema_v(ch: str, t: str, idiv: str) -> str:
+    return (
+        f"({_ema_mix(f'vec_id * 512 + ({ch}) * 8 + ({t})', idiv)}"
+        f" % 2001)"
+    )
+
+
+_EMA_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, {_EMA_CH - 1}), ch ->
+           reduce(
+             [{_ema_v('ch', '0', '//')} * {_EMA_SCALE}]
+               || list_transform(generate_series(1, {_EMA_T - 1}),
+                                 t -> {_ema_v('ch', 't', '//')}),
+             (acc, x) -> (3 * acc + x * {_EMA_SCALE}) // 4
+           )) AS emas
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(list_sum(emas) AS BIGINT) AS ema_sum_milli,
+       CAST(list_min(emas) AS BIGINT) AS ema_min_milli,
+       CAST(list_max(emas) AS BIGINT) AS ema_max_milli
+FROM e
+"""
+
+
+@query("ema_checkpoint_average", oracle=_EMA_ORACLE)
+def ema_checkpoint_average(spark, sf_dir):
+    """EMA (Polyak-style exponential moving average) checkpoint
+    averaging — the standard weight-averaging trick behind EMA
+    student/teacher models and stable eval checkpoints: per parameter
+    the running average e_t = decay * e_(t-1) + (1-decay) * w_t with
+    decay 3/4, folded across an 8-checkpoint series. The per-step
+    integer floor (milli-units, non-negative domain so Spark DIV ==
+    DuckDB //) makes the SEQUENTIAL fold itself the gated object:
+    Spark evaluates it as ``aggregate(sequence(...), init, merge)``
+    and the oracle replays the identical fold with DuckDB
+    ``reduce`` — a per-step-exact sequential-recurrence gate, the
+    first fold-shaped oracle in the registry.
+
+    The checkpoint series is a mix-derived fixture (a real run reads
+    T checkpoint shards and zips them); per shard row the whole
+    64-channel fold is MAP-SIDE — no shuffle anywhere, embarrassingly
+    parallel over parameter shards at 100 TB (the realistic layout:
+    checkpoints sharded by parameter range, one row per shard per
+    channel block)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    emas = F.expr(
+        f"transform(sequence(0, {_EMA_CH - 1}), ch -> "
+        f"aggregate(sequence(1, {_EMA_T - 1}), "
+        f"CAST({_ema_v('ch', '0', 'DIV')} * {_EMA_SCALE} AS BIGINT), "
+        f"(acc, t) -> (3 * acc + {_ema_v('ch', 't', 'DIV')}"
+        f" * {_EMA_SCALE}) DIV 4))"
+    )
+    return emb.select("vec_id", emas.alias("emas")).select(
+        "vec_id",
+        F.expr(
+            "CAST(aggregate(emas, CAST(0 AS BIGINT),"
+            " (a, x) -> a + x) AS BIGINT)"
+        ).alias("ema_sum_milli"),
+        F.expr("CAST(array_min(emas) AS BIGINT)").alias(
+            "ema_min_milli"
+        ),
+        F.expr("CAST(array_max(emas) AS BIGINT)").alias(
+            "ema_max_milli"
+        ),
+    )

@@ -2281,3 +2281,127 @@ def template_slot_fingerprint(spark, sf_dir):
             F.min("doc_id").cast("long").alias("sample_doc_id"),
         )
     )
+
+
+# --- Min-K% pretraining-data membership score (r14) -------------------
+
+_MINK_PCT = 20  # the K in Min-K% (Shi et al. use 20 as the default)
+
+
+@query(
+    "mink_prob_membership",
+    oracle=f"""
+WITH tok AS (
+  SELECT t.doc_id, u.i AS pos, t.tk[u.i] AS w
+  FROM (SELECT doc_id, {_T} AS tk FROM documents) t,
+       unnest(generate_series(1, len(t.tk))) AS u(i)
+),
+gl AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gl),
+sc AS (
+  SELECT w, CAST(floor(1000000 * ln(
+           (SELECT n FROM tot) / CAST(c AS DOUBLE))) AS BIGINT)
+         AS s_micro
+  FROM gl
+),
+scored AS (
+  SELECT tok.doc_id, tok.pos, sc.s_micro,
+         row_number() OVER (PARTITION BY tok.doc_id
+           ORDER BY sc.s_micro DESC, tok.pos ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY tok.doc_id) AS BIGINT) AS nt
+  FROM tok JOIN sc ON sc.w = tok.w
+),
+agg AS (
+  SELECT doc_id,
+         CAST(max(nt) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(max(nt) * {_MINK_PCT} // 100, 1) AS BIGINT)
+           AS k_tokens,
+         CAST(sum(CASE WHEN rn <= GREATEST(nt * {_MINK_PCT} // 100, 1)
+                  THEN s_micro ELSE 0 END) AS BIGINT) AS mink_sum,
+         CAST(sum(s_micro) AS BIGINT) AS sum_micro
+  FROM scored GROUP BY 1
+)
+SELECT b.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.k_tokens, 0) AS k_tokens,
+       CAST(a.mink_sum // a.k_tokens AS BIGINT) AS mink_mean_micro,
+       CAST(a.sum_micro // a.n_tokens AS BIGINT) AS mean_micro,
+       CAST((a.sum_micro // a.n_tokens) * 1000000
+            // (a.mink_sum // a.k_tokens) AS BIGINT) AS flatness_ppm
+FROM documents b LEFT JOIN agg a ON a.doc_id = b.doc_id
+""",
+)
+def mink_prob_membership(spark, sf_dir):
+    """Min-K% pretraining-data membership score (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models"): a
+    document the model memorized has NO surprising tokens, so the
+    membership statistic is the mean log-likelihood of the K%=20
+    LEAST-likely tokens — members score anomalously low there even
+    when the full-document mean looks normal. Scored against the
+    corpus word-unigram model (the char_unigram_surprisal
+    discipline: one floor-quantized micro-nat per word TYPE, then
+    exact BIGINT everywhere), reported as mink_mean_micro next to
+    the full mean and a flatness ratio (mean/mink in ppm — closer to
+    1e6 = flatter likelihood profile = memorization/contamination
+    signal; the decision threshold is calibrated downstream on
+    known members, as in the paper).
+
+    Scale: token explode collapses to (doc, word-type) scoring rows
+    via one hash shuffle on the word key; the per-doc top-K window
+    is doc-partitioned; empty docs surface with zero counts and NULL
+    scores via the per-document base."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    gl = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = gl.agg(F.sum("c").cast("long").alias("n"))
+    sc = gl.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.floor(
+            1_000_000 * F.log(F.col("n") / F.col("c").cast("double"))
+        ).cast("long").alias("s_micro"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.col("s_micro").desc(), F.col("pos").asc()
+    )
+    wn = Window.partitionBy("doc_id")
+    scored = tok.join(sc, "w").select(
+        "doc_id",
+        "pos",
+        "s_micro",
+        F.row_number().over(wdoc).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("nt"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.max("nt").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(GREATEST(max(nt) * {_MINK_PCT} DIV 100, 1)"
+            " AS BIGINT)"
+        ).alias("k_tokens"),
+        F.expr(
+            f"CAST(sum(CASE WHEN rn <= GREATEST(nt * {_MINK_PCT}"
+            f" DIV 100, 1) THEN s_micro ELSE 0 END) AS BIGINT)"
+        ).alias("mink_sum"),
+        F.sum("s_micro").cast("long").alias("sum_micro"),
+    )
+    base = docs.select("doc_id")
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("k_tokens", F.lit(0).cast("long")).alias("k_tokens"),
+        F.expr("CAST(mink_sum DIV k_tokens AS BIGINT)").alias(
+            "mink_mean_micro"
+        ),
+        F.expr("CAST(sum_micro DIV n_tokens AS BIGINT)").alias(
+            "mean_micro"
+        ),
+        F.expr(
+            "CAST((sum_micro DIV n_tokens) * 1000000"
+            " DIV (mink_sum DIV k_tokens) AS BIGINT)"
+        ).alias("flatness_ppm"),
+    )

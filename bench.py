@@ -296,6 +296,8 @@ EXTENDED = [
     "speculative_decode_accept",
     "matryoshka_recall_eval",
     "rrf_fusion_topk",
+    "mink_prob_membership",
+    "ema_checkpoint_average",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
@@ -517,10 +519,15 @@ def main() -> None:
         for name in timings:
             tier = "core" if name in base.get("core", {}) else "extended"
             old = base.get(tier, {}).get(name)
-            if old is None:
+            if old is None and name not in CORE + EXTENDED:
                 raise SystemExit(
-                    f"--merge: {name} not present in {args.merge}"
+                    f"--merge: {name} not present in {args.merge} "
+                    f"nor in the bench tiers"
                 )
+            # old is None for a LATE-ADDED entry (registered in the
+            # tiers after the round artifact was measured): fold it
+            # in as an addition, provenance under 'merged' with
+            # old=None (r14 late-additions protocol)
             merged_log[name] = {
                 "old": old,
                 "new": timings[name],

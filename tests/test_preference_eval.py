@@ -500,3 +500,98 @@ def test_tracin_influence_invariants(spark):
         for i, (a, b) in enumerate(zip(emb[tid], emb[top["train_id"]]))
     )
     assert top["influence"] == want
+
+
+def test_mink_membership_invariants(spark):
+    """Min-K% semantics: mink_mean >= full mean (it averages the
+    highest-surprisal K%); k = max(1, 20% of tokens); flatness ppm
+    <= 1e6; a planted memorized-flat doc (every token equally
+    common) scores flatter than a doc with one rare token."""
+    from advisorydatapipeline_spark.queries.text_analysis import (
+        mink_prob_membership,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in mink_prob_membership(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows
+    for r in rows.values():
+        if r["n_tokens"] == 0:
+            assert r["k_tokens"] == 0
+            assert r["mink_mean_micro"] is None
+            continue
+        assert r["k_tokens"] == max(1, r["n_tokens"] * 20 // 100)
+        assert r["mink_mean_micro"] >= r["mean_micro"]
+        assert 0 <= r["flatness_ppm"] <= 1_000_000
+
+
+def test_mink_flatness_separates_planted_docs(spark):
+    from advisorydatapipeline_spark.queries.text_analysis import (
+        mink_prob_membership,
+    )
+    from advisorydatapipeline_spark.queries import helpers
+
+    docs = [
+        (0, "aa bb cc dd ee aa bb cc dd ee"),  # flat profile
+        (1, "aa bb cc dd ee aa bb cc dd zzzz"),  # one rare token
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    orig = helpers.load
+    try:
+        helpers.load = lambda _s, _d, _t: df  # fixture injection
+        import advisorydatapipeline_spark.queries.text_analysis as ta
+
+        orig_ta = ta.load
+        ta.load = helpers.load
+        try:
+            rows = {
+                r["doc_id"]: r
+                for r in mink_prob_membership(spark, "unused").collect()
+            }
+        finally:
+            ta.load = orig_ta
+    finally:
+        helpers.load = orig
+    assert rows[0]["flatness_ppm"] > rows[1]["flatness_ppm"]
+
+
+def test_ema_checkpoint_average_matches_python_fold(spark):
+    """Replay the integer EMA fold in plain Python for a handful of
+    shard rows — per-step floor, decay 3/4, milli-units."""
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        _EMA_CH,
+        _EMA_M1,
+        _EMA_SCALE,
+        _EMA_T,
+        ema_checkpoint_average,
+    )
+
+    rows = {
+        r["vec_id"]: r
+        for r in ema_checkpoint_average(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    M = 2147483648
+
+    def mix(x):
+        m1 = (x % M) * _EMA_M1 % M
+        return ((m1 // 65536 + m1) % M) * _EMA_M1 % M
+
+    def v(vec, ch, t):
+        return mix(vec * 512 + ch * 8 + t) % 2001
+
+    for vec in list(rows)[:5]:
+        emas = []
+        for ch in range(_EMA_CH):
+            e = v(vec, ch, 0) * _EMA_SCALE
+            for t in range(1, _EMA_T):
+                e = (3 * e + v(vec, ch, t) * _EMA_SCALE) // 4
+            emas.append(e)
+        r = rows[vec]
+        assert r["ema_sum_milli"] == sum(emas)
+        assert r["ema_min_milli"] == min(emas)
+        assert r["ema_max_milli"] == max(emas)

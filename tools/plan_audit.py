@@ -289,6 +289,8 @@ AUDIT = [
     "speculative_decode_accept",
     "matryoshka_recall_eval",
     "rrf_fusion_topk",
+    "mink_prob_membership",
+    "ema_checkpoint_average",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
@@ -375,6 +377,8 @@ NESTED_LOOP_OK = {
     "basket_pair_lift",
     # 1-row broadcast corpus-token-total scalar (interpolation p1 arm)
     "lm_perplexity_scores",
+    # 1-row broadcast corpus-token-total scalar (word-unigram model)
+    "mink_prob_membership",
     # 1-row broadcast count-of-counts model scalar (dn, dd, nall)
     "kn_bigram_scores",
     # 1-row broadcast (Nt, Ns) smoothing-denominator scalar

@@ -77,7 +77,7 @@ def main() -> None:
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
         else {"spans8", "suffix16", "kn3", "ipv8", "rl8", "carto8",
-              "infl8", "fuse8"}
+              "infl8", "fuse8", "mink8"}
     )
     spark = get_spark("r14-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -170,6 +170,18 @@ def main() -> None:
             slope = round(ts[3] / ts[0], 2) if ts[0] else float("nan")
             print(f"| tracin_influence_topk | {ts[0]}s | {ts[1]}s |"
                   f" {ts[2]}s | {ts[3]}s | {slope} | {out8} |")
+        if "mink8" in sections:
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "mink_prob_membership (documents) /"
+                " ema_checkpoint_average (embeddings; row-replicated"
+                " — the op is per-row map-side, key uniqueness"
+                " irrelevant)",
+                ("mink_prob_membership", "ema_checkpoint_average"),
+                ("documents", "embeddings"),
+            )
         if "fuse8" in sections:
             from r11_scale_smoke import stage_contiguous
 

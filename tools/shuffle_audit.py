@@ -194,6 +194,8 @@ AUDIT = [
     "speculative_decode_accept",
     "matryoshka_recall_eval",
     "rrf_fusion_topk",
+    "mink_prob_membership",
+    "ema_checkpoint_average",
     "brier_decomposition_eval",
     "span_corruption_plan",
     "unicode_normalize_stats",
