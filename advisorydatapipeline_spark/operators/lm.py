@@ -123,6 +123,35 @@ def kneser_ney_bigram_scores(
     Returns: doc_id, n_tokens, n_bigrams, surprisal_micro,
     mean_surprisal_micro (NULL when the doc has < 2 tokens).
     """
+    out, handles = kneser_ney_bigram_plan(
+        docs, id_col=id_col, text_col=text_col, scale=scale
+    )
+    # eager materialize + unpersist: the leak discipline shared with
+    # the trigram version below; the un-materialized plan stays
+    # inspectable via kneser_ney_bigram_plan (r15 — the r14 ADVICE
+    # blind spot: the checkpointed result is a Scan ExistingRDD, so
+    # plan-shape coverage lives in tests/test_explain_plans.py and
+    # tools/plan_audit.py's CHECKPOINTED seam table, both of which
+    # audit THIS lazy plan).
+    try:
+        res = out.localCheckpoint(eager=True)
+    finally:
+        for h in handles:
+            h.unpersist()
+    return res
+
+
+def kneser_ney_bigram_plan(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = PPB,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The lazy plan behind :func:`kneser_ney_bigram_scores`: returns
+    ``(result, persisted handles)`` so plan-only callers (the pinned
+    plan-shape pytest and tools/plan_audit.py) can inspect the real
+    physical plan and unpersist without materializing."""
     max_safe = (2**63 - 1) // scale
     tk = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
@@ -231,20 +260,7 @@ def kneser_ney_bigram_scores(
             "mean_surprisal_micro",
         )
     )
-    # Materialize while the caches are live, then unpersist — the
-    # bitext_ivf_recall discipline (r12 ADVICE item 3 / r13 ADVICE
-    # item 4): returning a lazy plan over the persisted frames would
-    # pin their cached blocks in long-lived sessions. The eager
-    # localCheckpoint holds only the RESULT (5 BIGINTs per doc, the
-    # job's output either way), distributed across executors and
-    # GC-cleaned with the frame.
-    try:
-        res = out.localCheckpoint(eager=True)
-    finally:
-        tk.unpersist()
-        bi_doc.unpersist()
-        bi.unpersist()
-    return res
+    return out, [tk, bi_doc, bi]
 
 
 def kneser_ney_trigram_scores(

@@ -865,14 +865,19 @@ def avi_mjpeg_frame_sampling(spark, sf_dir):
     "video_pframe_decode",
     oracle="""
 WITH x AS (
+  -- xr = x % 2^31 BEFORE the first-round square/B-term: python
+  -- _mix2 is arbitrary-precision, but BIGINT x*x would overflow
+  -- once doc_id > ~23.7M (r14 ADVICE item 4); reducing first is
+  -- exact for every x because (x*x) % M == (xr*xr) % M and
+  -- (x*B) % M == (xr*B) % M when M | (x - xr)
   SELECT d.doc_id, f.f, b.b,
-         d.doc_id * 128 + f.f * 8 + b.b AS x
+         (d.doc_id * 128 + f.f * 8 + b.b) % 2147483648 AS xr
   FROM documents d, range(12) f(f), range(6) b(b)
   WHERE f.f < 8 + d.doc_id % 5
 ),
 h1 AS (
   SELECT doc_id, f, b,
-         ((x * x % 2147483648) * 2654435761 + x * 506952113)
+         ((xr * xr % 2147483648) * 2654435761 + xr * 506952113)
            % 2147483648 AS h
   FROM x
 ),

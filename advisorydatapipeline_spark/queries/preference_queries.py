@@ -1021,9 +1021,12 @@ def grpo_advantage_baseline(spark, sf_dir):
     fixture's 99-sample groups and <=56021-cent rewards), so both
     engines see the identical DOUBLE, IEEE sqrt is correctly
     rounded, and the one-step bracket correction pins floor(sqrt).
-    An in-plan guard raises (remediation: rescale rewards) the
-    moment a group could exceed the 2^52 exactness bound instead of
-    silently degrading.
+    TWO in-plan guards raise (remediation: rescale rewards) instead
+    of silently degrading: the variance numerator against the 2^52
+    exactness bound, and the advantage numerator against the
+    (2^63-1) DIV 1e6 ppm-quantization bound (r14 ADVICE item 2 —
+    independent bounds: a huge group of small rewards trips the
+    second without the first).
 
     Scale: ONE hash shuffle keyed on prompt; the three group
     statistics ride the same per-prompt window partition. No
@@ -1056,13 +1059,26 @@ def grpo_advantage_baseline(spark, sf_dir):
         F.col("n").alias("n_samples"),
         F.col("sum_r").alias("group_sum_cents"),
         F.expr(
-            # guard first: the exact-sqrt contract needs var_num
-            # representable in DOUBLE (division-form comparison, so
-            # the guard itself cannot overflow)
+            # guards first: the exact-sqrt contract needs var_num
+            # representable in DOUBLE, and the ppm quantization needs
+            # |num| * 1e6 inside BIGINT (r14 ADVICE item 2: Spark is
+            # non-ANSI here and would WRAP silently where DuckDB
+            # raises — the unguarded product was the one hole in the
+            # exactness story). Both guards are division-form
+            # comparisons, so neither can itself overflow. Note the
+            # 2^52 variance guard does NOT subsume this one: var_num
+            # bounds n*sum_r2, but num is linear in reward while
+            # sum_r is linear in n*reward — a 2^40-sized group of
+            # small rewards passes the variance guard while
+            # n*reward_cents alone tops 2^63/1e6.
             f"CAST(CASE WHEN sum_r2 > {_GRPO_SQRT_SAFE} DIV n THEN "
             f"raise_error(CONCAT('grpo_advantage_baseline: group ', "
             f"user_id, ' variance numerator would exceed 2^52; ', "
             f"'rescale rewards (cents -> dollars)')) "
+            f"WHEN abs({num}) > {(2**63 - 1) // 1_000_000} THEN "
+            f"raise_error(CONCAT('grpo_advantage_baseline: group ', "
+            f"user_id, ' advantage numerator would overflow ppm ', "
+            f"'quantization in BIGINT; rescale rewards')) "
             f"WHEN n * sum_r2 - sum_r * sum_r = 0 THEN 0 "
             f"ELSE (CASE WHEN {num} < 0 THEN -1 ELSE 1 END) * "
             f"((abs({num}) * 1000000) DIV "

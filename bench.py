@@ -319,6 +319,125 @@ EXTENDED = [
     "web_corpus_pipeline",
     "license_compat_audit",
     "crawl_frontier_refresh",
+    # --- r15 tier-membership audit (r14 verdict item 3): the 113
+    # registry entries that were in NO bench tier — mostly cheap
+    # parity/analytics queries whose only wall-time record was the
+    # gate's combined Spark+DuckDB sec. All folded in so every entry
+    # has a longitudinal Spark-side timing; tests/test_bench_tiers.py
+    # pins CORE ∪ EXTENDED == registry from here on.
+    "advisory_stream_scan",
+    "arrow_doc_stats",
+    "asof_join_cogrouped",
+    "binary_file_scan",
+    "bitwise_aggregates",
+    "calendar_spine_fill",
+    "canonical_corpus",
+    "case_ranked_order",
+    "cast_projection",
+    "ci_compound_key_left_join",
+    "compact_small_files",
+    "conditional_aggregates",
+    "corpus_mixture_waterfill",
+    "csv_scan_roundtrip",
+    "cube_event_matrix",
+    "datetime_derivations",
+    "dedup_simhash",
+    "disjunctive_filter_revenue",
+    "distinct_agg_counts",
+    "distinct_pairs",
+    "doc_chunks_udtf",
+    "double_left_join_merge",
+    "dup_span_fraction",
+    "embedding_norms",
+    "forecast_revenue_band",
+    "full_outer_reconciliation",
+    "funnel_analysis",
+    "fuzzy_name_pairs",
+    "grouped_percentiles",
+    "grouping_sets_returns",
+    "hof_predicates",
+    "http_json_flatten",
+    "idle_customer_balance",
+    "intersect_except_all",
+    "intersect_except_keys",
+    "ivf_recall_eval",
+    "jdbc_absent_empty_relation",
+    "json_scan_roundtrip",
+    "k_anonymity_audit",
+    "key_skew_profile",
+    "large_order_customers",
+    "left_anti_cache_skip",
+    "length_histogram",
+    "limit_offset_page",
+    "log_parse_text",
+    "lsh_recall_eval",
+    "mad_outliers",
+    "media_frame_sampling",
+    "min_gap_events",
+    "multipath_partitioned_scan",
+    "nation_volume_shipping",
+    "not_in_antijoin",
+    "ntile_length_quartiles",
+    "null_predicates",
+    "null_safe_join",
+    "observed_scan_metrics",
+    "orc_scan_roundtrip",
+    "parameterized_sql_filter",
+    "pipe_syntax_aggregate",
+    "price_qty_regression",
+    "promo_revenue_share",
+    "props_map_stats",
+    "quality_report_docs",
+    "range_frame_rolling_sum",
+    "rank_distribution",
+    "recursive_cte_chain",
+    "referential_orphans",
+    "returned_item_ranking",
+    "rhp_recall_eval",
+    "safe_arithmetic",
+    "sample_capped_per_group",
+    "scalar_derivation",
+    "scalar_pandas_udf_quantize",
+    "scan_filter_pushdown",
+    "scd2_intervals",
+    "schema_evolution_scan",
+    "session_window_api",
+    "sketch_aggregates",
+    "skew_salted_join",
+    "sorted_event_type_sets",
+    "source_quota_cap",
+    "split_assignment",
+    "sql_dml_roundtrip",
+    "sql_udf_revenue",
+    "state_machine_udf",
+    "streaming_append_windows",
+    "streaming_dedup_watermarked",
+    "streaming_range_join",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_stateful_counts",
+    "streaming_static_enrich",
+    "streaming_upsert_merge",
+    "string_functions_suite",
+    "supplier_value_share",
+    "text_fingerprint",
+    "text_token_stats",
+    "topk_per_group",
+    "training_mix_plan",
+    "ttl_cache_merge",
+    "ttl_cutoff_filter",
+    "ttl_pending_work",
+    "udaf_quantized_sum",
+    "union_by_name",
+    "unpivot_metrics",
+    "user_erasure_rewrite",
+    "variant_extract",
+    "vector_pair_dot",
+    "window_value_functions",
+    "winnowing_fingerprints",
+    "xml_scan_roundtrip",
+    "zorder_chunk_stats",
+    "zscore_anomalies",
 ]
 
 

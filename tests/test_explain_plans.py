@@ -386,6 +386,45 @@ def test_kn_trigram_plan_shape(spark, sf_dir):
             h.unpersist()
 
 
+def test_kn_bigram_plan_shape(spark, sf_dir):
+    """KN bigram scale contract (r15, closing the r14 ADVICE plan
+    blind spot): the count-of-counts model row rides ONE broadcast
+    nested-loop join (1-row frame), the apply join on (w1,w2) stays a
+    hash/sort-merge join, and no window exists anywhere — the per-doc
+    bigram slide is a map-side transform. The eager localCheckpoint
+    in the registry entry makes its plan a Scan ExistingRDD; THIS
+    lazy seam is where the real plan stays pinned (plan_audit's
+    CHECKPOINTED table audits the same seam)."""
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_bigram_plan,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    out, handles = kneser_ney_bigram_plan(
+        load(spark, sf_dir, "documents")
+    )
+    try:
+        p = plan(out)
+        assert p.count("BroadcastNestedLoopJoin") == 1  # model row
+        assert (
+            p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+            + p.count("BroadcastHashJoin") >= 3
+        )
+        assert "Window" not in p
+        assert "CartesianProduct" not in p
+        # plan_audit's detector agrees no window is global
+        import sys
+
+        sys.path.insert(0, "tools")
+        from plan_audit import global_window_count, plan_of
+
+        out.collect()
+        assert global_window_count(plan_of(out)) == 0
+    finally:
+        for h in handles:
+            h.unpersist()
+
+
 def test_global_window_detector_calibrated(spark, sf_dir):
     """Pin tools/plan_audit.global_window_count against known plans:
     a partition-less rank must count > 0, a partitioned window must

@@ -46,7 +46,7 @@ def duck():
 def test_registry_entry_matches_oracle(duck, spark, name):
     from tools.check_oracle import compare_query
 
-    problems, n_rows = compare_query(
+    problems, n_rows, _spark_sec, _oracle_sec = compare_query(
         spark, duck, name, QUERIES[name], ORACLES.get(name), GATE_SF_DIR
     )
     assert not problems, f"{name} ({n_rows} rows): {problems}"

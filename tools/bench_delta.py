@@ -47,6 +47,19 @@ def load_artifact(path: str) -> tuple[dict[str, float], dict, int | None]:
         out.update(d.get("core", {}))
         out.update(d.get("extended", {}))
         return out, d.get("spread", {}), d.get("reps")
+    if "results" in d and "sf_dir" in d:  # LOCAL_GATE format (r15)
+        # gate artifacts carry a per-entry spark_sec/oracle_sec split
+        # (tools/check_oracle.py): the Spark-side walls give every
+        # bench-tier-less entry a longitudinal timing record. Gate
+        # runs are sharded (contended cores), so compare gate-vs-gate
+        # only, never gate-vs-bench; reps=None keeps the mixed-reps
+        # downgrade active against bench artifacts.
+        for k, v in d["results"].items():
+            if isinstance(v, dict) and isinstance(
+                v.get("spark_sec"), (int, float)
+            ):
+                out[k] = float(v["spark_sec"])
+        return out, {}, None
     if isinstance(d.get("parsed"), dict):
         q = d["parsed"].get("queries")
         if isinstance(q, dict):

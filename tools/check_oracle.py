@@ -69,12 +69,17 @@ def row_multiset(rows):
 
 
 def compare_query(spark, con, name, fn, oracle, sf_dir):
-    """Run one registry entry both ways. Returns (problems, n_rows);
-    ``problems`` is a list of strings, empty == green. A rows-only
-    entry (oracle is None) is green unless it returns complex-typed
-    columns the driver's comparator would crash on."""
+    """Run one registry entry both ways. Returns (problems, n_rows,
+    spark_sec, oracle_sec); ``problems`` is a list of strings, empty
+    == green. A rows-only entry (oracle is None) is green unless it
+    returns complex-typed columns the driver's comparator would crash
+    on. The timing split (r14 verdict item 4) separates Spark
+    execution (plan build + collect) from the DuckDB oracle replay,
+    so a Spark regression in a bench-tier-less entry is visible in
+    the gate artifact instead of being drowned by oracle cost."""
     from pyspark.sql import types as T
 
+    t_spark = time.time()
     sdf = fn(spark, sf_dir)
     scols = [c.lower() for c in sdf.columns]
     # the external driver's comparator (pandas sort_values + hash)
@@ -85,16 +90,19 @@ def compare_query(spark, con, name, fn, oracle, sf_dir):
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
     srows = [tuple(r) for r in sdf.collect()]
+    spark_sec = round(time.time() - t_spark, 2)
     problems = []
     if complex_cols:
         problems.append(
             f"driver-incompatible complex-typed columns: {complex_cols}"
         )
     if oracle is None:
-        return problems, len(srows)
+        return problems, len(srows), spark_sec, 0.0
+    t_oracle = time.time()
     res = con.execute(oracle)
     ocols = [d[0].lower() for d in res.description]
     orows = res.fetchall()
+    oracle_sec = round(time.time() - t_oracle, 2)
     # driver sorts columns by name before hashing
     s_ix = sorted(range(len(scols)), key=lambda i: scols[i])
     o_ix = sorted(range(len(ocols)), key=lambda i: ocols[i])
@@ -111,7 +119,7 @@ def compare_query(spark, con, name, fn, oracle, sf_dir):
             problems.append(
                 f"values spark-only={diff_s} oracle-only={diff_o}"
             )
-    return problems, len(srows)
+    return problems, len(srows), spark_sec, oracle_sec
 
 
 def main() -> int:
@@ -151,7 +159,7 @@ def main() -> int:
             continue
         n_checked += 1
         t0 = time.time()
-        problems, n_rows = compare_query(
+        problems, n_rows, spark_sec, oracle_sec = compare_query(
             spark, con, name, fn, oracles.get(name), sf_dir
         )
         # queries may persist() intermediates referenced several
@@ -166,7 +174,11 @@ def main() -> int:
                 else ("rows-only" if name not in oracles else "ok")
             ),
             "rows": n_rows,
+            # sec = whole-entry wall (back-compat: LPT shard weights
+            # read it); spark_sec/oracle_sec split it (r14 item 4)
             "sec": round(time.time() - t0, 2),
+            "spark_sec": spark_sec,
+            "oracle_sec": oracle_sec,
         }
         if name not in oracles:
             no_oracle.append(name)

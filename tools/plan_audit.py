@@ -381,6 +381,10 @@ NESTED_LOOP_OK = {
     "mink_prob_membership",
     # 1-row broadcast count-of-counts model scalar (dn, dd, nall)
     "kn_bigram_scores",
+    # two 1-row broadcast count-of-counts model scalars (trigram +
+    # modified-bigram levels) — visible now that the audit reads the
+    # lazy seam instead of the checkpointed Scan ExistingRDD
+    "kn_trigram_scores",
     # 1-row broadcast (Nt, Ns) smoothing-denominator scalar
     "dsir_importance_weights",
     # broadcast-centroid assignment cross joins (seed + refined) —
@@ -598,6 +602,51 @@ GLOBAL_WINDOW_OK = {
     ),
 }
 
+# Entries whose registry function eagerly localCheckpoints its result
+# (the cache-leak discipline): the registry df explains as a Scan
+# ExistingRDD, so auditing it is VACUOUS — the red-flag checks would
+# see an empty plan (r14 ADVICE item 1). Each such entry maps to its
+# lazy ``*_plan`` seam here; the audit runs on THAT plan (the one the
+# cluster actually executes before the checkpoint) and the PLANS.md
+# row is labeled "checkpointed (lazy seam)" so the provenance is
+# explicit. The same seams are pinned shape-by-shape in
+# tests/test_explain_plans.py.
+
+
+def _seam_kn_bigram(spark, sf_dir):
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_bigram_plan,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    return kneser_ney_bigram_plan(load(spark, sf_dir, "documents"))
+
+
+def _seam_kn_trigram(spark, sf_dir):
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_trigram_plan,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    return kneser_ney_trigram_plan(load(spark, sf_dir, "documents"))
+
+
+def _seam_duplicate_spans(spark, sf_dir):
+    from advisorydatapipeline_spark.operators.suffix import (
+        duplicate_span_plan,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    out, dup = duplicate_span_plan(load(spark, sf_dir, "documents"))
+    return out, [dup]
+
+
+CHECKPOINTED = {
+    "kn_bigram_scores": _seam_kn_bigram,
+    "kn_trigram_scores": _seam_kn_trigram,
+    "duplicate_spans_exact": _seam_duplicate_spans,
+}
+
 JOIN_PAT = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
     r"BroadcastNestedLoopJoin|CartesianProduct)"
@@ -664,14 +713,22 @@ def plan_of(df) -> str:
 def audit(spark, sf_dir: str):
     rows, details, failures = [], [], []
     for name in AUDIT:
-        df = QUERIES[name](spark, sf_dir)
+        handles = []
+        if name in CHECKPOINTED:
+            df, handles = CHECKPOINTED[name](spark, sf_dir)
+        else:
+            df = QUERIES[name](spark, sf_dir)
         # materialize THROUGH the df's own query execution so AQE
         # finalizes it: the explain then shows the *executed* plan
         # (real join strategy picks, codegen spans). A noop write
         # would execute a separate QueryExecution and leave this
         # df's plan unfinalized.
-        df.collect()
-        plan = plan_of(df)
+        try:
+            df.collect()
+            plan = plan_of(df)
+        finally:
+            for h in handles:
+                h.unpersist()
         joins = sorted(set(JOIN_PAT.findall(plan)))
         pushed = re.findall(r"PushedFilters: \[(?!\])", plan)
         s_cans = re.findall(r"\(\d+\) Scan parquet", plan)
@@ -701,10 +758,15 @@ def audit(spark, sf_dir: str):
                 f"{n_gw} partition-less window(s); bounded because:"
                 f" {GLOBAL_WINDOW_OK[name]}\n"
             )
+        ok_label = (
+            "ok (checkpointed; lazy seam)"
+            if name in CHECKPOINTED
+            else "ok"
+        )
         rows.append(
             f"| `{name}` | {scans} | {len(pushed)} | {pruned} | "
             f"{', '.join(joins) or '—'} | {codegen} | "
-            f"{', '.join(flags) or 'ok'} |"
+            f"{', '.join(flags) or ok_label} |"
         )
         flagged = [
             ln.strip()

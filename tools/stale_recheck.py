@@ -166,9 +166,16 @@ def main() -> int:
     rot_width = 60
     rot_n = min(rot_width, len(never))
     rot_start = (rnd * rot_width) % len(never) if never else 0
+    # sort priors by PARSED round number, not filename — lexicographic
+    # order breaks at round 100+ where "r100" < "r99" would chain the
+    # cursor from the wrong artifact (r14 ADVICE item 3)
     prior = sorted(
-        p for p in glob.glob("STALE_RECHECK_r*.json")
-        if int(re.search(r"r(\d+)\.json$", p).group(1)) < rnd
+        (
+            p
+            for p in glob.glob("STALE_RECHECK_r*.json")
+            if int(re.search(r"r(\d+)\.json$", p).group(1)) < rnd
+        ),
+        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
     )
     if prior and never:
         with open(prior[-1]) as f:
