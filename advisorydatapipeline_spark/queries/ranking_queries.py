@@ -538,55 +538,19 @@ QUALIFY rnk <= {_RRF_K}
             "CAST(x AS DOUBLE) * 1000) AS BIGINT))")
 
 
-@query("rrf_fusion_topk", oracle=_rrf_oracle())
-def rrf_fusion_topk(spark, sf_dir):
-    """Hybrid-retrieval reciprocal-rank fusion (Cormack et al. 2009;
-    the standard lexical+dense fusion in 2024 RAG stacks): a LEXICAL
-    arm (inverted-index shared-term scoring with integer-scaled IDF
-    N*1000 DIV df — no float log, the module's rank-portability
-    rule) and a DENSE arm (quantized-integer cosine in floor'd
-    micros, the clip discipline) each produce a top-20 candidate
-    list per query; fusion scores each candidate
-    sum_arms floor(1e9 / (60 + rank)) — floored PER TERM so both
-    engines add identical integers — and the fused top-5 ships with
-    both per-arm ranks (0 = arm missed it), the explainability a
-    hybrid stack needs.
-
-    Like the recall gauges, both arms here are the brute gauge-scale
-    ceilings on a query sample; production swaps in the repo's
-    bm25_maxscore_topk and ann_ivf_topk arms — RRF only needs the
-    (query, doc, rank) lists.
-
-    Scale: the lexical join is inverted-index-shaped (query terms
-    join the term index — shuffle on term, bounded by document
-    frequency); the dense arm broadcasts the query sample
-    (nested-loop expected, ann precedent); every window is
-    per-query bounded."""
+def _rrf_lex_ranks(docs, emb, spark_unused=None):
+    """Shared lexical arm of the RRF family: inverted-index scoring
+    of the query sample against the term postings (integer-scaled IDF
+    N*1000 DIV df), per-query top-:data:`_RRF_POOL` ranks. Returns
+    ``(qs, lr)`` — the query sample (query_id) and the ranked lexical
+    candidates (query_id, doc_id, lex_r)."""
     from pyspark.sql import Window
 
-    from advisorydatapipeline_spark.operators.similarity import (
-        cosine_q,
-        dot_q,
-        norm_sq_q,
-        quantize,
-    )
-
     from advisorydatapipeline_spark.functions.text import tokens
-    from advisorydatapipeline_spark.queries.similarity_queries import (
-        gauge_pair_guard,
-    )
 
-    docs = load(spark, sf_dir, "documents")
-    n_emb = load(spark, sf_dir, "embeddings").count()
-    gauge_pair_guard(
-        max(n_emb // _RRF_QMOD, 1), n_emb, "rrf_fusion_topk"
-    )
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens("text"))).alias("term"),
-    )
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", quantize("embedding").alias("q")
     )
     n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     qs = (
@@ -623,37 +587,16 @@ def rrf_fusion_topk(spark, sf_dir):
         .filter(F.col("r") <= _RRF_POOL)
         .select("query_id", "doc_id", F.col("r").alias("lex_r"))
     )
-    qv = qs.join(
-        emb.select(F.col("vec_id").alias("query_id"),
-                   F.col("q").alias("qq")),
-        "query_id",
-    )
-    dense = (
-        emb.select(F.col("vec_id").alias("doc_id"),
-                   F.col("q").alias("cq"))
-        .crossJoin(F.broadcast(qv))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.floor(
-                1_000_000
-                * cosine_q(
-                    dot_q(F.col("cq"), F.col("qq")),
-                    norm_sq_q(F.col("cq")),
-                    norm_sq_q(F.col("qq")),
-                )
-            ).cast("long").alias("cm"),
-        )
-    )
-    wd = Window.partitionBy("query_id").orderBy(
-        F.col("cm").desc(), F.col("doc_id").asc()
-    )
-    dr = (
-        dense.withColumn("r", F.row_number().over(wd))
-        .filter(F.col("r") <= _RRF_POOL)
-        .select("query_id", "doc_id", F.col("r").alias("dense_r"))
-    )
+    return qs, lr
+
+
+def _rrf_fuse(lr, dr):
+    """Shared RRF fusion: full-outer-join the two per-query top-POOL
+    arm lists, score sum_arms floor(SCALE/(C+rank)) — floored PER
+    TERM so both engines add identical integers — and keep the fused
+    top-:data:`_RRF_K` with both per-arm ranks (0 = arm missed)."""
+    from pyspark.sql import Window
+
     fused = (
         lr.join(dr, ["query_id", "doc_id"], "full_outer")
         .select(
@@ -685,4 +628,332 @@ def rrf_fusion_topk(spark, sf_dir):
         .filter(F.col("rnk") <= _RRF_K)
         .select("query_id", "rnk", "doc_id", "rrf_scaled",
                 "lex_rank", "dense_rank")
+    )
+
+
+@query("rrf_fusion_topk", oracle=_rrf_oracle())
+def rrf_fusion_topk(spark, sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack et al. 2009;
+    the standard lexical+dense fusion in 2024 RAG stacks): a LEXICAL
+    arm (inverted-index shared-term scoring with integer-scaled IDF
+    N*1000 DIV df — no float log, the module's rank-portability
+    rule) and a DENSE arm (quantized-integer cosine in floor'd
+    micros, the clip discipline) each produce a top-20 candidate
+    list per query; fusion scores each candidate
+    sum_arms floor(1e9 / (60 + rank)) — floored PER TERM so both
+    engines add identical integers — and the fused top-5 ships with
+    both per-arm ranks (0 = arm missed it), the explainability a
+    hybrid stack needs.
+
+    Like the recall gauges, the dense arm here is the brute
+    gauge-scale ceiling on a query sample; the PRODUCTION fusion is
+    :func:`rrf_fusion_ivf` below (IVF-bucketed dense arm), with
+    :func:`rrf_ivf_recall_eval` measuring the gap — RRF only needs
+    the (query, doc, rank) lists.
+
+    Scale: the lexical join is inverted-index-shaped (query terms
+    join the term index — shuffle on term, bounded by document
+    frequency); the dense arm broadcasts the query sample
+    (nested-loop expected, ann precedent); every window is
+    per-query bounded."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        quantize,
+    )
+
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        gauge_pair_guard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_emb = load(spark, sf_dir, "embeddings").count()
+    gauge_pair_guard(
+        max(n_emb // _RRF_QMOD, 1), n_emb, "rrf_fusion_topk"
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize("embedding").alias("q")
+    )
+    qs, lr = _rrf_lex_ranks(docs, emb)
+    qv = qs.join(
+        emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("q").alias("qq")),
+        "query_id",
+    )
+    dense = (
+        emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("q").alias("cq"))
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                1_000_000
+                * cosine_q(
+                    dot_q(F.col("cq"), F.col("qq")),
+                    norm_sq_q(F.col("cq")),
+                    norm_sq_q(F.col("qq")),
+                )
+            ).cast("long").alias("cm"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cm").desc(), F.col("doc_id").asc()
+    )
+    dr = (
+        dense.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= _RRF_POOL)
+        .select("query_id", "doc_id", F.col("r").alias("dense_r"))
+    )
+    return _rrf_fuse(lr, dr)
+
+
+# --- hybrid retrieval, PRODUCTION dense arm: IVF-bucketed (r15) -------
+
+_RRF_NCENT = 8  # deterministic centroids: vec_id < 8 (the IVF house set)
+_RRF_NPROBE = 2  # probed clusters per query
+
+_RRF_QUANT = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+
+def _rrf_lex_cte() -> str:
+    """The lexical-arm CTE stack shared by every RRF oracle: distinct
+    term postings, integer IDF, per-query top-POOL lexical ranks."""
+    toks = DUCK_TOKENS.format(x="text")
+    return f"""
+tok AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+),
+e AS (
+  SELECT vec_id, CAST({_RRF_QUANT} AS DOUBLE[]) AS v FROM embeddings
+),
+qs AS (
+  SELECT d.doc_id AS query_id FROM documents d
+  JOIN e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % {_RRF_QMOD} = 0
+),
+lex AS (
+  SELECT qt.doc_id AS query_id, dt.doc_id,
+         CAST(sum(n.n * 1000 // df.df) AS BIGINT) AS score
+  FROM tok qt
+  JOIN qs ON qs.query_id = qt.doc_id
+  JOIN tok dt ON dt.term = qt.term AND dt.doc_id <> qt.doc_id
+  JOIN df ON df.term = qt.term
+  CROSS JOIN n
+  GROUP BY 1, 2
+),
+lr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id ASC) AS r
+  FROM lex
+)"""
+
+
+def _rrf_fuse_sql() -> str:
+    """The fusion tail shared by every RRF oracle — expects CTEs
+    ``lr`` and ``dr`` with (query_id, doc_id, r)."""
+    return f"""
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         CAST(COALESCE(l.r, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(d.r, 0) AS BIGINT) AS dense_rank,
+         CAST(COALESCE({_RRF_SCALE} // ({_RRF_C} + l.r), 0)
+              + COALESCE({_RRF_SCALE} // ({_RRF_C} + d.r), 0)
+              AS BIGINT) AS rrf_scaled
+  FROM (SELECT * FROM lr WHERE r <= {_RRF_POOL}) l
+  FULL OUTER JOIN (SELECT * FROM dr WHERE r <= {_RRF_POOL}) d
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY rrf_scaled DESC, doc_id ASC) AS BIGINT) AS rnk,
+       doc_id, rrf_scaled, lex_rank, dense_rank
+FROM fused
+QUALIFY rnk <= {_RRF_K}"""
+
+
+def _rrf_ivf_oracle() -> str:
+    return f"""
+WITH {_rrf_lex_cte()},
+cent AS (
+  SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < {_RRF_NCENT}
+),
+assign_scored AS (
+  SELECT c.vec_id, cent.centroid_id,
+         list_dot_product(c.v, c.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(c.v, cent.v) AS dist_sq
+  FROM e c, cent
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist_sq ASC, centroid_id ASC
+    ) AS rn FROM assign_scored
+  ) WHERE rn = 1
+),
+probe_scored AS (
+  SELECT qs.query_id, cent.centroid_id,
+         list_dot_product(q.v, q.v) + list_dot_product(cent.v, cent.v)
+           - 2 * list_dot_product(q.v, cent.v) AS dist_sq
+  FROM qs JOIN e q ON q.vec_id = qs.query_id, cent
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY dist_sq ASC, centroid_id ASC
+    ) AS rn FROM probe_scored
+  ) WHERE rn <= {_RRF_NPROBE}
+),
+ivf_scored AS (
+  SELECT p.query_id, c.vec_id AS doc_id,
+         list_dot_product(c.v, q.v)
+           / sqrt(list_dot_product(c.v, c.v)
+                  * list_dot_product(q.v, q.v)) AS cosine
+  FROM probes p
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN assigned a ON a.centroid_id = p.centroid_id
+  JOIN e c ON c.vec_id = a.vec_id
+  WHERE c.vec_id <> p.query_id
+),
+dr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, doc_id ASC) AS r
+  FROM ivf_scored
+),
+{_rrf_fuse_sql()}
+"""
+
+
+@query("rrf_fusion_ivf", oracle=_rrf_ivf_oracle())
+def rrf_fusion_ivf(spark, sf_dir):
+    """PRODUCTION hybrid-retrieval RRF (r14 verdict item 1): the same
+    inverted-index lexical arm and per-term-floored fusion as
+    :func:`rrf_fusion_topk`, but the dense arm is the repo's
+    IVF-bucketed candidate machinery (operators/similarity.ivf_topk:
+    assign corpus vectors to the 8 deterministic centroids, probe the
+    2 nearest clusters per query) instead of the brute all-pairs
+    gauge — candidate pairs grow with the PROBED BUCKETS' population,
+    never corpus^2, completing the gauge->production pairing every
+    other ANN family has (bitext_margin_mining ->
+    bitext_margin_mining_ivf precedent). Dense ranks order by the
+    exact quantized cosine (one IEEE division over integer dot/norms,
+    the ann_ivf_topk exactness discipline) with doc_id tiebreak.
+    :func:`rrf_ivf_recall_eval` measures the fused-list recall vs the
+    brute arm.
+
+    Scale: lexical arm shuffles on term (bounded by document
+    frequency); IVF assignment broadcasts 8 centroids; the candidate
+    join is an equi-join on centroid_id (at 100 TB the assignment is
+    written partitionBy(centroid_id) so probing prunes partitions);
+    every window is per-query or per-vector bounded. No quadratic
+    stage, so no gauge_pair_guard — this arm is the scale path."""
+    from pyspark.sql import Window
+
+    from advisorydatapipeline_spark.operators.similarity import (
+        ivf_topk,
+        quantize,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb_raw = load(spark, sf_dir, "embeddings")
+    embq = emb_raw.select("vec_id", quantize("embedding").alias("q"))
+    qs, lr = _rrf_lex_ranks(docs, embq)
+    queries = qs.join(
+        emb_raw.select(F.col("vec_id").alias("query_id"), "embedding"),
+        "query_id",
+    )
+    centroids = emb_raw.filter(F.col("vec_id") < _RRF_NCENT).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cand = ivf_topk(
+        emb_raw, queries, centroids, _RRF_POOL, _RRF_NPROBE
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    dr = (
+        cand.withColumn("r", F.row_number().over(wd))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("r").alias("dense_r"),
+        )
+    )
+    return _rrf_fuse(lr, dr)
+
+
+def _rrf_ivf_eval_oracle() -> str:
+    """Fused-list recall of the IVF production fusion against the
+    brute-dense fusion: replay BOTH full oracle stacks (shared no
+    structure with the Spark side) and count (query, doc) hits."""
+    truth = _rrf_oracle().strip()
+    approx = _rrf_ivf_oracle().strip()
+    return f"""
+WITH truth AS (
+  {truth}
+),
+approx AS (
+  {approx}
+),
+hits AS (
+  SELECT t.query_id FROM truth t
+  JOIN approx a
+    ON a.query_id = t.query_id AND a.doc_id = t.doc_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       CAST((SELECT count(*) FROM hits) * 1000000
+            // GREATEST((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm
+"""
+
+
+@query("rrf_ivf_recall_eval", oracle=_rrf_ivf_eval_oracle())
+def rrf_ivf_recall_eval(spark, sf_dir):
+    """Measure, don't guess — the hybrid-retrieval leg of the
+    recall-gauge family (ivf/lsh/rhp/pq/bitext precedents): exact
+    fused-top-5 overlap between the IVF production fusion
+    (:func:`rrf_fusion_ivf`) and the brute-dense fusion
+    (:func:`rrf_fusion_topk`), in integer ppm. The tuning dial for
+    (n_centroids, nprobe) on the HYBRID metric — dense-arm recall
+    loss that RRF's lexical arm compensates for is visible here and
+    invisible to ivf_recall_eval. The brute side inherits
+    rrf_fusion_topk's gauge_pair_guard (labeled quadratic ceiling,
+    query-sample only)."""
+    truth = rrf_fusion_topk(spark, sf_dir).select("query_id", "doc_id")
+    approx = rrf_fusion_ivf(spark, sf_dir).select("query_id", "doc_id")
+    hits = truth.join(approx, ["query_id", "doc_id"])
+    one = (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(
+            F.broadcast(
+                approx.agg(F.count("*").cast("long").alias("n_approx"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(hits.agg(F.count("*").cast("long").alias("n_hits")))
+        )
+    )
+    return one.select(
+        "n_true",
+        "n_approx",
+        "n_hits",
+        F.expr("n_hits * 1000000L DIV GREATEST(n_true, 1L)").alias(
+            "recall_ppm"
+        ),
     )

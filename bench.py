@@ -296,6 +296,8 @@ EXTENDED = [
     "speculative_decode_accept",
     "matryoshka_recall_eval",
     "rrf_fusion_topk",
+    "rrf_fusion_ivf",
+    "rrf_ivf_recall_eval",
     "mink_prob_membership",
     "ema_checkpoint_average",
     "brier_decomposition_eval",

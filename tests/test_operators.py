@@ -960,3 +960,57 @@ def test_gauge_pair_guard_pinned():
     gauge_pair_guard(1000, GAUGE_GUARD_PAIRS // 1000, "ok")  # at bound
     with pytest.raises(ValueError, match="gauge bound"):
         gauge_pair_guard(1001, GAUGE_GUARD_PAIRS // 1000, "trip")
+
+
+def test_rrf_fusion_ivf_invariants(spark, sf_dir):
+    """The PRODUCTION fusion arm (r15): same structural contract as
+    the brute entry (ranks 1..K, per-term-floored score replay), the
+    LEXICAL arm is shared verbatim (any (query, doc) fused by both
+    variants carries the identical lex_rank), and the recall gauge's
+    counters are mutually consistent."""
+    from advisorydatapipeline_spark.queries.ranking_queries import (
+        _RRF_C,
+        _RRF_K,
+        _RRF_SCALE,
+        rrf_fusion_ivf,
+        rrf_fusion_topk,
+        rrf_ivf_recall_eval,
+    )
+
+    rows = rrf_fusion_ivf(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _RRF_K
+        scores = [r["rrf_scaled"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert r["lex_rank"] > 0 or r["dense_rank"] > 0
+            want = 0
+            if r["lex_rank"]:
+                want += _RRF_SCALE // (_RRF_C + r["lex_rank"])
+            if r["dense_rank"]:
+                want += _RRF_SCALE // (_RRF_C + r["dense_rank"])
+            assert r["rrf_scaled"] == want
+    brute = {
+        (r["query_id"], r["doc_id"]): r["lex_rank"]
+        for r in rrf_fusion_topk(spark, sf_dir).collect()
+        if r["lex_rank"] > 0
+    }
+    shared = 0
+    for r in rows:
+        key = (r["query_id"], r["doc_id"])
+        if r["lex_rank"] > 0 and key in brute:
+            assert r["lex_rank"] == brute[key], key
+            shared += 1
+    assert shared > 0  # the shared lexical arm genuinely overlaps
+    ev = rrf_ivf_recall_eval(spark, sf_dir).collect()
+    assert len(ev) == 1
+    e = ev[0]
+    assert e["n_true"] > 0 and e["n_approx"] > 0
+    assert 0 <= e["n_hits"] <= min(e["n_true"], e["n_approx"])
+    assert e["recall_ppm"] == e["n_hits"] * 1_000_000 // e["n_true"]

@@ -289,6 +289,8 @@ AUDIT = [
     "speculative_decode_accept",
     "matryoshka_recall_eval",
     "rrf_fusion_topk",
+    "rrf_fusion_ivf",
+    "rrf_ivf_recall_eval",
     "mink_prob_membership",
     "ema_checkpoint_average",
     "brier_decomposition_eval",
@@ -357,6 +359,11 @@ NESTED_LOOP_OK = {
     # ann_cosine_topk precedent) + 1-row doc-count broadcast (rrf idf)
     "matryoshka_recall_eval",
     "rrf_fusion_topk",
+    # broadcast centroid/probe-list cross joins (the IVF assign plan,
+    # kmeans/ann_ivf precedent) + the 1-row doc-count idf broadcast
+    "rrf_fusion_ivf",
+    # both fusion arms above + 1-row count scalars (recall-ppm)
+    "rrf_ivf_recall_eval",
     # 1-row broadcast count scalars (recall-ppm assembly) + the
     # labeled brute-force truth side
     "rhp_recall_eval",
