@@ -233,6 +233,7 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_depth: int = SPAN_DEPTH,
+    hot_seed_threshold: int | None = None,
 ) -> DataFrame:
     """Exact MAXIMAL duplicated spans per document — the actual dedup
     unit of Lee et al. 2022 (their ExactSubstr removes the maximal
@@ -280,16 +281,23 @@ def duplicate_span_stats(
     Scale (100 TB): every stage shuffles O(corpus chars) rows; the
     rank-neighbor window carries 3 longs + 3 8-char residual blocks
     per position (~60 B), partitioned by seed rank — group size =
-    occurrences of an 8-gram, the classic prefix-interval skew; a
-    production run over web-scale text raises the seed depth (one
-    :func:`prefix_doubling_ranks` round -> 16-char intervals) to
-    split hot groups, exactly as Lee et al. shard their suffix array
-    by prefix. The island merge is a per-doc window over the FLAGGED
-    subset only. The DuckDB oracle brute-enumerates full windows and
-    merges islands from literal substring group counts — no ranks,
-    no doubling, no LCP — so the two sides share no structure.
+    occurrences of an 8-gram, the classic prefix-interval skew.
+    ``hot_seed_threshold`` makes the mitigation EXECUTABLE (r14
+    verdict item 2): seed-rank groups larger than the threshold are
+    sub-partitioned one doubling round deeper (by the shifted rank
+    ``s8`` -> 16-char intervals, exactly as Lee et al. shard their
+    suffix array by prefix), with the cross-sub boundary pairs
+    stitched by a second window over at most 2 rows per sub-interval
+    — results are invariant (pytest-pinned on a skewed fixture).
+    The island merge is a per-doc window over the FLAGGED subset
+    only. The DuckDB oracle brute-enumerates full windows and merges
+    islands from literal substring group counts — no ranks, no
+    doubling, no LCP — so the two sides share no structure.
     """
-    out, dup = duplicate_span_plan(docs, id_col, text_col, span_depth)
+    out, dup = duplicate_span_plan(
+        docs, id_col, text_col, span_depth,
+        hot_seed_threshold=hot_seed_threshold,
+    )
     # dup feeds per_pos AND the island pipeline within one action;
     # eager materialize + unpersist (the lm.py leak discipline). The
     # UN-materialized plan stays inspectable via duplicate_span_plan
@@ -306,10 +314,31 @@ def duplicate_span_plan(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_depth: int = SPAN_DEPTH,
+    hot_seed_threshold: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The lazy plan behind :func:`duplicate_span_stats`: returns
     ``(result, persisted dup handle)`` so callers that only inspect
-    the plan can unpersist without materializing."""
+    the plan can unpersist without materializing.
+
+    ``hot_seed_threshold`` (r14 verdict item 2 — adaptive seed-depth
+    escalation): when set, seed-rank groups with more than that many
+    positions (= occurrences of a hot 8-gram, the prefix-interval
+    skew hazard) are split one doubling round deeper — the
+    rank-neighbor window partitions hot groups by ``(s0, s8)``
+    (16-char prefix intervals) instead of ``s0``, so no single sort
+    group exceeds the hot 8-gram's per-continuation count. The pairs
+    that cross a sub-interval boundary (rank-adjacent suffixes whose
+    16-char prefixes differ, LCP in [8, 16)) are recovered by a
+    SECOND window over the boundary rows only — at most 2 per
+    sub-interval (its first and last in rank order), so the stitch
+    window's group size is 2x the number of distinct continuations,
+    strictly less than the original group and typically far less.
+    Results are IDENTICAL to the unescalated plan (pytest-pinned):
+    within-sub neighbor pairs keep their exact LCP, and a cross-sub
+    rank-adjacent pair's LCP is always 8 + one char-fold inside the
+    second block, which the stitch computes with the same clamps.
+    ``None`` (the default, and the registry entry's setting) keeps
+    the original single-window plan byte-identical."""
     if span_depth < LCP_FLOOR or span_depth > LCP_CAP:
         raise ValueError(
             f"span_depth must lie in [{LCP_FLOOR}, {LCP_CAP}] (the "
@@ -334,14 +363,49 @@ def duplicate_span_plan(
         F.coalesce(F.lead("w", 16).over(wdoc), F.lit("")).alias("w16"),
         F.coalesce(F.lead("w", 24).over(wdoc), F.lit("")).alias("w24"),
     )
-    # suffix-array order inside each seed prefix interval
-    wsa = Window.partitionBy("s0").orderBy("s8", "s16", "s24", "doc_id", "p")
+    escalate = hot_seed_threshold is not None
+    if escalate:
+        # hot-group detection: one partial-agg shuffle of (s0, count)
+        # pairs; the hot set itself is tiny by construction (at most
+        # corpus_positions / threshold groups), so the flag join
+        # broadcasts
+        hot = (
+            keyed.groupBy("s0")
+            .agg(F.count(F.lit(1)).alias("_gsz"))
+            .filter(F.col("_gsz") > hot_seed_threshold)
+            .select("s0", F.lit(True).alias("_hot"))
+        )
+        keyed = (
+            keyed.join(F.broadcast(hot), "s0", "left")
+            .withColumn("_hot", F.coalesce("_hot", F.lit(False)))
+            .withColumn(
+                # sub-interval key: hot groups split by the shifted
+                # rank (one doubling round deeper); cold groups keep
+                # a constant sub so (s0, sub) == s0 grouping. -2 is
+                # outside the rank domain (ranks >= 0, sentinel -1).
+                "sub",
+                F.when(F.col("_hot"), F.col("s8")).otherwise(
+                    F.lit(-2).cast("long")
+                ),
+            )
+        )
+        part_cols = ["s0", "sub"]
+    else:
+        part_cols = ["s0"]
+    # suffix-array order inside each (possibly sub-split) seed prefix
+    # interval
+    wsa = Window.partitionBy(*part_cols).orderBy(
+        "s8", "s16", "s24", "doc_id", "p"
+    )
     lead_cols = {
         c: F.lead(c).over(wsa).alias(f"b_{c}")
         for c in ("s8", "s16", "s24", "w8", "w16", "w24", "slen")
     }
-    nb = keyed.select("doc_id", "p", "slen", "s0", "s8", "s16", "s24",
-                      "w8", "w16", "w24", *lead_cols.values())
+    carry = ["doc_id", "p", "slen", "s0", "s8", "s16", "s24",
+             "w8", "w16", "w24"]
+    if escalate:
+        carry += ["_hot", "sub"]
+    nb = keyed.select(*carry, *lead_cols.values())
     lcp_next = F.when(F.col("b_slen").isNull(), F.lit(0)).otherwise(
         F.least(
             F.expr(
@@ -357,21 +421,116 @@ def duplicate_span_plan(
             F.col("b_slen"),
         )
     ).cast("long")
-    with_next = nb.select(
+    with_next_cols = [
         "doc_id", "p", "s0", "s8", "s16", "s24",
         lcp_next.alias("lcp_next"),
-    )
+    ]
+    if escalate:
+        # boundary flags ride the SAME window sort: a row is last in
+        # its sub iff its lead vanished, first iff its lag does
+        with_next_cols += [
+            "_hot",
+            "sub",
+            "w8",
+            "slen",
+            F.col("b_slen").isNull().alias("_last"),
+            F.lag("slen").over(wsa).isNull().alias("_first"),
+        ]
+    with_next = nb.select(*with_next_cols)
     # lcp with the PREVIOUS rank neighbor = the previous row's
     # lcp_next, read back over the SAME sort (no extra shuffle: both
     # windows share the partitioning and ordering)
-    dup = with_next.select(
+    dup_main = with_next.select(
         "doc_id",
         "p",
+        *([F.col("_hot")] if escalate else []),
         F.greatest(
             "lcp_next",
             F.coalesce(F.lag("lcp_next").over(wsa), F.lit(0).cast("long")),
         ).alias("dup_len"),
-    ).persist()
+        *(
+            ["s0", "s8", "s16", "s24", "w8", "slen", "_first", "_last"]
+            if escalate
+            else []
+        ),
+    )
+    if escalate:
+        # Stitch pass: the global rank order's cross-sub adjacent
+        # pairs are exactly (last of sub k, first of sub k+1) — both
+        # present in the boundary set, adjacent under the same sort.
+        # Their LCP is in [8, 16): the seed block matches (same s0),
+        # the second block differs (different s8 <=> different w8 by
+        # the rank identity), so it is 8 + one char fold, clamped by
+        # both suffix lengths — the same arithmetic the main pass
+        # applies at a s8-mismatch.
+        boundary = dup_main.filter(
+            F.col("_hot") & (F.col("_first") | F.col("_last"))
+        ).select("doc_id", "p", "s0", "s8", "s16", "s24", "w8",
+                 "slen", "_first", "_last")
+        wb = Window.partitionBy("s0").orderBy(
+            "s8", "s16", "s24", "doc_id", "p"
+        )
+        nxt = {
+            c: F.lead(c).over(wb).alias(f"n_{c}")
+            for c in ("s8", "w8", "slen")
+        }
+        prv = {
+            c: F.lag(c).over(wb).alias(f"p_{c}")
+            for c in ("s8", "w8", "slen")
+        }
+        bnb = boundary.select(
+            "doc_id", "p", "s8", "w8", "slen", "_first", "_last",
+            *nxt.values(), *prv.values(),
+        )
+        cross_next = F.when(
+            F.col("_last")
+            & F.col("n_s8").isNotNull()
+            & (F.col("n_s8") != F.col("s8")),
+            F.least(
+                F.expr("8 + " + _char_lcp("w8", "n_w8")),
+                F.col("slen"),
+                F.col("n_slen"),
+            ),
+        ).otherwise(F.lit(0)).cast("long")
+        cross_prev = F.when(
+            F.col("_first")
+            & F.col("p_s8").isNotNull()
+            & (F.col("p_s8") != F.col("s8")),
+            F.least(
+                F.expr("8 + " + _char_lcp("w8", "p_w8")),
+                F.col("slen"),
+                F.col("p_slen"),
+            ),
+        ).otherwise(F.lit(0)).cast("long")
+        bc = (
+            bnb.select(
+                "doc_id",
+                "p",
+                F.greatest(cross_next, cross_prev).alias("bdup"),
+            )
+            .filter(F.col("bdup") > 0)
+        )
+        # only hot rows can receive a stitch contribution: cold rows
+        # pass through untouched, the join shuffles hot rows only
+        cold = dup_main.filter(~F.col("_hot")).select(
+            "doc_id", "p", "dup_len"
+        )
+        hot_rows = (
+            dup_main.filter(F.col("_hot"))
+            .select("doc_id", "p", "dup_len")
+            .join(bc, ["doc_id", "p"], "left")
+            .select(
+                "doc_id",
+                "p",
+                F.greatest(
+                    "dup_len",
+                    F.coalesce("bdup", F.lit(0).cast("long")),
+                ).alias("dup_len"),
+            )
+        )
+        dup = cold.unionByName(hot_rows).persist()
+    else:
+        dup = dup_main.persist()
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),

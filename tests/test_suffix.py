@@ -240,3 +240,123 @@ def test_no_cross_document_bleed(spark):
     # FULL window (docs 0/1 are too short), so nothing is duplicated
     assert rows[2]["n_pos8"] == 1 and rows[2]["dup8"] == 0
     assert rows[0]["n_pos8"] == 0
+
+
+def _skewed_fixture():
+    """One 8-gram ('QQQQQQQQ') repeated 10,000x corpus-wide (100 docs
+    x 100 blocks), each occurrence followed by one of 64 distinct
+    8-digit continuations — the classic hot-prefix-interval skew the
+    r14 verdict asked to make executable. Plus unrelated cold docs."""
+    docs = []
+    for i in range(100):
+        parts = []
+        for j in range(100):
+            parts.append("QQQQQQQQ" + f"{(i * 37 + j * 11) % 64:08d}")
+        docs.append((i, "".join(parts)))
+    docs += [
+        (1000, "a quiet cold document with no hot prefix at all"),
+        (1001, "another cold one, text differs completely here"),
+        (1002, ""),
+        (1003, "xy"),
+    ]
+    return docs
+
+
+def test_duplicate_spans_hot_seed_escalation(spark):
+    """r14 verdict item 2: with hot_seed_threshold set, (a) the hot
+    seed interval really is above threshold and really splits below
+    it one doubling round deeper (data-level proof on the fixture),
+    (b) the escalated plan's rank window is partitioned by the
+    sub-interval key, and (c) results are IDENTICAL to the
+    unescalated plan — the stitch window recovers every cross-sub
+    rank-adjacent pair."""
+    from advisorydatapipeline_spark.operators.suffix import (
+        duplicate_span_plan,
+        duplicate_span_stats,
+    )
+
+    docs = _skewed_fixture()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # (a) data-level skew proof: literal window counts stand in for
+    # seed ranks (rank equality == string equality)
+    from collections import Counter
+
+    g8: Counter = Counter()
+    g16: Counter = Counter()
+    for _i, t in docs:
+        for p in range(len(t) - 7):
+            g8[t[p : p + 8]] += 1
+        for p in range(len(t) - 15):
+            g16[t[p : p + 16]] += 1
+    threshold = 1000
+    hot8 = g8["QQQQQQQQ"]
+    assert hot8 == 10_000 and hot8 > threshold
+    hot_subs = {w: n for w, n in g16.items() if w.startswith("QQQQQQQQ")}
+    assert len(hot_subs) == 64  # the continuations split the interval
+    assert max(hot_subs.values()) < threshold  # every sub is cold
+
+    # (b) the escalated rank window partitions by (s0, sub)
+    out, dup = duplicate_span_plan(
+        df, hot_seed_threshold=threshold
+    )
+    try:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        assert "sub" in buf.getvalue()
+    finally:
+        dup.unpersist()
+
+    # (c) escalated == unescalated, field by field
+    base = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_span_stats(df).collect()
+    }
+    esc = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_span_stats(
+            df, hot_seed_threshold=threshold
+        ).collect()
+    }
+    assert base == esc
+    # the hot prefix genuinely produced duplicated spans to compare
+    assert any(v["n_spans"] > 0 for v in base.values())
+
+
+def test_duplicate_spans_escalation_adversarial_tiny_threshold(spark):
+    """Threshold 2 on the mixed small fixture forces almost every
+    seed group hot and almost every rank-adjacent pair through the
+    boundary stitch (singleton sub-intervals, short suffixes, empty
+    docs) — escalated results must still match the pure-Python brute
+    truth exactly."""
+    from advisorydatapipeline_spark.operators.suffix import (
+        duplicate_span_stats,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat and the cat sat again today ok"),
+        (1, "the cat sat on the mat and then it left very quietly"),
+        (2, "completely different content with zero overlap at all"),
+        (3, "the cat"),
+        (4, "the cat sat on the mat and the cat sat again today ok"),
+        (5, "xy"),
+        (6, ""),
+        (7, "AAAA shared-long-duplicated-block-here BBBB tail one x"),
+        (8, "CCCC shared-long-duplicated-block-here DDDD tail two y"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_span_stats(
+            df, hot_seed_threshold=2
+        ).collect()
+    }
+    brute = _brute_span_stats(docs)
+    assert set(rows) == set(brute)
+    for d in brute:
+        got = {k: rows[d][k] for k in brute[d]}
+        assert got == brute[d], (d, got, brute[d])
