@@ -112,13 +112,17 @@ def kneser_ney_bigram_scores(
     nall, max bounds) ride ONE broadcast 1-row aggregate; the apply
     join is a shuffle hash join on (w1, w2). Overflow is GUARDED
     in-plan like ngram_lm_doc_scores, and every guard is a DIVISION
-    comparison over the broadcast 1-row aggregate (r13 ADVICE: the
+    comparison over broadcast 1-row aggregates (r13 ADVICE: the
     guard products themselves must not wrap before the comparison):
-    cb*dd*scale via max_cb vs max_safe DIV dd; dn*n1w1*scale via dn
-    vs max_safe DIV nall (n1w1 <= nall); lam_ppb*ncw2 via
-    nall > max_safe (lam_ppb <= scale, ncw2 <= nall); and the raw
-    denominator dd*ctx1 via dd vs (2^63-1) DIV sum_cb (ctx1 <=
-    sum_cb). Any trip raises with the remediation (scale=1_000_000).
+    cb*dd*scale AND dn*n1w1*scale via GREATEST(max_cb, max_t1) vs
+    max_safe DIV dd (dn <= dd, n1w1 <= max_t1 the max per-context
+    type count — the TIGHT r15 bound; the earlier dn-vs-nall form
+    false-tripped on corpora whose singleton-type count is large
+    even though every real per-row product is small, the kn5 sf0.1
+    lesson); lam_ppb*ncw2 via nall > max_safe (lam_ppb <= scale,
+    ncw2 <= nall); and the raw denominator dd*ctx1 via dd vs
+    (2^63-1) DIV sum_cb (ctx1 <= sum_cb). Any trip raises with the
+    remediation (scale=1_000_000).
 
     Returns: doc_id, n_tokens, n_bigrams, surprisal_micro,
     mean_surprisal_micro (NULL when the doc has < 2 tokens).
@@ -173,6 +177,11 @@ def kneser_ney_bigram_plan(
     cont = bi.groupBy("w2").agg(
         F.count(F.lit(1)).cast("long").alias("ncw2")
     )
+    # max per-context type count for the lam-numerator bound: the r15
+    # tight guard (the old dn-vs-nall bound false-tripped on corpora
+    # where dn*nall is astronomical but the REAL product dn*t is tiny
+    # — the kn5 sf0.1 lesson; dn <= dd, so dd*max_t bounds dn*t)
+    mt = ctx.agg(F.max("n1w1").cast("long").alias("max_t1"))
     # D = n1/(n1+2n2) is undefined on a corpus with NO count-1/2
     # bigram types (possible on low-entropy synthetic corpora);
     # textbook fallback is the default discount D = 1/2, kept
@@ -200,19 +209,22 @@ def kneser_ney_bigram_plan(
         bi.join(ctx, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(model))
+        .crossJoin(F.broadcast(mt))
         .select(
             "w1",
             "w2",
             F.expr(
                 # Division-form guards: every comparison operand is a
-                # pre-bounded BIGINT off the broadcast row, so the
+                # pre-bounded BIGINT off the broadcast rows, so the
                 # guards themselves cannot wrap (r14, closing r13
                 # ADVICE item 1). Covered products, in order: cb*dd
-                # (then *scale), dn*n1w1 (then *scale, n1w1<=nall),
-                # lam_ppb*ncw2 (lam_ppb<=scale, ncw2<=nall), and the
-                # raw denominator dd*ctx1 (ctx1<=sum_cb, vs 2^63-1).
-                f"CASE WHEN max_cb > {max_safe} DIV dd"
-                f" OR dn > {max_safe} DIV GREATEST(nall, 1)"
+                # (then *scale) via max_cb; dn*n1w1 (then *scale) via
+                # dd*max_t1 (dn<=dd, n1w1<=max_t1 — the TIGHT r15
+                # bound; the old dn-vs-nall form false-tripped at
+                # corpus scale); lam_ppb*ncw2 (lam_ppb<=scale,
+                # ncw2<=nall) via nall; the raw denominator dd*ctx1
+                # (ctx1<=sum_cb, vs 2^63-1).
+                f"CASE WHEN GREATEST(max_cb, max_t1) > {max_safe} DIV dd"
                 f" OR nall > {max_safe}"
                 f" OR dd > {2**63 - 1} DIV GREATEST(sum_cb, 1) THEN "
                 f"CAST(raise_error(CONCAT("
@@ -313,12 +325,15 @@ def kneser_ney_trigram_scores(
     pass); both count-of-counts rows ride broadcast 1-row
     aggregates; the apply join is a shuffle hash join on
     (w1,w2,w3). Overflow guards are DIVISION comparisons over the
-    broadcast rows (pre-bounded operands, the r14 lm discipline):
-    max_c3 vs max_safe DIV dd3, dn3 vs max_safe DIV n3all (t3 <=
-    n3all), max_cc vs max_safe DIV dd2, dn2 vs max_safe DIV n2all
-    (t2 <= n2all), nall vs max_safe (lam2_ppb <= scale, ncw3 <=
-    nall), and the raw denominators dd3*c2ctx / dd2*ctxc via
-    (2^63-1) DIV sum-of-counts bounds. lam3_ppb*pl_ppb <=
+    broadcast rows (pre-bounded operands, the r14 lm discipline,
+    TIGHTENED r15 — the kn5 sf0.1 lesson: lam numerators are bounded
+    by dd*max_t, the max per-context type count, not by the global
+    type count, which false-trips on singleton-heavy corpora):
+    GREATEST(max_c3, max_t3) vs max_safe DIV dd3 (dn3 <= dd3,
+    t3 <= max_t3), GREATEST(max_cc, max_t2) vs max_safe DIV dd2,
+    nall vs max_safe (lam2_ppb <= scale, ncw3 <= nall), and the raw
+    denominators dd3*c2ctx / dd2*ctxc via (2^63-1) DIV
+    sum-of-counts bounds. lam3_ppb*pl_ppb <=
     2*scale^2 < 2^63 for scale <= 1e9, so the final mix needs no
     guard. Any trip raises in-plan with the scale=1_000_000
     remediation.
@@ -406,6 +421,11 @@ def kneser_ney_trigram_plan(
 
     m3 = _coc(tri, "c3", "3")
     m2 = _coc(cc2, "cc", "2").withColumnRenamed("n2all", "nall")
+    # tight lam-numerator bounds (r15, the kn5 sf0.1 lesson): dn <= dd
+    # and t <= max_t, so dd*max_t bounds dn*t without the false-trip
+    # of the old dn-vs-nall form
+    mt3 = ctx3.agg(F.max("t3").cast("long").alias("max_t3"))
+    mt2 = ctxc.agg(F.max("t2").cast("long").alias("max_t2"))
 
     sc = (
         tri.join(ctx3, ["w1", "w2"])
@@ -414,15 +434,15 @@ def kneser_ney_trigram_plan(
         .join(cont3, "w3")
         .crossJoin(F.broadcast(m3))
         .crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(mt3))
+        .crossJoin(F.broadcast(mt2))
         .select(
             "w1",
             "w2",
             "w3",
             F.expr(
-                f"CASE WHEN max_c3 > {max_safe} DIV dd3"
-                f" OR dn3 > {max_safe} DIV GREATEST(n3all, 1)"
-                f" OR max_cc > {max_safe} DIV dd2"
-                f" OR dn2 > {max_safe} DIV GREATEST(nall, 1)"
+                f"CASE WHEN GREATEST(max_c3, max_t3) > {max_safe} DIV dd3"
+                f" OR GREATEST(max_cc, max_t2) > {max_safe} DIV dd2"
                 f" OR nall > {max_safe}"
                 f" OR dd3 > {abs_max} DIV GREATEST(sum_c3, 1)"
                 f" OR dd2 > {abs_max} DIV GREATEST(sum_cc, 1) THEN "
@@ -640,3 +660,259 @@ def ngram_lm_doc_scores(
             "mean_surprisal_micro",
         )
     )
+
+
+def kneser_ney_5gram_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = PPB,
+) -> DataFrame:
+    """Per-document surprisal under an interpolated KNESER-NEY
+    5-GRAM LM — KenLM's DEFAULT order (r14 verdict item 8; the
+    trigram proved the backoff recursion generalizes, this runs it
+    at production depth). Four discounted levels + the continuation
+    unigram, each lower level built from MODIFIED counts (types of
+    the level above, never raw tokens — Chen & Goodman 1999's
+    recursive c_KN definition):
+
+        p5(w5|w1..w4) = (c5 - D5)+/c(w1..w4.) + lam5 * p4
+        p4(w5|w2..w4) = (cc4 - D4)+/cc(w2..w4.) + lam4 * p3
+        p3(w5|w3w4)   = (cc3 - D3)+/cc(w3w4.) + lam3 * p2
+        p2(w5|w4)     = (cc2 - D2)+/cc(w4.) + lam2 * P_cont(w5)
+
+    where cc4(w2..w5) = N1+(.w2..w5) over raw 5-gram types,
+    cc3(w3w4w5) = N1+(.w3w4w5) over cc4 types, cc2(w4w5) =
+    N1+(.w4w5) over cc3 types, and P_cont(w5) = N1+(.w5)/N1+(..)
+    over cc2 types. Each level's absolute discount is the exact
+    RATIONAL D = n1/(n1+2n2) from THAT level's own count-of-counts,
+    with the independent degenerate (1, 2) fallback per level (the
+    synthetic-corpus lesson, pytest-pinned).
+
+    Exactness: nine documented ppb floor points replayed verbatim by
+    the oracle — per level k in {2,3,4,5}:
+
+      pk_ppb   = ((ck*ddk - dnk) * scale) DIV (ddk * ctxk)
+      lamk_ppb = ((dnk * tk) * scale) DIV (ddk * ctxk)
+
+    mixed bottom-up as pl2 = p2 + (lam2 * ncw5) DIV nall, then
+    pl_k = pk + (lamk * pl_{k-1}) DIV scale, finally
+    p_ppb = GREATEST(pl5, 1), one float ln to micro-nats. Scored
+    5-grams are observed by construction, so every modified count
+    >= 1 and the discounted numerators never go negative.
+
+    Scale (100 TB): each level is ONE hash partial-agg on string
+    keys over the level above (5-gram types -> 4 -> 3 -> 2 -> 1;
+    the corpus itself is read once); all four count-of-counts rows
+    ride broadcast 1-row aggregates; the apply join is a shuffle
+    hash join on (w1..w5). Overflow guards are DIVISION comparisons
+    over the broadcast rows, one per level
+    (GREATEST(max_count, max_t) vs max_safe DIV dd — max_t is the
+    level's max per-context type count, bounding the lam numerator
+    dn*t by dd*max_t; bounding it by the GLOBAL type count instead
+    false-trips on singleton-heavy corpora, which this operator's
+    own sf0.1 fixture proved) plus the raw denominator bounds (dd
+    vs (2^63-1) DIV sum) and nall <= max_safe; every lam*pl mix is
+    <= 2*scale^2 < 2^63. Any trip raises in-plan with the
+    scale=1_000_000 remediation.
+
+    Returns: doc_id, n_tokens, n_5grams, surprisal_micro,
+    mean_surprisal_micro (NULL when the doc has < 5 tokens).
+    """
+    out, handles = kneser_ney_5gram_plan(
+        docs, id_col=id_col, text_col=text_col, scale=scale
+    )
+    try:
+        res = out.localCheckpoint(eager=True)
+    finally:
+        for h in handles:
+            h.unpersist()
+    return res
+
+
+def kneser_ney_5gram_plan(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = PPB,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The lazy plan behind :func:`kneser_ney_5gram_scores`: returns
+    ``(result, persisted handles)`` so plan-only callers (pytest,
+    plan_audit's CHECKPOINTED seam) can inspect the real plan."""
+    max_safe = (2**63 - 1) // scale
+    abs_max = 2**63 - 1
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
+    ).persist()
+
+    W5 = ("w1", "w2", "w3", "w4", "w5")
+    g5_doc = (
+        _ngram_rows(tk, 5, W5)
+        .groupBy("doc_id", *W5)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    g5 = g5_doc.groupBy(*W5).agg(
+        F.sum("cnt").cast("long").alias("c5")
+    ).persist()
+    ctx5 = g5.groupBy("w1", "w2", "w3", "w4").agg(
+        F.sum("c5").cast("long").alias("ctx5c"),
+        F.count(F.lit(1)).cast("long").alias("t5"),
+    )
+    # modified counts, one type-collapse per level (g5 rows are
+    # distinct types, so count(*) IS the distinct-left-context count)
+    cc4 = g5.groupBy("w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("cc4")
+    ).persist()
+    ctx4 = cc4.groupBy("w2", "w3", "w4").agg(
+        F.sum("cc4").cast("long").alias("ctx4c"),
+        F.count(F.lit(1)).cast("long").alias("t4"),
+    )
+    cc3 = cc4.groupBy("w3", "w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("cc3")
+    ).persist()
+    ctx3 = cc3.groupBy("w3", "w4").agg(
+        F.sum("cc3").cast("long").alias("ctx3c"),
+        F.count(F.lit(1)).cast("long").alias("t3"),
+    )
+    cc2 = cc3.groupBy("w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("cc2")
+    ).persist()
+    ctx2 = cc2.groupBy("w4").agg(
+        F.sum("cc2").cast("long").alias("ctx2c"),
+        F.count(F.lit(1)).cast("long").alias("t2"),
+    )
+    cont = cc2.groupBy("w5").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw5")
+    )
+
+    def _coc(frame: DataFrame, cnt: str, lvl: str) -> DataFrame:
+        return frame.agg(
+            F.sum((F.col(cnt) == 1).cast("long")).cast("long").alias("_n1"),
+            (
+                F.sum((F.col(cnt) == 1).cast("long"))
+                + 2 * F.sum((F.col(cnt) == 2).cast("long"))
+            ).cast("long").alias("_dd"),
+            F.count(F.lit(1)).cast("long").alias(f"n{lvl}all"),
+            F.max(cnt).cast("long").alias(f"max_{cnt}"),
+            F.sum(cnt).cast("long").alias(f"sum_{cnt}"),
+        ).select(
+            F.when(F.col("_dd") == 0, F.lit(1).cast("long"))
+            .otherwise(F.col("_n1")).alias(f"dn{lvl}"),
+            F.when(F.col("_dd") == 0, F.lit(2).cast("long"))
+            .otherwise(F.col("_dd")).alias(f"dd{lvl}"),
+            f"n{lvl}all",
+            f"max_{cnt}",
+            f"sum_{cnt}",
+        )
+
+    m5 = _coc(g5, "c5", "5")
+    m4 = _coc(cc4, "cc4", "4")
+    m3 = _coc(cc3, "cc3", "3")
+    m2 = _coc(cc2, "cc2", "2").withColumnRenamed("n2all", "nall")
+    # tight lam-numerator bounds (r15): each level's dn*t*scale is
+    # bounded by dd*max_t*scale where max_t is that level's max
+    # per-context type count — the dn-vs-nall form false-trips on
+    # singleton-heavy corpora (this operator's own sf0.1 corpus has
+    # 225k singleton 5-gram types: dn5*n5all is astronomical while
+    # the largest REAL product is dd5 * 4 * scale)
+    mt = (
+        ctx5.agg(F.max("t5").cast("long").alias("max_t5"))
+        .crossJoin(ctx4.agg(F.max("t4").cast("long").alias("max_t4")))
+        .crossJoin(ctx3.agg(F.max("t3").cast("long").alias("max_t3")))
+        .crossJoin(ctx2.agg(F.max("t2").cast("long").alias("max_t2")))
+    )
+
+    guard = (
+        f"GREATEST(max_c5, max_t5) > {max_safe} DIV dd5"
+        f" OR GREATEST(max_cc4, max_t4) > {max_safe} DIV dd4"
+        f" OR GREATEST(max_cc3, max_t3) > {max_safe} DIV dd3"
+        f" OR GREATEST(max_cc2, max_t2) > {max_safe} DIV dd2"
+        f" OR nall > {max_safe}"
+        f" OR dd5 > {abs_max} DIV GREATEST(sum_c5, 1)"
+        f" OR dd4 > {abs_max} DIV GREATEST(sum_cc4, 1)"
+        f" OR dd3 > {abs_max} DIV GREATEST(sum_cc3, 1)"
+        f" OR dd2 > {abs_max} DIV GREATEST(sum_cc2, 1)"
+    )
+    pl2 = (
+        f"(((cc2 * dd2 - dn2) * {scale}) DIV (dd2 * ctx2c))"
+        f" + (((((dn2 * t2) * {scale}) DIV (dd2 * ctx2c))"
+        f" * ncw5) DIV nall)"
+    )
+    pl3 = (
+        f"(((cc3 * dd3 - dn3) * {scale}) DIV (dd3 * ctx3c))"
+        f" + (((((dn3 * t3) * {scale}) DIV (dd3 * ctx3c))"
+        f" * ({pl2})) DIV {scale})"
+    )
+    pl4 = (
+        f"(((cc4 * dd4 - dn4) * {scale}) DIV (dd4 * ctx4c))"
+        f" + (((((dn4 * t4) * {scale}) DIV (dd4 * ctx4c))"
+        f" * ({pl3})) DIV {scale})"
+    )
+    pl5 = (
+        f"(((c5 * dd5 - dn5) * {scale}) DIV (dd5 * ctx5c))"
+        f" + (((((dn5 * t5) * {scale}) DIV (dd5 * ctx5c))"
+        f" * ({pl4})) DIV {scale})"
+    )
+    sc = (
+        g5.join(ctx5, ["w1", "w2", "w3", "w4"])
+        .join(cc4, ["w2", "w3", "w4", "w5"])
+        .join(ctx4, ["w2", "w3", "w4"])
+        .join(cc3, ["w3", "w4", "w5"])
+        .join(ctx3, ["w3", "w4"])
+        .join(cc2, ["w4", "w5"])
+        .join(ctx2, ["w4"])
+        .join(cont, ["w5"])
+        .crossJoin(F.broadcast(m5))
+        .crossJoin(F.broadcast(m4))
+        .crossJoin(F.broadcast(m3))
+        .crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(mt))
+        .select(
+            *W5,
+            F.expr(
+                f"CASE WHEN {guard} THEN "
+                f"CAST(raise_error(CONCAT("
+                f"'kneser_ney_5gram_scores: count magnitudes would "
+                f"overflow count*{scale} in BIGINT; ', "
+                f"'re-run with scale=1000000 (ppm)')) AS BIGINT) "
+                f"ELSE GREATEST({pl5}, CAST(1 AS BIGINT)) END"
+            ).alias("p_ppb"),
+        )
+        .select(
+            *W5,
+            F.floor(
+                MICRO * F.log(F.lit(float(scale)) / F.col("p_ppb"))
+            ).cast("long").alias("s_micro"),
+        )
+    )
+
+    agg = (
+        g5_doc.join(sc, list(W5))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_5grams"),
+            F.sum(F.col("cnt") * F.col("s_micro")).cast("long").alias(
+                "surprisal_micro"
+            ),
+            F.expr(
+                "CAST(sum(cnt * s_micro) DIV sum(cnt) AS BIGINT)"
+            ).alias("mean_surprisal_micro"),
+        )
+    )
+    out = (
+        tk.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_5grams"), F.lit(0).cast("long")).alias(
+                "n_5grams"
+            ),
+            "surprisal_micro",
+            "mean_surprisal_micro",
+        )
+    )
+    return out, [tk, g5_doc, g5, cc4, cc3, cc2]

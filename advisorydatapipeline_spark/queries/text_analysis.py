@@ -1579,6 +1579,173 @@ def kn_trigram_scores(spark, sf_dir):
     return kneser_ney_trigram_scores(load(spark, sf_dir, "documents"))
 
 
+# --- Kneser-Ney order 5 (KenLM's default order; r14 verdict item 8) --
+
+
+def _kn5_oracle() -> str:
+    """Five-level interpolated-KN replay: raw 5-gram counts, three
+    modified type-count levels, continuation unigram — each level's
+    rational discount from its own count-of-counts with the (1, 2)
+    degenerate fallback; the nine ppb floor points mirror
+    operators/lm.kneser_ney_5gram_plan verbatim."""
+    pl2 = (
+        "(((b2.cc2 * m2.dd2 - m2.dn2) * 1000000000)"
+        " // (m2.dd2 * x2.ctx2c))"
+        " + (((((m2.dn2 * x2.t2) * 1000000000)"
+        " // (m2.dd2 * x2.ctx2c)) * o.ncw5) // m2.nall)"
+    )
+    pl3 = (
+        "(((b3.cc3 * m3.dd3 - m3.dn3) * 1000000000)"
+        " // (m3.dd3 * x3.ctx3c))"
+        " + (((((m3.dn3 * x3.t3) * 1000000000)"
+        " // (m3.dd3 * x3.ctx3c))"
+        f" * ({pl2})) // 1000000000)"
+    )
+    pl4 = (
+        "(((b4.cc4 * m4.dd4 - m4.dn4) * 1000000000)"
+        " // (m4.dd4 * x4.ctx4c))"
+        " + (((((m4.dn4 * x4.t4) * 1000000000)"
+        " // (m4.dd4 * x4.ctx4c))"
+        f" * ({pl3})) // 1000000000)"
+    )
+    pl5 = (
+        "(((g.c5 * m5.dd5 - m5.dn5) * 1000000000)"
+        " // (m5.dd5 * x5.ctx5c))"
+        " + (((((m5.dn5 * x5.t5) * 1000000000)"
+        " // (m5.dd5 * x5.ctx5c))"
+        f" * ({pl4})) // 1000000000)"
+    )
+
+    def _m(src: str, cnt: str, lvl: str, extra: str = "") -> str:
+        return f"""
+m{lvl}0 AS (
+  SELECT CAST(sum(CASE WHEN {cnt} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(sum(CASE WHEN {cnt} = 1 THEN 1 ELSE 0 END)
+              + 2 * sum(CASE WHEN {cnt} = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dd0{extra and ','}
+         {extra}
+  FROM {src}
+),
+m{lvl} AS (
+  SELECT CASE WHEN dd0 = 0 THEN 1 ELSE n1 END AS dn{lvl},
+         CASE WHEN dd0 = 0 THEN 2 ELSE dd0 END AS dd{lvl}
+         {extra and ', nall'}
+  FROM m{lvl}0
+)"""
+
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, {_T} AS tk FROM documents
+),
+g5d AS MATERIALIZED (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3,
+         tk[i+3] AS w4, tk[i+4] AS w5,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tk, unnest(generate_series(1, len(tk)-4)) AS u(i)
+  WHERE len(tk) >= 5
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+g5 AS MATERIALIZED (
+  SELECT w1, w2, w3, w4, w5, CAST(sum(cnt) AS BIGINT) AS c5
+  FROM g5d GROUP BY 1, 2, 3, 4, 5
+),
+x5 AS (
+  SELECT w1, w2, w3, w4, CAST(sum(c5) AS BIGINT) AS ctx5c,
+         CAST(count(*) AS BIGINT) AS t5
+  FROM g5 GROUP BY 1, 2, 3, 4
+),
+c4 AS MATERIALIZED (
+  SELECT w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS cc4
+  FROM g5 GROUP BY 1, 2, 3, 4
+),
+x4 AS (
+  SELECT w2, w3, w4, CAST(sum(cc4) AS BIGINT) AS ctx4c,
+         CAST(count(*) AS BIGINT) AS t4
+  FROM c4 GROUP BY 1, 2, 3
+),
+c3 AS MATERIALIZED (
+  SELECT w3, w4, w5, CAST(count(*) AS BIGINT) AS cc3
+  FROM c4 GROUP BY 1, 2, 3
+),
+x3 AS (
+  SELECT w3, w4, CAST(sum(cc3) AS BIGINT) AS ctx3c,
+         CAST(count(*) AS BIGINT) AS t3
+  FROM c3 GROUP BY 1, 2
+),
+c2 AS MATERIALIZED (
+  SELECT w4, w5, CAST(count(*) AS BIGINT) AS cc2
+  FROM c3 GROUP BY 1, 2
+),
+x2 AS (
+  SELECT w4, CAST(sum(cc2) AS BIGINT) AS ctx2c,
+         CAST(count(*) AS BIGINT) AS t2
+  FROM c2 GROUP BY 1
+),
+o AS (
+  SELECT w5, CAST(count(*) AS BIGINT) AS ncw5 FROM c2 GROUP BY 1
+),
+{_m('g5', 'c5', '5')},
+{_m('c4', 'cc4', '4')},
+{_m('c3', 'cc3', '3')},
+{_m('c2', 'cc2', '2', 'CAST(count(*) AS BIGINT) AS nall')},
+sc AS (
+  SELECT g.w1, g.w2, g.w3, g.w4, g.w5,
+         CAST(floor(1000000 * ln(1000000000.0 / GREATEST(
+           {pl5}, 1))) AS BIGINT) AS s_micro
+  FROM g5 g
+  JOIN x5 ON x5.w1 = g.w1 AND x5.w2 = g.w2 AND x5.w3 = g.w3
+         AND x5.w4 = g.w4
+  JOIN c4 b4 ON b4.w2 = g.w2 AND b4.w3 = g.w3 AND b4.w4 = g.w4
+            AND b4.w5 = g.w5
+  JOIN x4 ON x4.w2 = g.w2 AND x4.w3 = g.w3 AND x4.w4 = g.w4
+  JOIN c3 b3 ON b3.w3 = g.w3 AND b3.w4 = g.w4 AND b3.w5 = g.w5
+  JOIN x3 ON x3.w3 = g.w3 AND x3.w4 = g.w4
+  JOIN c2 b2 ON b2.w4 = g.w4 AND b2.w5 = g.w5
+  JOIN x2 ON x2.w4 = g.w4
+  JOIN o ON o.w5 = g.w5
+  CROSS JOIN m5 CROSS JOIN m4 CROSS JOIN m3 CROSS JOIN m2
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(sum(d.cnt) AS BIGINT) AS n_5grams,
+         CAST(sum(d.cnt * s.s_micro) AS BIGINT) AS surprisal_micro,
+         CAST(sum(d.cnt * s.s_micro) // sum(d.cnt) AS BIGINT)
+           AS mean_surprisal_micro
+  FROM g5d d
+  JOIN sc s ON s.w1 = d.w1 AND s.w2 = d.w2 AND s.w3 = d.w3
+           AND s.w4 = d.w4 AND s.w5 = d.w5
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_5grams, 0) AS n_5grams,
+       a.surprisal_micro,
+       a.mean_surprisal_micro
+FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+@query("kn_5gram_scores", oracle=_kn5_oracle())
+def kn_5gram_scores(spark, sf_dir):
+    """Interpolated Kneser-Ney at ORDER 5 — KenLM's default (r14
+    verdict item 8): four discounted levels over recursively MODIFIED
+    type counts (cc4 = distinct left contexts of raw 5-gram types,
+    cc3 over cc4, cc2 over cc3) down to the continuation unigram;
+    each level's absolute discount is an exact rational from that
+    level's own count-of-counts with an independent (1, 2) degenerate
+    fallback. Nine documented ppb floor points, one final float ln;
+    the oracle replays every floor verbatim
+    (operators/lm.py:kneser_ney_5gram_scores for the scale +
+    division-form overflow-guard notes — each level is one hash
+    partial-agg over the level above; the corpus is read once)."""
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_5gram_scores,
+    )
+
+    return kneser_ney_5gram_scores(load(spark, sf_dir, "documents"))
+
+
 # --- Gopher quality rules (Rae et al. 2021 §A1.1) --------------------
 
 # the fixed Gopher stop list ("must contain >= 2 of"): a presence

@@ -374,7 +374,8 @@ def test_kn_trigram_plan_shape(spark, sf_dir):
     )
     try:
         p = plan(out)
-        assert p.count("BroadcastNestedLoopJoin") == 2  # m3 and m2
+        # m3 + m2 model rows + mt3 + mt2 max_t rows (r15 tight guard)
+        assert p.count("BroadcastNestedLoopJoin") == 4
         assert (
             p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
             + p.count("BroadcastHashJoin") >= 5
@@ -405,7 +406,8 @@ def test_kn_bigram_plan_shape(spark, sf_dir):
     )
     try:
         p = plan(out)
-        assert p.count("BroadcastNestedLoopJoin") == 1  # model row
+        # model row + max_t bound row (r15 tight guard)
+        assert p.count("BroadcastNestedLoopJoin") == 2
         assert (
             p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
             + p.count("BroadcastHashJoin") >= 3
@@ -452,3 +454,34 @@ def test_global_window_detector_calibrated(spark, sf_dir):
     )
     p.collect()
     assert global_window_count(plan_of(p)) == 0
+
+
+def test_kn_5gram_plan_shape(spark, sf_dir):
+    """KN order-5 scale contract: the four count-of-counts model rows
+    plus the combined max_t bound row ride broadcast nested-loop
+    joins (1-row frames), the apply join on (w1..w5) and the level
+    joins stay hash/sort-merge, and no window exists anywhere — the
+    per-doc 5-gram slide is a map-side transform and each modified
+    level is one hash agg over the level above."""
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_5gram_plan,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    out, handles = kneser_ney_5gram_plan(
+        load(spark, sf_dir, "documents")
+    )
+    try:
+        p = plan(out)
+        # m5+m4+m3+m2 model rows, the mt row, and mt's own internal
+        # 3 crossJoins of the four 1-row max_t aggregates
+        assert p.count("BroadcastNestedLoopJoin") == 8
+        assert (
+            p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+            + p.count("BroadcastHashJoin") >= 9
+        )
+        assert "Window" not in p
+        assert "CartesianProduct" not in p
+    finally:
+        for h in handles:
+            h.unpersist()

@@ -450,3 +450,195 @@ def test_kn_trigram_overflow_guard_fails_loud(spark):
         for r in kneser_ney_trigram_scores(df, scale=1_000_000).collect()
     }
     assert got == _kn_trigram_reference(docs, scale=1_000_000)
+
+
+def _kn5_reference(docs, scale=1_000_000_000):
+    """Literal pure-Python transcription of the interpolated-KN
+    5-gram spec (recursively modified type counts at levels 4/3/2,
+    per-level rational discounts, the nine documented ppb floors)."""
+    import math
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs}
+    g5 = Counter(
+        g
+        for tk in toks.values()
+        for g in zip(tk, tk[1:], tk[2:], tk[3:], tk[4:])
+    )
+    ctx5, t5 = Counter(), Counter()
+    for (w1, w2, w3, w4, w5), c in g5.items():
+        ctx5[(w1, w2, w3, w4)] += c
+        t5[(w1, w2, w3, w4)] += 1
+    cc4 = Counter((g[1], g[2], g[3], g[4]) for g in g5)
+    ctx4, t4 = Counter(), Counter()
+    for (w2, w3, w4, w5), c in cc4.items():
+        ctx4[(w2, w3, w4)] += c
+        t4[(w2, w3, w4)] += 1
+    cc3 = Counter((k[1], k[2], k[3]) for k in cc4)
+    ctx3, t3 = Counter(), Counter()
+    for (w3, w4, w5), c in cc3.items():
+        ctx3[(w3, w4)] += c
+        t3[(w3, w4)] += 1
+    cc2 = Counter((k[1], k[2]) for k in cc3)
+    ctx2, t2, ncw5 = Counter(), Counter(), Counter()
+    for (w4, w5), c in cc2.items():
+        ctx2[w4] += c
+        t2[w4] += 1
+        ncw5[w5] += 1
+    nall = len(cc2)
+
+    def _disc(counter):
+        n1 = sum(1 for c in counter.values() if c == 1)
+        n2 = sum(1 for c in counter.values() if c == 2)
+        dd0 = n1 + 2 * n2
+        return (1, 2) if dd0 == 0 else (n1, dd0)
+
+    dn5, dd5 = _disc(g5)
+    dn4, dd4 = _disc(cc4)
+    dn3, dd3 = _disc(cc3)
+    dn2, dd2 = _disc(cc2)
+
+    def s_micro(g):
+        w1, w2, w3, w4, w5 = g
+        p2 = ((cc2[(w4, w5)] * dd2 - dn2) * scale) // (dd2 * ctx2[w4])
+        lam2 = ((dn2 * t2[w4]) * scale) // (dd2 * ctx2[w4])
+        pl = p2 + (lam2 * ncw5[w5]) // nall
+        p3 = ((cc3[(w3, w4, w5)] * dd3 - dn3) * scale) // (
+            dd3 * ctx3[(w3, w4)]
+        )
+        lam3 = ((dn3 * t3[(w3, w4)]) * scale) // (dd3 * ctx3[(w3, w4)])
+        pl = p3 + (lam3 * pl) // scale
+        p4 = ((cc4[(w2, w3, w4, w5)] * dd4 - dn4) * scale) // (
+            dd4 * ctx4[(w2, w3, w4)]
+        )
+        lam4 = ((dn4 * t4[(w2, w3, w4)]) * scale) // (
+            dd4 * ctx4[(w2, w3, w4)]
+        )
+        pl = p4 + (lam4 * pl) // scale
+        p5 = ((g5[g] * dd5 - dn5) * scale) // (
+            dd5 * ctx5[(w1, w2, w3, w4)]
+        )
+        lam5 = ((dn5 * t5[(w1, w2, w3, w4)]) * scale) // (
+            dd5 * ctx5[(w1, w2, w3, w4)]
+        )
+        p = max(p5 + (lam5 * pl) // scale, 1)
+        return math.floor(1_000_000 * math.log(scale / p))
+
+    out = {}
+    for d, _t in docs:
+        tk = toks[d]
+        grams = list(zip(tk, tk[1:], tk[2:], tk[3:], tk[4:]))
+        if grams:
+            tot = sum(s_micro(g) for g in grams)
+            out[d] = (len(tk), len(grams), tot, tot // len(grams))
+        else:
+            out[d] = (len(tk), 0, None, None)
+    return out
+
+
+def _kn5_collect(df_rows):
+    return {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_5grams"],
+            r["surprisal_micro"],
+            r["mean_surprisal_micro"],
+        )
+        for r in df_rows
+    }
+
+
+def test_kn_5gram_matches_hand_computation(spark):
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_5gram_scores,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat and the cat sat on the rug now"),
+        (1, "the cat sat on the mat and then it left the mat alone"),
+        (2, "a dog sat on a log and a dog ran to a bog"),
+        (3, "too few words here"),  # < 5 tokens: no 5-grams
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _kn5_collect(kneser_ney_5gram_scores(df).collect())
+    assert got == _kn5_reference(docs)
+    # the corpus exercises the REAL discount path at every level
+    from collections import Counter
+
+    toks = [t.split() for _d, t in docs]
+    g5 = Counter(
+        g for tk in toks for g in zip(tk, tk[1:], tk[2:], tk[3:], tk[4:])
+    )
+    assert any(c == 1 for c in g5.values())
+    cc4 = Counter(g[1:] for g in g5)
+    assert any(c in (1, 2) for c in cc4.values())
+
+
+def test_kn_5gram_degenerate_levels_fall_back(spark):
+    """Per-level independence of the (1, 2) fallback at order 5: a
+    periodic corpus degenerates the raw 5-gram level (every type
+    repeats >= 3x) while modified levels still see count-1/2 types;
+    a cross-prefix corpus degenerates the modified-4-gram level
+    (every suffix has 3 left contexts) while raw counts are all 1."""
+    from collections import Counter
+
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_5gram_scores,
+    )
+
+    # level-5 degenerate: 3-token period over >= 15 tokens -> each
+    # distinct 5-gram appears >= 3 times within each doc set
+    docs_a = [(i, "x y z " * 7) for i in range(4)]
+    g5 = Counter(
+        g
+        for _d, t in docs_a
+        for tk in [t.split()]
+        for g in zip(tk, tk[1:], tk[2:], tk[3:], tk[4:])
+    )
+    assert all(c >= 3 for c in g5.values())
+
+    # level-4 degenerate: three distinct first words, shared 4-token
+    # tail — each doc is exactly one 5-gram, so every raw count is 1
+    # while cc4(p,q,r,s) = 3 (no count-1/2 type at level 4)
+    docs_b = [
+        (0, "a p q r s"),
+        (1, "b p q r s"),
+        (2, "c p q r s"),
+    ]
+    g5_b = Counter(
+        g
+        for _d, t in docs_b
+        for tk in [t.split()]
+        for g in zip(tk, tk[1:], tk[2:], tk[3:], tk[4:])
+    )
+    assert all(c == 1 for c in g5_b.values())  # level 5 NOT degen
+    cc4_b = Counter(g[1:] for g in g5_b)
+    assert any(c >= 3 for c in cc4_b.values())
+
+    for docs in (docs_a, docs_b):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = _kn5_collect(kneser_ney_5gram_scores(df).collect())
+        assert got == _kn5_reference(docs)
+        assert all(v[2] is not None for v in got.values())
+
+
+def test_kn_5gram_overflow_guard_fails_loud(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_5gram_scores,
+    )
+
+    docs = [(0, "a b c d e " * 3), (1, "a b c d e f g h")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+        kneser_ney_5gram_scores(df, scale=(2**63 - 1) // 2).collect()
+    assert "scale=1000000" in str(exc.value)
+    # ppm remediation matches the reference model at ppm
+    got = _kn5_collect(
+        kneser_ney_5gram_scores(df, scale=1_000_000).collect()
+    )
+    assert got == _kn5_reference(docs, scale=1_000_000)

@@ -281,6 +281,7 @@ AUDIT = [
     "quant_calibration_absmax",
     "duplicate_spans_exact",
     "kn_trigram_scores",
+    "kn_5gram_scores",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
@@ -389,9 +390,13 @@ NESTED_LOOP_OK = {
     # 1-row broadcast count-of-counts model scalar (dn, dd, nall)
     "kn_bigram_scores",
     # two 1-row broadcast count-of-counts model scalars (trigram +
-    # modified-bigram levels) — visible now that the audit reads the
-    # lazy seam instead of the checkpointed Scan ExistingRDD
+    # modified-bigram levels) + the max_t bound rows — visible now
+    # that the audit reads the lazy seam instead of the checkpointed
+    # Scan ExistingRDD
     "kn_trigram_scores",
+    # four 1-row model scalars + the combined max_t bound row
+    # (KenLM-default order 5)
+    "kn_5gram_scores",
     # 1-row broadcast (Nt, Ns) smoothing-denominator scalar
     "dsir_importance_weights",
     # broadcast-centroid assignment cross joins (seed + refined) —
@@ -638,6 +643,15 @@ def _seam_kn_trigram(spark, sf_dir):
     return kneser_ney_trigram_plan(load(spark, sf_dir, "documents"))
 
 
+def _seam_kn_5gram(spark, sf_dir):
+    from advisorydatapipeline_spark.operators.lm import (
+        kneser_ney_5gram_plan,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+
+    return kneser_ney_5gram_plan(load(spark, sf_dir, "documents"))
+
+
 def _seam_duplicate_spans(spark, sf_dir):
     from advisorydatapipeline_spark.operators.suffix import (
         duplicate_span_plan,
@@ -651,6 +665,7 @@ def _seam_duplicate_spans(spark, sf_dir):
 CHECKPOINTED = {
     "kn_bigram_scores": _seam_kn_bigram,
     "kn_trigram_scores": _seam_kn_trigram,
+    "kn_5gram_scores": _seam_kn_5gram,
     "duplicate_spans_exact": _seam_duplicate_spans,
 }
 

@@ -13,9 +13,13 @@
 - spanskew: duplicate_spans_exact with hot_seed_threshold ON vs OFF
   at x4 — the escalated plan must stay within noise of the default on
   an unskewed corpus (the stitch overhead is boundary-rows only).
+- kn5: x1-x8 row for kn_5gram_scores (documents) — KenLM-default
+  order; each level is one hash partial-agg over the level above, so
+  the slope should track the trigram's (3.39 @x8).
 
 Usage: python tools/r15_scale_smoke.py [sf_dir] [sections]
-  sections: comma list from {spans16, rrfivf8, spanskew}; default ALL.
+  sections: comma list from {spans16, rrfivf8, spanskew, kn5};
+  default ALL.
 Prints markdown rows; SCALE.md sections are appended manually from
 this output (scale_smoke.py owns the main table).
 """
@@ -141,7 +145,7 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"spans16", "rrfivf8", "spanskew"}
+        else {"spans16", "rrfivf8", "spanskew", "kn5"}
     )
     spark = get_spark("r15-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -158,6 +162,17 @@ def main() -> None:
             rrfivf_section(spark, sf_dir, base)
         if "spanskew" in sections:
             spanskew_section(spark, sf_dir, base)
+        if "kn5" in sections:
+            from r11_scale_smoke import run_family
+
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "kn_5gram_scores (documents)",
+                ("kn_5gram_scores",),
+                ("documents",),
+            )
 
 
 if __name__ == "__main__":

@@ -186,6 +186,7 @@ AUDIT = [
     "quant_calibration_absmax",
     "duplicate_spans_exact",
     "kn_trigram_scores",
+    "kn_5gram_scores",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
