@@ -1330,3 +1330,199 @@ def speculative_decode_accept(spark, sf_dir):
             "CAST(sum(accepted + 1) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("tokens_per_call_micro"),
     )
+
+
+# --- MoE router load-balance audit (r15) ------------------------------
+
+MOE_EXPERTS = 8  # expert count (top-2 routing, the Switch/GShard shape)
+_MOE_SCALE = 1_000_000
+
+
+def _moe_score(idiv: str, e: str) -> str:
+    """Deterministic router logit for (token, expert) in [1, 1000]:
+    the house double mix (high-bit diffusion) over event_id*8+e,
+    replayable verbatim in both engines."""
+    raw = f"(event_id * {MOE_EXPERTS} + {e})"
+    m1 = _mix(raw, _MIX2)
+    return (
+        f"(1 + {_mix(f'({m1}) {idiv} 65536 + {raw}', _MIX2)} % 1000)"
+    )
+
+
+def _moe_sql(idiv: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT event_id FROM events
+),
+s AS (
+  SELECT event_id, ex.e AS e,
+         CAST({_moe_score(idiv, 'ex.e')} AS BIGINT) AS s
+  FROM t, (SELECT unnest(generate_series(0, {MOE_EXPERTS - 1})) AS e)
+       ex
+),
+tot AS (
+  SELECT event_id, CAST(sum(s) AS BIGINT) AS sum_all
+  FROM s GROUP BY 1
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_id ORDER BY s DESC, e ASC) AS rk
+  FROM s
+),
+top AS (
+  SELECT event_id,
+         max(CASE WHEN rk = 1 THEN e END) AS e1,
+         max(CASE WHEN rk = 1 THEN s END) AS s1,
+         max(CASE WHEN rk = 2 THEN e END) AS e2,
+         max(CASE WHEN rk = 2 THEN s END) AS s2
+  FROM r GROUP BY 1
+),
+per AS (
+  SELECT s.e,
+         CAST(sum(CASE WHEN s.e = top.e1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_top1,
+         CAST(sum(CASE WHEN s.e IN (top.e1, top.e2) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_top2,
+         CAST(sum(CASE WHEN s.e = top.e1
+                       THEN top.s1 * {_MOE_SCALE} {idiv}
+                            (top.s1 + top.s2)
+                       WHEN s.e = top.e2
+                       THEN top.s2 * {_MOE_SCALE} {idiv}
+                            (top.s1 + top.s2)
+                       ELSE 0 END) AS BIGINT) AS gate_sum,
+         CAST(sum(s.s * {_MOE_SCALE} {idiv} tot.sum_all) AS BIGINT)
+           AS p_sum
+  FROM s
+  JOIN top USING (event_id)
+  JOIN tot USING (event_id)
+  GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM t)
+SELECT CAST(per.e AS BIGINT) AS expert,
+       per.n_top1,
+       per.n_top2,
+       per.n_top1 * {_MOE_SCALE} {idiv} n.n_tokens AS f_ppm,
+       per.p_sum {idiv} n.n_tokens AS p_mean_ppm,
+       ({MOE_EXPERTS} * (per.n_top1 * {_MOE_SCALE} {idiv} n.n_tokens)
+        * (per.p_sum {idiv} n.n_tokens)) {idiv} {_MOE_SCALE}
+         AS aux_ppm,
+       per.gate_sum {idiv} GREATEST(per.n_top2, 1) AS gate_mean_ppm
+FROM per, n
+"""
+
+
+@query("moe_router_load", oracle=_moe_sql("//"))
+def moe_router_load(spark, sf_dir):
+    """Mixture-of-Experts router load-balance audit (Shazeer et al.
+    2017 top-k routing; Fedus et al. 2021 Switch auxiliary loss) —
+    the training-infra health check every MoE run watches: per
+    expert, the top-1 token fraction f, the mean (linear-normalized)
+    router probability P, their Switch aux-loss contribution
+    E*f_e*P_e, top-2 routed counts, and the mean top-2 gate share.
+    Router logits are deterministic double-mixed hashes in [1,1000]
+    (the fixture stands in for a learned router; the AUDIT
+    arithmetic is the real thing); P uses the linear score
+    normalization score/sum — not softmax — so the whole audit is
+    integer-ppm exact (float exp diverges between engines by design
+    rule; documented deviation).
+
+    Plan: the 8 per-token logits and the top-2 selection are PURE
+    MAP-SIDE — an array of (-score, expert) structs sorted
+    ascending (= score desc, expert asc) inside the row, no window,
+    no shuffle; the only shuffle is the 8-rows-per-token explode's
+    partial-agg down to 8 expert rows, plus one broadcast token
+    count. The oracle selects top-2 via window row_number instead —
+    structurally different. At 100 TB: per-token work is constant
+    (E=8), the shuffle carries 8 fixed-width rows per token pre-agg
+    (map-side combine collapses them to 8 rows per partition)."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    scores = [
+        F.expr(_moe_score("DIV", str(e))).cast("long").alias(f"sc{e}")
+        for e in range(MOE_EXPERTS)
+    ]
+    st = ev.select("event_id", *scores)
+    arr = F.array(
+        *[
+            F.struct(
+                (-F.col(f"sc{e}")).alias("ns"),
+                F.lit(e).cast("long").alias("e"),
+                F.col(f"sc{e}").alias("s"),
+            )
+            for e in range(MOE_EXPERTS)
+        ]
+    )
+    srt = F.sort_array(arr)  # asc on (-score, expert)
+    t = st.select(
+        "event_id",
+        *[F.col(f"sc{e}") for e in range(MOE_EXPERTS)],
+        F.element_at(srt, 1)["e"].alias("e1"),
+        F.element_at(srt, 1)["s"].alias("s1"),
+        F.element_at(srt, 2)["e"].alias("e2"),
+        F.element_at(srt, 2)["s"].alias("s2"),
+        sum(
+            [F.col(f"sc{e}") for e in range(MOE_EXPERTS)], F.lit(0)
+        ).cast("long").alias("sum_all"),
+    )
+    ex = t.select(
+        "event_id",
+        "e1",
+        "s1",
+        "e2",
+        "s2",
+        "sum_all",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).cast("long").alias("e"),
+                        F.col(f"sc{e}").alias("s"),
+                    )
+                    for e in range(MOE_EXPERTS)
+                ]
+            )
+        ).alias("es"),
+    ).select(
+        "event_id", "e1", "s1", "e2", "s2", "sum_all",
+        F.col("es.e").alias("e"), F.col("es.s").alias("s"),
+    )
+    per = ex.groupBy("e").agg(
+        F.sum((F.col("e") == F.col("e1")).cast("long"))
+        .cast("long").alias("n_top1"),
+        F.sum(
+            ((F.col("e") == F.col("e1")) | (F.col("e") == F.col("e2")))
+            .cast("long")
+        ).cast("long").alias("n_top2"),
+        F.sum(
+            F.when(
+                F.col("e") == F.col("e1"),
+                F.expr(f"s1 * {_MOE_SCALE} DIV (s1 + s2)"),
+            )
+            .when(
+                F.col("e") == F.col("e2"),
+                F.expr(f"s2 * {_MOE_SCALE} DIV (s1 + s2)"),
+            )
+            .otherwise(F.lit(0))
+        ).cast("long").alias("gate_sum"),
+        F.sum(F.expr(f"s * {_MOE_SCALE} DIV sum_all"))
+        .cast("long").alias("p_sum"),
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (
+        per.crossJoin(F.broadcast(n))
+        .select(
+            F.col("e").alias("expert"),
+            "n_top1",
+            "n_top2",
+            F.expr(f"n_top1 * {_MOE_SCALE} DIV n_tokens").alias(
+                "f_ppm"
+            ),
+            F.expr("p_sum DIV n_tokens").alias("p_mean_ppm"),
+            F.expr(
+                f"({MOE_EXPERTS} * (n_top1 * {_MOE_SCALE} DIV n_tokens)"
+                f" * (p_sum DIV n_tokens)) DIV {_MOE_SCALE}"
+            ).alias("aux_ppm"),
+            F.expr("gate_sum DIV GREATEST(n_top2, 1)").alias(
+                "gate_mean_ppm"
+            ),
+        )
+    )

@@ -2783,3 +2783,126 @@ def ema_checkpoint_average(spark, sf_dir):
             "ema_max_milli"
         ),
     )
+
+
+# --- gradient noise scale (McCandlish et al. 2018; r15) ---------------
+
+_GNS_QUANT = 100  # coarser than the cosine family: keeps n*S2 < 2^53
+_GNS_DOUBLE_SAFE = 1 << 53  # exact-integer DOUBLE domain
+
+_GNS_ORACLE = f"""
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_GNS_QUANT}) AS BIGINT))
+           AS v
+  FROM embeddings
+),
+s2 AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(list_dot_product(CAST(v AS DOUBLE[]),
+                                   CAST(v AS DOUBLE[]))) AS BIGINT)
+           AS s2
+  FROM q GROUP BY 1
+),
+dims AS (
+  SELECT label, u.i AS pos, CAST(sum(v[u.i]) AS BIGINT) AS sv
+  FROM q, unnest(generate_series(1, len(v))) AS u(i)
+  GROUP BY 1, 2
+),
+t2 AS (
+  SELECT label, CAST(sum(sv * sv) AS BIGINT) AS t2
+  FROM dims GROUP BY 1
+)
+SELECT s2.label,
+       s2.n AS n_examples,
+       s2.s2 AS sum_sq_norms,
+       t2.t2 AS sum_vec_sq,
+       s2.n * s2.s2 - t2.t2 AS var_num,
+       CASE WHEN s2.n >= 2 AND t2.t2 > 0 THEN
+         CAST(floor(1000000.0
+           * (CAST(s2.n AS DOUBLE) * CAST(s2.n * s2.s2 - t2.t2 AS DOUBLE))
+           / (CAST(s2.n - 1 AS DOUBLE) * CAST(t2.t2 AS DOUBLE)))
+           AS BIGINT)
+       ELSE NULL END AS gns_micro
+FROM s2 JOIN t2 USING (label)
+"""
+
+
+@query("gradient_noise_scale", oracle=_GNS_ORACLE)
+def gradient_noise_scale(spark, sf_dir):
+    """Gradient noise scale B_simple = tr(Sigma) / |G|^2 (McCandlish
+    et al. 2018, "An Empirical Model of Large-Batch Training") — the
+    critical-batch-size estimator every large training run uses to
+    pick its data parallelism. Per-example gradients are stood in by
+    the embedding vectors (quantized integers), grouped per label
+    (per-task GNS):
+
+        tr(Sigma) = (S2 - T2/n) / (n-1)    |G|^2 = T2 / n^2
+        GNS = n * (n*S2 - T2) / ((n-1) * T2)
+
+    with S2 = sum of per-example squared norms (pure map-side) and
+    T2 = squared norm of the per-dimension TOTAL sum. Both are exact
+    BIGINTs; the single final division runs in DOUBLE with
+    integer-valued operands below 2^53 (IEEE-identical in both
+    engines, the cosine_q discipline) and floors to micro units.
+    Labels with n < 2 or a zero mean direction emit NULL.
+
+    Scale (100 TB): S2 collapses map-side to one row per label; T2's
+    per-dimension sums are a (label, pos) partial-agg shuffle of
+    64 * n fixed-width rows that combines to labels x dims rows —
+    vectors never shuffle whole. The 2^53 exactness domain is
+    GUARDED in-plan (division-form: S2 vs 2^53 DIV n and T2
+    directly), raising with the rescale remediation rather than
+    silently losing ulps."""
+    from advisorydatapipeline_spark.queries.helpers import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * _GNS_QUANT).cast("long"),
+        ).alias("v"),
+    )
+    s2 = q.select(
+        "label",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nsq"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nsq").cast("long").alias("s2"),
+    )
+    dims = q.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    ).groupBy("label", "pos").agg(
+        F.sum("val").cast("long").alias("sv")
+    )
+    t2 = dims.groupBy("label").agg(
+        F.sum(F.col("sv") * F.col("sv")).cast("long").alias("t2")
+    )
+    return (
+        s2.join(t2, "label")
+        .select(
+            "label",
+            F.col("n").alias("n_examples"),
+            F.col("s2").alias("sum_sq_norms"),
+            F.col("t2").alias("sum_vec_sq"),
+            F.expr("n * s2 - t2").alias("var_num"),
+            F.expr(
+                f"CASE WHEN s2 > {_GNS_DOUBLE_SAFE} DIV n"
+                f" OR t2 > {_GNS_DOUBLE_SAFE} THEN "
+                f"CAST(raise_error('gradient_noise_scale: moments "
+                f"exceed the 2^53 exact-DOUBLE domain; reduce "
+                f"_GNS_QUANT') AS BIGINT) "
+                f"WHEN n >= 2 AND t2 > 0 THEN "
+                f"CAST(floor(1000000.0D"
+                f" * (CAST(n AS DOUBLE) * CAST(n * s2 - t2 AS DOUBLE))"
+                f" / (CAST(n - 1 AS DOUBLE) * CAST(t2 AS DOUBLE)))"
+                f" AS BIGINT) ELSE NULL END"
+            ).alias("gns_micro"),
+        )
+    )

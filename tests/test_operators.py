@@ -1014,3 +1014,75 @@ def test_rrf_fusion_ivf_invariants(spark, sf_dir):
     assert e["n_true"] > 0 and e["n_approx"] > 0
     assert 0 <= e["n_hits"] <= min(e["n_true"], e["n_approx"])
     assert e["recall_ppm"] == e["n_hits"] * 1_000_000 // e["n_true"]
+
+
+def test_moe_router_load_invariants(spark, sf_dir):
+    """Routing conservation: top-1 assignments sum to the token
+    count, top-2 to twice it; the f fractions sum to 1e6 up to 8
+    floor errors; gate shares and probabilities live in [0, 1e6];
+    the aux contribution replays from f and P exactly."""
+    from advisorydatapipeline_spark.queries.helpers import load
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        MOE_EXPERTS,
+        moe_router_load,
+    )
+
+    rows = moe_router_load(spark, sf_dir).collect()
+    assert len(rows) == MOE_EXPERTS
+    n_tokens = load(spark, sf_dir, "events").count()
+    assert sum(r["n_top1"] for r in rows) == n_tokens
+    assert sum(r["n_top2"] for r in rows) == 2 * n_tokens
+    f_sum = sum(r["f_ppm"] for r in rows)
+    assert 1_000_000 - MOE_EXPERTS <= f_sum <= 1_000_000
+    for r in rows:
+        assert 0 <= r["p_mean_ppm"] <= 1_000_000
+        # top-2 gate shares: each token's two shares sum to <= 1e6,
+        # and any routed expert's mean share is at least the minimum
+        # possible minority share floor (> 0)
+        assert 0 < r["gate_mean_ppm"] <= 1_000_000
+        assert r["aux_ppm"] == (
+            MOE_EXPERTS * r["f_ppm"] * r["p_mean_ppm"]
+        ) // 1_000_000
+
+
+def test_gradient_noise_scale_matches_numpy(spark, sf_dir):
+    """Exact replay of the per-label moments and the B_simple ratio
+    against a numpy transcription over the same parquet."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from advisorydatapipeline_spark.queries.similarity_queries import (
+        _GNS_QUANT,
+        gradient_noise_scale,
+    )
+
+    rows = {
+        r["label"]: r.asDict()
+        for r in gradient_noise_scale(spark, sf_dir).collect()
+    }
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    for label, grp in pdf.groupby("label"):
+        v = np.floor(
+            np.stack(grp["embedding"].to_numpy()).astype("float64")
+            * _GNS_QUANT
+        ).astype("int64")
+        n = len(v)
+        s2 = int((v * v).sum())
+        sv = v.sum(axis=0)
+        t2 = int((sv * sv).sum())
+        r = rows[label]
+        assert r["n_examples"] == n
+        assert r["sum_sq_norms"] == s2
+        assert r["sum_vec_sq"] == t2
+        assert r["var_num"] == n * s2 - t2
+        if n >= 2 and t2 > 0:
+            want = math.floor(
+                1_000_000
+                * (float(n) * float(n * s2 - t2))
+                / (float(n - 1) * float(t2))
+            )
+            assert r["gns_micro"] == want
+        else:
+            assert r["gns_micro"] is None

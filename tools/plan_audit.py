@@ -282,6 +282,8 @@ AUDIT = [
     "duplicate_spans_exact",
     "kn_trigram_scores",
     "kn_5gram_scores",
+    "moe_router_load",
+    "gradient_noise_scale",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
@@ -387,6 +389,8 @@ NESTED_LOOP_OK = {
     "lm_perplexity_scores",
     # 1-row broadcast corpus-token-total scalar (word-unigram model)
     "mink_prob_membership",
+    # 1-row broadcast token-count scalar (per-expert fractions)
+    "moe_router_load",
     # 1-row broadcast count-of-counts model scalar (dn, dd, nall)
     "kn_bigram_scores",
     # two 1-row broadcast count-of-counts model scalars (trigram +

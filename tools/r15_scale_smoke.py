@@ -16,6 +16,10 @@
 - kn5: x1-x8 row for kn_5gram_scores (documents) — KenLM-default
   order; each level is one hash partial-agg over the level above, so
   the slope should track the trigram's (3.39 @x8).
+- moe8: x1-x8 row for moe_router_load (events) — constant per-token
+  work, one 8-rows-per-token partial-agg shuffle; expect ~flat.
+- gns8: x1-x8 row for gradient_noise_scale (embeddings) — map-side
+  moments + (label, pos) partial agg; expect ~flat.
 
 Usage: python tools/r15_scale_smoke.py [sf_dir] [sections]
   sections: comma list from {spans16, rrfivf8, spanskew, kn5};
@@ -145,7 +149,8 @@ def main() -> None:
     sections = (
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
-        else {"spans16", "rrfivf8", "spanskew", "kn5"}
+        else {"spans16", "rrfivf8", "spanskew", "kn5", "moe8",
+              "gns8"}
     )
     spark = get_spark("r15-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -172,6 +177,30 @@ def main() -> None:
                 "kn_5gram_scores (documents)",
                 ("kn_5gram_scores",),
                 ("documents",),
+            )
+        if "moe8" in sections:
+            from r11_scale_smoke import run_family
+
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "moe_router_load (events)",
+                ("moe_router_load",),
+                ("events",),
+            )
+        if "gns8" in sections:
+            from r11_scale_smoke import run_family
+
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "gradient_noise_scale (embeddings; row-replicated —"
+                " per-label moment aggregates, vec_id uniqueness"
+                " irrelevant)",
+                ("gradient_noise_scale",),
+                ("embeddings",),
             )
 
 

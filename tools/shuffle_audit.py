@@ -187,6 +187,8 @@ AUDIT = [
     "duplicate_spans_exact",
     "kn_trigram_scores",
     "kn_5gram_scores",
+    "moe_router_load",
+    "gradient_noise_scale",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
