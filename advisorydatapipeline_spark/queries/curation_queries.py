@@ -2010,3 +2010,132 @@ def dataset_cartography(spark, sf_dir):
             f"ELSE 'hard' END"
         ).alias("region"),
     )
+
+
+# --- packing cross-document attention audit (r15) ---------------------
+
+
+@query(
+    "packing_crossdoc_attention",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({DUCK_TOKENS.format(x='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS st
+  FROM t
+),
+seg AS (
+  SELECT s.lang, u.k AS seq_id,
+         LEAST({CTX_TOKENS} * (u.k + 1), s.st + s.n_tokens)
+           - GREATEST({CTX_TOKENS} * u.k, s.st) AS seg_len
+  FROM s, unnest(generate_series(
+         s.st // {CTX_TOKENS},
+         (s.st + s.n_tokens - 1) // {CTX_TOKENS})) AS u(k)
+  WHERE s.n_tokens > 0
+)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(seg_len) AS BIGINT) AS seq_tokens,
+       CAST((sum(seg_len) * sum(seg_len)
+             - sum(seg_len * seg_len)) // 2 AS BIGINT)
+         AS polluted_pairs,
+       CAST(sum(seg_len) * (sum(seg_len) - 1) // 2 AS BIGINT)
+         AS total_pairs,
+       CAST(((sum(seg_len) * sum(seg_len)
+              - sum(seg_len * seg_len)) // 2) * 1000000
+            // GREATEST(sum(seg_len) * (sum(seg_len) - 1) // 2, 1)
+            AS BIGINT) AS polluted_ppm
+FROM seg
+GROUP BY 1, 2
+""",
+)
+def packing_crossdoc_attention(spark, sf_dir):
+    """Cross-document attention pollution audit for concat-and-chop
+    packing (the reason modern packed-training stacks reset attention
+    masks at document boundaries — e.g. the flash-attn varlen /
+    document-mask practice): for every packed {512}-token training
+    sequence produced by the `sequence_packing` assignment, count the
+    causal attention pairs that CROSS a document boundary. With
+    per-doc segment lengths l_i inside a sequence of S tokens, the
+    polluted pair count is exactly (S^2 - sum l_i^2) / 2 and the
+    causal total is S*(S-1)/2 — reported with an integer-ppm
+    pollution rate. Composed entry: reuses the packing window's
+    per-doc start offsets, then explodes each doc onto the sequences
+    it spans (sequence() over the covered seq_id range; a doc
+    contributes one fixed-width segment row per spanned sequence).
+
+    Scale: the packing window is the existing per-lang prefix-sum
+    shuffle; the segment explode adds ~(1 + L/CTX) rows per doc that
+    partial-agg down to one row per packed sequence. All BIGINT
+    (S <= {512} bounds every product); no driver-side anything."""
+    from advisorydatapipeline_spark.functions.text import tokens
+    from advisorydatapipeline_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs, "lang", "doc_id", "n_tokens", ctx_tokens=CTX_TOKENS
+    )
+    st = packed.select(
+        "lang",
+        "n_tokens",
+        (
+            F.col("seq_id") * CTX_TOKENS + F.col("seq_offset")
+        ).alias("st"),
+    ).filter(F.col("n_tokens") > 0)
+    seg = st.select(
+        "lang",
+        F.explode(
+            F.sequence(
+                F.expr(f"st DIV {CTX_TOKENS}"),
+                F.expr(f"(st + n_tokens - 1) DIV {CTX_TOKENS}"),
+            )
+        ).alias("seq_id"),
+        "st",
+        "n_tokens",
+    ).select(
+        "lang",
+        "seq_id",
+        (
+            F.least(
+                F.lit(CTX_TOKENS) * (F.col("seq_id") + 1),
+                F.col("st") + F.col("n_tokens"),
+            )
+            - F.greatest(
+                F.lit(CTX_TOKENS) * F.col("seq_id"), F.col("st")
+            )
+        ).alias("seg_len"),
+    )
+    return seg.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("seg_len").cast("long").alias("seq_tokens"),
+        F.expr(
+            "CAST((sum(seg_len) * sum(seg_len)"
+            " - sum(seg_len * seg_len)) DIV 2 AS BIGINT)"
+        ).alias("polluted_pairs"),
+        F.expr(
+            "CAST(sum(seg_len) * (sum(seg_len) - 1) DIV 2 AS BIGINT)"
+        ).alias("total_pairs"),
+        F.expr(
+            "CAST(((sum(seg_len) * sum(seg_len)"
+            " - sum(seg_len * seg_len)) DIV 2) * 1000000"
+            " DIV GREATEST(sum(seg_len) * (sum(seg_len) - 1) DIV 2,"
+            " 1) AS BIGINT)"
+        ).alias("polluted_ppm"),
+    ).select(
+        "lang", F.col("seq_id").cast("long").alias("seq_id"),
+        "n_segments", "seq_tokens", "polluted_pairs", "total_pairs",
+        "polluted_ppm",
+    )

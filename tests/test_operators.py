@@ -1086,3 +1086,73 @@ def test_gradient_noise_scale_matches_numpy(spark, sf_dir):
             assert r["gns_micro"] == want
         else:
             assert r["gns_micro"] is None
+
+
+def test_packing_crossdoc_attention_matches_brute(spark, sf_dir):
+    """Replay the concat-and-chop packing + segment pollution math in
+    pure pandas/python and compare every sequence row; also pin the
+    structural invariants (non-tail sequences are exactly full;
+    polluted + within-doc pairs == total causal pairs)."""
+    import re as _re
+
+    import pandas as pd
+
+    from advisorydatapipeline_spark.queries.curation_queries import (
+        CTX_TOKENS,
+        packing_crossdoc_attention,
+    )
+
+    rows = {
+        (r["lang"], r["seq_id"]): r.asDict()
+        for r in packing_crossdoc_attention(spark, sf_dir).collect()
+    }
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "text"]
+    ].sort_values("doc_id")
+    want: dict = {}
+    for lang, grp in pdf.groupby("lang"):
+        st = 0
+        segs: dict[int, list[int]] = {}
+        for _i, row in grp.iterrows():
+            n = len(
+                [
+                    t
+                    for t in _re.split(
+                        r"[^a-z0-9]+", str(row["text"]).lower()
+                    )
+                    if t
+                ]
+            )
+            if n > 0:
+                for k in range(
+                    st // CTX_TOKENS, (st + n - 1) // CTX_TOKENS + 1
+                ):
+                    seg = min(CTX_TOKENS * (k + 1), st + n) - max(
+                        CTX_TOKENS * k, st
+                    )
+                    segs.setdefault(k, []).append(seg)
+            st += n
+        for k, ls in segs.items():
+            S = sum(ls)
+            pol = (S * S - sum(x * x for x in ls)) // 2
+            tot = S * (S - 1) // 2
+            want[(lang, k)] = {
+                "n_segments": len(ls),
+                "seq_tokens": S,
+                "polluted_pairs": pol,
+                "total_pairs": tot,
+                "polluted_ppm": pol * 1_000_000 // max(tot, 1),
+            }
+    assert set(rows) == set(want)
+    for key, w in want.items():
+        got = {k: rows[key][k] for k in w}
+        assert got == w, (key, got, w)
+    # non-tail sequences are exactly full
+    by_lang: dict = {}
+    for (lang, k), r in rows.items():
+        by_lang.setdefault(lang, []).append((k, r["seq_tokens"]))
+    for lang, pairs in by_lang.items():
+        mx = max(k for k, _s in pairs)
+        assert all(
+            s == CTX_TOKENS for k, s in pairs if k < mx
+        ), lang

@@ -20,6 +20,8 @@
   work, one 8-rows-per-token partial-agg shuffle; expect ~flat.
 - gns8: x1-x8 row for gradient_noise_scale (embeddings) — map-side
   moments + (label, pos) partial agg; expect ~flat.
+- pack8: x1-x8 row for packing_crossdoc_attention (documents) — the
+  packing prefix-sum window + a ~1-row-per-doc segment explode.
 
 Usage: python tools/r15_scale_smoke.py [sf_dir] [sections]
   sections: comma list from {spans16, rrfivf8, spanskew, kn5};
@@ -150,7 +152,7 @@ def main() -> None:
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
         else {"spans16", "rrfivf8", "spanskew", "kn5", "moe8",
-              "gns8"}
+              "gns8", "pack8"}
     )
     spark = get_spark("r15-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -188,6 +190,17 @@ def main() -> None:
                 "moe_router_load (events)",
                 ("moe_router_load",),
                 ("events",),
+            )
+        if "pack8" in sections:
+            from r11_scale_smoke import run_family
+
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "packing_crossdoc_attention (documents)",
+                ("packing_crossdoc_attention",),
+                ("documents",),
             )
         if "gns8" in sections:
             from r11_scale_smoke import run_family

@@ -189,6 +189,7 @@ AUDIT = [
     "kn_5gram_scores",
     "moe_router_load",
     "gradient_noise_scale",
+    "packing_crossdoc_attention",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
