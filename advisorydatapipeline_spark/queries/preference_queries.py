@@ -1526,3 +1526,88 @@ def moe_router_load(spark, sf_dir):
             ),
         )
     )
+
+
+# --- RLHF KL budget audit (Schulman 2020 estimators; r15) -------------
+
+KL_BUDGET_MICRO = 42_000  # per-prompt k2 budget in micro-nats
+
+
+def _kl_delta(idiv: str) -> str:
+    """Synthetic per-sample logprob difference log pi - log rho in
+    micro-nats, uniform on [-500000, 500000] via the house double
+    mix — the ESTIMATOR arithmetic is the real thing."""
+    raw = "(event_id * 29 + 11)"
+    m1 = _mix(raw, _MIX1)
+    return (
+        f"({_mix(f'({m1}) {idiv} 65536 + {raw}', _MIX1)}"
+        f" % 1000001 - 500000)"
+    )
+
+
+def _kl_sql(idiv: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, CAST({_kl_delta(idiv)} AS BIGINT) AS d
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(d) AS BIGINT) AS sum_d_micro,
+         CAST(sum(d * d) AS BIGINT) AS sum_d2
+  FROM s GROUP BY 1
+)
+SELECT user_id, n_samples, sum_d_micro,
+       (CASE WHEN sum_d_micro < 0 THEN -1 ELSE 1 END)
+         * (abs(sum_d_micro) {idiv} n_samples) AS k1_micro,
+       sum_d2 {idiv} (2 * n_samples * 1000000) AS k2_micro,
+       CAST(sum_d2 {idiv} (2 * n_samples * 1000000)
+            > {KL_BUDGET_MICRO} AS BIGINT) AS over_budget
+FROM g
+"""
+
+
+@query("rlhf_kl_budget", oracle=_kl_sql("//"))
+def rlhf_kl_budget(spark, sf_dir):
+    """Per-prompt KL-divergence budget audit for RLHF/RLVR training
+    (Schulman 2020, "Approximating KL Divergence"): given sampled
+    per-token logprob differences d = log pi - log rho (micro-nats;
+    synthesized deterministically here — the estimator arithmetic is
+    the audited artifact), report the k1 estimator mean(d) (unbiased,
+    high-variance, sign-split integer division so Spark DIV and
+    DuckDB // agree on negative sums — the GRPO lesson) and the k2
+    estimator mean(d^2)/2 (low-variance, always >= 0; the PPO-KL
+    penalty default), plus a budget flag. k3 = mean(exp(-d) - 1 + d)
+    is deliberately OMITTED: float exp diverges between engines (the
+    module's exactness rule); k1/k2 are the integer-exact pair.
+
+    Scale: ONE prompt-keyed partial-agg shuffle of (count, sum,
+    sum-of-squares) — the classic mergeable-moments shape; d^2 sums
+    stay < 2^63 for any group below ~3.7e4 billion samples."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.expr(_kl_delta("DIV")).cast("long").alias("d"),
+    )
+    g = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("d").cast("long").alias("sum_d_micro"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+    )
+    return g.select(
+        "user_id",
+        "n_samples",
+        "sum_d_micro",
+        F.expr(
+            "(CASE WHEN sum_d_micro < 0 THEN -1 ELSE 1 END)"
+            " * (abs(sum_d_micro) DIV n_samples)"
+        ).alias("k1_micro"),
+        F.expr("sum_d2 DIV (2 * n_samples * 1000000)").alias(
+            "k2_micro"
+        ),
+        F.expr(
+            f"CAST(sum_d2 DIV (2 * n_samples * 1000000)"
+            f" > {KL_BUDGET_MICRO} AS LONG)"
+        ).alias("over_budget"),
+    )

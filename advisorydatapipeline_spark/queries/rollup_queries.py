@@ -522,3 +522,148 @@ def kmv_distinct_sketch(spark, sf_dir):
             "true_distinct",
         )
     )
+
+
+# --- AMS F2 moment sketch (Alon-Matias-Szegedy 1996; r15) -------------
+
+AMS_J = 16  # independent +/-1 estimators; lower median reported
+
+_AMS_DH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_AMS_KEY = "'ams' || CAST(u.j AS VARCHAR) || '#' || term"
+
+
+@query(
+    "ams_f2_moment",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+),
+z AS (
+  SELECT u.j AS j,
+         CAST(sum(cnt * (1 - 2 * ({_AMS_DH.format(x=_AMS_KEY)} % 2)))
+              AS BIGINT) AS z
+  FROM cnt, unnest(generate_series(0, {AMS_J - 1})) AS u(j)
+  GROUP BY 1
+),
+est AS (SELECT j, z, z * z AS est FROM z),
+med AS (
+  SELECT CAST(est AS BIGINT) AS est_median FROM (
+    SELECT est, row_number() OVER (ORDER BY est ASC, j ASC) AS rn
+    FROM est
+  ) WHERE rn = {AMS_J // 2}
+),
+mn AS (
+  SELECT CAST(sum(est) // {AMS_J} AS BIGINT) AS est_mean FROM est
+),
+f2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
+  FROM cnt
+)
+SELECT f2.n_terms, f2.n_tokens, f2.f2_exact, med.est_median,
+       mn.est_mean,
+       CAST(CASE WHEN med.est_median >= f2.f2_exact THEN 1 ELSE -1
+            END AS BIGINT) AS bias_sign,
+       abs(med.est_median - f2.f2_exact) * 1000000 // f2.f2_exact
+         AS err_ppm
+FROM f2, med, mn
+""",
+)
+def ams_f2_moment(spark, sf_dir):
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy
+    1996 — the tug-of-war sketch; F2 = sum of squared term counts is
+    the self-join size / repeat-rate statistic a shuffle planner
+    wants without materializing the count table): {16} independent
+    +/-1 projections z_j = sum_t cnt(t) * sign_j(t) with
+    E[z^2] = F2; BOTH the lower median of z^2 (robust) and the
+    unbiased mean (sum DIV 16) are reported next to the exact F2
+    and a signed integer-ppm error — the estimator and its ground
+    truth in one plan, the countmin/kmv audit discipline. Signs come
+    from the portable md5 hash64 parity (engine-exact). J=16 is a
+    DEMO width: a single fixed hash family is one draw from a
+    chi-square-like distribution (~sqrt(2/J) relative std, worse
+    under heavy hitters); production raises J and uses
+    median-of-means over groups.
+
+    Scale: one shuffle builds the term-count table; the {16}-way
+    sign expansion runs over TERMS (not occurrences) and
+    partial-aggs to 16 rows; the median is a window over those 16
+    rows (constant, allowlisted). Sketch merge = adding z vectors —
+    the map-side combine is the merge."""
+    from advisorydatapipeline_spark.functions.text import (
+        hash64,
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    je = cnt.select(
+        "term",
+        "cnt",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(AMS_J)])
+        ).alias("j"),
+    )
+    sign = 1 - 2 * (
+        hash64(
+            F.concat(
+                F.lit("ams"),
+                F.col("j").cast("string"),
+                F.lit("#"),
+                F.col("term"),
+            )
+        )
+        % 2
+    )
+    z = je.groupBy("j").agg(
+        F.sum(F.col("cnt") * sign).cast("long").alias("z")
+    )
+    est = z.select("j", "z", (F.col("z") * F.col("z")).alias("est"))
+    w = Window.orderBy(F.col("est").asc(), F.col("j").asc())
+    med = (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == AMS_J // 2)
+        .select(F.col("est").cast("long").alias("est_median"))
+    )
+    mn = est.agg(
+        F.expr(f"CAST(sum(est) DIV {AMS_J} AS LONG)").alias(
+            "est_mean"
+        )
+    )
+    f2 = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias(
+            "f2_exact"
+        ),
+    )
+    return (
+        f2.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "n_terms",
+            "n_tokens",
+            "f2_exact",
+            "est_median",
+            "est_mean",
+            F.expr(
+                "CAST(CASE WHEN est_median >= f2_exact THEN 1"
+                " ELSE -1 END AS LONG)"
+            ).alias("bias_sign"),
+            F.expr(
+                "abs(est_median - f2_exact) * 1000000 DIV f2_exact"
+            ).alias("err_ppm"),
+        )
+    )

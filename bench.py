@@ -292,6 +292,8 @@ EXTENDED = [
     "moe_router_load",
     "gradient_noise_scale",
     "packing_crossdoc_attention",
+    "rlhf_kl_budget",
+    "ams_f2_moment",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",

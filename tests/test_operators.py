@@ -1156,3 +1156,81 @@ def test_packing_crossdoc_attention_matches_brute(spark, sf_dir):
         assert all(
             s == CTX_TOKENS for k, s in pairs if k < mx
         ), lang
+
+
+def test_rlhf_kl_budget_invariants(spark, sf_dir):
+    """k2 is non-negative and replays exactly from the moments; k1
+    uses truncate-toward-zero division on the signed sum; the budget
+    flag is consistent; at least one prompt lands on each side of
+    the budget on the fixture (the flag discriminates)."""
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        KL_BUDGET_MICRO,
+        rlhf_kl_budget,
+    )
+
+    rows = rlhf_kl_budget(spark, sf_dir).collect()
+    assert rows
+    flags = set()
+    for r in rows:
+        assert r["k2_micro"] >= 0
+        s = r["sum_d_micro"]
+        want_k1 = (1 if s >= 0 else -1) * (abs(s) // r["n_samples"])
+        assert r["k1_micro"] == want_k1
+        assert r["over_budget"] == int(
+            r["k2_micro"] > KL_BUDGET_MICRO
+        )
+        flags.add(r["over_budget"])
+    assert flags == {0, 1}
+
+
+def test_ams_f2_moment_matches_brute(spark, sf_dir):
+    """Replay the sketch in pure Python from the parquet (portable
+    md5 signs, term counts, lower median) and compare every output
+    column; the estimator must also land within a loose
+    concentration band of the exact F2 (the sketch works)."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from advisorydatapipeline_spark.queries.rollup_queries import (
+        AMS_J,
+        ams_f2_moment,
+    )
+
+    row = ams_f2_moment(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")["text"]
+    cnt: dict[str, int] = {}
+    for t in pdf:
+        for w in _re.split(r"[^a-z0-9]+", str(t).lower()):
+            if w:
+                cnt[w] = cnt.get(w, 0) + 1
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    zs = []
+    for j in range(AMS_J):
+        z = sum(
+            c * (1 - 2 * (h64(f"ams{j}#{t}") % 2))
+            for t, c in cnt.items()
+        )
+        zs.append(z)
+    ests = sorted(z * z for z in zs)
+    est_median = ests[AMS_J // 2 - 1]
+    f2 = sum(c * c for c in cnt.values())
+    assert r["n_terms"] == len(cnt)
+    assert r["n_tokens"] == sum(cnt.values())
+    assert r["f2_exact"] == f2
+    assert r["est_median"] == est_median
+    assert r["err_ppm"] == abs(est_median - f2) * 1_000_000 // f2
+    assert r["bias_sign"] == (1 if est_median >= f2 else -1)
+    assert r["est_mean"] == sum(z * z for z in zs) // AMS_J
+    # loose sanity band only: ONE fixed 16-estimator family is a
+    # single draw from a chi-square-like distribution (median biased
+    # low, heavy hitters widen it) — exact replay above is the gate;
+    # this just rejects sign-function breakage (orders of magnitude)
+    assert f2 // 100 <= est_median <= 100 * f2
+    assert f2 // 30 <= r["est_mean"] <= 30 * f2

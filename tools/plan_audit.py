@@ -285,6 +285,8 @@ AUDIT = [
     "moe_router_load",
     "gradient_noise_scale",
     "packing_crossdoc_attention",
+    "rlhf_kl_budget",
+    "ams_f2_moment",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
@@ -392,6 +394,9 @@ NESTED_LOOP_OK = {
     "mink_prob_membership",
     # 1-row broadcast token-count scalar (per-expert fractions)
     "moe_router_load",
+    # 1-row broadcast lower-median estimator scalar beside the exact
+    # F2 aggregate
+    "ams_f2_moment",
     # 1-row broadcast count-of-counts model scalar (dn, dd, nall)
     "kn_bigram_scores",
     # two 1-row broadcast count-of-counts model scalars (trigram +
@@ -611,6 +616,10 @@ GLOBAL_WINDOW_OK = {
         "global top-N outlier rank over per-point kth-distance"
         " scores — the brute arm is the labeled ground-truth ceiling"
         " (sample-scale; IVF swap documented)"
+    ),
+    "ams_f2_moment": (
+        "lower-median rank over the 16-row estimator table"
+        " (constant J, never data-scale)"
     ),
     "crawl_frontier_refresh": (
         "global crawl-order rank over the page universe (fixture:"

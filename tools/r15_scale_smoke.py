@@ -152,7 +152,7 @@ def main() -> None:
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
         else {"spans16", "rrfivf8", "spanskew", "kn5", "moe8",
-              "gns8", "pack8"}
+              "gns8", "pack8", "kl8", "ams8"}
     )
     spark = get_spark("r15-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -200,6 +200,28 @@ def main() -> None:
                 base,
                 "packing_crossdoc_attention (documents)",
                 ("packing_crossdoc_attention",),
+                ("documents",),
+            )
+        if "kl8" in sections:
+            from r11_scale_smoke import run_family
+
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "rlhf_kl_budget (events)",
+                ("rlhf_kl_budget",),
+                ("events",),
+            )
+        if "ams8" in sections:
+            from r11_scale_smoke import run_family
+
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "ams_f2_moment (documents)",
+                ("ams_f2_moment",),
                 ("documents",),
             )
         if "gns8" in sections:
