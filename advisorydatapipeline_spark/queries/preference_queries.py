@@ -1611,3 +1611,144 @@ def rlhf_kl_budget(spark, sf_dir):
             f" > {KL_BUDGET_MICRO} AS LONG)"
         ).alias("over_budget"),
     )
+
+
+# --- distillation disagreement mining (r15) ---------------------------
+
+_DIST_CLASSES = 8
+_DIST_KEEP = 16  # per-teacher-class cap, smallest-margin first
+
+
+def _dist_t(idiv: str, c: str) -> str:
+    raw = f"(event_id * {_DIST_CLASSES} + {c})"
+    m1 = _mix(raw, _MIX1)
+    return f"({_mix(f'({m1}) {idiv} 65536 + {raw}', _MIX1)} % 1000)"
+
+
+def _dist_s(idiv: str, c: str) -> str:
+    raw = f"(event_id * {_DIST_CLASSES} + {c} + 7919)"
+    m1 = _mix(raw, _MIX2)
+    return (
+        f"({_dist_t(idiv, c)}"
+        f" + {_mix(f'({m1}) {idiv} 65536 + {raw}', _MIX2)} % 401"
+        f" - 200)"
+    )
+
+
+def _dist_sql(idiv: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT event_id, cx.c AS c,
+         CAST({_dist_t(idiv, 'cx.c')} AS BIGINT) AS t,
+         CAST({_dist_s(idiv, 'cx.c')} AS BIGINT) AS st
+  FROM events,
+       (SELECT unnest(generate_series(0, {_DIST_CLASSES - 1})) AS c)
+       cx
+),
+preds AS (
+  SELECT event_id,
+         max(CASE WHEN rt = 1 THEN c END) AS teacher_pred,
+         max(CASE WHEN rs = 1 THEN c END) AS student_pred
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_id
+             ORDER BY t DESC, c ASC) AS rt,
+           row_number() OVER (PARTITION BY event_id
+             ORDER BY st DESC, c ASC) AS rs
+    FROM s
+  ) GROUP BY 1
+),
+dis AS (
+  SELECT p.event_id, p.teacher_pred, p.student_pred,
+         tt.t - ts.t AS margin
+  FROM preds p
+  JOIN s tt ON tt.event_id = p.event_id AND tt.c = p.teacher_pred
+  JOIN s ts ON ts.event_id = p.event_id AND ts.c = p.student_pred
+  WHERE p.teacher_pred <> p.student_pred
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY teacher_pred
+    ORDER BY margin ASC, event_id ASC) AS rn
+  FROM dis
+)
+SELECT event_id, CAST(teacher_pred AS BIGINT) AS teacher_pred,
+       CAST(student_pred AS BIGINT) AS student_pred,
+       CAST(margin AS BIGINT) AS margin,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_DIST_KEEP}
+"""
+
+
+@query("distill_disagreement_set", oracle=_dist_sql("//"))
+def distill_disagreement_set(spark, sf_dir):
+    """Active distillation data selection (Hinton et al. 2015
+    distillation + uncertainty-sampling active learning): examples
+    where the student's argmax DISAGREES with the teacher's, ranked
+    by the teacher's confidence margin (logit gap between its own
+    pick and the student's pick — small margin = boundary example,
+    the informative kind), capped at {16} per teacher class. Teacher
+    logits are deterministic double-mixed integers; student logits
+    are teacher + bounded noise, so agreement is the common case and
+    the disagreement set is the interesting tail — the SELECTION
+    arithmetic is the audited artifact.
+
+    Plan: both argmaxes are PURE MAP-SIDE (sorted struct arrays, the
+    moe_router discipline — the oracle uses window ranks instead, no
+    shared structure); margins come from the same row's logit
+    columns (no self-join, unlike the oracle's); the only shuffle is
+    the per-teacher-class cap window over the DISAGREEMENT SUBSET
+    (the tail, not the corpus)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id")
+    # ONE array-of-structs expression over a class lambda variable:
+    # writing the 8 teacher + 8 student logits as separate columns
+    # made CollapseProject re-inline the big mix expressions into
+    # every downstream reference (~30 s of codegen at sf0.001); the
+    # transform form keeps the plan one compact expression
+    lg = F.expr(
+        "transform(sequence(0, " + str(_DIST_CLASSES - 1) + "), "
+        "c -> struct(CAST(c AS LONG) AS c, "
+        "CAST(" + _dist_t("DIV", "c") + " AS LONG) AS t, "
+        "CAST(" + _dist_s("DIV", "c") + " AS LONG) AS u))"
+    )
+    base = ev.select("event_id", lg.alias("lg"))
+    tp = F.element_at(
+        F.array_sort(
+            F.expr("transform(lg, x -> struct(-x.t AS ns, x.c AS c))")
+        ),
+        1,
+    )["c"]
+    sp = F.element_at(
+        F.array_sort(
+            F.expr("transform(lg, x -> struct(-x.u AS ns, x.c AS c))")
+        ),
+        1,
+    )["c"]
+    preds = base.select(
+        "event_id",
+        tp.alias("teacher_pred"),
+        sp.alias("student_pred"),
+        F.expr("transform(lg, x -> x.t)").alias("_t"),
+    ).select(
+        "event_id",
+        "teacher_pred",
+        "student_pred",
+        (
+            F.element_at(
+                "_t", (F.col("teacher_pred") + 1).cast("int")
+            )
+            - F.element_at(
+                "_t", (F.col("student_pred") + 1).cast("int")
+            )
+        ).cast("long").alias("margin"),
+    ).filter(F.col("teacher_pred") != F.col("student_pred"))
+    w = Window.partitionBy("teacher_pred").orderBy(
+        F.col("margin").asc(), F.col("event_id").asc()
+    )
+    return (
+        preds.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _DIST_KEEP)
+        .select("event_id", "teacher_pred", "student_pred",
+                "margin", "rn")
+    )

@@ -2572,3 +2572,135 @@ def mink_prob_membership(spark, sf_dir):
             " DIV (mink_sum DIV k_tokens) AS BIGINT)"
         ).alias("flatness_ppm"),
     )
+
+
+# --- Jelinek-Mercer lambda EM step (r15) ------------------------------
+
+_JM_HOLD_MOD = 5  # held-out slice: doc_id % 5 == 0
+_JM_SCALE = 1_000_000_000  # component probabilities in ppb
+
+
+@query(
+    "jm_lambda_em_step",
+    oracle=f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, {_T} AS tk FROM documents
+),
+bi AS MATERIALIZED (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tk, unnest(generate_series(1, len(tk)-1)) AS u(i)
+  WHERE len(tk) >= 2
+  GROUP BY 1, 2, 3
+),
+train_bi AS MATERIALIZED (
+  SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS cb
+  FROM bi WHERE doc_id % {_JM_HOLD_MOD} <> 0 GROUP BY 1, 2
+),
+train_ctx AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM train_bi GROUP BY 1
+),
+train_uni AS (
+  SELECT w2, CAST(sum(cb) AS BIGINT) AS cu FROM train_bi GROUP BY 1
+),
+n AS (
+  SELECT CAST(sum(cb) AS BIGINT) AS n FROM train_bi
+),
+held AS (
+  SELECT b.w1, b.w2, CAST(sum(b.cnt) AS BIGINT) AS cnt
+  FROM bi b WHERE b.doc_id % {_JM_HOLD_MOD} = 0 GROUP BY 1, 2
+),
+scored AS (
+  SELECT h.cnt,
+         COALESCE(tb.cb * {_JM_SCALE} // tc.c1, 0) AS pb,
+         COALESCE(tu.cu * {_JM_SCALE} // n.n, 0) AS pu
+  FROM held h
+  LEFT JOIN train_bi tb ON tb.w1 = h.w1 AND tb.w2 = h.w2
+  LEFT JOIN train_ctx tc ON tc.w1 = h.w1
+  LEFT JOIN train_uni tu ON tu.w2 = h.w2
+  CROSS JOIN n
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_heldout,
+       CAST(sum(CASE WHEN pb > 0 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_bi_covered,
+       CAST(sum(CASE WHEN pu > 0 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_uni_covered,
+       CAST(sum(cnt * (pb * 1000000 // GREATEST(pb + pu, 1)))
+            // sum(cnt) AS BIGINT) AS lambda_new_ppm
+FROM scored
+""",
+)
+def jm_lambda_em_step(spark, sf_dir):
+    """One exact EM step for the Jelinek-Mercer interpolation weight
+    (Jelinek & Mercer 1980; the deleted-interpolation recipe behind
+    every JM-smoothed LM, incl. this repo's lm_perplexity_scores
+    lambdas): with the current mix at lambda0 = 1/2, the E-step
+    responsibility of the bigram component on a held-out token is
+    r = lam0*p_bi / (lam0*p_bi + (1-lam0)*p_uni) = p_bi/(p_bi+p_uni)
+    (the lambda0 cancels at 1/2 — which makes the whole step
+    integer-exact: both component probabilities are ppb floors and r
+    is one ppm floor), and the M-step new lambda is the held-out
+    count-weighted mean responsibility. Train = docs with
+    doc_id % {5} != 0, held-out = the rest (deleted interpolation's
+    held-out split); unseen-in-train bigrams get p_bi = 0 — exactly
+    the mass that pulls lambda DOWN, the point of the method.
+
+    Scale: train counts are the usual n-gram partial-aggs; the apply
+    side is three hash joins from the held-out bigram table onto the
+    train tables plus one broadcast total; output is one row of
+    BIGINTs. The quantization points (two ppb floors, one ppm floor,
+    one final count-weighted floor) are replayed verbatim by the
+    oracle."""
+    from advisorydatapipeline_spark.functions.text import tokens as _tk
+    from advisorydatapipeline_spark.operators.lm import _ngram_rows
+
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", _tk("text").alias("tk"))
+    bi = (
+        _ngram_rows(tk, 2, ("w1", "w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    train_bi = (
+        bi.filter(F.col("doc_id") % _JM_HOLD_MOD != 0)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").cast("long").alias("cb"))
+    )
+    train_ctx = train_bi.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("c1")
+    )
+    train_uni = train_bi.groupBy("w2").agg(
+        F.sum("cb").cast("long").alias("cu")
+    )
+    n = train_bi.agg(F.sum("cb").cast("long").alias("n"))
+    held = (
+        bi.filter(F.col("doc_id") % _JM_HOLD_MOD == 0)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    scored = (
+        held.join(train_bi, ["w1", "w2"], "left")
+        .join(train_ctx, "w1", "left")
+        .join(train_uni, "w2", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cnt",
+            F.coalesce(
+                F.expr(f"cb * {_JM_SCALE} DIV c1"), F.lit(0)
+            ).cast("long").alias("pb"),
+            F.coalesce(
+                F.expr(f"cu * {_JM_SCALE} DIV n"), F.lit(0)
+            ).cast("long").alias("pu"),
+        )
+    )
+    return scored.agg(
+        F.sum("cnt").cast("long").alias("n_heldout"),
+        F.sum(F.when(F.col("pb") > 0, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_bi_covered"),
+        F.sum(F.when(F.col("pu") > 0, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_uni_covered"),
+        F.expr(
+            "CAST(sum(cnt * (pb * 1000000 DIV GREATEST(pb + pu, 1)))"
+            " DIV sum(cnt) AS BIGINT)"
+        ).alias("lambda_new_ppm"),
+    )

@@ -294,6 +294,8 @@ EXTENDED = [
     "packing_crossdoc_attention",
     "rlhf_kl_budget",
     "ams_f2_moment",
+    "distill_disagreement_set",
+    "jm_lambda_em_step",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",

@@ -1234,3 +1234,51 @@ def test_ams_f2_moment_matches_brute(spark, sf_dir):
     # this just rejects sign-function breakage (orders of magnitude)
     assert f2 // 100 <= est_median <= 100 * f2
     assert f2 // 30 <= r["est_mean"] <= 30 * f2
+
+
+def test_distill_disagreement_invariants(spark, sf_dir):
+    """Kept rows genuinely disagree, margins are non-negative
+    (teacher prefers its own pick by construction), per-class ranks
+    are contiguous smallest-margin-first, and the per-class cap
+    holds; disagreements are the MINORITY (the bounded student noise
+    keeps agreement common — the fixture is realistic)."""
+    from advisorydatapipeline_spark.queries.helpers import load
+    from advisorydatapipeline_spark.queries.preference_queries import (
+        _DIST_KEEP,
+        distill_disagreement_set,
+    )
+
+    rows = distill_disagreement_set(spark, sf_dir).collect()
+    assert rows
+    n_tokens = load(spark, sf_dir, "events").count()
+    assert len(rows) < n_tokens // 2
+    by_c: dict = {}
+    for r in rows:
+        assert r["teacher_pred"] != r["student_pred"]
+        assert r["margin"] >= 0
+        by_c.setdefault(r["teacher_pred"], []).append(r)
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _DIST_KEEP
+        margins = [r["margin"] for r in rs]
+        assert margins == sorted(margins)
+
+
+def test_jm_lambda_em_step_invariants(spark, sf_dir):
+    """The EM step's outputs are mutually consistent: coverage counts
+    bounded by the held-out total, lambda in [0, 1e6], and lambda
+    bounded above by the bigram coverage rate (r = 0 wherever
+    p_bi = 0, so the weighted mean cannot exceed the covered
+    fraction)."""
+    from advisorydatapipeline_spark.queries.text_analysis import (
+        jm_lambda_em_step,
+    )
+
+    r = jm_lambda_em_step(spark, sf_dir).collect()[0]
+    assert r["n_heldout"] > 0
+    assert 0 < r["n_bi_covered"] <= r["n_heldout"]
+    assert 0 < r["n_uni_covered"] <= r["n_heldout"]
+    assert 0 <= r["lambda_new_ppm"] <= 1_000_000
+    cov_ppm = r["n_bi_covered"] * 1_000_000 // r["n_heldout"]
+    assert r["lambda_new_ppm"] <= cov_ppm

@@ -287,6 +287,8 @@ AUDIT = [
     "packing_crossdoc_attention",
     "rlhf_kl_budget",
     "ams_f2_moment",
+    "distill_disagreement_set",
+    "jm_lambda_em_step",
     "video_pframe_decode",
     "grpo_advantage_baseline",
     "rejection_sampling_keep",
@@ -397,6 +399,8 @@ NESTED_LOOP_OK = {
     # 1-row broadcast lower-median estimator scalar beside the exact
     # F2 aggregate
     "ams_f2_moment",
+    # 1-row broadcast train-token-total scalar (unigram denominator)
+    "jm_lambda_em_step",
     # 1-row broadcast count-of-counts model scalar (dn, dd, nall)
     "kn_bigram_scores",
     # two 1-row broadcast count-of-counts model scalars (trigram +

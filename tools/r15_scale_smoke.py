@@ -152,7 +152,7 @@ def main() -> None:
         set(sys.argv[2].split(","))
         if len(sys.argv) > 2
         else {"spans16", "rrfivf8", "spanskew", "kn5", "moe8",
-              "gns8", "pack8", "kl8", "ams8"}
+              "gns8", "pack8", "kl8", "ams8", "dist8", "jm8"}
     )
     spark = get_spark("r15-scale-smoke")
     with tempfile.TemporaryDirectory(dir="/tmp") as base:
@@ -222,6 +222,28 @@ def main() -> None:
                 base,
                 "ams_f2_moment (documents)",
                 ("ams_f2_moment",),
+                ("documents",),
+            )
+        if "dist8" in sections:
+            from r11_scale_smoke import run_family
+
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "distill_disagreement_set (events)",
+                ("distill_disagreement_set",),
+                ("events",),
+            )
+        if "jm8" in sections:
+            from r11_scale_smoke import run_family
+
+            run_family(
+                spark,
+                sf_dir,
+                base,
+                "jm_lambda_em_step (documents)",
+                ("jm_lambda_em_step",),
                 ("documents",),
             )
         if "gns8" in sections:
