@@ -1625,14 +1625,16 @@ def _dist_t(idiv: str, c: str) -> str:
     return f"({_mix(f'({m1}) {idiv} 65536 + {raw}', _MIX1)} % 1000)"
 
 
-def _dist_s(idiv: str, c: str) -> str:
+def _dist_noise(idiv: str, c: str) -> str:
+    """The bounded-noise term of the student logit (0..400); the
+    student logit itself is ``t + noise - 200`` (see _dist_s)."""
     raw = f"(event_id * {_DIST_CLASSES} + {c} + 7919)"
     m1 = _mix(raw, _MIX2)
-    return (
-        f"({_dist_t(idiv, c)}"
-        f" + {_mix(f'({m1}) {idiv} 65536 + {raw}', _MIX2)} % 401"
-        f" - 200)"
-    )
+    return f"({_mix(f'({m1}) {idiv} 65536 + {raw}', _MIX2)} % 401)"
+
+
+def _dist_s(idiv: str, c: str) -> str:
+    return f"({_dist_t(idiv, c)} + {_dist_noise(idiv, c)} - 200)"
 
 
 def _dist_sql(idiv: str) -> str:
@@ -1697,7 +1699,19 @@ def distill_disagreement_set(spark, sf_dir):
     shared structure); margins come from the same row's logit
     columns (no self-join, unlike the oracle's); the only shuffle is
     the per-teacher-class cap window over the DISAGREEMENT SUBSET
-    (the tail, not the corpus)."""
+    (the tail, not the corpus).
+
+    Perf (r15 optimization round): two map-side fixes, same values.
+    (a) The student logit is teacher + noise; writing both fields as
+    independent expressions evaluated the teacher double-mix TWICE
+    per class element — the nested transform binds the teacher value
+    once (``x.t``) and derives ``u`` from it. (b) The disagreement
+    filter used to be pushed below the logit projection, re-inlining
+    the whole 8-class mix array into the Filter node twice (one full
+    argmax per side, per row, on top of the projection's own copy —
+    3x the map work); ``preds`` is persisted (registry cache
+    contract) so the filter and the cap window read the 4 cached
+    BIGINT columns instead."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events").select("event_id")
@@ -1705,12 +1719,17 @@ def distill_disagreement_set(spark, sf_dir):
     # writing the 8 teacher + 8 student logits as separate columns
     # made CollapseProject re-inline the big mix expressions into
     # every downstream reference (~30 s of codegen at sf0.001); the
-    # transform form keeps the plan one compact expression
+    # transform form keeps the plan one compact expression. The inner
+    # transform computes the teacher logit and the raw noise term
+    # once per class; the outer one assembles u = t + noise - 200
+    # without re-evaluating the mixes.
     lg = F.expr(
-        "transform(sequence(0, " + str(_DIST_CLASSES - 1) + "), "
-        "c -> struct(CAST(c AS LONG) AS c, "
+        "transform(transform(sequence(0, "
+        + str(_DIST_CLASSES - 1)
+        + "), c -> struct(CAST(c AS LONG) AS c, "
         "CAST(" + _dist_t("DIV", "c") + " AS LONG) AS t, "
-        "CAST(" + _dist_s("DIV", "c") + " AS LONG) AS u))"
+        "CAST(" + _dist_noise("DIV", "c") + " AS LONG) AS nz)), "
+        "x -> struct(x.c AS c, x.t AS t, x.t + x.nz - 200 AS u))"
     )
     base = ev.select("event_id", lg.alias("lg"))
     tp = F.element_at(
@@ -1742,7 +1761,7 @@ def distill_disagreement_set(spark, sf_dir):
                 "_t", (F.col("student_pred") + 1).cast("int")
             )
         ).cast("long").alias("margin"),
-    ).filter(F.col("teacher_pred") != F.col("student_pred"))
+    ).persist().filter(F.col("teacher_pred") != F.col("student_pred"))
     w = Window.partitionBy("teacher_pred").orderBy(
         F.col("margin").asc(), F.col("event_id").asc()
     )

@@ -2650,7 +2650,16 @@ def jm_lambda_em_step(spark, sf_dir):
     train tables plus one broadcast total; output is one row of
     BIGINTs. The quantization points (two ppb floors, one ppm floor,
     one final count-weighted floor) are replayed verbatim by the
-    oracle."""
+    oracle.
+
+    Perf (r15 optimization round): ``bi`` feeds both splits and
+    ``train_bi`` feeds three aggregates plus the apply join — without
+    a cache the tokenize+explode lineage re-executes once per
+    reference (5 Scan parquet + Generate subtrees, 0 ReusedExchange
+    in the physical plan; 67 s Spark-side at sf0.1). Both are
+    ``persist()``-ed under the registry cache contract
+    (registry.py:12) so the corpus is tokenized exactly once and the
+    train bigram shuffle runs exactly once (-> ~2 s)."""
     from advisorydatapipeline_spark.functions.text import tokens as _tk
     from advisorydatapipeline_spark.operators.lm import _ngram_rows
 
@@ -2660,12 +2669,12 @@ def jm_lambda_em_step(spark, sf_dir):
         _ngram_rows(tk, 2, ("w1", "w2"))
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    ).persist()
     train_bi = (
         bi.filter(F.col("doc_id") % _JM_HOLD_MOD != 0)
         .groupBy("w1", "w2")
         .agg(F.sum("cnt").cast("long").alias("cb"))
-    )
+    ).persist()
     train_ctx = train_bi.groupBy("w1").agg(
         F.sum("cb").cast("long").alias("c1")
     )
