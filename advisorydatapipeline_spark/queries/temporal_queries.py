@@ -120,17 +120,34 @@ from advisorydatapipeline_spark.registry import ORACLES  # noqa: E402
 @query("asof_join_cogrouped", oracle=ORACLES["asof_join_last_view"])
 def asof_join_cogrouped(spark, sf_dir):
     """Cogroup API surface: the as-of join as
-    ``groupBy(user).cogroup(...).applyInPandas`` with
-    ``pd.merge_asof`` per user — same oracle as the native
-    union+window twin (`asof_join_last_view`), proving the cogrouped
-    path value-identical. The native twin is the hot path; this
-    covers the escape hatch for per-key logic Spark expressions
+    ``groupBy(bucket).cogroup(...).applyInPandas`` with a vectorized
+    per-user backward as-of inside the body — same oracle as the
+    native union+window twin (`asof_join_last_view`), proving the
+    cogrouped path value-identical. The native twin is the hot path;
+    this covers the escape hatch for per-key logic Spark expressions
     can't say.
 
     Precision notes: null-ts purchases are split out Spark-side
     (pandas would coerce the int64 ns column to float64, whose ulp at
-    1.7e18 is 256 ns); inside pandas, only µs-scale integers (< 2^53,
-    float-exact) ride through the NaN-able merged columns."""
+    1.7e18 is 256 ns); inside pandas, ns timestamps stay int64
+    end-to-end (numpy lexsort/cumsum; nothing rides a NaN-able float
+    column) and the match columns come back as nullable Int64.
+
+    Perf (r15 optimization round, guide §4.1/§4.2): cogrouping on the
+    raw user key invoked the body once per user (~1,500 Arrow
+    group-exchanges here, and billions at 100 TB — per-GROUP protocol
+    overhead is the wall time once AQE coalesces the tiny shuffle to
+    ~2 tasks; 8.2 s at freeze). The cogroup key is now
+    ``pmod(hash(user_id), buckets)`` with buckets = 8x default
+    parallelism (scale-adaptive: group count tracks the cluster, not
+    the user cardinality), and the body does ALL its users in one
+    vectorized pass: lexsort by (user, ts, event_id) + last-per-(user,
+    ts) mask dedupes the tiebreak, then a views-count cumsum per user
+    segment resolves each purchase's rightmost view at-or-before it
+    (inclusive: views sort before purchases at equal ts). Replaced
+    ``pd.merge_asof`` + ``sort_values`` + ``drop_duplicates`` per
+    user. Identical values at every bucket count."""
+    import numpy as np
     import pandas as pd
 
     ev = load(spark, sf_dir, "events")
@@ -151,6 +168,9 @@ def asof_join_cogrouped(spark, sf_dir):
     p_ok = p.filter(F.col("ts").isNotNull())
     p_null = p.filter(F.col("ts").isNull())
 
+    n_buckets = spark.sparkContext.defaultParallelism * 8
+    bucket = F.pmod(F.hash("user_id"), F.lit(n_buckets))
+
     schema = (
         "event_id long, user_id long, purchase_ts_us long, "
         "view_event_id long, view_ts_us long, view_value double"
@@ -161,24 +181,79 @@ def asof_join_cogrouped(spark, sf_dir):
             "event_id", "user_id", "purchase_ts_us",
             "view_event_id", "view_ts_us", "view_value",
         ]
-        if len(pdf_p) == 0:
+        np_ = len(pdf_p)
+        if np_ == 0:
             return pd.DataFrame({c: [] for c in cols})
-        vv = pdf_v.sort_values(["ts", "view_event_id"]).drop_duplicates(
-            subset="ts", keep="last"
+        p_uid = pdf_p["user_id"].to_numpy()
+        p_ts = pdf_p["ts"].to_numpy()
+        out = {
+            "event_id": pdf_p["event_id"].to_numpy(),
+            "user_id": p_uid,
+            "purchase_ts_us": p_ts // 1000,
+        }
+        if len(pdf_v) == 0:
+            na = pd.array([pd.NA] * np_, dtype="Int64")
+            out["view_event_id"] = na
+            out["view_ts_us"] = na
+            out["view_value"] = np.full(np_, np.nan)
+            return pd.DataFrame(out)[cols]
+        # views: sort by (user, ts, event_id), keep LAST per (user, ts)
+        # = max-view_event_id tiebreak at equal ts
+        v_uid = pdf_v["user_id"].to_numpy()
+        v_ts = pdf_v["ts"].to_numpy()
+        v_eid = pdf_v["view_event_id"].to_numpy()
+        vo = np.lexsort((v_eid, v_ts, v_uid))
+        v_uid, v_ts, v_eid = v_uid[vo], v_ts[vo], v_eid[vo]
+        v_val = pdf_v["view_value"].to_numpy()[vo]
+        keep = np.empty(len(v_ts), dtype=bool)
+        keep[:-1] = (v_uid[:-1] != v_uid[1:]) | (v_ts[:-1] != v_ts[1:])
+        keep[-1] = True
+        v_uid, v_ts = v_uid[keep], v_ts[keep]
+        v_eid, v_val = v_eid[keep], v_val[keep]
+        # merged order: views before purchases at equal (user, ts)
+        # (inclusive as-of), purchases carry their output row index
+        kind = np.concatenate(
+            [np.zeros(len(v_ts), np.int8), np.ones(np_, np.int8)]
         )
-        vv = vv.assign(view_ts_us=vv["ts"] // 1000)[
-            ["ts", "view_event_id", "view_ts_us", "view_value"]
-        ]
-        pp = pdf_p.sort_values("ts")
-        m = pd.merge_asof(pp, vv, on="ts", direction="backward")
-        m = m.assign(purchase_ts_us=m["ts"] // 1000)
-        m["view_event_id"] = m["view_event_id"].astype("Int64")
-        m["view_ts_us"] = m["view_ts_us"].astype("Int64")
-        return m[cols]
+        m_uid = np.concatenate([v_uid, p_uid])
+        m_ts = np.concatenate([v_ts, p_ts])
+        mo = np.lexsort((kind, m_ts, m_uid))
+        kind, m_uid = kind[mo], m_uid[mo]
+        # cs[i] = number of view rows at combined positions < i... <= i
+        # (inclusive cumsum); the matched view's GLOBAL index in the
+        # deduped view arrays is cs[i] - 1 — valid only if this user's
+        # segment contributed at least one view before position i
+        cs = np.cumsum(kind == 0)
+        seg_first = np.concatenate(
+            ([True], m_uid[1:] != m_uid[:-1])
+        )
+        seg_id = np.cumsum(seg_first) - 1
+        # views of users sorting before this user = cs at segment
+        # start minus that first row's own contribution
+        first_ix = np.flatnonzero(seg_first)
+        base = (cs[first_ix] - (kind[first_ix] == 0))[seg_id]
+        is_p = kind == 1
+        p_out_ix = mo[is_p] - len(v_ts)  # row index into pdf_p order
+        g = cs[is_p] - 1
+        ok = (cs[is_p] - base[is_p]) >= 1
+        ixc = np.where(ok, g, 0)
+        vei = pd.array(v_eid[ixc], dtype="Int64")
+        vei[~ok] = pd.NA
+        vtu = pd.array(v_ts[ixc] // 1000, dtype="Int64")
+        vtu[~ok] = pd.NA
+        inv = np.empty(np_, dtype=np.int64)
+        inv[p_out_ix] = np.arange(np_)
+        out["view_event_id"] = vei[inv]
+        out["view_ts_us"] = vtu[inv]
+        out["view_value"] = np.where(
+            ok, v_val[ixc].astype(np.float64), np.nan
+        )[inv]
+        return pd.DataFrame(out)[cols]
 
     matched = (
-        p_ok.groupBy("user_id")
-        .cogroup(v.groupBy("user_id"))
+        p_ok.withColumn("b", bucket)
+        .groupBy("b")
+        .cogroup(v.withColumn("b", bucket).groupBy("b"))
         .applyInPandas(merge, schema)
     )
     unmatched = p_null.select(
