@@ -49,6 +49,36 @@ from pyspark.sql.window import Window
 PARTITION_STRIDE = 1 << 40  # max rows per range partition, with slack
 DUP_DEPTHS = (8, 16, 32)  # seed, one doubling, two doublings
 SEED_DEPTH = 8  # first block ranked directly (radix seed)
+RADIX_BASE = 129  # char code (<= 127) + 1, with 0 for past-the-end
+
+
+def radix_seed_expr(w_col: str):
+    """Map-side seed rank (r15 optimization, guide §2.4 — remove
+    shuffles outright): the base-129 positional encoding of an
+    <= 8-char ASCII block is itself an order-consistent injective id
+    over distinct windows — digit(i) = char code + 1 (0 for a
+    missing char, so a short window sorts before every extension,
+    exactly the end-of-document sentinel discipline), value <
+    129^8 ~ 7.7e16 < 2^63. Prefix doubling and the seed-interval
+    window only need order-consistent distinct ids (they compare and
+    group, never subtract), so this REPLACES the distinct +
+    repartitionByRange + partition-window + join-back of
+    :func:`order_preserving_ids` for the seed round with a pure
+    projection: two full shuffles of the position set (the distinct
+    and the join-back) disappear at every scale. Non-ASCII input
+    (char code > 127) raises in-plan rather than mis-ranking —
+    ``order_preserving_ids`` remains the general-alphabet path."""
+    ch = f"substr({w_col}, i, 1)"
+    return F.expr(
+        f"aggregate(sequence(1, {SEED_DEPTH}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc * {RADIX_BASE} + CASE "
+        f"WHEN {ch} = '' THEN CAST(0 AS BIGINT) "
+        f"WHEN ascii({ch}) > 127 THEN CAST(raise_error("
+        f"'radix_seed_expr: non-ASCII character (code > 127) in "
+        f"seed window; use order_preserving_ids seeding for this "
+        f"corpus') AS BIGINT) "
+        f"ELSE CAST(ascii({ch}) + 1 AS BIGINT) END)"
+    )
 
 
 def order_preserving_ids(keys: DataFrame, cols: list[str]) -> DataFrame:
@@ -82,7 +112,24 @@ def corpus_positions(
     rounds). Short tails keep their short window; the end-of-doc
     sentinel discipline holds because a short window is never equal
     to a longer one's prefix under string equality with the depth
-    recorded. ``posexplode`` + ``substring`` stay JVM-side."""
+    recorded. ``posexplode`` + ``substring`` stay JVM-side.
+
+    The doc rows are hash-repartitioned by ``id_col`` to the
+    session's shuffle width BEFORE the explode (r15, guide §3.3:
+    explode after the shuffle, never before): the shuffle moves doc
+    rows (bytes ~ corpus text), the ~L-per-doc position explosion
+    and the seed-window substrings run in parallel map tasks, and
+    the output already satisfies ``hashpartitioning(doc_id)`` so the
+    per-document lead/lag windows downstream need NO exchange of the
+    position rows. The explicit partition count pins the exchange
+    against AQE coalescing (a corpus this small would collapse to
+    one task — exactly the serial explode this exists to avoid)."""
+    sess = docs.sparkSession
+    try:
+        n_shuffle = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover — "auto"/unset fallback
+        n_shuffle = sess.sparkContext.defaultParallelism
+    docs = docs.repartition(n_shuffle, F.col(id_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).alias("n_chars"),
@@ -155,16 +202,19 @@ def suffix_dup_depth_counts(
     across log n rounds, but at depth 32 over an 8-char radix seed
     the composite key is at most 4 longs, so the doubling identity
     ``rank_2d(p) == (rank_d(p), rank_d(p+d))`` is materialized
-    DIRECTLY. And because positions are dense within a document, the
-    shifted seed ranks are exactly ``lead(s, d)`` over one per-doc
-    window — the three shift JOINS collapse into ONE doc-partitioned
-    shuffle. Total: one seed ranking + one doc window + one
-    count-window per depth + one final groupBy; every shuffled row
-    is fixed-width longs."""
+    DIRECTLY. The seed rank itself is :func:`radix_seed_expr` — a
+    map-side base-129 block encoding (r15; the former
+    ``order_preserving_ids`` seeding cost two extra full shuffles of
+    the position set: the distinct and the join-back). And because
+    positions are dense within a document, the shifted seed ranks
+    are exactly ``lead(s, d)`` over one per-doc window — the three
+    shift JOINS collapse into ONE doc-partitioned shuffle. Total:
+    one doc window + one count-window per depth + one final groupBy;
+    every shuffled row is fixed-width longs."""
     pos = corpus_positions(docs, id_col, text_col)
-    seed_ids = order_preserving_ids(pos.select("w"), ["w"])
-    seeded = pos.join(seed_ids, "w").select(
-        "doc_id", "p", "n_chars", F.col("_opid").alias("s0")
+    # map-side radix seed (r15): no distinct/range/join-back shuffles
+    seeded = pos.select(
+        "doc_id", "p", "n_chars", radix_seed_expr("w").alias("s0")
     )
     # Base row per INPUT document (not per document-with-positions):
     # a zero-length doc has no character positions, so every
@@ -243,8 +293,9 @@ def duplicate_span_stats(
     Mechanism — LCP between rank-adjacent suffixes, ONE ``lead()``
     over the suffix-rank order:
 
-    1. Seed ranks ``s0`` via :func:`order_preserving_ids` (the shared
-       rank helper) + per-doc ``lead`` of the seed rank/window at
+    1. Seed ranks ``s0`` via :func:`radix_seed_expr` (map-side
+       base-129 block encoding — order-consistent injective, zero
+       shuffles; r15) + per-doc ``lead`` of the seed rank/window at
        offsets 8/16/24 — the same one-shuffle doubling-identity
        staging as :func:`suffix_dup_depth_counts`.
     2. Suffixes sharing a seed rank form a CONTIGUOUS run of the
@@ -346,9 +397,9 @@ def duplicate_span_plan(
             f"ranks stop at {LCP_CAP})"
         )
     pos = corpus_positions(docs, id_col, text_col)
-    seed_ids = order_preserving_ids(pos.select("w"), ["w"])
-    seeded = pos.join(seed_ids, "w").select(
-        "doc_id", "p", "n_chars", "w", F.col("_opid").alias("s0")
+    # map-side radix seed (r15): no distinct/range/join-back shuffles
+    seeded = pos.select(
+        "doc_id", "p", "n_chars", "w", radix_seed_expr("w").alias("s0")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("p")
     keyed = seeded.select(

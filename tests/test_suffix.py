@@ -46,6 +46,57 @@ def _brute_dup(docs, depth):
     return out
 
 
+def test_radix_seed_expr_order_consistent(spark):
+    """The r15 map-side seed: base-129 block encoding must be
+    injective over distinct <= 8-char ASCII windows and sort exactly
+    as the strings do (incl. a short window before every extension —
+    the end-of-document sentinel), and refuse non-ASCII in-plan."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from advisorydatapipeline_spark.operators.suffix import (
+        radix_seed_expr,
+    )
+
+    wins = [
+        "", "a", "ab", "abc", "abcdefgh", "abcdefgi", "abcdefg",
+        "zzzzzzzz", " lead sp", "~tilde~!", "b", "aa",
+    ]
+    df = spark.createDataFrame([(w,) for w in wins], "w string")
+    got = {
+        r["w"]: r["s"]
+        for r in df.select(
+            "w", radix_seed_expr("w").alias("s")
+        ).collect()
+    }
+    assert len(set(got.values())) == len(wins)  # injective
+    assert sorted(wins) == sorted(wins, key=lambda w: got[w])
+    assert all(v >= 0 for v in got.values())  # above the -1 sentinel
+    bad = spark.createDataFrame([("caféxyz",)], "w string")
+    with pytest.raises(PySparkException, match="non-ASCII"):
+        bad.select(radix_seed_expr("w").alias("s")).collect()
+
+
+def test_corpus_positions_preserve_doc_window_partitioning(spark):
+    """corpus_positions repartitions DOC rows by doc_id before the
+    explode (r15), so a per-doc window over the positions must not
+    insert a second exchange of the exploded rows."""
+    from pyspark.sql.window import Window
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pos = corpus_positions(docs)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    out = pos.select("doc_id", "p", F.lead("w", 8).over(w).alias("l"))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # one physical Exchange node (each node appears once in the tree
+    # and once in the numbered details list)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
 def test_order_preserving_ids(spark):
     df = spark.createDataFrame(
         [(w,) for w in "banana apple cherry apple date banana".split()],
