@@ -704,9 +704,14 @@ def kneser_ney_5gram_scores(
 
     Scale (100 TB): each level is ONE hash partial-agg on string
     keys over the level above (5-gram types -> 4 -> 3 -> 2 -> 1;
-    the corpus itself is read once); all four count-of-counts rows
-    ride broadcast 1-row aggregates; the apply join is a shuffle
-    hash join on (w1..w5). Overflow guards are DIVISION comparisons
+    the corpus itself is read once); context totals / per-context
+    type counts are PARTITIONED WINDOWS over each level's own frame
+    (r15, guide §2.4 — the former groupBy-ctx + join-back pair cost
+    two corpus-sized exchanges per level where the window costs
+    one), so the scoring chain is 3 level equi-joins + the apply
+    join instead of 8; all four count-of-counts rows (each carrying
+    its level's max_t bound — one pass) ride broadcast 1-row
+    aggregates. Overflow guards are DIVISION comparisons
     over the broadcast rows, one per level
     (GREATEST(max_count, max_t) vs max_safe DIV dd — max_t is the
     level's max per-context type count, bounding the lam numerator
@@ -756,39 +761,55 @@ def kneser_ney_5gram_plan(
     )
     g5 = g5_doc.groupBy(*W5).agg(
         F.sum("cnt").cast("long").alias("c5")
-    ).persist()
-    ctx5 = g5.groupBy("w1", "w2", "w3", "w4").agg(
-        F.sum("c5").cast("long").alias("ctx5c"),
-        F.count(F.lit(1)).cast("long").alias("t5"),
-    )
-    # modified counts, one type-collapse per level (g5 rows are
-    # distinct types, so count(*) IS the distinct-left-context count)
-    cc4 = g5.groupBy("w2", "w3", "w4", "w5").agg(
-        F.count(F.lit(1)).cast("long").alias("cc4")
-    ).persist()
-    ctx4 = cc4.groupBy("w2", "w3", "w4").agg(
-        F.sum("cc4").cast("long").alias("ctx4c"),
-        F.count(F.lit(1)).cast("long").alias("t4"),
-    )
-    cc3 = cc4.groupBy("w3", "w4", "w5").agg(
-        F.count(F.lit(1)).cast("long").alias("cc3")
-    ).persist()
-    ctx3 = cc3.groupBy("w3", "w4").agg(
-        F.sum("cc3").cast("long").alias("ctx3c"),
-        F.count(F.lit(1)).cast("long").alias("t3"),
-    )
-    cc2 = cc3.groupBy("w4", "w5").agg(
-        F.count(F.lit(1)).cast("long").alias("cc2")
-    ).persist()
-    ctx2 = cc2.groupBy("w4").agg(
-        F.sum("cc2").cast("long").alias("ctx2c"),
-        F.count(F.lit(1)).cast("long").alias("t2"),
-    )
-    cont = cc2.groupBy("w5").agg(
-        F.count(F.lit(1)).cast("long").alias("ncw5")
     )
 
+    # Context totals / per-context type counts as WINDOWS over each
+    # level's own frame (r15 optimization, guide §2.4: a window
+    # partitioned by the same key as a preceding aggregation needs no
+    # second shuffle pair) — the former groupBy-ctx + join-back per
+    # level cost two exchanges of corpus-sized string-keyed tables
+    # each; the window costs one. The scoring chain below then joins
+    # only the four ENRICHED level frames (3 equi-joins instead of 8).
+    from pyspark.sql.window import Window
+
+    def _ctx_enriched(
+        frame: DataFrame, cnt: str, ctx_cols: list[str], lvl: str
+    ) -> DataFrame:
+        w = Window.partitionBy(*ctx_cols)
+        return frame.select(
+            "*",
+            F.sum(cnt).over(w).cast("long").alias(f"ctx{lvl}c"),
+            F.count(F.lit(1)).over(w).cast("long").alias(f"t{lvl}"),
+        )
+
+    # modified counts, one type-collapse per level (g5 rows are
+    # distinct types, so count(*) IS the distinct-left-context count)
+    g5e = _ctx_enriched(g5, "c5", ["w1", "w2", "w3", "w4"], "5").persist()
+    cc4 = g5e.groupBy("w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("cc4")
+    )
+    cc4e = _ctx_enriched(cc4, "cc4", ["w2", "w3", "w4"], "4").persist()
+    cc3 = cc4e.groupBy("w3", "w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("cc3")
+    )
+    cc3e = _ctx_enriched(cc3, "cc3", ["w3", "w4"], "3").persist()
+    cc2 = cc3e.groupBy("w4", "w5").agg(
+        F.count(F.lit(1)).cast("long").alias("cc2")
+    )
+    # continuation type count ncw5 = count over (w5) rides a second
+    # window on the same (small) cc2 frame
+    cc2e = _ctx_enriched(cc2, "cc2", ["w4"], "2").select(
+        "*",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("w5"))
+        .cast("long")
+        .alias("ncw5"),
+    ).persist()
+
     def _coc(frame: DataFrame, cnt: str, lvl: str) -> DataFrame:
+        # count-of-counts + the tight lam-numerator bound max_t in
+        # ONE pass over the enriched frame (t{lvl} repeats within a
+        # context; its max is unaffected)
         return frame.agg(
             F.sum((F.col(cnt) == 1).cast("long")).cast("long").alias("_n1"),
             (
@@ -798,6 +819,7 @@ def kneser_ney_5gram_plan(
             F.count(F.lit(1)).cast("long").alias(f"n{lvl}all"),
             F.max(cnt).cast("long").alias(f"max_{cnt}"),
             F.sum(cnt).cast("long").alias(f"sum_{cnt}"),
+            F.max(f"t{lvl}").cast("long").alias(f"max_t{lvl}"),
         ).select(
             F.when(F.col("_dd") == 0, F.lit(1).cast("long"))
             .otherwise(F.col("_n1")).alias(f"dn{lvl}"),
@@ -806,24 +828,19 @@ def kneser_ney_5gram_plan(
             f"n{lvl}all",
             f"max_{cnt}",
             f"sum_{cnt}",
+            f"max_t{lvl}",
         )
 
-    m5 = _coc(g5, "c5", "5")
-    m4 = _coc(cc4, "cc4", "4")
-    m3 = _coc(cc3, "cc3", "3")
-    m2 = _coc(cc2, "cc2", "2").withColumnRenamed("n2all", "nall")
     # tight lam-numerator bounds (r15): each level's dn*t*scale is
     # bounded by dd*max_t*scale where max_t is that level's max
     # per-context type count — the dn-vs-nall form false-trips on
     # singleton-heavy corpora (this operator's own sf0.1 corpus has
     # 225k singleton 5-gram types: dn5*n5all is astronomical while
     # the largest REAL product is dd5 * 4 * scale)
-    mt = (
-        ctx5.agg(F.max("t5").cast("long").alias("max_t5"))
-        .crossJoin(ctx4.agg(F.max("t4").cast("long").alias("max_t4")))
-        .crossJoin(ctx3.agg(F.max("t3").cast("long").alias("max_t3")))
-        .crossJoin(ctx2.agg(F.max("t2").cast("long").alias("max_t2")))
-    )
+    m5 = _coc(g5e, "c5", "5")
+    m4 = _coc(cc4e, "cc4", "4")
+    m3 = _coc(cc3e, "cc3", "3")
+    m2 = _coc(cc2e, "cc2", "2").withColumnRenamed("n2all", "nall")
 
     guard = (
         f"GREATEST(max_c5, max_t5) > {max_safe} DIV dd5"
@@ -857,19 +874,13 @@ def kneser_ney_5gram_plan(
         f" * ({pl4})) DIV {scale})"
     )
     sc = (
-        g5.join(ctx5, ["w1", "w2", "w3", "w4"])
-        .join(cc4, ["w2", "w3", "w4", "w5"])
-        .join(ctx4, ["w2", "w3", "w4"])
-        .join(cc3, ["w3", "w4", "w5"])
-        .join(ctx3, ["w3", "w4"])
-        .join(cc2, ["w4", "w5"])
-        .join(ctx2, ["w4"])
-        .join(cont, ["w5"])
+        g5e.join(cc4e, ["w2", "w3", "w4", "w5"])
+        .join(cc3e, ["w3", "w4", "w5"])
+        .join(cc2e, ["w4", "w5"])
         .crossJoin(F.broadcast(m5))
         .crossJoin(F.broadcast(m4))
         .crossJoin(F.broadcast(m3))
         .crossJoin(F.broadcast(m2))
-        .crossJoin(F.broadcast(mt))
         .select(
             *W5,
             F.expr(
@@ -915,4 +926,4 @@ def kneser_ney_5gram_plan(
             "mean_surprisal_micro",
         )
     )
-    return out, [tk, g5_doc, g5, cc4, cc3, cc2]
+    return out, [tk, g5_doc, g5e, cc4e, cc3e, cc2e]
