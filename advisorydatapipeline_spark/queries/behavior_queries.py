@@ -1747,16 +1747,15 @@ def markov_attribution_removal(spark, sf_dir):
     (attribution_position_based is the heuristic twin). Absorption
     probabilities are K={k}-step truncated power iterations in exact
     integer ppm (floor per step), so every engine lands on identical
-    values; all 5 chain variants (base + 4 removals) iterate
-    TOGETHER as one variant-keyed table — one tiny join+agg per
-    step, not one pass per channel.
+    values.
 
-    Plan: the event log collapses to the (src,dst) transition-count
-    table in one window+agg pass; everything after runs on ~30 rows
-    x 5 variants with lineage cuts every few steps.
+    Plan (r15): the event log collapses to the (src,dst)
+    transition-count table in one window+agg pass — the only
+    corpus-sized work; the 5-variant 12-step fixpoint over that
+    MODEL (<= ~50 rows at any corpus scale) runs inside one
+    single-group applyInPandas, replaying the same integer floors —
+    formerly ~40 tiny Spark jobs of pure scheduler/checkpoint tax.
     """
-    from advisorydatapipeline_spark.operators.graph import _cut_lineage
-
     ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     fp = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1801,88 +1800,99 @@ def markov_attribution_removal(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    counts = _cut_lineage(
-        cnts.withColumn(
-            "tot",
-            F.sum("cnt").over(Window.partitionBy("src")).cast("long"),
-        ),
-        False,
+    counts = cnts.withColumn(
+        "tot",
+        F.sum("cnt").over(Window.partitionBy("src")).cast("long"),
     )
-    variants = counts.sparkSession.createDataFrame(
-        [(v,) for v in ["base"] + _MK_CHANNELS], "variant string"
+
+    # r15 optimization (guide §1.2 step 1 — fix the distributed
+    # algorithm): the K=12-step x 5-variant fixpoint previously ran
+    # as 12 Spark join+agg jobs with lineage cuts — pure fixed
+    # scheduler/checkpoint cost, because the iterating state is the
+    # transition MODEL (<= |event_types + 3|^2 rows ~ 50, at ANY
+    # corpus scale — it is an aggregate, not data). The event-log
+    # collapse above stays the distributed pass; the fixpoint now
+    # runs vectorized inside ONE single-group applyInPandas over the
+    # model rows, replaying the identical integer-ppm floors
+    # (acc DIV tot per step, the removal/share DIVs at the end) in
+    # exact Python bigints — same values, one job instead of ~40.
+    schema = (
+        "channel string, p_base long, p_removed long, "
+        "removal_ppm long, share_ppm long"
     )
-    # pre-expand transitions x variants ONCE (<= |trans| x 5 rows) and
-    # keep the whole iterating state single-partition: the model is a
-    # handful of rows, so 32-way shuffles would be pure scheduler tax
-    vcounts = _cut_lineage(
-        counts.crossJoin(variants).coalesce(1), False
-    )
-    p = (
-        vcounts.select("variant", F.col("src").alias("state"))
-        .distinct()
-        .withColumn("p", F.lit(0).cast("long"))
-    )
-    for k in range(1, _MK_ITERS + 1):
-        joined = vcounts.join(
-            p.select(
-                F.col("variant").alias("pv"),
-                F.col("state").alias("ps"),
-                F.col("p").alias("pp"),
-            ),
-            (F.col("variant") == F.col("pv"))
-            & (F.col("dst") == F.col("ps")),
-            "left",
-        )
-        val = (
-            F.when(F.col("dst") == "conv", F.lit(1000000))
-            .when(F.col("dst") == "null", F.lit(0))
-            .when(F.col("dst") == F.col("variant"), F.lit(0))
-            .otherwise(F.coalesce(F.col("pp"), F.lit(0)))
-        )
-        p = (
-            joined.groupBy("variant", F.col("src").alias("state"), "tot")
-            .agg(F.sum(F.col("cnt") * val).alias("acc"))
-            .select(
-                "variant",
-                "state",
-                F.when(F.col("state") == F.col("variant"), F.lit(0))
-                .otherwise(F.expr("acc DIV tot"))
-                .cast("long")
-                .alias("p"),
+
+    def _trunc_div(a: int, b: int) -> int:
+        # Spark's DIV truncates toward zero (all quantities here are
+        # non-negative in practice, where trunc == floor)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def _solve(pdf):
+        import pandas as pd
+
+        cols = [
+            "channel", "p_base", "p_removed", "removal_ppm",
+            "share_ppm",
+        ]
+        trans = list(
+            zip(
+                pdf["src"].tolist(),
+                pdf["dst"].tolist(),
+                [int(c) for c in pdf["cnt"].tolist()],
+                [int(t) for t in pdf["tot"].tolist()],
             )
-            .coalesce(1)
         )
-        if k % 3 == 0:
-            p = _cut_lineage(p, False)
-    start = p.filter(F.col("state") == "start")
-    base = start.filter(F.col("variant") == "base").select(
-        F.col("p").alias("p_base")
-    )
-    eff = (
-        start.filter(F.col("variant") != "base")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("variant").alias("channel"),
-            "p_base",
-            F.col("p").alias("p_removed"),
-            F.expr(
-                "CAST((p_base - p) * 1000000"
-                " DIV GREATEST(p_base, 1) AS BIGINT)"
-            ).alias("removal_ppm"),
+        states = sorted({s for s, _, _, _ in trans})
+        if "start" not in states:
+            return pd.DataFrame({c: [] for c in cols})
+        tot_of = {s: t for s, _, _, t in trans}
+
+        def absorb(variant):
+            p = {s: 0 for s in states}
+            for _ in range(_MK_ITERS):
+                acc = dict.fromkeys(states, 0)
+                for s, d, c, _t in trans:
+                    if d == "conv":
+                        v = 1_000_000
+                    elif d == "null" or d == variant:
+                        v = 0
+                    else:
+                        v = p.get(d, 0)
+                    acc[s] += c * v
+                p = {
+                    s: (0 if s == variant else acc[s] // tot_of[s])
+                    for s in states
+                }
+            return p["start"]
+
+        p_base = absorb("base")
+        rows = []
+        for ch in _MK_CHANNELS:
+            pr = absorb(ch)
+            rows.append(
+                (
+                    ch,
+                    pr,
+                    _trunc_div((p_base - pr) * 1_000_000, max(p_base, 1)),
+                )
+            )
+        s_rem = sum(r[2] for r in rows)
+        return pd.DataFrame(
+            [
+                (
+                    ch,
+                    p_base,
+                    pr,
+                    rm,
+                    _trunc_div(rm * 1_000_000, max(s_rem, 1)),
+                )
+                for ch, pr, rm in rows
+            ],
+            columns=cols,
         )
-    )
-    tot_eff = eff.agg(
-        F.sum("removal_ppm").cast("long").alias("sum_removal")
-    )
-    return eff.crossJoin(F.broadcast(tot_eff)).select(
-        "channel",
-        "p_base",
-        "p_removed",
-        "removal_ppm",
-        F.expr(
-            "CAST(removal_ppm * 1000000"
-            " DIV GREATEST(sum_removal, 1) AS BIGINT)"
-        ).alias("share_ppm"),
+
+    return counts.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _solve, schema
     )
 
 
