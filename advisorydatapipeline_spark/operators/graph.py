@@ -64,6 +64,37 @@ def _iter_side(df: DataFrame, n_rows: int | None) -> DataFrame:
     return df.hint("shuffle_hash")
 
 
+#: Target edge rows per partition when compacting a cached
+#: loop-invariant frame for the per-round jobs (r15, guide §2.2).
+#: In the broadcast regime the label side ships to every task, so
+#: the cached edge frame's PARTITION COUNT is pure per-round task
+#: tax: a 22k-edge graph spread over the static 32-partition shuffle
+#: width schedules 32 near-empty tasks per round for ~10 rounds.
+#: 50k rows/partition keeps CPU-heavy rounds parallel (a 1M-edge
+#: graph still fans out to 20 partitions; A/B: AQE's byte-based
+#: cached-plan coalescing collapsed that same graph to 1-3
+#: partitions and ran 2x SLOWER) while tiny graphs compact to 1-2.
+#: Only applied below GRAPH_BROADCAST_MAX_ROWS, where the per-round
+#: join broadcasts and the edge frame's hash partitioning is
+#: irrelevant — coalesce() is a narrow, shuffle-free read of the
+#: cache. Above the bound (shuffle_hash regime) the pre-partitioned
+#: width is load-bearing and stays untouched.
+LOOP_ROWS_PER_PART = int(
+    os.environ.get("ADP_GRAPH_LOOP_ROWS_PER_PART", "50000")
+)
+
+
+def _compact_loop_frame(df: DataFrame, n_rows: int) -> DataFrame:
+    """Coalesce a persisted loop-invariant frame to a partition count
+    sized to its row count (see :data:`LOOP_ROWS_PER_PART`). Returns
+    ``df`` unchanged when the current width is already right."""
+    width = df.rdd.getNumPartitions()
+    target = max(1, min(width, -(-n_rows // LOOP_ROWS_PER_PART)))
+    if target >= width:
+        return df
+    return df.coalesce(target)
+
+
 def _cut_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     """Truncate plan lineage between iterations.
 
@@ -153,8 +184,18 @@ def connected_components(
     witness = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     first = labels.agg(witness, F.count(F.lit(1)).alias("n")).first()
     prev_sum, n_nodes = first[0], first[1]
+    # r15 (guide §2.2): in the broadcast regime the per-round join
+    # ignores und's hash partitioning, so compact the cached frame's
+    # partition count to its size — each of the O(log n) rounds then
+    # schedules O(edges / LOOP_ROWS_PER_PART) tasks instead of the
+    # static shuffle width. und.count() reads the cache the labels
+    # init just warmed.
+    if n_nodes <= GRAPH_BROADCAST_MAX_ROWS:
+        und_it = _compact_loop_frame(und, und.count())
+    else:
+        und_it = und
     for i in range(max_iter):
-        nbr = und.join(
+        nbr = und_it.join(
             _iter_side(labels.withColumnRenamed("node", "b"), n_nodes),
             "b",
         ).select(F.col("a").alias("node"), "label")
@@ -277,8 +318,14 @@ def pagerank_quantized(
     # exactly n_nodes rows every round, so one scalar pins the
     # per-iteration join strategy for the whole loop
     n_nodes = ranks.count()
+    # r15: compact the cached adjacency for the per-round jobs in the
+    # broadcast regime (see connected_components / LOOP_ROWS_PER_PART)
+    if n_nodes <= GRAPH_BROADCAST_MAX_ROWS:
+        adj_it = _compact_loop_frame(adj, adj.count())
+    else:
+        adj_it = adj
     for i in range(iters):
-        contrib = adj.join(_iter_side(ranks, n_nodes), "a").select(
+        contrib = adj_it.join(_iter_side(ranks, n_nodes), "a").select(
             F.col("b").alias("node"),
             F.expr(
                 f"({PR_DAMP_NUM} * rank) DIV ({PR_DAMP_DEN} * deg)"
@@ -469,9 +516,15 @@ def label_propagation(
     # node count measured once (warms the undp persist); the label
     # table holds exactly n_nodes rows every round
     n_nodes = labels.count()
+    # r15: compact the cached edge frame for the per-round jobs in
+    # the broadcast regime (see connected_components)
+    if n_nodes <= GRAPH_BROADCAST_MAX_ROWS:
+        undp_it = _compact_loop_frame(undp, undp.count())
+    else:
+        undp_it = undp
     for _ in range(rounds):
         votes = (
-            undp.join(
+            undp_it.join(
                 _iter_side(
                     labels.select(F.col("a").alias("b"), F.col("lab")),
                     n_nodes,

@@ -935,6 +935,9 @@ def rrf_ivf_recall_eval(spark, sf_dir):
     invisible to ivf_recall_eval. The brute side inherits
     rrf_fusion_topk's gauge_pair_guard (labeled quadratic ceiling,
     query-sample only)."""
+    # r15 NOTE: persisting the two fused lists was A/B-measured and
+    # REJECTED (3.44 -> 5.20 s same box) — the repeated fusion
+    # subtrees already share shuffles via ReuseExchange.
     truth = rrf_fusion_topk(spark, sf_dir).select("query_id", "doc_id")
     approx = rrf_fusion_ivf(spark, sf_dir).select("query_id", "doc_id")
     hits = truth.join(approx, ["query_id", "doc_id"])

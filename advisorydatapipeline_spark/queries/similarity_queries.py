@@ -615,6 +615,10 @@ def ivf_recall_eval(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
+    # r15 NOTE: persisting truth/approx here was A/B-measured and
+    # REJECTED (1.86 -> 3.19 s same box): the duplicate subtrees
+    # already share their shuffles via ReuseExchange inside the one
+    # materializing action, so the cache only added materialization.
     truth = cosine_topk(emb, queries, K).select("query_id", "neighbor_id")
     approx = ivf_topk(emb, queries, centroids, K, NPROBE).select(
         "query_id", "neighbor_id"
@@ -971,6 +975,9 @@ def pq_recall_eval(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # r15 NOTE: persisting truth/shortlist was A/B-measured and
+    # REJECTED (5.16 -> 6.17 s same box) — ReuseExchange already
+    # dedupes the repeated subtrees within the one action.
     truth = l2_topk(emb, queries, K).select("query_id", "neighbor_id")
     shortlist = pq_adc_topk(
         emb, queries, cb, K * PQ_SHORTLIST, n_sub=PQ_M, sub_dim=PQ_D
@@ -2670,6 +2677,12 @@ def matryoshka_recall_eval(spark, sf_dir):
     wt = Window.partitionBy("query_id").orderBy(
         F.col("cm_trunc").desc(), F.col("neighbor_id").asc()
     )
+    # r15 NOTE: fusing both rank windows into one pass (rn_full +
+    # rn_trunc on the same rows, no self-join) was A/B-measured and
+    # REJECTED (2.02 -> 2.70 s same box): the separate
+    # filter-above-window forms each get WindowGroupLimit per-
+    # partition top-K pruning, which the fused form forfeits, and
+    # the shared pair scan is already deduped by ReuseExchange.
     f = (
         p.withColumn("rn", F.row_number().over(wf))
         .filter(F.col("rn") <= K)

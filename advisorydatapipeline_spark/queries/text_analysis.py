@@ -293,10 +293,14 @@ def winnow_neardup_pairs(spark, sf_dir):
             lambda i: F.array_min(F.slice("hs", i, w)),
         ),
     ).otherwise(F.col("hs"))
+    # r15 (guide §5): both sides of the self-join read idx — persist
+    # so the tokenize + per-k-gram md5 fingerprint pass runs once,
+    # not once per join side.
     idx = (
         d.select("doc_id", _tok("text").alias("ts"))
         .select("doc_id", hs.alias("hs"))
         .select("doc_id", F.explode(F.array_distinct(mins)).alias("f"))
+        .persist()
     )
     a = idx.select(F.col("doc_id").alias("id_a"), "f")
     b = idx.select(F.col("doc_id").alias("id_b"), "f")
@@ -739,13 +743,25 @@ def char_unigram_surprisal(spark, sf_dir):
         "doc_id",
         F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("t"),
     )
-    ch = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"),
-        "t",
-    ).select("doc_id", F.expr("substring(t, i, 1)").alias("c"))
-    dc = ch.groupBy("doc_id", "c").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # r15 (guide §1.2 step 2): the alphabet is 26 letters, so the
+    # (doc, char) counts need no per-character explode + hash agg —
+    # count each letter map-side as length(t) - length(replace(t, c))
+    # and emit 26 rows per doc via stack, dropping the absent-letter
+    # rows (the explode form produced exactly the present-letter
+    # rows). Removes the corpus-character explode AND the first
+    # shuffle entirely; counts are identical integers. dc also feeds
+    # two consumers (global model + per-doc rollup) -> persist.
+    stack_args = ", ".join(
+        f"'{c}', length(t) - length(replace(t, '{c}', ''))"
+        for c in "abcdefghijklmnopqrstuvwxyz"
+    )
+    dc = (
+        docs.selectExpr(
+            "doc_id", f"stack(26, {stack_args}) AS (c, cnt0)"
+        )
+        .filter(F.col("cnt0") > 0)
+        .select("doc_id", "c", F.col("cnt0").cast("long").alias("cnt"))
+        .persist()
     )
     glob = dc.groupBy("c").agg(F.sum("cnt").cast("long").alias("gcnt"))
     tot = glob.agg(F.sum("gcnt").cast("long").alias("n"))
@@ -2172,6 +2188,10 @@ def quality_gate_pipeline(spark, sf_dir):
     g = gopher_quality_flags(spark, sf_dir).select(
         "doc_id", "passes_gopher"
     )
+    # r15 NOTE: persisting l (referenced by the threshold agg + the
+    # join) was A/B-measured and REJECTED (4.96 -> 6.96 s same box):
+    # the LM subtree's shuffles are already shared via ReuseExchange
+    # and its own internal persists; the cache only added cost.
     l = lm_perplexity_scores(spark, sf_dir).select(
         "doc_id", "mean_surprisal_micro"
     )
@@ -2271,20 +2291,26 @@ def hashed_ngram_classifier(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("ts")
     )
+    # r15 (guide §1.2 step 2 — per-task work): bind the md5 bucket
+    # ONCE per bigram in a transform(), then fold the three per-class
+    # weights from the bound value — previously the aggregate lambda
+    # inlined the bucket expression into each class term, computing
+    # the md5 three times per bigram. Same expression text per
+    # bucket, same integer mix, same values.
     bkt = (
-        f"pmod(conv(substring(md5(concat_ws(' ', x.b1, x.b2)), 1, 15),"
+        f"pmod(conv(substring(md5(concat_ws(' ', b1, b2)), 1, 15),"
         f" 16, 10), {_HNC_BUCKETS})"
     )
     score_expr = (
         "aggregate("
         " zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),"
-        "   (b1, b2) -> struct(b1, b2)),"
+        f"   (b1, b2) -> {bkt}),"
         " struct(CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,"
         "        CAST(0 AS BIGINT) AS s2),"
         " (acc, x) -> struct("
-        f"   acc.s0 + {_hnc_w(bkt, 0)},"
-        f"   acc.s1 + {_hnc_w(bkt, 1)},"
-        f"   acc.s2 + {_hnc_w(bkt, 2)}))"
+        f"   acc.s0 + {_hnc_w('x', 0)},"
+        f"   acc.s1 + {_hnc_w('x', 1)},"
+        f"   acc.s2 + {_hnc_w('x', 2)}))"
     )
     sc = docs.filter(F.size("ts") >= 2).selectExpr(
         "doc_id", f"{score_expr} AS sc"

@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r15 NOTE: spark.sql.optimizer.canChangeCachedPlanOutput-
+        # Partitioning=true was A/B-measured here and REJECTED: it
+        # fixed the tiny-cached-frame scheduler tax (dbscan 8.7 ->
+        # 5.0 s) but AQE coalesces cached frames by BYTES, so
+        # byte-light CPU-heavy cached graphs collapsed to 1-3
+        # partitions and serialized every downstream round
+        # (canonical_corpus 2.5 -> 5.7 s, dedup_clusters 2.9 -> 4.7 s
+        # same box). The graph operators size their cached loop
+        # frames explicitly instead (operators/graph.py loop_parts).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
