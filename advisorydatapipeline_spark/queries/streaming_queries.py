@@ -16,7 +16,9 @@ tests/test_streaming.py; here we pin the *semantics*.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
+import os
 import shutil
 import tempfile
 from pathlib import Path
@@ -46,19 +48,104 @@ def _events_stream_dir(sf_dir: str) -> str:
     return _staged[sf_dir]
 
 
-def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+#: Target input bytes per streaming STATE partition (r15 optimization,
+#: guide §2.2 — make partitioning scale-adaptive: derive it from input
+#: size instead of a constant). Stateful streaming is the one place
+#: AQE cannot help: the state-partition count is frozen at first
+#: checkpoint from spark.sql.shuffle.partitions, and EVERY micro-batch
+#: thereafter pays one state-store open/commit per partition per
+#: stateful operator side — measured at sf0.1 the 0-row watermark
+#: finalization batch alone cost 2.2 s across 32 partitions x 2 join
+#: sides while the actual data is a 2 MB parquet file. Deriving the
+#: width as ceil(input_bytes / this) clamps small inputs to a handful
+#: of partitions (commit tax drops proportionally) while any input
+#: >= shuffle_width * this keeps the FULL configured width — at
+#: 100 TB the derivation saturates to the production setting, so this
+#: is not a local[32] constant, it is the same sizing rule AQE applies
+#: to batch shuffles, applied at the only point streaming allows
+#: (stream build time). Env override for clusters with bigger state
+#: budgets per task.
+STREAM_BYTES_PER_PART = int(
+    os.environ.get("ADP_STREAM_BYTES_PER_PART", str(8 << 20))
+)
+
+#: The per-byte CPU cost is NOT uniform across stateful operators:
+#: applyInPandasWithState invokes a Python body once per KEY (Arrow
+#: round-trip + pandas fixed cost each), and a complete-mode sink
+#: rewrites the ENTIRE state every micro-batch — for those, one
+#: partition per 8 MB serializes real compute (A/B-measured at sf0.1:
+#: width 1 took streaming_transition_counts 4.7 -> 10.2 s,
+#: streaming_stateful_counts 3.4 -> 6.5 s, streaming_sliding_distinct
+#: 7.9 -> 13.5 s while the JVM-light-state entries dropped 0.3-0.4x).
+#: Heavy-state streams therefore size at 256 KB/partition — the same
+#: input-derived rule with a target that reflects ~30x higher
+#: per-byte cost. Both targets saturate to the configured session
+#: width at scale.
+STREAM_BYTES_PER_PART_HEAVY = int(
+    os.environ.get("ADP_STREAM_BYTES_PER_PART_HEAVY", str(256 << 10))
+)
+
+
+def _dir_bytes(path: str) -> int:
+    p = Path(path)
+    return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+
+def derived_stream_width(
+    n_bytes: int, session_width: int, per_part: int = STREAM_BYTES_PER_PART
+) -> int:
+    """ceil(n_bytes / per_part), clamped to [1, session_width] —
+    pytest-pinned (tests/test_streaming.py)."""
+    return max(1, min(session_width, -(-n_bytes // per_part)))
+
+
+@contextlib.contextmanager
+def _adaptive_state_width(
+    spark: SparkSession, src_dir: str, *, heavy: bool = False
+):
+    """Scope spark.sql.shuffle.partitions to the width derived from
+    the stream's input bytes for the duration of one streaming query
+    (the conf is captured at query START and frozen into the state
+    checkpoint; the session value is restored in ``finally``). Results
+    are partition-count-independent (exact aggregates / joins — the
+    oracle gate pins that), only the per-batch state-store commit tax
+    changes. ``heavy=True`` selects the per-key-Python / complete-mode
+    sizing target (see :data:`STREAM_BYTES_PER_PART_HEAVY`)."""
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_part = STREAM_BYTES_PER_PART_HEAVY if heavy else STREAM_BYTES_PER_PART
+    target = derived_stream_width(_dir_bytes(src_dir), base, per_part)
+    if target >= base:
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(base))
+
+
+def _run_to_memory(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    heavy: bool = False,
+) -> DataFrame:
     """Drain an aggregated stream with availableNow into a memory sink
-    and return the final (complete-mode) result table."""
+    and return the final (complete-mode) result table. ``src_dir`` is
+    the stream's source directory — its on-disk size drives the
+    scale-adaptive state width (see :func:`derived_stream_width`)."""
     name = f"adp_stream_result_{next(_uniq)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with _adaptive_state_width(spark, src_dir, heavy=heavy):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -79,7 +166,8 @@ def streaming_hourly_counts(spark, sf_dir):
     """Tumbling 1-hour event-time window counts per event_type,
     computed by an actual streaming job. min/max are order-independent
     (exact on both engines), unlike a double sum."""
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     ev = stream.filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("event_time", "2 hours")
@@ -99,7 +187,7 @@ def streaming_hourly_counts(spark, sf_dir):
             "max_value",
         )
     )
-    return _run_to_memory(agg, spark)
+    return _run_to_memory(agg, spark, d)
 
 
 @query(
@@ -134,7 +222,8 @@ def streaming_session_windows(spark, sf_dir):
     checked against an independent lag/cumsum batch derivation: a new
     session starts when the gap to the previous event is >= 1 h
     (session windows are half-open [first, last+gap))."""
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     sess = session_event_counts(
         stream.filter(F.col("ts").isNotNull()), gap="1 hour"
     ).select(
@@ -143,7 +232,7 @@ def streaming_session_windows(spark, sf_dir):
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     )
-    return _run_to_memory(sess, spark)
+    return _run_to_memory(sess, spark, d)
 
 
 @query(
@@ -158,18 +247,20 @@ def streaming_dedup_pairs(spark, sf_dir):
     for a finite drain; an infinite stream would bound it with
     ``dropDuplicatesWithinWatermark`` at the cost of exactness outside
     the watermark horizon."""
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     dedup = stream.select("user_id", "event_type").dropDuplicates()
     name = f"adp_dedup_{next(_uniq)}"
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with _adaptive_state_width(spark, d):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -199,7 +290,8 @@ def streaming_append_windows(spark, sf_dir):
     drains are intentionally ABSENT from the output. The oracle
     encodes exactly that finalization rule, value-checking Spark's
     late-data/emission semantics, not just the aggregation."""
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     ev = stream.filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("event_time", "2 hours")
@@ -214,15 +306,16 @@ def streaming_append_windows(spark, sf_dir):
         )
     )
     name = f"adp_append_win_{next(_uniq)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with _adaptive_state_width(spark, d):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -240,7 +333,8 @@ def streaming_dedup_watermarked(spark, sf_dir):
     wider than this finite drain's event-time span it emits exactly
     one row per key, so the oracle is plain DISTINCT; on a real
     infinite stream the horizon bounds both state and exactness."""
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     dedup = (
         stream.filter(F.col("ts").isNotNull())
         .withWatermark("event_time", "365 days")
@@ -248,15 +342,16 @@ def streaming_dedup_watermarked(spark, sf_dir):
         .select("user_id", "event_type")
     )
     name = f"adp_dedup_wm_{next(_uniq)}"
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with _adaptive_state_width(spark, d):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -280,7 +375,8 @@ def streaming_static_enrich(spark, sf_dir):
     batch oracle."""
     from advisorydatapipeline_spark.queries.helpers import load as _load
 
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     cust = _load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -293,7 +389,7 @@ def streaming_static_enrich(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
-    return _run_to_memory(agg, spark)
+    return _run_to_memory(agg, spark, d)
 
 
 US_30MIN = 1_800_000_000
@@ -321,7 +417,8 @@ def streaming_sliding_counts(spark, sf_dir):
     event lands in exactly two overlapping windows. Same watermarked
     streaming machinery as the tumbling twin; the oracle replays the
     two-window expansion with integer epoch math."""
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     agg = (
         stream.withWatermark("event_time", "2 hours")
         .groupBy(
@@ -341,7 +438,7 @@ def streaming_sliding_counts(spark, sf_dir):
             "max_value",
         )
     )
-    return _run_to_memory(agg, spark)
+    return _run_to_memory(agg, spark, d)
 
 
 @query(
@@ -407,15 +504,16 @@ def streaming_range_join(spark, sf_dir):
         F.unix_micros("view_time").alias("view_us"),
     )
     name = f"adp_ssj_{next(_uniq)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with _adaptive_state_width(spark, d):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -439,18 +537,22 @@ def streaming_stateful_counts(spark, sf_dir):
         running_user_counts,
     )
 
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     name = f"adp_stateful_{next(_uniq)}"
-    q = (
-        running_user_counts(stream.select("user_id", "value", "event_time"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with _adaptive_state_width(spark, d, heavy=True):
+        q = (
+            running_user_counts(
+                stream.select("user_id", "value", "event_time")
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     return spark.sql(
         f"SELECT user_id, max(n_events) AS n_events, "
         f"max(max_value) AS max_value FROM {name} GROUP BY user_id"
@@ -503,9 +605,10 @@ def streaming_upsert_merge(spark, sf_dir):
         .filter(F.col("ts").isNotNull())
         .select("user_id", "event_time", "event_id", "value")
     )
-    q = start_streaming_upsert(stream, prod, ["user_id"], schema, ckpt)
-    q.awaitTermination(300)
-    q.stop()
+    with _adaptive_state_width(spark, d):
+        q = start_streaming_upsert(stream, prod, ["user_id"], schema, ckpt)
+        q.awaitTermination(300)
+        q.stop()
     return spark.read.parquet(prod).select(
         "user_id",
         F.unix_micros("event_time").alias("last_us"),
@@ -539,7 +642,8 @@ def streaming_sliding_distinct(spark, sf_dir):
     user adds ONE state row per window however many events they
     emit. The oracle replays the 1 h/30 min two-window expansion
     with integer epoch math over the same parquet."""
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     pairs = (
         stream.withWatermark("event_time", "2 hours")
         .groupBy(
@@ -552,7 +656,9 @@ def streaming_sliding_distinct(spark, sf_dir):
             "user_id",
         )
     )
-    drained = _run_to_memory(pairs, spark)
+    # heavy: the state is one row per (window, user) pair — orders of
+    # magnitude more state rows per input byte than the per-type aggs
+    drained = _run_to_memory(pairs, spark, d, heavy=True)
     return drained.groupBy("window_start_us").agg(
         F.count(F.lit(1)).alias("n_users")
     )
@@ -573,22 +679,24 @@ def streaming_transition_counts(spark, sf_dir):
         running_transitions,
     )
 
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     name = f"adp_transitions_{next(_uniq)}"
-    q = (
-        running_transitions(
-            stream.filter(F.col("ts").isNotNull()).select(
-                "user_id", "event_id", "ts", "event_type"
+    with _adaptive_state_width(spark, d, heavy=True):
+        q = (
+            running_transitions(
+                stream.filter(F.col("ts").isNotNull()).select(
+                    "user_id", "event_id", "ts", "event_type"
+                )
             )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+        q.awaitTermination(300)
+        q.stop()
     return spark.sql(
         f"""
         WITH tr AS (
@@ -645,20 +753,22 @@ def streaming_url_dedup(spark, sf_dir):
         _url_fixture_sql,
     )
 
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    d = _events_stream_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     synth = _url_fixture_sql("DIV", "STRING").replace(
         "doc_id", "(event_id % 997)"
     )
     urls = stream.selectExpr(f"{synth} AS url")
     dedup = canonicalize_urls(urls).select("canonical_url").dropDuplicates()
     name = f"adp_urldedup_{next(_uniq)}"
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
+    with _adaptive_state_width(spark, d):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)

@@ -405,3 +405,58 @@ def test_running_transitions_chain_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_derived_stream_width_clamps_and_scales():
+    """r15: streaming state width derives from input bytes —
+    ceil(bytes / STREAM_BYTES_PER_PART) clamped to [1, session width].
+    Small inputs collapse the per-batch state-store commit tax; any
+    input >= width*target keeps the FULL configured width (the 100 TB
+    regime is untouched)."""
+    from advisorydatapipeline_spark.queries.streaming_queries import (
+        STREAM_BYTES_PER_PART as B,
+        derived_stream_width,
+    )
+
+    assert derived_stream_width(0, 32) == 1
+    assert derived_stream_width(1, 32) == 1
+    assert derived_stream_width(B, 32) == 1
+    assert derived_stream_width(B + 1, 32) == 2
+    assert derived_stream_width(5 * B, 32) == 5
+    # saturates to the session width for big inputs (scale regime)
+    assert derived_stream_width(32 * B, 32) == 32
+    assert derived_stream_width(10**15, 32) == 32
+    assert derived_stream_width(10**15, 400) == 400
+    # heavy-state target: same rule, smaller bytes/partition (per-key
+    # Python bodies and complete-mode state rewrites cost ~30x more
+    # CPU per input byte); still saturates to the session width
+    from advisorydatapipeline_spark.queries.streaming_queries import (
+        STREAM_BYTES_PER_PART_HEAVY as BH,
+    )
+
+    assert BH < B
+    assert derived_stream_width(BH + 1, 32, BH) == 2
+    assert derived_stream_width(10**15, 32, BH) == 32
+
+
+def test_adaptive_state_width_restores_session_conf(spark, events_dir):
+    """The context manager scopes spark.sql.shuffle.partitions to the
+    derived width and ALWAYS restores the session value."""
+    from advisorydatapipeline_spark.queries.streaming_queries import (
+        _adaptive_state_width,
+        _dir_bytes,
+        derived_stream_width,
+    )
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    want = derived_stream_width(_dir_bytes(events_dir), int(base))
+    with _adaptive_state_width(spark, events_dir):
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == want
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base
+    # restore also happens when the body raises
+    try:
+        with _adaptive_state_width(spark, events_dir):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base
