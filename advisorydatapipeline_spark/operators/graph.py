@@ -170,10 +170,18 @@ def connected_components(
     )
     from pyspark.sql import Observation
 
+    # r15 (guide §1.2 step 1 — do less work per round by not doing
+    # round 1 at all): seed each node with min(node, min(neighbors)).
+    # Identity-seeded round 1 would merge exactly this value (labels0
+    # = node, so min over node ∪ neighbors IS this aggregate), so the
+    # seed skips one full merge round — one fewer checkpoint
+    # materialization + witness job per call — at identical init cost
+    # (groupBy("a") shuffles the same rows the old .distinct() did).
+    # The fixpoint and every subsequent merge are unchanged.
     labels = _cut_lineage(
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
+        und.groupBy("a").agg(
+            F.least(F.col("a"), F.min("b")).alias("label")
+        ).withColumnRenamed("a", "node"),
         reliable,
     )
 
