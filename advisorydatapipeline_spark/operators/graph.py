@@ -463,6 +463,15 @@ def k_core_peel(
     # tighter than the edge-count proxy (measured: the proxy blocked
     # the broadcast at x4 and cost a 16.7x shuffle ratio)
     alive_bound = int(obs0.get["nodes"] * 1.1)
+    # r15: in the broadcast regime the checkpointed edge frame's
+    # partition count is pure per-round task tax (the CC/LPA
+    # loop-frame compaction pattern, guide §2.2) — each round's
+    # degree agg re-scans the frame at the static shuffle width.
+    # coalesce() on a checkpointed frame is narrow; the exact edge
+    # count rides the round's own observation, zero extra jobs.
+    compact = alive_bound <= GRAPH_BROADCAST_MAX_ROWS
+    if compact:
+        edges = _compact_loop_frame(edges, int(prev_n))
     converged = False
     for i in range(1, max_rounds + 1):
         # the degree-agg subtree appears in BOTH semi-joins of one
@@ -493,6 +502,8 @@ def k_core_peel(
             converged = True
             break
         prev_n = new_n
+        if compact:
+            edges = _compact_loop_frame(edges, int(new_n))
     if not converged:
         raise RuntimeError(
             f"k_core peel did not reach a fixpoint within {max_rounds} "

@@ -145,7 +145,10 @@ def dedup_clusters(spark, sf_dir):
         max_doc_freq=MAX_DOC_FREQ,
     ).persist()
     pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
-    cc = connected_components(pairs, "id_a", "id_b")
+    # jump_hops=0 (r15): near-dup graphs converge in ONE round under
+    # the min-neighbor seed, so the per-round hop join is pure
+    # overhead here (rounds pinned in plans/r15/cc_seed_rounds_*)
+    cc = connected_components(pairs, "id_a", "id_b", jump_hops=0)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -483,7 +486,10 @@ def canonical_corpus(spark, sf_dir):
         docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
     ).persist()
     pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
-    cc = connected_components(pairs, "id_a", "id_b")
+    # jump_hops=0 (r15): near-dup graphs converge in ONE round under
+    # the min-neighbor seed, so the per-round hop join is pure
+    # overhead here (rounds pinned in plans/r15/cc_seed_rounds_*)
+    cc = connected_components(pairs, "id_a", "id_b", jump_hops=0)
     drops = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("drop_id")
     )
@@ -931,7 +937,10 @@ def syndicated_families(spark, sf_dir):
         docs, "doc_id", "text", 3, max_doc_freq=MAX_DOC_FREQ
     ).persist()
     pairs = jaccard_pairs(idx, "doc_id", MIN_JACCARD)
-    cc = connected_components(pairs, "id_a", "id_b")
+    # jump_hops=0 (r15): near-dup graphs converge in ONE round under
+    # the min-neighbor seed, so the per-round hop join is pure
+    # overhead here (rounds pinned in plans/r15/cc_seed_rounds_*)
+    cc = connected_components(pairs, "id_a", "id_b", jump_hops=0)
     src = docs.select("doc_id", "source")
     return (
         cc.select(
