@@ -58,7 +58,16 @@ def ewma_user_values(spark, sf_dir):
     (ts, event_id) order — a sequential per-key recurrence via
     applyInPandas. The group is sorted inside the UDF: Spark does NOT
     guarantee intra-group row order into applyInPandas, so relying on
-    upstream sort order would be a latent scale bug."""
+    upstream sort order would be a latent scale bug.
+
+    r15 (guide §4.1 — amortize the Python boundary): the Arrow group
+    key is ``pmod(hash(user_id), buckets)`` rather than the raw user
+    id, and the body resolves ALL its users in one pass — the same
+    bucketed-cogroup pattern as asof_join_cogrouped (which measured
+    4.4x from it). Group count tracks the cluster (defaultParallelism
+    * 8), not user cardinality; per-user semantics are unchanged (the
+    recurrence resets at each user boundary of the
+    (user, ts, event_id) lexsort)."""
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         # numpy lexsort + column-wise take beats pandas sort_values
@@ -66,26 +75,29 @@ def ewma_user_values(spark, sf_dir):
         # recurrence runs over native Python ints (`tolist`) — ~4x
         # less per-row overhead than iterating a pandas Series. The
         # per-step integer floor makes each output depend on the
-        # previous, so the scan itself is irreducibly sequential:
-        # the per-key cost bound is O(max events per key) in ONE
-        # Python task. That bounds skew, not the cluster — groups
-        # stream through Arrow independently; a power-law-hot key
-        # would need a (key, epoch)-split recurrence with a stitch
-        # pass, which this data's ~uniform user activity doesn't.
+        # previous, so the scan itself is irreducibly sequential per
+        # USER; users are independent, so a bucket's cost is the sum
+        # of its users' event counts — skew is bounded by the hot
+        # USER, exactly as with raw-key groups.
+        uid = pdf["user_id"].to_numpy()
         order = np.lexsort(
-            (pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy())
+            (pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy(), uid)
         )
+        uid = uid[order]
         cents = pdf["cents"].to_numpy()[order]
+        # recurrence with a reset at every user boundary
+        new_user = np.empty(len(uid), dtype=bool)
+        if len(uid):
+            new_user[0] = True
+            new_user[1:] = uid[1:] != uid[:-1]
         out = []
         acc = 0
-        first = True
-        for c in cents.tolist():
+        for c, first in zip(cents.tolist(), new_user.tolist()):
             acc = c if first else (7 * acc + 3 * c) // 10
-            first = False
             out.append(acc)
         return pd.DataFrame(
             {
-                "user_id": pdf["user_id"].to_numpy()[order],
+                "user_id": uid,
                 "event_id": pdf["event_id"].to_numpy()[order],
                 "ts_us": pdf["ts_us"].to_numpy()[order],
                 "cents": cents,
@@ -94,13 +106,15 @@ def ewma_user_values(spark, sf_dir):
         )
 
     ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    buckets = spark.sparkContext.defaultParallelism * 8
     prepared = ev.select(
         "user_id",
         "event_id",
         F.expr("ts DIV 1000").alias("ts_us"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.hash("user_id"), F.lit(buckets)).alias("_bk"),
     )
-    return prepared.groupBy("user_id").applyInPandas(ewma, EWMA_OUT)
+    return prepared.groupBy("_bk").applyInPandas(ewma, EWMA_OUT)
 
 
 QUANT = 10_000

@@ -201,3 +201,42 @@ def test_asof_forward_inclusive_and_tiebreak(spark):
         (1, 400): (None, None),  # nothing ahead
         (2, 50): (None, None),   # no right rows for key
     }
+
+
+def test_ewma_bucketed_groups_match_per_user_reference(spark, sf_dir):
+    """r15: the EWMA Arrow group key is a hash bucket, not the raw
+    user_id — the body must reset the recurrence at every user
+    boundary. Pin the whole output against an independent per-user
+    pandas replay."""
+    from advisorydatapipeline_spark.queries.sequence_queries import (
+        ewma_user_values,
+    )
+    from advisorydatapipeline_spark.queries.helpers import load
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.user_id, r.event_id): (r.ts_us, r.cents, r.ewma)
+        for r in ewma_user_values(spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts_us, r.event_id))
+        acc = 0
+        for i, r in enumerate(evs):
+            acc = r.cents if i == 0 else (7 * acc + 3 * r.cents) // 10
+            want[(uid, r.event_id)] = (r.ts_us, r.cents, acc)
+    assert got == want
