@@ -78,7 +78,13 @@ def _iter_side(df: DataFrame, n_rows: int | None) -> DataFrame:
 #: join broadcasts and the edge frame's hash partitioning is
 #: irrelevant — coalesce() is a narrow, shuffle-free read of the
 #: cache. Above the bound (shuffle_hash regime) the pre-partitioned
-#: width is load-bearing and stays untouched.
+#: width is load-bearing and stays untouched. r16: applied ONLY in
+#: connected_components and ONLY once the fixpoint has demonstrated
+#: depth (round 3+) — r15 applied it unconditionally across
+#: CC/LPA/PageRank/k-core and its own quiet-box artifact showed the
+#: shallow (1-2 round) consumers regressing 18-50% (verdict item 1):
+#: the setup actions + narrowed early-round parallelism only repay
+#: on deep loops (dbscan's 10-round percolation CC).
 LOOP_ROWS_PER_PART = int(
     os.environ.get("ADP_GRAPH_LOOP_ROWS_PER_PART", "50000")
 )
@@ -161,11 +167,17 @@ def connected_components(
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        # pre-partition on the per-iteration join key: the cached
-        # partitioning is reused every round, so only the (small)
-        # label side shuffles per iteration
+        # pre-partition on the per-iteration join key, THEN dedup:
+        # hashpartitioning(b) satisfies the dedup aggregate's
+        # ClusteredDistribution((a, b)) (b is a subset of the keys),
+        # so the edge set crosses ONE exchange instead of two — the
+        # former .distinct().repartition("b") shuffled every edge by
+        # (a, b) for the dedup and then AGAIN by b for the loop
+        # partitioning (r16, guide §2.4). The cached partitioning is
+        # reused every round, so only the (small) label side shuffles
+        # per iteration.
         .repartition("b")
+        .dropDuplicates()
         .persist()
     )
     from pyspark.sql import Observation
@@ -192,17 +204,20 @@ def connected_components(
     witness = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     first = labels.agg(witness, F.count(F.lit(1)).alias("n")).first()
     prev_sum, n_nodes = first[0], first[1]
-    # r15 (guide §2.2): in the broadcast regime the per-round join
-    # ignores und's hash partitioning, so compact the cached frame's
-    # partition count to its size — each of the O(log n) rounds then
-    # schedules O(edges / LOOP_ROWS_PER_PART) tasks instead of the
-    # static shuffle width. und.count() reads the cache the labels
-    # init just warmed.
-    if n_nodes <= GRAPH_BROADCAST_MAX_ROWS:
-        und_it = _compact_loop_frame(und, und.count())
-    else:
-        und_it = und
+    # r16 DEPTH GATE (r15 verdict item 1): loop-frame compaction only
+    # pays on DEEP loops. r15 applied it unconditionally and its own
+    # quiet-box artifact showed every shallow near-dup consumer
+    # regressing 18-50% (dedup_clusters 2.89->4.14s): with the
+    # min-neighbor seed those graphs converge in 1-2 rounds, so the
+    # extra und.count() action + .rdd plan conversion + narrowed
+    # round-1 parallelism never repay the saved task tax. Compact
+    # only when the fixpoint demonstrates depth (entering round 3 —
+    # dbscan's 10-round percolation CC keeps its measured win, the
+    # 1-2-round near-dup CC never pays the setup).
+    und_it = und
     for i in range(max_iter):
+        if i == 2 and n_nodes <= GRAPH_BROADCAST_MAX_ROWS:
+            und_it = _compact_loop_frame(und, und.count())
         nbr = und_it.join(
             _iter_side(labels.withColumnRenamed("node", "b"), n_nodes),
             "b",
@@ -304,14 +319,18 @@ def pagerank_quantized(
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        # r16 (guide §2.4): repartition FIRST, dedup in place —
+        # hashpartitioning(a) satisfies both the dedup aggregate's
+        # ClusteredDistribution((a, b)) and the degree window's
+        # ClusteredDistribution((a)), so ONE exchange builds the
+        # deduped, degree-annotated, loop-partitioned adjacency (the
+        # former .distinct() + window shape shuffled the edge set by
+        # (a, b) and then again by a)
+        .repartition("a")
+        .dropDuplicates()
     )
     # loop-invariant hoist: (edge, source-degree) never changes, so
-    # compute it ONCE and persist. deg rides a count-over-window on
-    # the "a" partitioning — ONE shuffle builds the partitioned,
-    # degree-annotated adjacency in place (the former
-    # groupBy + join + repartition shape re-derived the un-persisted
-    # union+distinct twice and paid three extra exchanges)
+    # compute it ONCE and persist
     adj = und.withColumn(
         "deg", F.count(F.lit(1)).over(Window.partitionBy("a")).cast("long")
     ).persist()
@@ -326,14 +345,13 @@ def pagerank_quantized(
     # exactly n_nodes rows every round, so one scalar pins the
     # per-iteration join strategy for the whole loop
     n_nodes = ranks.count()
-    # r15: compact the cached adjacency for the per-round jobs in the
-    # broadcast regime (see connected_components / LOOP_ROWS_PER_PART)
-    if n_nodes <= GRAPH_BROADCAST_MAX_ROWS:
-        adj_it = _compact_loop_frame(adj, adj.count())
-    else:
-        adj_it = adj
+    # r16: loop-frame compaction REVERTED here (r15 verdict item 1) —
+    # at the fixed 3 iterations the saved task tax never repaid the
+    # extra adj.count() action + .rdd conversion (quiet-box freeze vs
+    # OPT artifact: 4.17 -> 4.29 s). Deep loops keep it in
+    # connected_components behind the round-depth gate.
     for i in range(iters):
-        contrib = adj_it.join(_iter_side(ranks, n_nodes), "a").select(
+        contrib = adj.join(_iter_side(ranks, n_nodes), "a").select(
             F.col("b").alias("node"),
             F.expr(
                 f"({PR_DAMP_NUM} * rank) DIV ({PR_DAMP_DEN} * deg)"
@@ -427,6 +445,8 @@ def k_core_peel(
     *,
     max_rounds: int = 12,
     reliable: bool = False,
+    n_edges: int | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Simultaneous k-core peeling over an undirected edge list
     ``(a, b)``: each round recomputes degrees on the surviving
@@ -442,36 +462,46 @@ def k_core_peel(
     a silently-too-large "core" (the same converge-or-RAISE contract
     as :func:`connected_components`). Per round: one partial-agg
     degree count + two hash semi-joins that SHRINK the edge list —
-    bounded-state iteration, lineage cut per round."""
+    bounded-state iteration, lineage cut per round.
+
+    ``n_edges`` / ``n_nodes``: caller-supplied exact counts of the
+    input edge rows and distinct ``a`` values. When BOTH are given
+    (and the caller passes an already-materialized ``und``, e.g. a
+    ``localCheckpoint`` it needed anyway), the initial observe +
+    re-checkpoint job is SKIPPED — r15 paid a full second
+    materialization of the edge set before round 1 just to count
+    rows the caller's own degree aggregate already knew (r16,
+    guide §1.2: don't compute things twice)."""
     from pyspark.sql import Observation
 
-    obs0 = Observation("kcore_peel_0")
-    edges = _cut_lineage(
-        und.observe(
-            obs0,
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("a").alias("nodes"),
-        ),
-        reliable,
-    )
-    prev_n = obs0.get["n"]
-    # the alive side only ever SHRINKS (peeling is monotone), so the
-    # initial node count bounds every round's broadcast decision. It
-    # rides the SAME observation as the edge count (zero extra jobs);
-    # approx_count_distinct's ~5% rsd gets a 1.1x safety margin —
-    # fine for a strategy threshold with 2x headroom, and far
-    # tighter than the edge-count proxy (measured: the proxy blocked
-    # the broadcast at x4 and cost a 16.7x shuffle ratio)
-    alive_bound = int(obs0.get["nodes"] * 1.1)
-    # r15: in the broadcast regime the checkpointed edge frame's
-    # partition count is pure per-round task tax (the CC/LPA
-    # loop-frame compaction pattern, guide §2.2) — each round's
-    # degree agg re-scans the frame at the static shuffle width.
-    # coalesce() on a checkpointed frame is narrow; the exact edge
-    # count rides the round's own observation, zero extra jobs.
-    compact = alive_bound <= GRAPH_BROADCAST_MAX_ROWS
-    if compact:
-        edges = _compact_loop_frame(edges, int(prev_n))
+    if n_edges is not None and n_nodes is not None:
+        edges = und
+        prev_n = int(n_edges)
+        alive_bound = int(n_nodes)
+    else:
+        obs0 = Observation("kcore_peel_0")
+        edges = _cut_lineage(
+            und.observe(
+                obs0,
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("a").alias("nodes"),
+            ),
+            reliable,
+        )
+        prev_n = obs0.get["n"]
+        # the alive side only ever SHRINKS (peeling is monotone), so
+        # the initial node count bounds every round's broadcast
+        # decision. It rides the SAME observation as the edge count
+        # (zero extra jobs); approx_count_distinct's ~5% rsd gets a
+        # 1.1x safety margin — fine for a strategy threshold with 2x
+        # headroom, and far tighter than the edge-count proxy
+        # (measured: the proxy blocked the broadcast at x4 and cost
+        # a 16.7x shuffle ratio)
+        alive_bound = int(obs0.get["nodes"] * 1.1)
+    # r16: per-round loop-frame compaction REVERTED (r15 verdict
+    # item 1) — the k-core A/B pairs showed no signal and the
+    # quiet-box artifact regressed (2.74 -> 3.04 s); the coalesce on
+    # every round's checkpoint narrowed real degree-agg parallelism.
     converged = False
     for i in range(1, max_rounds + 1):
         # the degree-agg subtree appears in BOTH semi-joins of one
@@ -502,8 +532,6 @@ def k_core_peel(
             converged = True
             break
         prev_n = new_n
-        if compact:
-            edges = _compact_loop_frame(edges, int(new_n))
     if not converged:
         raise RuntimeError(
             f"k_core peel did not reach a fixpoint within {max_rounds} "
@@ -529,21 +557,26 @@ def label_propagation(
     shuffles per round) + one vote count + a ``max_by`` top-1
     aggregate (votes desc, min lab on ties via struct ordering) —
     partial-agg friendly, no per-round window sort. Bounded-state
-    iteration, lineage cut per round."""
-    undp = und.repartition("b").persist()
+    iteration, lineage cut per round.
+
+    Duplicate ``(a, b)`` rows are dropped HERE (fused into the loop
+    repartition — hashpartitioning(b) satisfies the dedup
+    aggregate's ClusteredDistribution, zero extra exchange), because
+    duplicate edges would double votes; callers no longer need to
+    pre-distinct (r16, guide §2.4 — one exchange builds the deduped
+    loop-partitioned frame)."""
+    undp = und.repartition("b").dropDuplicates().persist()
     labels = undp.select("a").distinct().withColumn("lab", F.col("a"))
     # node count measured once (warms the undp persist); the label
     # table holds exactly n_nodes rows every round
     n_nodes = labels.count()
-    # r15: compact the cached edge frame for the per-round jobs in
-    # the broadcast regime (see connected_components)
-    if n_nodes <= GRAPH_BROADCAST_MAX_ROWS:
-        undp_it = _compact_loop_frame(undp, undp.count())
-    else:
-        undp_it = undp
+    # r16: loop-frame compaction REVERTED here (r15 verdict item 1 —
+    # quiet-box artifact regressed 4.79 -> 5.66 s: at LPA_ROUNDS=4
+    # the extra count action + narrowed per-round join parallelism
+    # cost more than the saved near-empty tasks).
     for _ in range(rounds):
         votes = (
-            undp_it.join(
+            undp.join(
                 _iter_side(
                     labels.select(F.col("a").alias("b"), F.col("lab")),
                     n_nodes,

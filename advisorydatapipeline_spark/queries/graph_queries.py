@@ -236,11 +236,17 @@ def bfs_reachable_hops(spark, sf_dir):
         )
         .distinct()
     )
+    # r16: no .distinct() on the union — e0 is already distinct and
+    # the two orientations cannot collide (src < SUPP_OFFSET <= dst
+    # by construction), so the union IS duplicate-free and the old
+    # distinct was a full extra exchange + agg of the edge set before
+    # bfs_hops' own repartition("a") (guide §2.4). The DuckDB
+    # oracle's UNION dedups on its side; results are identical.
     und = e0.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).unionByName(
         e0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    ).distinct()
+    )
     seeds = e0.agg(F.min("src").alias("node"))
     return bfs_hops(und, seeds, BFS_MAX_HOPS)
 
@@ -338,25 +344,44 @@ def k_core_suppliers(spark, sf_dir):
         .distinct()
     )
     # cut once so neither the k computation nor the peel re-derives
-    # the join+distinct (the peel's own initial cut then reads these
-    # cached blocks, a narrow job)
+    # the join+distinct. r16 (guide §2.4): repartition("a") BEFORE
+    # the dedup — hashpartitioning(a) satisfies the dedup aggregate,
+    # so the edge set crosses one exchange instead of two, AND the
+    # checkpoint preserves hash(a), which every peel round's degree
+    # aggregate (groupBy("a")) then reuses with no further exchange
+    # (broadcast semi-joins preserve the edge side's partitioning
+    # round over round).
     und = _cut_lineage(
         e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct(),
+        .repartition("a")
+        .dropDuplicates(),
         False,
     )
     deg0 = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    ks = _cut_lineage(
+    # r16: the ks aggregate already scans every degree row, so the
+    # exact edge/node counts ride the SAME 1-row cut — k_core_peel
+    # then skips its initial observe + re-checkpoint job (a full
+    # second materialization of the edge set, guide §1.2).
+    stats = _cut_lineage(
         deg0.agg(
             F.greatest(
                 F.lit(4).cast("long"),
                 F.expr("CAST(sum(c) AS BIGINT) DIV count(*) DIV 3"),
-            ).alias("k")
+            ).alias("k"),
+            F.sum("c").cast("long").alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
         ),
         False,
     )
-    edges = k_core_peel(und, ks, max_rounds=KCORE_MAX_ROUNDS)
+    srow = stats.first()
+    edges = k_core_peel(
+        und,
+        stats.select("k"),
+        max_rounds=KCORE_MAX_ROUNDS,
+        n_edges=int(srow["n_edges"] or 0),
+        n_nodes=int(srow["n_nodes"] or 0),
+    )
     return (
         edges.groupBy("a")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
@@ -429,7 +454,6 @@ def label_propagation_communities(spark, sf_dir):
     same bounded-iteration shape as pagerank/k-core, lineage cut per
     round."""
     from advisorydatapipeline_spark.operators.graph import (
-        _cut_lineage,
         label_propagation,
     )
 
@@ -443,11 +467,13 @@ def label_propagation_communities(spark, sf_dir):
         )
         .distinct()
     )
-    und = _cut_lineage(
-        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct(),
-        False,
+    # r16: no query-side .distinct() + lineage cut — label_propagation
+    # now dedups INSIDE its loop repartition (one exchange builds the
+    # deduped loop-partitioned frame), and the former _cut_lineage was
+    # a whole extra materialization job of the edge set feeding a
+    # single consumer (guide §2.4 / §1.2).
+    und = e0.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        e0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
     labels = label_propagation(und, LPA_ROUNDS)
     return labels.groupBy(F.col("lab").alias("community_id")).agg(
