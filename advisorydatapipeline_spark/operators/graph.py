@@ -214,6 +214,18 @@ def connected_components(
     # only when the fixpoint demonstrates depth (entering round 3 —
     # dbscan's 10-round percolation CC keeps its measured win, the
     # 1-2-round near-dup CC never pays the setup).
+    # r16 REJECTED EXPERIMENT (verdict item 3, "two label rounds per
+    # checkpoint+witness"): a fused two-merge wave — inner merge
+    # persist()ed, outer merge checkpointed+witnessed — was built and
+    # measured on the deepest consumer (dbscan's percolation CC,
+    # sf0.01, same box, back-to-back): single-step 8 rounds / 17.1 s
+    # vs fused 6 waves / 10 merge steps / 23.8 s. Two reasons it
+    # loses: (a) the inner merge's broadcast build is itself a
+    # full-barrier job, so a wave schedules the SAME number of jobs
+    # as two plain rounds while adding cache traffic; (b) wave
+    # granularity overshoots the fixpoint (10 merges where 8
+    # converge). The per-round tax this aimed at is the checkpoint
+    # write, and localCheckpoint is already the cheap variant (§5).
     und_it = und
     for i in range(max_iter):
         if i == 2 and n_nodes <= GRAPH_BROADCAST_MAX_ROWS:
@@ -381,7 +393,6 @@ def bfs_hops(
     max_hops: int,
     *,
     reliable: bool = False,
-    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Frontier BFS: minimum hop count from any seed to every
     reachable node within ``max_hops``.
@@ -398,45 +409,55 @@ def bfs_hops(
     enumeration — what a naive recursive self-join does — grows
     multiplicatively with hop count; the frontier here is bounded by
     |V| regardless of edge density, which is what makes BFS feasible
-    on a 100 TB edge list. Lineage is cut on ``checkpoint_interval``
-    (as in PageRank): each cut is an eager materialization job, and
-    for shallow traversals the linear plan growth between cuts is
-    cheaper than a per-round barrier.
+    on a 100 TB edge list.
+
+    Every hop's LEVEL is lineage-cut eagerly (r16, guide §5): the
+    frontier feeds both the next hop's join AND the visited set, and
+    the r15 shape (cut `visited` on an interval, keep `frontier`
+    lazy) re-executed every prior hop's join+distinct+anti subtree
+    inside the final action — hop h's lazy frontier embedded hops
+    1..h-1 wholesale, so a 4-hop BFS paid ~2x the traversal and
+    carried a 2,900-line physical plan. One bounded materialization
+    per hop keeps each job frontier-sized, the anti-join side a flat
+    union of materialized levels, and the plan depth constant in
+    ``max_hops``.
     """
     adj = edges.repartition("a").persist()
-    visited = seeds.select(
-        F.col(seeds.columns[0]).alias("node"),
-        F.lit(0).cast("int").alias("hops"),
+    level = _cut_lineage(
+        seeds.select(
+            F.col(seeds.columns[0]).alias("node"),
+            F.lit(0).cast("int").alias("hops"),
+        ),
+        reliable,
     )
-    frontier = visited
+    levels = [level]
     for h in range(1, max_hops + 1):
-        # deliberately NOT _iter_side/broadcast: unlike the other
-        # iterative ops, frontier/visited are not lineage-cut every
-        # hop (checkpoint_interval batches the cuts), and broadcasting
-        # an uncut growing plan re-executes its whole lineage as a
-        # collect job per hop, losing shuffle-stage reuse (measured
-        # A/B at x4: broadcast 391 MB / 14-20 s vs pinned
-        # shuffle_hash 258 MB / ~10 s). The shuffle_hash hint still
-        # keeps the hash-join family — the persisted adj side is
-        # never re-exchanged or sorted
-        nxt = (
-            frontier.hint("shuffle_hash")
-            .join(adj, frontier["node"] == adj["a"])
+        # visited = flat union of already-materialized levels — a
+        # cheap scan, never a recomputation
+        visited = levels[0].select("node")
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv.select("node"))
+        # deliberately NOT _iter_side/broadcast: broadcasting the
+        # frontier re-executes its plan as a separate collect job per
+        # hop (measured A/B at x4: broadcast 391 MB / 14-20 s vs
+        # pinned shuffle_hash 258 MB / ~10 s). The shuffle_hash hint
+        # still keeps the hash-join family — the persisted adj side
+        # is never re-exchanged or sorted
+        level = _cut_lineage(
+            level.hint("shuffle_hash")
+            .join(adj, level["node"] == adj["a"])
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(
-                visited.select("node").hint("shuffle_hash"),
-                "node",
-                "left_anti",
-            )
-            .withColumn("hops", F.lit(h).cast("int"))
+            .join(visited.hint("shuffle_hash"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int")),
+            reliable,
         )
-        visited = visited.unionByName(nxt)
-        if h % max(1, checkpoint_interval) == 0 and h != max_hops:
-            visited = _cut_lineage(visited, reliable)
-        frontier = nxt
+        levels.append(level)
     adj.unpersist()
-    return visited
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def k_core_peel(
